@@ -1,0 +1,93 @@
+"""Local mirror of the driver's DuckDB-oracle correctness check.
+
+Runs a suite Query's Spark side and its DuckDB oracle on the same
+parquet tables, then compares row count, column names, and an
+order-insensitive view of the values — the same contract the driver's
+CORRECTNESS_r{N}.json applies at sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: str(v) if not isinstance(v, (list, tuple)) else str(list(v))
+            )
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "") -> None:
+    got = _canon(spark_df.toPandas())
+    want = _canon(con.execute(sql).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: rowcount {len(got)} != {len(want)}"
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+            ga = pd.to_numeric(g, errors="coerce")
+            wa = pd.to_numeric(w, errors="coerce")
+            both_nan = ga.isna() & wa.isna()
+            close = both_nan | (
+                (ga - wa).abs() <= 1e-9 + 1e-9 * wa.abs().fillna(0)
+            )
+            bad = (~close).to_numpy().nonzero()[0]
+            assert len(bad) == 0, (
+                f"{name}: column {c} mismatches at rows {bad[:5]}: "
+                f"got {ga.iloc[bad[:5]].tolist()} want {wa.iloc[bad[:5]].tolist()}"
+            )
+        else:
+            eq = (g == w) | (g.isna() & w.isna())
+            bad = (~eq).to_numpy().nonzero()[0]
+            assert len(bad) == 0, (
+                f"{name}: column {c} mismatches at rows {bad[:5]}: "
+                f"got {g.iloc[bad[:5]].tolist()} want {w.iloc[bad[:5]].tolist()}"
+            )
+
+
+def exact_hash_match(spark_df, con, sql: str) -> bool:
+    """Stricter driver-style check: exact equality after canonical sort."""
+    got = _canon(spark_df.toPandas())
+    want = _canon(con.execute(sql).df())
+    if list(got.columns) != list(want.columns) or len(got) != len(want):
+        return False
+    for c in got.columns:
+        g, w = got[c], want[c]
+        for a, b in zip(g, w):
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b):
+                    continue
+                if a != b:
+                    return False
+            elif a != b and not (pd.isna(a) and pd.isna(b)):
+                return False
+    return True

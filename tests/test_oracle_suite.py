@@ -1,0 +1,32 @@
+"""Run every oracle-backed suite query against DuckDB at sf0.001 —
+a local mirror of the driver's t2 correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from zcode_iceberg_spark.suite import registry
+from tests.harness import compare, duck_connection
+
+REG = registry()
+ORACLE_NAMES = sorted(n for n, q in REG.items() if q.oracle)
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duck_connection(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_match(spark, sf_dir, con, name):
+    q = REG[name]
+    compare(q.fn(spark, sf_dir), con, q.oracle, name)
+
+
+def test_all_queries_return_rows(spark, sf_dir):
+    for name, q in REG.items():
+        df = q.fn(spark, sf_dir)
+        assert df.count() >= 0, name
+        assert len(df.columns) > 0, name

@@ -1,0 +1,109 @@
+"""Parquet sources + ingest normalization (SURVEY.md A1-A4, B1-B3).
+
+The reference ingests three market-data streams and a REST kline batch,
+normalizing defensive dict-key fallbacks and dropping malformed rows
+(reference: futures_websocket.py:69-109, data_manager.py:261-292,
+501-530). Here the same roles are played by the driver's parquet tables
+(TESTDATA.md): ``events`` stands in for the tick/trade stream
+(ts→event time, value→price-like, props JSON→qty-like payload,
+user_id→symbol-ish key), the TPC-H-ish star schema covers relational
+coverage, and documents/embeddings cover the LLM-pipeline extensions.
+
+Scale notes:
+- Loads are plain ``spark.read.parquet`` so partition pruning, filter
+  pushdown and column pruning all reach the scan.
+- ``events.ts`` is nanosecond-precision parquet which Spark reads as
+  LongType (session sets ``nanosAsLong``); we convert to TIMESTAMP via
+  integer microsecond truncation — identical to DuckDB's ns→us cast so
+  oracle comparisons agree (reference analog: epoch-ms → datetime at
+  ingest, data_manager.py:510,792).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table, normalizing ingest quirks.
+
+    ``events.ts`` arrives as int64 nanoseconds (see module docstring);
+    it is exposed as a proper TIMESTAMP column here so every downstream
+    operator sees event-time semantics.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def events_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → normalized tick-stream view (SURVEY B1-B3, G17).
+
+    Mirrors the reference's trade-tick normalization: key fallbacks +
+    validity filter dropping non-positive price/qty rows (reference:
+    data_manager.py:501-530 drops ``price<=0 or qty<=0 or ts<=0``).
+
+    Output schema: (event_id, ts, user_id, event_type, price, qty,
+    is_buy) where price=value, qty is extracted from the JSON props
+    payload (scalar JSON coverage, SURVEY G-group note), and is_buy is
+    a deterministic side label standing in for ``!isBuyerMaker``.
+
+    The JSON extraction + filter are Catalyst expressions: the filter
+    on ``value`` is pushed to the parquet scan, and props parsing stays
+    in whole-stage codegen.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            F.col("value").alias("price"),
+            F.get_json_object("props", "$.k").cast("double").alias("qty"),
+            F.col("event_type").isin("click", "view", "signup").alias("is_buy"),
+        )
+        .filter(
+            (F.col("price") > 0)
+            & F.col("ts").isNotNull()
+            & F.col("qty").isNotNull()
+            & (F.col("qty") > 0)
+        )
+    )
+
+
+# DuckDB oracle twin of events_ticks, used as a CTE prefix by oracle SQL
+# strings so Spark and DuckDB see byte-identical input relations.
+EVENTS_TICKS_SQL = """
+SELECT event_id,
+       ts,
+       user_id,
+       event_type,
+       value AS price,
+       CAST(json_extract_string(props, '$.k') AS DOUBLE) AS qty,
+       event_type IN ('click', 'view', 'signup') AS is_buy
+FROM events
+WHERE value > 0
+  AND ts IS NOT NULL
+  AND json_extract_string(props, '$.k') IS NOT NULL
+  AND CAST(json_extract_string(props, '$.k') AS DOUBLE) > 0
+"""
