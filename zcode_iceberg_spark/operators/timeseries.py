@@ -1,0 +1,238 @@
+"""Time-series operators (SURVEY.md E5, E7-E12, F2-F4): OHLC resample,
+ATR, realized volatility, liquidity velocity, Hurst exponent,
+break-of-structure alignment, cumulative sums.
+
+The reference computes these per decision tick by re-scanning its
+in-memory deques with pandas/NumPy (data_manager.py:721-833,
+aether_oracle.py:77-250). Spark-first re-expression:
+
+- OHLC bars are a tumbling-window hash aggregate (`F.window`) — the
+  partial/final agg pattern shuffles one row per (key, bucket), which
+  is what survives at 100 TB (map-side combine collapses ticks early).
+- Bar-level indicators (ATR, BOS) are window functions OVER the bar
+  table — a far smaller relation than raw ticks (1 row/key/minute), so
+  the sort under the window is cheap no matter the raw volume.
+- Tick-level indicators (returns, realized vol, Hurst, liquidity
+  velocity) are window frames partitioned by key — one shuffle per
+  distinct window-spec family; frames are bounded (ROWS/RANGE) so
+  per-key state stays O(window), never O(history).
+- Open/close use min_by/max_by on a (ts, id) struct — deterministic
+  under timestamp ties, unlike first/last on an unsorted aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+KEY = "user_id"
+
+
+def _us(col: str = "ts") -> Column:
+    return F.unix_micros(F.col(col))
+
+
+def ohlc_bars(ticks: DataFrame, minutes: int = 60) -> DataFrame:
+    """E8: tumbling OHLCV bars per key.
+
+    open/close = price at min/max (ts, event_id) — deterministic
+    tie-break (reference resamples with pandas first/last over a
+    time-sorted frame, data_manager.py:788-801).
+    Output: (user_id, bar_ts, open, high, low, close, volume, n_ticks).
+    """
+    dur = f"{minutes} minutes"
+    tie = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ticks.groupBy(KEY, F.window("ts", dur).alias("w"))
+        .agg(
+            F.min_by("price", tie).alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", tie).alias("close"),
+            F.sum("qty").alias("volume"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(KEY, F.col("w.start").alias("bar_ts"), "open", "high", "low", "close", "volume", "n_ticks")
+    )
+
+
+def atr(bars: DataFrame, n: int = 14) -> DataFrame:
+    """E9: Average True Range over OHLC bars.
+
+    TR = max(h−l, |h−prev_close|, |l−prev_close|); ATR = mean of the
+    trailing N TRs; atr_pct = ATR / close (reference
+    data_manager.py:774-833, ATR_PERIOD=14). First bar's TR falls back
+    to h−l (no prev close), matching the reference's dropna+seed.
+    """
+    w = Window.partitionBy(KEY).orderBy("bar_ts")
+    prev_close = F.lag("close").over(w)
+    tr = F.when(
+        prev_close.isNull(), F.col("high") - F.col("low")
+    ).otherwise(
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - prev_close),
+            F.abs(F.col("low") - prev_close),
+        )
+    )
+    wn = Window.partitionBy(KEY).orderBy("bar_ts").rowsBetween(-(n - 1), 0)
+    out = bars.withColumn("tr", tr)
+    out = out.withColumn("atr", F.avg("tr").over(wn))
+    return out.withColumn(
+        "atr_pct",
+        F.when(F.col("close") > 0, F.col("atr") / F.col("close")).otherwise(F.lit(0.0)),
+    )
+
+
+def realized_vol(ticks: DataFrame, scale_ticks: int = 60) -> DataFrame:
+    """E10: realized volatility of tick returns per key.
+
+    returns = Δp/p_prev; σ_pop(returns) · √scale (reference
+    data_manager.py:747-772 — np.std is POPULATION std, hence
+    stddev_pop here, a deliberate divergence from Spark's sample
+    default; SURVEY §7 'what's hard').
+    Output one row per key (global agg over the key's ticks).
+    """
+    w = Window.partitionBy(KEY).orderBy("ts", "event_id")
+    prev = F.lag("price").over(w)
+    ret = F.when(prev > 0, (F.col("price") - prev) / prev)
+    with_ret = ticks.withColumn("ret", ret)
+    return (
+        with_ret.filter(F.col("ret").isNotNull())
+        .groupBy(KEY)
+        .agg(
+            F.stddev_pop("ret").alias("ret_std"),
+            F.count("ret").alias("n_returns"),
+        )
+        .withColumn(
+            "realized_vol", F.col("ret_std") * F.sqrt(F.lit(float(scale_ticks)))
+        )
+    )
+
+
+def liquidity_velocity(
+    ticks: DataFrame, windows_sec: tuple[int, ...] = (3600, 21600, 86400)
+) -> DataFrame:
+    """E7: liquidity velocity LV = Σqty / (Σ|Δprice| + ε) at three
+    trailing timeframes + micro-trap flag (LV_fast > 1.5 · LV_mid)
+    (reference aether_oracle.py:77-121: 60/300/900 s; scaled here to
+    the sparser events cadence).
+
+    All six windowed sums share one partition/order spec family →
+    single sort, multiple frames.
+    """
+    wseq = Window.partitionBy(KEY).orderBy("ts", "event_id")
+    dp = F.abs(F.col("price") - F.lag("price").over(wseq))
+    t = ticks.withColumn("abs_dp", F.coalesce(dp, F.lit(0.0)))
+    out = {}
+    for sec in windows_sec:
+        w = Window.partitionBy(KEY).orderBy(_us()).rangeBetween(-sec * 1_000_000, 0)
+        out[f"lv_{sec}"] = F.sum("qty").over(w) / (
+            F.sum("abs_dp").over(w) + F.lit(1e-9)
+        )
+    t = t.withColumns(out)
+    fast, mid = f"lv_{windows_sec[0]}", f"lv_{windows_sec[1]}"
+    return t.withColumn("micro_trap", F.col(fast) > 1.5 * F.col(mid))
+
+
+def hurst(ticks: DataFrame, n_last: int = 20) -> DataFrame:
+    """E11: Hurst exponent via rescaled range over each key's last N
+    ticks: demean, cumulative deviation, H = log(R/S)/log(n)
+    (reference aether_oracle.py:155-186). Neutral 0.5 when R/S is
+    degenerate (flat series).
+
+    Two passes over an N-row-per-key slice: (1) rank+filter to last N,
+    (2) mean broadcast back, (3) running cumsum + minmax/std agg. The
+    slice is tiny per key, so the cumsum window is bounded.
+    """
+    wdesc = Window.partitionBy(KEY).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    last_n = ticks.withColumn("rn", F.row_number().over(wdesc)).filter(
+        F.col("rn") <= n_last
+    )
+    means = last_n.groupBy(KEY).agg(
+        F.avg("price").alias("mu"), F.count(F.lit(1)).alias("n")
+    )
+    j = last_n.join(F.broadcast(means), KEY)
+    wcum = (
+        Window.partitionBy(KEY)
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dev = j.withColumn("cumdev", F.sum(F.col("price") - F.col("mu")).over(wcum))
+    agg = dev.groupBy(KEY).agg(
+        (F.max("cumdev") - F.min("cumdev")).alias("r"),
+        F.stddev_pop("cumdev").alias("s"),
+        F.max("n").alias("n"),
+    )
+    h = F.when(
+        (F.col("r") > 0) & (F.col("s") > 0) & (F.col("n") >= 10),
+        F.log(F.col("r") / F.col("s")) / F.log(F.col("n").cast("double")),
+    ).otherwise(F.lit(0.5))
+    return agg.withColumn("hurst", h).select(KEY, "n", "r", "s", "hurst")
+
+
+def bos_alignment(bars: DataFrame, lookback: int = 5, last_n: int = 10) -> DataFrame:
+    """E12: break-of-structure score per key — fraction of the last N
+    bars whose close breaks the prior `lookback` bars' high/low
+    (reference aether_oracle.py:188-250: per-TF break fraction, then
+    averaged across TFs by the caller).
+    """
+    w = Window.partitionBy(KEY).orderBy("bar_ts")
+    prior_hi = F.max("high").over(w.rowsBetween(-lookback, -1))
+    prior_lo = F.min("low").over(w.rowsBetween(-lookback, -1))
+    flagged = bars.withColumns(
+        {
+            "break_up": (F.col("close") > prior_hi),
+            "break_dn": (F.col("close") < prior_lo),
+        }
+    )
+    wdesc = Window.partitionBy(KEY).orderBy(F.col("bar_ts").desc())
+    recent = flagged.withColumn("rn", F.row_number().over(wdesc)).filter(
+        (F.col("rn") <= last_n) & F.col("break_up").isNotNull()
+    )
+    return recent.groupBy(KEY).agg(
+        F.avg(
+            F.when(F.col("break_up") | F.col("break_dn"), 1.0).otherwise(0.0)
+        ).alias("bos_score"),
+        F.avg(F.when(F.col("break_up"), 1.0).otherwise(0.0)).alias("bos_up"),
+        F.avg(F.when(F.col("break_dn"), 1.0).otherwise(0.0)).alias("bos_dn"),
+        F.count(F.lit(1)).alias("n_bars"),
+    )
+
+
+def ema(ticks: DataFrame, span: int = 20, value: str = "price") -> DataFrame:
+    """F1: exponential moving average, pandas `ewm(span, adjust=False)`
+    semantics — the recursion y_t = α·x_t + (1−α)·y_{t−1}, y_0 = x_0,
+    α = 2/(span+1) (reference data_manager.py:721-745, EMA_PERIOD=20).
+
+    No Catalyst builtin is recursive, so: collect the trailing
+    3·span values into a bounded array (the reference itself truncates
+    to the last 3·period points — data_manager.py:736-737, so this is
+    semantics-faithful, not an approximation) and fold with
+    ``F.aggregate`` — pure JVM expression, no Python UDF, no extra
+    shuffle beyond the window sort. Memory per row is O(3·span).
+    """
+    alpha = 2.0 / (span + 1.0)
+    w = (
+        Window.partitionBy(KEY)
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(3 * span - 1), 0)
+    )
+    vals = F.collect_list(value).over(w)
+    fold = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1).cast("double"),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return ticks.withColumn("ema", fold)
+
+
+def cumulative_sum(df: DataFrame, value: str, order: list[str]) -> DataFrame:
+    """F3/E14: running total in a deterministic order (reference
+    cumulative P&L, zscore_excel_logger.py:330-343)."""
+    w = (
+        Window.partitionBy(KEY)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(f"cum_{value}", F.sum(value).over(w))

@@ -1,3 +1,269 @@
-"""Placeholder — filled in as operators land."""
+"""Orderbook suite queries (SURVEY C1-C3, E1-E2, B5, D1, D2).
 
-QUERIES: dict = {}
+The events table stands in for the book: each valid tick is a level,
+side from the taker flag, ``user_id`` = symbol key (FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zcode_iceberg_spark.operators import asof as asof_ops
+from zcode_iceberg_spark.operators import book as ops
+from zcode_iceberg_spark.sources.tables import EVENTS_TICKS_SQL, events_ticks
+from zcode_iceberg_spark.suite import Query
+
+TICKS_CTE = f"WITH ticks AS ({EVENTS_TICKS_SQL})"
+
+BOOK_CTE = """
+book AS (
+  SELECT user_id, event_id,
+         CASE WHEN is_buy THEN 'bid' ELSE 'ask' END AS side,
+         price, qty
+  FROM ticks
+)"""
+
+RANKED_CTE = """
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, side
+      ORDER BY CASE WHEN side = 'bid' THEN -price ELSE price END, event_id
+    ) AS level
+  FROM book
+)"""
+
+
+def _book(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.book_levels(events_ticks(spark, sf_dir))
+
+
+def q_book_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+C2: price-priority top-20 depth slice per (key, side)."""
+    top = ops.topk_levels(_book(spark, sf_dir), k=20)
+    return top.select(
+        "user_id",
+        "side",
+        "level",
+        F.round("price", 6).alias("price"),
+        F.round("qty", 6).alias("qty"),
+    )
+
+
+SQL_BOOK_TOPK = f"""
+{TICKS_CTE},
+{BOOK_CTE},
+{RANKED_CTE}
+SELECT user_id, side, level,
+       round(price, 6) AS price, round(qty, 6) AS qty
+FROM ranked WHERE level <= 20
+"""
+
+
+def q_best_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: best bid/ask (top-1 per ladder) + spread + mid per key."""
+    q = ops.best_quotes(_book(spark, sf_dir))
+    return q.select(
+        "user_id",
+        F.round("best_bid", 6).alias("best_bid"),
+        F.round("best_ask", 6).alias("best_ask"),
+        F.round("spread", 6).alias("spread"),
+        F.round("mid", 6).alias("mid"),
+    )
+
+
+SQL_BEST_QUOTES = f"""
+{TICKS_CTE},
+{BOOK_CTE}
+SELECT user_id,
+       round(max(CASE WHEN side = 'bid' THEN price END), 6) AS best_bid,
+       round(min(CASE WHEN side = 'ask' THEN price END), 6) AS best_ask,
+       round(min(CASE WHEN side = 'ask' THEN price END)
+             - max(CASE WHEN side = 'bid' THEN price END), 6) AS spread,
+       round((min(CASE WHEN side = 'ask' THEN price END)
+              + max(CASE WHEN side = 'bid' THEN price END)) / 2, 6) AS mid
+FROM book GROUP BY user_id
+"""
+
+
+def q_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: depth-sum imbalance over top-20 per side, ±0.65 flags."""
+    imb = ops.imbalance(_book(spark, sf_dir), k=20, threshold=0.65)
+    return imb.select(
+        "user_id",
+        F.round("total_bid", 6).alias("total_bid"),
+        F.round("total_ask", 6).alias("total_ask"),
+        F.round("imbalance", 6).alias("imbalance"),
+        "bid_heavy",
+        "ask_heavy",
+    )
+
+
+SQL_IMBALANCE = f"""
+{TICKS_CTE},
+{BOOK_CTE},
+{RANKED_CTE},
+agg AS (
+  SELECT user_id,
+         coalesce(sum(CASE WHEN side = 'bid' THEN qty END), 0.0) AS total_bid,
+         coalesce(sum(CASE WHEN side = 'ask' THEN qty END), 0.0) AS total_ask
+  FROM ranked WHERE level <= 20 GROUP BY user_id
+)
+SELECT user_id,
+       round(total_bid, 6) AS total_bid,
+       round(total_ask, 6) AS total_ask,
+       round(CASE WHEN total_bid + total_ask > 0
+                  THEN (total_bid - total_ask) / (total_bid + total_ask)
+                  ELSE 0.0 END, 6) AS imbalance,
+       CASE WHEN total_bid + total_ask > 0
+            THEN (total_bid - total_ask) / (total_bid + total_ask)
+            ELSE 0.0 END >= 0.65 AS bid_heavy,
+       CASE WHEN total_bid + total_ask > 0
+            THEN (total_bid - total_ask) / (total_bid + total_ask)
+            ELSE 0.0 END <= -0.65 AS ask_heavy
+FROM agg
+"""
+
+
+def q_wall_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+B5: zone-volume wall strength in a ±1% band around the mid."""
+    w = ops.wall_strength(_book(spark, sf_dir), k=20, zone_pct=0.01, wall_mult=4.2)
+    return w.select(
+        "user_id",
+        F.round("bid_zone_vol", 6).alias("bid_zone_vol"),
+        F.round("ask_zone_vol", 6).alias("ask_zone_vol"),
+        F.round("bid_wall_strength", 6).alias("bid_wall_strength"),
+        F.round("ask_wall_strength", 6).alias("ask_wall_strength"),
+        "bid_wall",
+        "ask_wall",
+    )
+
+
+SQL_WALL_STRENGTH = f"""
+{TICKS_CTE},
+{BOOK_CTE},
+{RANKED_CTE},
+mids AS (
+  SELECT user_id,
+         (min(CASE WHEN side = 'ask' THEN price END)
+          + max(CASE WHEN side = 'bid' THEN price END)) / 2 AS mid
+  FROM book GROUP BY user_id
+),
+agg AS (
+  SELECT r.user_id,
+         coalesce(sum(CASE WHEN side = 'bid'
+                        AND price BETWEEN mid * 0.99 AND mid * 1.01
+                       THEN qty END), 0.0) AS bid_zone_vol,
+         coalesce(sum(CASE WHEN side = 'ask'
+                        AND price BETWEEN mid * 0.99 AND mid * 1.01
+                       THEN qty END), 0.0) AS ask_zone_vol,
+         coalesce(sum(CASE WHEN side = 'bid' THEN qty END), 0.0) AS total_bid,
+         coalesce(sum(CASE WHEN side = 'ask' THEN qty END), 0.0) AS total_ask
+  FROM ranked r JOIN mids USING (user_id)
+  WHERE level <= 20
+  GROUP BY r.user_id
+)
+SELECT user_id,
+       round(bid_zone_vol, 6) AS bid_zone_vol,
+       round(ask_zone_vol, 6) AS ask_zone_vol,
+       round(CASE WHEN total_bid / 20 > 0 THEN bid_zone_vol / (total_bid / 20)
+                  ELSE 0.0 END, 6) AS bid_wall_strength,
+       round(CASE WHEN total_ask / 20 > 0 THEN ask_zone_vol / (total_ask / 20)
+                  ELSE 0.0 END, 6) AS ask_wall_strength,
+       CASE WHEN total_bid / 20 > 0 THEN bid_zone_vol / (total_bid / 20)
+            ELSE 0.0 END >= 4.2 AS bid_wall,
+       CASE WHEN total_ask / 20 > 0 THEN ask_zone_vol / (total_ask / 20)
+            ELSE 0.0 END >= 4.2 AS ask_wall
+FROM agg
+"""
+
+
+def q_asof_trade_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: as-of join — each trade (purchase event) picks up the latest
+    quote (view event) at or before its timestamp, per key.
+
+    Spark side: union + last(ignorenulls) over event-time window (one
+    shuffle, no range explosion — operators/asof.py). Oracle: DuckDB's
+    native ASOF LEFT JOIN.
+    """
+    t = events_ticks(spark, sf_dir)
+    trades = t.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "price", "qty"
+    )
+    quotes = t.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "price"
+    )
+    j = asof_ops.asof_join(trades, quotes, key="user_id", value_cols=["price"])
+    return j.select(
+        "event_id",
+        "user_id",
+        F.round("price", 6).alias("price"),
+        F.round("asof_price", 6).alias("asof_price"),
+        F.round(F.col("price") - F.col("asof_price"), 6).alias("px_vs_quote"),
+    )
+
+
+SQL_ASOF_TRADE_QUOTE = f"""
+{TICKS_CTE},
+trades AS (
+  SELECT event_id, user_id, ts, price, qty FROM ticks
+  WHERE event_type = 'purchase'
+),
+quotes AS (
+  SELECT user_id, ts, price AS quote_price FROM ticks
+  WHERE event_type = 'view'
+)
+SELECT t.event_id, t.user_id,
+       round(t.price, 6) AS price,
+       round(q.quote_price, 6) AS asof_price,
+       round(t.price - q.quote_price, 6) AS px_vs_quote
+FROM trades t ASOF LEFT JOIN quotes q
+  ON t.user_id = q.user_id AND t.ts >= q.ts
+"""
+
+
+def q_range_join_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: interval join — for each decision tick (purchase), aggregate
+    ALL trades in its trailing 1-hour window on the same key, as an
+    explicit range join (not a window frame)."""
+    t = events_ticks(spark, sf_dir)
+    decisions = t.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    trades = t.select("user_id", "ts", "qty", "is_buy")
+    pairs = asof_ops.range_join(decisions, trades, key="user_id", lookback_sec=3600)
+    return pairs.groupBy("event_id", "user_id").agg(
+        F.coalesce(
+            F.round(F.sum(F.when(F.col("r_is_buy"), F.col("r_qty"))), 6), F.lit(0.0)
+        ).alias("buy_vol"),
+        F.coalesce(
+            F.round(F.sum(F.when(~F.col("r_is_buy"), F.col("r_qty"))), 6), F.lit(0.0)
+        ).alias("sell_vol"),
+        F.count("r_qty").cast("bigint").alias("n_trades"),
+    )
+
+
+SQL_RANGE_JOIN_FLOW = f"""
+{TICKS_CTE},
+decisions AS (
+  SELECT event_id, user_id, ts FROM ticks WHERE event_type = 'purchase'
+)
+SELECT d.event_id, d.user_id,
+       coalesce(round(sum(CASE WHEN t.is_buy THEN t.qty END), 6), 0.0) AS buy_vol,
+       coalesce(round(sum(CASE WHEN NOT t.is_buy THEN t.qty END), 6), 0.0) AS sell_vol,
+       count(t.qty) AS n_trades
+FROM decisions d LEFT JOIN ticks t
+  ON d.user_id = t.user_id
+ AND t.ts <= d.ts AND t.ts >= d.ts - INTERVAL 3600 SECONDS
+GROUP BY d.event_id, d.user_id
+"""
+
+
+QUERIES = {
+    "book_topk": Query(q_book_topk, SQL_BOOK_TOPK),
+    "best_quotes": Query(q_best_quotes, SQL_BEST_QUOTES),
+    "imbalance": Query(q_imbalance, SQL_IMBALANCE),
+    "wall_strength": Query(q_wall_strength, SQL_WALL_STRENGTH),
+    "asof_trade_quote": Query(q_asof_trade_quote, SQL_ASOF_TRADE_QUOTE),
+    "range_join_flow": Query(q_range_join_flow, SQL_RANGE_JOIN_FLOW),
+}

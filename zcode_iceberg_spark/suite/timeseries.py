@@ -1,3 +1,302 @@
-"""Placeholder — filled in as operators land."""
+"""Time-series suite queries (SURVEY E7-E12, F1-F4).
 
-QUERIES: dict = {}
+Bars use 60-minute tumbling windows (Spark `F.window` epoch-aligned =
+DuckDB `date_trunc('hour')`), scaled to the events table's cadence
+(reference uses 1/5/15-minute bars on tick data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zcode_iceberg_spark.operators import timeseries as ops
+from zcode_iceberg_spark.sources.tables import EVENTS_TICKS_SQL, events_ticks
+from zcode_iceberg_spark.suite import Query
+
+TICKS_CTE = f"WITH ticks AS ({EVENTS_TICKS_SQL})"
+
+# Hourly OHLCV bars: open/close picked by deterministic (ts, event_id)
+# rank — mirrors min_by/max_by on a (ts, event_id) struct in Spark.
+BARS_CTE = """
+ranked AS (
+  SELECT user_id, date_trunc('hour', ts) AS bar_ts, price, qty, ts, event_id,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM ticks
+),
+bars AS (
+  SELECT user_id, bar_ts,
+         max(CASE WHEN rn_a = 1 THEN price END) AS open,
+         max(price) AS high,
+         min(price) AS low,
+         max(CASE WHEN rn_d = 1 THEN price END) AS close,
+         sum(qty) AS volume,
+         count(*) AS n_ticks
+  FROM ranked GROUP BY user_id, bar_ts
+)"""
+
+EMA_SPAN = 20
+EMA_ALPHA = 2.0 / (EMA_SPAN + 1.0)
+
+
+def _bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.ohlc_bars(events_ticks(spark, sf_dir), minutes=60)
+
+
+def q_ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: tumbling-window OHLCV resample (hourly)."""
+    b = _bars(spark, sf_dir)
+    return b.select(
+        "user_id",
+        F.date_format("bar_ts", "yyyy-MM-dd HH:mm:ss").alias("bar_ts"),
+        F.round("open", 6).alias("open"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round("close", 6).alias("close"),
+        F.round("volume", 6).alias("volume"),
+        F.col("n_ticks").cast("bigint").alias("n_ticks"),
+    )
+
+
+SQL_OHLC_1H = f"""
+{TICKS_CTE},
+{BARS_CTE}
+SELECT user_id,
+       strftime(bar_ts, '%Y-%m-%d %H:%M:%S') AS bar_ts,
+       round(open, 6) AS open, round(high, 6) AS high,
+       round(low, 6) AS low, round(close, 6) AS close,
+       round(volume, 6) AS volume, n_ticks
+FROM bars
+"""
+
+
+def q_atr_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9: ATR(14) over hourly bars — lag + greatest + trailing mean."""
+    a = ops.atr(_bars(spark, sf_dir), n=14)
+    return a.select(
+        "user_id",
+        F.date_format("bar_ts", "yyyy-MM-dd HH:mm:ss").alias("bar_ts"),
+        F.round("tr", 6).alias("tr"),
+        F.round("atr", 6).alias("atr"),
+        F.round("atr_pct", 6).alias("atr_pct"),
+    )
+
+
+SQL_ATR_1H = f"""
+{TICKS_CTE},
+{BARS_CTE},
+tr_calc AS (
+  SELECT user_id, bar_ts, close,
+         CASE WHEN lag(close) OVER w IS NULL THEN high - low
+              ELSE greatest(high - low,
+                            abs(high - lag(close) OVER w),
+                            abs(low - lag(close) OVER w))
+         END AS tr
+  FROM bars
+  WINDOW w AS (PARTITION BY user_id ORDER BY bar_ts)
+),
+atr_calc AS (
+  SELECT user_id, bar_ts, close, tr,
+         avg(tr) OVER (PARTITION BY user_id ORDER BY bar_ts
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS atr
+  FROM tr_calc
+)
+SELECT user_id, strftime(bar_ts, '%Y-%m-%d %H:%M:%S') AS bar_ts,
+       round(tr, 6) AS tr, round(atr, 6) AS atr,
+       round(CASE WHEN close > 0 THEN atr / close ELSE 0.0 END, 6) AS atr_pct
+FROM atr_calc
+"""
+
+
+def q_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10: population-std realized volatility of tick returns."""
+    v = ops.realized_vol(events_ticks(spark, sf_dir), scale_ticks=60)
+    return v.select(
+        "user_id",
+        F.col("n_returns").cast("bigint").alias("n_returns"),
+        F.round("realized_vol", 6).alias("realized_vol"),
+    )
+
+
+SQL_REALIZED_VOL = f"""
+{TICKS_CTE},
+rets AS (
+  SELECT user_id,
+         (price - lag(price) OVER w) / lag(price) OVER w AS ret
+  FROM ticks
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, count(ret) AS n_returns,
+       round(stddev_pop(ret) * sqrt(60.0), 6) AS realized_vol
+FROM rets WHERE ret IS NOT NULL GROUP BY user_id
+"""
+
+
+def q_liquidity_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: Σqty/(Σ|Δp|+ε) at 1h/6h/24h + micro-trap flag."""
+    lv = ops.liquidity_velocity(events_ticks(spark, sf_dir))
+    return lv.select(
+        "event_id",
+        "user_id",
+        F.round("lv_3600", 6).alias("lv_1h"),
+        F.round("lv_21600", 6).alias("lv_6h"),
+        F.round("lv_86400", 6).alias("lv_24h"),
+        "micro_trap",
+    )
+
+
+SQL_LIQUIDITY_VELOCITY = f"""
+{TICKS_CTE},
+dp AS (
+  SELECT event_id, user_id, ts, qty,
+         coalesce(abs(price - lag(price) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id)), 0.0) AS abs_dp
+  FROM ticks
+),
+lv AS (
+  SELECT event_id, user_id,
+         SUM(qty) OVER w1 / (SUM(abs_dp) OVER w1 + 1e-9) AS lv_1h,
+         SUM(qty) OVER w2 / (SUM(abs_dp) OVER w2 + 1e-9) AS lv_6h,
+         SUM(qty) OVER w3 / (SUM(abs_dp) OVER w3 + 1e-9) AS lv_24h
+  FROM dp
+  WINDOW
+    w1 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+    w2 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW),
+    w3 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       round(lv_1h, 6) AS lv_1h, round(lv_6h, 6) AS lv_6h,
+       round(lv_24h, 6) AS lv_24h,
+       lv_1h > 1.5 * lv_6h AS micro_trap
+FROM lv
+"""
+
+
+def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11: rescaled-range Hurst exponent over each key's last 20 ticks."""
+    h = ops.hurst(events_ticks(spark, sf_dir), n_last=20)
+    return h.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("r", 6).alias("r"),
+        F.round("s", 6).alias("s"),
+        F.round("hurst", 6).alias("hurst"),
+    )
+
+
+SQL_HURST = f"""
+{TICKS_CTE},
+last_n AS (
+  SELECT user_id, ts, event_id, price
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ticks
+  ) WHERE rn <= 20
+),
+withmu AS (
+  SELECT l.*, m.mu, m.n FROM last_n l
+  JOIN (SELECT user_id, avg(price) AS mu, count(*) AS n
+        FROM last_n GROUP BY user_id) m USING (user_id)
+),
+dev AS (
+  SELECT user_id, n,
+         sum(price - mu) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumdev
+  FROM withmu
+),
+agg AS (
+  SELECT user_id, max(n) AS n,
+         max(cumdev) - min(cumdev) AS r,
+         stddev_pop(cumdev) AS s
+  FROM dev GROUP BY user_id
+)
+SELECT user_id, n, round(r, 6) AS r, round(s, 6) AS s,
+       round(CASE WHEN r > 0 AND s > 0 AND n >= 10
+                  THEN ln(r / s) / ln(CAST(n AS DOUBLE))
+                  ELSE 0.5 END, 6) AS hurst
+FROM agg
+"""
+
+
+def q_bos_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12: break-of-structure fraction over the last 10 hourly bars."""
+    b = ops.bos_alignment(_bars(spark, sf_dir), lookback=5, last_n=10)
+    return b.select(
+        "user_id",
+        F.round("bos_score", 6).alias("bos_score"),
+        F.round("bos_up", 6).alias("bos_up"),
+        F.round("bos_dn", 6).alias("bos_dn"),
+        F.col("n_bars").cast("bigint").alias("n_bars"),
+    )
+
+
+SQL_BOS_1H = f"""
+{TICKS_CTE},
+{BARS_CTE},
+flagged AS (
+  SELECT user_id, bar_ts,
+         close > max(high) OVER w5 AS break_up,
+         close < min(low) OVER w5 AS break_dn
+  FROM bars
+  WINDOW w5 AS (PARTITION BY user_id ORDER BY bar_ts
+                ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+),
+recent AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY bar_ts DESC) AS rn
+  FROM flagged
+)
+SELECT user_id,
+       round(avg(CASE WHEN break_up OR break_dn THEN 1.0 ELSE 0.0 END), 6)
+         AS bos_score,
+       round(avg(CASE WHEN break_up THEN 1.0 ELSE 0.0 END), 6) AS bos_up,
+       round(avg(CASE WHEN break_dn THEN 1.0 ELSE 0.0 END), 6) AS bos_dn,
+       count(*) AS n_bars
+FROM recent WHERE rn <= 10 AND break_up IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: EMA(span=20, adjust=False) — exact recursive fold via
+    `F.aggregate` over a bounded trailing array (no UDF); oracle folds
+    the identical sequence with DuckDB's list_reduce."""
+    e = ops.ema(events_ticks(spark, sf_dir), span=EMA_SPAN)
+    return e.select("event_id", "user_id", F.round("ema", 6).alias("ema"))
+
+
+SQL_EMA = f"""
+{TICKS_CTE},
+seqs AS (
+  SELECT event_id, user_id,
+         list(price) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN {3 * EMA_SPAN - 1} PRECEDING
+                           AND CURRENT ROW) AS vals
+  FROM ticks
+)
+SELECT event_id, user_id,
+       round(CASE WHEN len(vals) = 1 THEN vals[1]
+             ELSE list_reduce(vals, (acc, x) ->
+                  CAST({EMA_ALPHA!r} AS DOUBLE) * x
+                  + CAST({1.0 - EMA_ALPHA!r} AS DOUBLE) * acc)
+             END, 6) AS ema
+FROM seqs
+"""
+
+
+QUERIES = {
+    "ohlc_1h": Query(q_ohlc_1h, SQL_OHLC_1H),
+    "atr_1h": Query(q_atr_1h, SQL_ATR_1H),
+    "realized_vol": Query(q_realized_vol, SQL_REALIZED_VOL),
+    "liquidity_velocity": Query(q_liquidity_velocity, SQL_LIQUIDITY_VELOCITY),
+    "hurst": Query(q_hurst, SQL_HURST),
+    "bos_1h": Query(q_bos_1h, SQL_BOS_1H),
+    "ema": Query(q_ema, SQL_EMA),
+}
