@@ -1,3 +1,371 @@
-"""Placeholder — filled in as operators land."""
+"""Relational star-schema suite (SURVEY D5, E13-E16 analogs, plus the
+grouping surface Spark provides beyond the reference — rollup, semi/
+anti joins, distinct aggregates — listed in SURVEY §2 notes as
+driver-mandated engine surface).
 
-QUERIES: dict = {}
+Scale design notes (the point of this block):
+- Dimension joins (region/nation/customer/supplier) are explicitly
+  ``F.broadcast`` — at 100 TB the fact tables shuffle zero bytes for
+  these joins; only fact-fact (lineitem⋈orders) uses sort-merge, on
+  the natural key both sides are clustered by.
+- Aggregates are expressed groupBy-first so partial (map-side)
+  aggregation collapses rows before the shuffle.
+- Top-k per group uses row_number + filter — Spark pushes the rank
+  filter into the window sort (WindowGroupLimit), so the full sorted
+  group is never materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zcode_iceberg_spark.sources.tables import load_table
+from zcode_iceberg_spark.suite import Query
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide hash aggregate over lineitem with computed
+    measures — the canonical partial+final agg benchmark query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                6,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full star join: lineitem⋈orders (sort-merge on the fact key)
+    ⋈ customer⋈nation⋈region (all broadcast) → revenue rollup by
+    region/nation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_STAR_REVENUE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by order value per nation — top-k per group via
+    row_number (C2's relational twin)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 6).alias("total_value"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("total_value").desc(), F.col("c_custkey")
+    )
+    return (
+        per_cust.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("n_name", "c_custkey", "c_name", "total_value", "rank")
+    )
+
+
+SQL_TOP_CUSTOMERS_PER_NATION = """
+WITH per_cust AS (
+  SELECT n_name, c_custkey, c_name,
+         round(sum(o_totalprice), 6) AS total_value
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_custkey, c_name
+)
+SELECT n_name, c_custkey, c_name, total_value, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY n_name
+                               ORDER BY total_value DESC, c_custkey) AS rank
+  FROM per_cust
+) WHERE rank <= 3
+"""
+
+
+def q_priority_with_discounted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (TPC-H Q4 shape): count orders per priority that have
+    at least one deeply-discounted line. leftsemi shuffles only keys —
+    no fact-fact row explosion."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = li.filter(F.col("l_discount") > 0.05).select("l_orderkey")
+    return (
+        o.join(disc, o.o_orderkey == disc.l_orderkey, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+SQL_PRIORITY_WITH_DISCOUNTED = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+GROUP BY o_orderpriority
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers that never ordered, per market segment."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "leftanti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate — hierarchical subtotals (flag → flag×status →
+    grand total) in one pass; 'ALL' stands in for the null subtotal
+    markers so the hash compare is label-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+SQL_ROLLUP_SALES = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_cumulative_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14 analog: running order-value total per customer in order-date
+    order (cumulative P&L twin, zscore_excel_logger.py:330-343)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.round(F.sum("o_totalprice").over(w), 6).alias("cum_value"),
+    )
+
+
+SQL_CUMULATIVE_CUSTOMER_VALUE = """
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW), 6) AS cum_value
+FROM orders
+"""
+
+
+def q_daily_order_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13: daily ledger rollup — count/status splits/min/max/avg, the
+    Excel Daily-Summary sheet as a groupBy(to_date) hash agg
+    (zscore_excel_logger.py:345-407)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_f"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_o"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_p"),
+            F.round(F.sum("o_totalprice"), 6).alias("total_value"),
+            F.round(F.max("o_totalprice"), 6).alias("max_value"),
+            F.round(F.min("o_totalprice"), 6).alias("min_value"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_value"),
+        )
+    )
+
+
+SQL_DAILY_ORDER_SUMMARY = """
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       count(*) AS n_orders,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+       round(sum(o_totalprice), 6) AS total_value,
+       round(max(o_totalprice), 6) AS max_value,
+       round(min(o_totalprice), 6) AS min_value,
+       round(avg(o_totalprice), 6) AS avg_value
+FROM orders
+GROUP BY strftime(o_orderdate, '%Y-%m-%d')
+"""
+
+
+def q_distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregate: distinct parts + orders per supplier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SQL_DISTINCT_PARTS_PER_SUPPLIER = """
+SELECT l_suppkey,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_orderkey) AS n_orders,
+       count(*) AS n_lines
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the scale path for
+    distinct counts (no shuffle of distinct values, fixed-size
+    sketches). No SQL oracle: DuckDB's approx sketch differs — the
+    driver applies its rows-only check; exactness is covered by
+    `distinct_parts_per_supplier`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-then-window: revenue share and rank per market
+    segment (window over an aggregate output — E15 analog)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum("o_totalprice").alias("seg_value"))
+    )
+    w_all = Window.partitionBy()
+    return seg.select(
+        "c_mktsegment",
+        F.round("seg_value", 6).alias("seg_value"),
+        F.round(F.col("seg_value") / F.sum("seg_value").over(w_all), 6).alias("share"),
+        F.rank()
+        .over(Window.orderBy(F.col("seg_value").desc(), F.col("c_mktsegment")))
+        .alias("rank"),
+    )
+
+
+SQL_SEGMENT_SHARE = """
+WITH seg AS (
+  SELECT c_mktsegment, sum(o_totalprice) AS seg_value
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+)
+SELECT c_mktsegment,
+       round(seg_value, 6) AS seg_value,
+       round(seg_value / sum(seg_value) OVER (), 6) AS share,
+       rank() OVER (ORDER BY seg_value DESC, c_mktsegment) AS rank
+FROM seg
+"""
+
+
+QUERIES = {
+    "pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY),
+    "star_revenue": Query(q_star_revenue, SQL_STAR_REVENUE),
+    "top_customers_per_nation": Query(
+        q_top_customers_per_nation, SQL_TOP_CUSTOMERS_PER_NATION
+    ),
+    "priority_with_discounted": Query(
+        q_priority_with_discounted, SQL_PRIORITY_WITH_DISCOUNTED
+    ),
+    "customers_without_orders": Query(
+        q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS
+    ),
+    "rollup_sales": Query(q_rollup_sales, SQL_ROLLUP_SALES),
+    "cumulative_customer_value": Query(
+        q_cumulative_customer_value, SQL_CUMULATIVE_CUSTOMER_VALUE
+    ),
+    "daily_order_summary": Query(q_daily_order_summary, SQL_DAILY_ORDER_SUMMARY),
+    "distinct_parts_per_supplier": Query(
+        q_distinct_parts_per_supplier, SQL_DISTINCT_PARTS_PER_SUPPLIER
+    ),
+    "approx_distinct_parts": Query(q_approx_distinct_parts, None),
+    "segment_share": Query(q_segment_share, SQL_SEGMENT_SHARE),
+}
