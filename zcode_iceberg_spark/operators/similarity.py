@@ -1,0 +1,115 @@
+"""Embedding similarity search: brute-force cosine top-k (correctness
+baseline) and random-hyperplane LSH bucketing (the scale path).
+
+Driver-mandated extension (BASELINE north star). The embeddings table
+carries `embedding: array<float>`; everything below casts to double
+element-wise BEFORE any arithmetic so Spark and the DuckDB oracle fold
+identical IEEE-754 sequences (left-to-right, 0.0 seed) — results are
+bit-reproducible, not just close.
+
+Scale design:
+- Brute force broadcasts the (small) query set against the candidate
+  scan: one pass, no shuffle of the big side; per-pair cost is one
+  fused zip_with/aggregate expression in codegen. At 100 TB you cap
+  the query set, not the candidates.
+- LSH computes an 8-bit hyperplane-sign bucket per row (pure
+  expression, deterministic integer-derived ±1 planes — no stored
+  model), then joins query↔candidate per bucket: the join is
+  hash-partitioned by bucket so each executor handles a slice of the
+  candidate space. Recall < 1 by construction; the brute-force query
+  is the recall oracle.
+- For very wide vectors, swap the expression dot-product for a
+  mapInPandas numpy matmul per partition (same schema contract); the
+  expression form is kept because it is engine-native and
+  oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity with zero-norm guard → 0."""
+    na, nb = _norm(a), _norm(b)
+    return F.when((na > 0) & (nb > 0), _dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
+def plane_weight(i: Column | int, j: int) -> Column:
+    """Deterministic pseudo-random ±1 weight for dimension i, plane j —
+    derived from integer arithmetic only, so the oracle reproduces it:
+    ((i·2654435761 + j·40503) mod 97) mod 2 → {−1, +1}."""
+    i_col = F.lit(i) if isinstance(i, int) else i
+    h = (i_col * F.lit(2654435761) + F.lit(j * 40503)) % 97
+    return F.when(h % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def lsh_bucket(emb: Column, dim: int, n_planes: int = N_PLANES) -> Column:
+    """Random-hyperplane bucket id: bit j set iff Σᵢ emb[i]·w(i,j) > 0."""
+    def proj_step(j: int):
+        return lambda acc, i: acc + F.element_at(emb, i).cast(
+            "double"
+        ) * plane_weight(i, j)
+
+    out = F.lit(0)
+    for j in range(n_planes):
+        proj = F.aggregate(
+            F.sequence(F.lit(1), F.lit(dim)), F.lit(0.0), proj_step(j)
+        )
+        out = out + F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return out
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query (self-matches excluded).
+
+    Rank key is (cosine rounded to 6dp DESC, candidate id ASC) so the
+    cut is deterministic under float ties and identical to the oracle's
+    ordering.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("q_emb")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("n_emb")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("nid"))
+    scored = pairs.select(
+        "qid",
+        "nid",
+        F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,220 @@
+"""Stateful ordered-fold operators (SURVEY G16, H6): trend hysteresis
+and the position lifecycle FSM.
+
+These are the two reference computations that are genuinely
+order-sensitive and stateful — irreducible to window/agg expressions
+(SURVEY §4 "needs custom work"):
+
+- Hysteresis (reference data_manager.py:1051-1067,1155-1170): a
+  pending label must be observed `confirm_k` consecutive times before
+  the confirmed label flips.
+- Position FSM (reference strategy.py:334-443,575-933): one position
+  per key; flat → open on entry signal → exit on TP/SL/time-stop;
+  deterministic fills at the triggering row's price; ledger rows out.
+
+Execution model: ``applyInPandas`` per key — each key's history is
+processed as one ordered pandas group (Arrow-batched, vectorized I/O,
+sequential core — the loop IS the semantics). Spark distributes
+across keys: at 100 TB with millions of keys this parallelizes
+perfectly; the per-key group must fit in executor memory, which holds
+because decision rows per key are bounded (the same assumption the
+reference's deques make). In streaming mode the same folds run under
+``applyInPandasWithState`` (streaming/ module) with the carried state
+being (pending_label, confirm_count) / the open-position row —
+identical transition functions, shared here.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+HYST_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("raw_label", T.StringType()),
+        T.StructField("confirmed_label", T.StringType()),
+        T.StructField("pending_count", T.IntegerType()),
+    ]
+)
+
+
+def _hysteresis_fold(
+    labels: pd.Series,
+    confirm_k: int,
+    confirmed: str = "RANGE",
+    pending: str | None = None,
+    count: int = 0,
+) -> tuple[list[str], list[int], tuple[str, str | None, int]]:
+    """Sequential hysteresis transition — THE shared kernel for batch
+    (applyInPandas) and streaming (applyInPandasWithState). Takes the
+    carried state and returns per-row outputs plus the final state."""
+    out_lab: list[str] = []
+    out_cnt: list[int] = []
+    for raw in labels:
+        if raw == confirmed:
+            pending, count = None, 0
+        elif raw == pending:
+            count += 1
+            if count >= confirm_k:
+                confirmed, pending, count = raw, None, 0
+        else:
+            pending, count = raw, 1
+            if count >= confirm_k:
+                confirmed, pending, count = raw, None, 0
+        out_lab.append(confirmed)
+        out_cnt.append(count)
+    return out_lab, out_cnt, (confirmed, pending, count)
+
+
+def hysteresis(
+    df: DataFrame,
+    label_col: str,
+    confirm_k: int = 2,
+    key: str = "user_id",
+    order: tuple[str, str] = ("ts", "event_id"),
+) -> DataFrame:
+    """G16: per-key label stream with k-confirmation flips.
+
+    Input needs (key, *order, label_col); output one row per input row
+    with the confirmed label and pending counter.
+    """
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order), kind="mergesort")
+        lab, cnt, _ = _hysteresis_fold(pdf[label_col], confirm_k)
+        return pd.DataFrame(
+            {
+                "user_id": pdf[key].values,
+                "event_id": pdf[order[1]].values,
+                "raw_label": pdf[label_col].values,
+                "confirmed_label": lab,
+                "pending_count": cnt,
+            }
+        )
+
+    return df.groupBy(key).applyInPandas(fold, HYST_SCHEMA)
+
+
+LEDGER_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("trade_seq", T.IntegerType()),
+        T.StructField("side", T.StringType()),
+        T.StructField("entry_ts", T.TimestampType()),
+        T.StructField("exit_ts", T.TimestampType()),
+        T.StructField("entry_price", T.DoubleType()),
+        T.StructField("exit_price", T.DoubleType()),
+        T.StructField("qty", T.DoubleType()),
+        T.StructField("pnl", T.DoubleType()),
+        T.StructField("roi", T.DoubleType()),
+        T.StructField("exit_reason", T.StringType()),
+        T.StructField("hold_secs", T.DoubleType()),
+    ]
+)
+
+
+def position_fsm(
+    decisions: DataFrame,
+    z_entry: float = 1.5,
+    tp_pct: float = 0.01,
+    sl_pct: float = 0.01,
+    max_hold_secs: float = 86400.0,
+    margin: float = 50.0,
+    leverage: float = 25.0,
+    key: str = "user_id",
+) -> DataFrame:
+    """H6: one-position-per-key lifecycle over a decision stream.
+
+    Input: (user_id, ts, event_id, price, z). Entry when flat and
+    |z| ≥ z_entry (LONG if z>0 else SHORT) — filled at that row's
+    price (deterministic fill, replacing the reference's live order
+    I/O, SURVEY §7). Exit on TP/SL (±pct from entry, regime-free
+    simplification of G12) or time-stop. Emits one ledger row per
+    closed trade; a still-open position at end-of-data is closed at
+    the last price with reason EOD (so batch output is total).
+    """
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        rows = []
+        pos = None
+        seq = 0
+        uid = int(pdf[key].iloc[0]) if len(pdf) else None
+        qty = round(margin * leverage / max(float(pdf["price"].iloc[0]), 1e-9), 6)
+        for r in pdf.itertuples(index=False):
+            px, ts, z = float(r.price), r.ts, float(r.z)
+            if pos is None:
+                if abs(z) >= z_entry:
+                    side = "LONG" if z > 0 else "SHORT"
+                    pos = {"side": side, "entry_ts": ts, "entry_price": px}
+            else:
+                direction = 1.0 if pos["side"] == "LONG" else -1.0
+                change = (px - pos["entry_price"]) / pos["entry_price"] * direction
+                held = (ts - pos["entry_ts"]).total_seconds()
+                reason = None
+                if change >= tp_pct:
+                    reason = "TP"
+                elif change <= -sl_pct:
+                    reason = "SL"
+                elif held >= max_hold_secs:
+                    reason = "TIME"
+                if reason:
+                    seq += 1
+                    pnl = (px - pos["entry_price"]) * direction * qty
+                    rows.append(
+                        (uid, seq, pos["side"], pos["entry_ts"], ts,
+                         pos["entry_price"], px, qty, pnl, pnl / margin,
+                         reason, held)
+                    )
+                    pos = None
+        if pos is not None and len(pdf):
+            last = pdf.iloc[-1]
+            px, ts = float(last["price"]), last["ts"]
+            direction = 1.0 if pos["side"] == "LONG" else -1.0
+            pnl = (px - pos["entry_price"]) * direction * qty
+            held = (ts - pos["entry_ts"]).total_seconds()
+            seq += 1
+            rows.append(
+                (uid, seq, pos["side"], pos["entry_ts"], ts,
+                 pos["entry_price"], px, qty, pnl, pnl / margin, "EOD", held)
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in LEDGER_SCHEMA.fields])
+
+    return decisions.groupBy(key).applyInPandas(fold, LEDGER_SCHEMA)
+
+
+def ledger_daily_summary(ledger: DataFrame) -> DataFrame:
+    """E13 over the FSM ledger: per-day win/loss stats, profit factor,
+    average hold (reference zscore_excel_logger.py:345-407)."""
+    day = F.date_format("exit_ts", "yyyy-MM-dd").alias("day")
+    g = ledger.groupBy(day).agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum(F.when(F.col("pnl") > 0, 1).otherwise(0)).alias("n_wins"),
+        F.sum(F.when(F.col("pnl") <= 0, 1).otherwise(0)).alias("n_losses"),
+        F.round(F.sum("pnl"), 6).alias("total_pnl"),
+        F.round(F.max("pnl"), 6).alias("max_win"),
+        F.round(F.min("pnl"), 6).alias("max_loss"),
+        F.round(F.sum(F.when(F.col("pnl") > 0, F.col("pnl")).otherwise(0.0)), 6).alias(
+            "gross_profit"
+        ),
+        F.round(
+            F.abs(F.sum(F.when(F.col("pnl") < 0, F.col("pnl")).otherwise(0.0))), 6
+        ).alias("gross_loss"),
+        F.round(F.avg("hold_secs"), 6).alias("avg_hold_secs"),
+    )
+    return g.withColumns(
+        {
+            "win_rate": F.round(F.col("n_wins") / F.col("n_trades"), 6),
+            "profit_factor": F.round(
+                F.when(
+                    F.col("gross_loss") > 0, F.col("gross_profit") / F.col("gross_loss")
+                ).otherwise(F.lit(None)),
+                6,
+            ),
+        }
+    )

@@ -1,0 +1,186 @@
+"""Structured Streaming mode (SURVEY H1-H8): the batch operators
+re-expressed as streaming queries over the same event schema.
+
+Mirrors the reference's core design duality — REST warmup (batch) and
+WebSocket stream share one code path (reference data_manager.py:
+191-196 seeds the same deques the stream appends to; SURVEY §3.2).
+Here the parquet fixtures replay as a file-source stream and the SAME
+aggregation expressions run under watermarks:
+
+- watermark 120 s = the reference's retention slack beyond the max
+  window (data_manager.py:626-629 keeps +120 s before evicting);
+- tumbling/sliding windows via ``F.window`` (H1/H2);
+- stateful hysteresis via ``applyInPandasWithState`` carrying
+  (confirmed, pending, count) per key — the SAME transition function
+  as the batch fold (operators/stateful.py:_hysteresis_fold), so
+  batch and streaming provably agree;
+- ``Trigger.AvailableNow`` drains the fixture then stops (test mode);
+  in production the same queries run continuously (H7 cadence is the
+  trigger interval).
+
+Scale: streaming state is per-key-and-window in the state store;
+watermarks bound it. File source → Kafka source is a one-line swap
+(same schema contract).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from zcode_iceberg_spark.operators.stateful import _hysteresis_fold
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw int64 nanos as on disk
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+WATERMARK = "120 seconds"
+
+
+def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream of event rows, normalized exactly like the
+    batch loader (sources/tables.py): ns→timestamp, JSON qty, validity
+    filter — one schema for batch and stream."""
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return (
+        raw.select(
+            "event_id",
+            F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"),
+            "user_id",
+            "event_type",
+            F.col("value").alias("price"),
+            F.get_json_object("props", "$.k").cast("double").alias("qty"),
+            F.col("event_type").isin("click", "view", "signup").alias("is_buy"),
+        )
+        .filter((F.col("price") > 0) & F.col("qty").isNotNull() & (F.col("qty") > 0))
+        .withWatermark("ts", WATERMARK)
+    )
+
+
+def windowed_delta_stream(ticks: DataFrame, window: str = "10 minutes") -> DataFrame:
+    """E3 streaming twin: sliding taker-delta per key (H1)."""
+    return (
+        ticks.groupBy("user_id", F.window("ts", window, "5 minutes").alias("w"))
+        .agg(
+            F.sum(F.when(F.col("is_buy"), F.col("qty")).otherwise(0.0)).alias(
+                "buy_vol"
+            ),
+            F.sum(F.when(~F.col("is_buy"), F.col("qty")).otherwise(0.0)).alias(
+                "sell_vol"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("win_start"),
+            "buy_vol",
+            "sell_vol",
+            (F.col("buy_vol") - F.col("sell_vol")).alias("delta"),
+        )
+    )
+
+
+def tumbling_ohlc_stream(ticks: DataFrame, minutes: int = 60) -> DataFrame:
+    """E8/H2 streaming twin: tumbling OHLCV bars with deterministic
+    open/close (min_by/max_by on (ts, event_id))."""
+    tie = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ticks.groupBy("user_id", F.window("ts", f"{minutes} minutes").alias("w"))
+        .agg(
+            F.min_by("price", tie).alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", tie).alias("close"),
+            F.sum("qty").alias("volume"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            "user_id", F.col("w.start").alias("bar_ts"),
+            "open", "high", "low", "close", "volume", "n_ticks",
+        )
+    )
+
+
+HYST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("confirmed", T.StringType()),
+        T.StructField("pending", T.StringType()),
+        T.StructField("count", T.IntegerType()),
+    ]
+)
+
+HYST_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("raw_label", T.StringType()),
+        T.StructField("confirmed_label", T.StringType()),
+    ]
+)
+
+
+def hysteresis_stream(
+    labeled: DataFrame, confirm_k: int = 2, z_up: float = 1.0, z_dn: float = -1.0
+) -> DataFrame:
+    """G16/H5 streaming twin: k-confirmation trend flips with carried
+    GroupState. Input: ticks with a ``raw_label`` column."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            confirmed, pending_s, count = state.get
+            pending = pending_s or None
+        else:
+            confirmed, pending, count = "RANGE", None, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            labs, _, (confirmed, pending, count) = _hysteresis_fold(
+                pdf["raw_label"], confirm_k, confirmed, pending, count
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"].values,
+                    "event_id": pdf["event_id"].values,
+                    "raw_label": pdf["raw_label"].values,
+                    "confirmed_label": labs,
+                }
+            )
+        state.update((confirmed, pending if pending is not None else "", count))
+
+    return labeled.groupBy("user_id").applyInPandasWithState(
+        fn,
+        HYST_OUT_SCHEMA,
+        HYST_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(df: DataFrame, out_dir: str, checkpoint: str) -> None:
+    """Drain the stream deterministically (test/batch-replay mode)."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -36,10 +36,12 @@ def registry() -> dict[str, Query]:
         relational,
         scoring,
         llm,
+        stateful,
+        media,
     )
 
     out: dict[str, Query] = {}
-    for mod in (flow, timeseries, orderbook, relational, scoring, llm):
+    for mod in (flow, timeseries, orderbook, relational, scoring, llm, stateful, media):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,3 +1,623 @@
-"""Placeholder — filled in as operators land."""
+"""LLM-data-pipeline suite: dedup (exact / MinHash+LSH / SimHash /
+n-gram Jaccard), embedding similarity search (brute-force + LSH),
+text analysis (language-ID, quality, token counts, fingerprint).
 
-QUERIES: dict = {}
+Driver-mandated first-class components (BASELINE north star). Every
+query has a DuckDB oracle: the md5-based hashing and left-to-right
+double folds are engine-identical (operators/text.py,
+operators/similarity.py docstrings), so even MinHash signatures and
+cosine ranks compare bit-stably. Oracle SQL is GENERATED from the same
+Python constants as the Spark expressions — one source of truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zcode_iceberg_spark.operators import similarity as sim_ops
+from zcode_iceberg_spark.operators import text as tx
+from zcode_iceberg_spark.sources.tables import load_table
+from zcode_iceberg_spark.suite import Query
+
+P = tx.HASH_P
+EMB_DIM = 64
+TOPK = 5
+NEARDUP_MIN_COS = 0.3
+
+# ---------------------------------------------------------------- SQL helpers
+
+WORD_HASH_SQL = (
+    "(CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT) % 2147483647)"
+)
+
+TOKS_CTE = r"""
+toks AS (
+  SELECT doc_id, lang, source, text,
+         regexp_split_to_array(lower(text), '\s+') AS w
+  FROM documents
+)"""
+
+CHSH_CTE = r"""
+chsh AS (
+  SELECT doc_id, source,
+         CASE WHEN len(string_split(lower(text), '')) >= 4
+              THEN list_transform(
+                     generate_series(1, len(string_split(lower(text), '')) - 3),
+                     i -> concat(string_split(lower(text), '')[i],
+                                 string_split(lower(text), '')[i+1],
+                                 string_split(lower(text), '')[i+2],
+                                 string_split(lower(text), '')[i+3]))
+              ELSE [] END AS s
+  FROM documents
+)"""
+
+_HS = WORD_HASH_SQL.format(x="x")
+HASHES_CTE = f"""
+hs AS (
+  SELECT doc_id, source, list_transform(s, x -> {_HS}) AS h FROM chsh
+)"""
+
+_SIG_COLS = ",\n         ".join(
+    f"coalesce(list_min(list_transform(h, x -> ({a} * x + {b}) % {P})), {P}) AS s{j}"
+    for j, (a, b) in enumerate(tx.MINHASH_COEF)
+)
+SIG_CTE = f"""
+sig AS (
+  SELECT doc_id, source,
+         {_SIG_COLS}
+  FROM hs
+)"""
+
+
+def _band_key_sql(alias: str, band: int) -> str:
+    slots = [
+        f"{alias}.s{band * tx.ROWS_PER_BAND + r}" for r in range(tx.ROWS_PER_BAND)
+    ]
+    return "concat_ws(',', " + ", ".join(f"CAST({s} AS VARCHAR)" for s in slots) + ")"
+
+
+BANDS_CTE = (
+    "bands AS (\n  "
+    + "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {band} AS band_id, {_band_key_sql('sig', band)} AS bucket_key"
+        " FROM sig"
+        for band in range(tx.BANDS)
+    )
+    + "\n)"
+)
+
+_EST_JACCARD_SQL = (
+    "("
+    + " + ".join(
+        f"CASE WHEN a.s{j} = b.s{j} THEN 1 ELSE 0 END" for j in range(tx.N_PERM)
+    )
+    + f") / {float(tx.N_PERM)!r}"
+)
+
+# embedding dot/norm folds — left-to-right double folds identical to
+# F.aggregate(zip_with(...), 0.0, +)
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {EMB_DIM}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform(generate_series(1, {EMB_DIM}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), "
+        "(acc, x) -> acc + x))"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"CASE WHEN {_norm_sql(a)} > 0 AND {_norm_sql(b)} > 0 "
+        f"THEN {_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)}) ELSE 0.0 END"
+    )
+
+
+# ------------------------------------------------------------------- queries
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 content-hash groups, canonical keeper = min id
+    (hash-groupBy — map-side partial agg makes this shuffle-light at
+    any scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("keep_id"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash,
+       count(*) AS n_docs,
+       min(doc_id) AS keep_id,
+       count(*) - 1 AS n_dropped
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 perms over char-4-gram shingles),
+    exploded to (doc_id, perm_id, sig) rows for typed comparison."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id",
+        tx.minhash_signature(tx.char_shingles(F.col("text"))).alias("sig"),
+    )
+    return sig.select(
+        "doc_id", F.posexplode("sig").alias("perm_id", "sig_val")
+    ).select("doc_id", "perm_id", "sig_val")
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH {CHSH_CTE},
+{HASHES_CTE},
+{SIG_CTE}
+SELECT doc_id, perm_id, sig_val FROM (
+  {" UNION ALL ".join(f"SELECT doc_id, {j} AS perm_id, s{j} AS sig_val FROM sig" for j in range(tx.N_PERM))}
+)
+"""
+
+
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: band the signatures
+    ({tx.BANDS} bands × {tx.ROWS_PER_BAND} rows), join per
+    (band, bucket), dedup pairs, and attach the signature-estimated
+    Jaccard. The pair join is hash-partitioned by bucket key — the
+    standard LSH scale layout (no all-pairs pass anywhere).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id",
+        tx.minhash_signature(tx.char_shingles(F.col("text"))).alias("sig"),
+    )
+    bands = sig.select(
+        "doc_id", "sig", F.explode(tx.lsh_bands(F.col("sig"))).alias("b")
+    ).select("doc_id", "sig", F.col("b.band_id"), F.col("b.bucket_key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket_key") == F.col("b.bucket_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_bands"),
+            F.first(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("a.sig"),
+                            F.col("b.sig"),
+                            lambda x, y: F.when(x == y, 1).otherwise(0),
+                        ),
+                        F.lit(0),
+                        lambda acc, x: acc + x,
+                    )
+                    / F.lit(float(tx.N_PERM)),
+                    6,
+                )
+            ).alias("est_jaccard"),
+        )
+    )
+    return pairs
+
+
+SQL_LSH_CANDIDATES = f"""
+WITH {CHSH_CTE},
+{HASHES_CTE},
+{SIG_CTE},
+{BANDS_CTE}
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       count(*) AS n_bands,
+       round(max({_EST_JACCARD_SQL.replace('a.s', 'sa.s').replace('b.s', 'sb.s')}), 6)
+         AS est_jaccard
+FROM bands a
+JOIN bands b ON a.band_id = b.band_id AND a.bucket_key = b.bucket_key
+            AND a.doc_id < b.doc_id
+JOIN sig sa ON sa.doc_id = a.doc_id
+JOIN sig sb ON sb.doc_id = b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint (16-bit) per document — order-independent
+    integer bit-vote, expression-only on the Spark side."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.simhash(tx.tokens(F.col("text"))).cast("bigint").alias("simhash"),
+    )
+
+
+_TH = WORD_HASH_SQL.format(x="t")
+SQL_SIMHASH = f"""
+WITH {TOKS_CTE},
+tok_ex AS (SELECT doc_id, unnest(w) AS t FROM toks),
+th AS (SELECT doc_id, {_TH} AS h FROM tok_ex),
+bits AS (
+  SELECT doc_id, k,
+         sum(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) AS bsum
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, {tx.SIMHASH_BITS - 1})) AS k)
+  GROUP BY doc_id, k
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN bsum > 0 THEN (1 << k) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard for same-source pairs with any
+    overlap — explode distinct shingles, self-join on (source,
+    shingle), count intersections (blocked all-pairs: the block key
+    bounds the quadratic term)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(tx.shingles(tx.tokens(F.col("text")), 3))
+        ).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(F.broadcast(sa), F.col("doc1") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc2") == F.col("sb.doc_id"))
+        .select(
+            "doc1",
+            "doc2",
+            "n_inter",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {TOKS_CTE},
+wsh AS (
+  SELECT doc_id, source,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w) - 2),
+                     i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+              ELSE [] END AS s
+  FROM toks
+),
+dist AS (SELECT DISTINCT doc_id, source, unnest(s) AS sh FROM wsh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM dist GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+  FROM dist a JOIN dist b
+    ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc1, doc2, n_inter,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc1 = sa.doc_id
+JOIN sizes sb ON doc2 = sb.doc_id
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash of the 64-char prefix per doc + group
+    size over the fingerprint (prefix-dup detector)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
+    w = Window.partitionBy("fp")
+    return fp.select("doc_id", "fp", F.count(F.lit(1)).over(w).alias("n_same_prefix"))
+
+
+SQL_DOC_FINGERPRINT = """
+WITH fp AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(substr(text, 1, 64), ''),
+                                       c -> CAST(ord(c) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 2147483647) AS fp
+  FROM documents
+)
+SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same_prefix
+FROM fp
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language-ID heuristic with deterministic
+    priority-order tie-break; reports agreement with the labeled lang."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    scores = tx.lang_scores(toks)
+    pred = tx.lang_predict(scores)
+    return d.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"n_{lang}") for lang in tx.LANG_PRIORITY],
+        pred.alias("lang_pred"),
+        (pred == F.col("lang")).alias("lang_match"),
+    )
+
+
+def _stop_count_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang])
+    return f"len(list_filter(w, t -> t IN ({words})))"
+
+
+_PRED_SQL = f"'{tx.LANG_PRIORITY[-1]}'"
+for _lang in reversed(tx.LANG_PRIORITY[:-1]):
+    _later = tx.LANG_PRIORITY[tx.LANG_PRIORITY.index(_lang) + 1 :]
+    _cond = " AND ".join(f"n_{_lang} >= n_{l2}" for l2 in _later)
+    _PRED_SQL = f"CASE WHEN {_cond} THEN '{_lang}' ELSE {_PRED_SQL} END"
+
+SQL_LANG_ID = f"""
+WITH {TOKS_CTE},
+scored AS (
+  SELECT doc_id, lang,
+         {", ".join(f"{_stop_count_sql(lang)} AS n_{lang}" for lang in tx.LANG_PRIORITY)}
+  FROM toks
+)
+SELECT doc_id, lang, {", ".join(f"n_{lang}" for lang in tx.LANG_PRIORITY)},
+       {_PRED_SQL} AS lang_pred,
+       ({_PRED_SQL}) = lang AS lang_match
+FROM scored
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring battery: word stats + punctuation/stopword/
+    uppercase ratios + fused [0,1] score."""
+    d = load_table(spark, sf_dir, "documents")
+    q = tx.quality_metrics(d)
+    return q.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round("avg_word_len", 6).alias("avg_word_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("upper_ratio", 6).alias("upper_ratio"),
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+_EN_STOPS = ", ".join(f"'{w}'" for w in tx.STOPWORDS["en"])
+SQL_TEXT_QUALITY = f"""
+WITH {TOKS_CTE},
+m AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(w) AS n_words,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+           AS n_punct,
+         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+           AS n_upper,
+         len(list_filter(w, t -> t IN ({_EN_STOPS}))) AS n_stop
+  FROM toks
+),
+r AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0
+              THEN CAST(n_chars AS DOUBLE) / n_words ELSE 0.0 END AS awl,
+         CASE WHEN n_chars > 0
+              THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS pr,
+         CASE WHEN n_chars > 0
+              THEN CAST(n_upper AS DOUBLE) / n_chars ELSE 0.0 END AS ur,
+         CASE WHEN n_words > 0
+              THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END AS sr
+  FROM m
+)
+SELECT doc_id, n_words,
+       round(awl, 6) AS avg_word_len,
+       round(pr, 6) AS punct_ratio,
+       round(ur, 6) AS upper_ratio,
+       round(sr, 6) AS stop_ratio,
+       round(least(greatest(
+         (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN awl BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END)
+         + (CASE WHEN pr <= 0.1 THEN 0.2 ELSE 0.0 END)
+         + (CASE WHEN sr >= 0.01 THEN 0.2 ELSE 0.0 END), 0.0), 1.0), 6)
+         AS quality
+FROM r
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, alpha-only tokens, and a
+    BPE-ish upper-bound estimate (chars/4 + word-boundary regex)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
+        .cast("bigint")
+        .alias("n_alpha_tokens"),
+        F.ceil(F.length("text") / 4).cast("bigint").alias("n_bpe_est"),
+    )
+
+
+SQL_TOKEN_COUNTS = f"""
+WITH {TOKS_CTE}
+SELECT doc_id,
+       len(w) AS n_ws_tokens,
+       len(list_filter(w, t -> regexp_matches(t, '^[a-z]+$')))
+         AS n_alpha_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+FROM toks
+"""
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-{TOPK}: query set = vec_id % 100 == 0,
+    broadcast against the full candidate scan (similarity.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return sim_ops.brute_force_topk(q, e, k=TOPK)
+
+
+SQL_EMBEDDING_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT q.qid, e.vec_id AS nid,
+         round({_cos_sql('q.qe', 'e.embedding')}, 6) AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE q.qid <> e.vec_id
+)
+SELECT qid, nid, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cos_sim DESC, nid) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path): 8 random-hyperplane sign bits →
+    bucket id; neighbors searched only within the query's bucket.
+    Approximate by construction — `embedding_topk` is the recall
+    baseline."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.select(
+        "vec_id",
+        "embedding",
+        sim_ops.lsh_bucket(F.col("embedding"), EMB_DIM).alias("bucket"),
+    )
+    q = bucketed.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    pairs = bucketed.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
+    )
+    scored = pairs.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.round(sim_ops.cosine(F.col("qe"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOPK
+    )
+
+
+def _bucket_sql(emb: str) -> str:
+    terms = []
+    for j in range(sim_ops.N_PLANES):
+        proj = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {EMB_DIM}), "
+            f"i -> CAST({emb}[i] AS DOUBLE) * "
+            f"(CASE WHEN ((i * 2654435761 + {j * 40503}) % 97) % 2 = 1 "
+            f"THEN 1.0 ELSE -1.0 END))), (acc, x) -> acc + x)"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {2**j} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+SQL_ANN_LSH = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
+  FROM bucketed WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT q.qid, b.vec_id AS nid, CAST(b.bucket AS BIGINT) AS bucket,
+         round({_cos_sql('q.qe', 'b.embedding')}, 6) AS cos_sim
+  FROM bucketed b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.qid
+)
+SELECT qid, nid, bucket, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cos_sim DESC, nid) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (stand-in for
+    an IVF/cluster pre-partition): all same-label pairs with cosine ≥
+    {NEARDUP_MIN_COS}. The block key bounds the quadratic join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    return pairs.select(
+        F.col("a.vec_id").alias("id1"),
+        F.col("b.vec_id").alias("id2"),
+        F.col("a.label").alias("label"),
+        F.round(
+            sim_ops.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+        ).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= NEARDUP_MIN_COS)
+
+
+SQL_EMBEDDING_NEARDUP = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2, a.label AS label,
+         round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id1, id2, label, cos_sim FROM pairs WHERE cos_sim >= {NEARDUP_MIN_COS}
+"""
+
+
+QUERIES = {
+    "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
+    "minhash_signatures": Query(q_minhash_signatures, SQL_MINHASH_SIGNATURES),
+    "lsh_candidates": Query(q_lsh_candidates, SQL_LSH_CANDIDATES),
+    "simhash": Query(q_simhash, SQL_SIMHASH),
+    "ngram_jaccard": Query(q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "doc_fingerprint": Query(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "lang_id": Query(q_lang_id, SQL_LANG_ID),
+    "text_quality": Query(q_text_quality, SQL_TEXT_QUALITY),
+    "token_counts": Query(q_token_counts, SQL_TOKEN_COUNTS),
+    "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "ann_lsh": Query(q_ann_lsh, SQL_ANN_LSH),
+    "embedding_neardup": Query(q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+}
