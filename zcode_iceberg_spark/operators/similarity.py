@@ -56,26 +56,34 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), _dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
 
 
-def plane_weight(i: Column | int, j: int) -> Column:
-    """Deterministic pseudo-random ±1 weight for dimension i, plane j —
-    derived from integer arithmetic only, so the oracle reproduces it:
+def plane_weight(i: int, j: int) -> float:
+    """Deterministic pseudo-random ±1 weight for dimension i (1-based),
+    plane j — integer arithmetic only, so the oracle reproduces it:
     ((i·2654435761 + j·40503) mod 97) mod 2 → {−1, +1}."""
-    i_col = F.lit(i) if isinstance(i, int) else i
-    h = (i_col * F.lit(2654435761) + F.lit(j * 40503)) % 97
-    return F.when(h % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+    return 1.0 if ((i * 2654435761 + j * 40503) % 97) % 2 == 1 else -1.0
+
+
+def plane_weights(dim: int, n_planes: int = N_PLANES) -> list[list[float]]:
+    """Weight matrix, materialized driver-side (the 'model' is a pure
+    function of indices — nothing to store or broadcast)."""
+    return [
+        [plane_weight(i, j) for i in range(1, dim + 1)] for j in range(n_planes)
+    ]
 
 
 def lsh_bucket(emb: Column, dim: int, n_planes: int = N_PLANES) -> Column:
-    """Random-hyperplane bucket id: bit j set iff Σᵢ emb[i]·w(i,j) > 0."""
-    def proj_step(j: int):
-        return lambda acc, i: acc + F.element_at(emb, i).cast(
-            "double"
-        ) * plane_weight(i, j)
+    """Random-hyperplane bucket id: bit j set iff Σᵢ emb[i]·w(i,j) > 0.
 
+    Each projection is one zip_with/aggregate fold against a LITERAL
+    weight array — small expression trees (codegen-friendly), no
+    stored model, embarrassingly parallel per row."""
     out = F.lit(0)
-    for j in range(n_planes):
+    for j, weights in enumerate(plane_weights(dim, n_planes)):
+        warr = F.array(*[F.lit(w) for w in weights])
         proj = F.aggregate(
-            F.sequence(F.lit(1), F.lit(dim)), F.lit(0.0), proj_step(j)
+            F.zip_with(emb, warr, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
         out = out + F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
     return out

@@ -86,29 +86,35 @@ def char_shingles(text: Column, k: int = 4) -> Column:
     return shingles(F.split(F.lower(text), ""), k, sep="")
 
 
-def minhash_signature(sh: Column) -> Column:
-    """N_PERM-wide MinHash signature over a shingle array.
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sig: array<bigint>) — N_PERM-wide MinHash over char-4-gram
+    shingles; sig_j = min over shingles of (a_j·h(s) + b_j) mod P.
 
-    sig_j = min over shingles of (a_j·h(s) + b_j) mod P — the classic
-    permutation approximation. Pure expressions: per row this is
-    N_PERM array_min/transform passes over an O(doc) array; no shuffle.
-    Empty-shingle docs get sig_j = P (sentinel, never collides).
+    Relational layout, NOT a nested array expression: explode shingles
+    → md5-hash each ONCE → one hash aggregate computing all N_PERM
+    mins. This is the shape that scales (partial aggregation collapses
+    shingles map-side; one shuffle row per doc) AND avoids the
+    16×-inlined expression tree that blows codegen limits. Docs with
+    no shingles get the sentinel signature (P, never collides).
     """
-    hashes = F.transform(sh, word_hash)
-
-    def perm(a: int, b: int):
-        # factory so the 1-arg lambda arity survives pyspark's
-        # signature inspection (default-arg closures read as 3-arg)
-        return lambda x: (a * x + b) % HASH_P
-
-    return F.array(
-        *[
-            F.coalesce(
-                F.array_min(F.transform(hashes, perm(a, b))),
-                F.lit(HASH_P),
-            )
-            for a, b in MINHASH_COEF
-        ]
+    exploded = df.select(
+        F.col(id_col), F.explode(char_shingles(F.col(text_col))).alias("sh")
+    ).withColumn("h", word_hash(F.col("sh")))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_P).alias(f"s{j}")
+        for j, (a, b) in enumerate(MINHASH_COEF)
+    ]
+    sigs = exploded.groupBy(id_col).agg(*aggs)
+    all_ids = df.select(id_col)
+    joined = all_ids.join(sigs, id_col, "left")
+    return joined.select(
+        id_col,
+        F.array(
+            *[
+                F.coalesce(F.col(f"s{j}"), F.lit(HASH_P))
+                for j in range(N_PERM)
+            ]
+        ).alias("sig"),
     )
 
 
@@ -133,22 +139,34 @@ def lsh_bands(sig: Column) -> Column:
     )
 
 
-def simhash(toks: Column, bits: int = SIMHASH_BITS) -> Column:
-    """SimHash: per bit position, sum ±1 over token hashes' bit values;
-    the fingerprint sets bit k iff the sum is positive. Integer
-    arithmetic → order-independent → exactly reproducible in SQL."""
-    hashes = F.transform(toks, word_hash)
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(id, simhash) — per bit position, sum ±1 votes over token
+    hashes; bit k of the fingerprint is set iff the vote is positive.
 
-    def bit_vote(k: int):
-        return lambda acc, x: acc + F.when(
-            F.shiftright(x, k).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    out = F.lit(0)
+    Relational layout (explode tokens → hash once → one aggregate with
+    `bits` conditional sums): order-independent integer arithmetic,
+    partial-agg friendly, exactly reproducible in SQL. Tokenless docs
+    get simhash 0."""
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
+    ).withColumn("h", word_hash(F.col("t")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{k}")
+        for k in range(bits)
+    ]
+    agg = exploded.groupBy(id_col).agg(*votes)
+    sh = None
     for k in range(bits):
-        bit_sum = F.aggregate(hashes, F.lit(0), bit_vote(k))
-        out = out + F.when(bit_sum > 0, F.lit(2**k)).otherwise(F.lit(0))
-    return out
+        term = F.when(F.col(f"b{k}") > 0, F.lit(2**k)).otherwise(F.lit(0))
+        sh = term if sh is None else sh + term
+    out = df.select(id_col).join(agg, id_col, "left")
+    return out.select(
+        id_col, F.coalesce(sh, F.lit(0)).cast("bigint").alias("simhash")
+    )
 
 
 def fingerprint(text: Column, prefix_len: int = 64) -> Column:

@@ -148,13 +148,10 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (16 perms over char-4-gram shingles),
     exploded to (doc_id, perm_id, sig) rows for typed comparison."""
     d = load_table(spark, sf_dir, "documents")
-    sig = d.select(
-        "doc_id",
-        tx.minhash_signature(tx.char_shingles(F.col("text"))).alias("sig"),
-    )
+    sig = tx.minhash_signatures(d, "doc_id", "text")
     return sig.select(
         "doc_id", F.posexplode("sig").alias("perm_id", "sig_val")
-    ).select("doc_id", "perm_id", "sig_val")
+    ).select("doc_id", F.col("perm_id").cast("int").alias("perm_id"), "sig_val")
 
 
 SQL_MINHASH_SIGNATURES = f"""
@@ -175,10 +172,7 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard LSH scale layout (no all-pairs pass anywhere).
     """
     d = load_table(spark, sf_dir, "documents")
-    sig = d.select(
-        "doc_id",
-        tx.minhash_signature(tx.char_shingles(F.col("text"))).alias("sig"),
-    )
+    sig = tx.minhash_signatures(d, "doc_id", "text")
     bands = sig.select(
         "doc_id", "sig", F.explode(tx.lsh_bands(F.col("sig"))).alias("b")
     ).select("doc_id", "sig", F.col("b.band_id"), F.col("b.bucket_key"))
@@ -239,10 +233,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprint (16-bit) per document — order-independent
     integer bit-vote, expression-only on the Spark side."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        tx.simhash(tx.tokens(F.col("text"))).cast("bigint").alias("simhash"),
-    )
+    return tx.simhash(d, "doc_id", "text")
 
 
 _TH = WORD_HASH_SQL.format(x="t")
@@ -540,13 +531,13 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bucket_sql(emb: str) -> str:
     terms = []
-    for j in range(sim_ops.N_PLANES):
+    for j, weights in enumerate(sim_ops.plane_weights(EMB_DIM)):
+        warr = "[" + ", ".join(str(w) for w in weights) + "]"
         proj = (
             f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
             f"list_transform(generate_series(1, {EMB_DIM}), "
-            f"i -> CAST({emb}[i] AS DOUBLE) * "
-            f"(CASE WHEN ((i * 2654435761 + {j * 40503}) % 97) % 2 = 1 "
-            f"THEN 1.0 ELSE -1.0 END))), (acc, x) -> acc + x)"
+            f"i -> CAST({emb}[i] AS DOUBLE) * ({warr})[i])), "
+            "(acc, x) -> acc + x)"
         )
         terms.append(f"CASE WHEN {proj} > 0 THEN {2**j} ELSE 0 END")
     return "(" + " + ".join(terms) + ")"
