@@ -227,6 +227,84 @@ def ema(ticks: DataFrame, span: int = 20, value: str = "price") -> DataFrame:
     return ticks.withColumn("ema", fold)
 
 
+def sequence_windows(
+    ticks: DataFrame,
+    seq_len: int = 10,
+    horizon: int = 5,
+    up_thresh: float = 5e-4,
+    dn_thresh: float = -5e-4,
+) -> DataFrame:
+    """F5+I2: sliding sequence windows + future-return labels — the
+    LSTM training-dataset operator (reference data_manager.py:839-884:
+    features = last L closes z-normalized per window; label from the
+    mean of the next H returns vs ±thresh → UP/DOWN/RANGE).
+
+    Spark shape: one trailing ROWS frame for the feature sequence
+    (collect_list), one LEAD frame for the future mean — both on the
+    same (key, ts) sort, so a single window exchange serves all four
+    frames. Rows lacking a full trailing sequence or any future data
+    are dropped (the reference skips them too).
+    """
+    wseq = Window.partitionBy(KEY).orderBy("ts", "event_id")
+    wpast = wseq.rowsBetween(-(seq_len - 1), 0)
+    wfut = wseq.rowsBetween(1, horizon)
+    prev = F.lag("price").over(wseq)
+    ret = F.when(prev > 0, (F.col("price") - prev) / prev)
+    t = ticks.withColumn("ret", ret)
+    t = t.withColumns(
+        {
+            "seq": F.collect_list("price").over(wpast),
+            "seq_mean": F.avg("price").over(wpast),
+            "seq_std": F.stddev_pop("price").over(wpast),
+            "fut_mean_ret": F.avg("ret").over(wfut),
+            "n_fut": F.count("ret").over(wfut),
+        }
+    )
+    t = t.filter((F.size("seq") == seq_len) & (F.col("n_fut") >= 1))
+    label = (
+        F.when(F.col("fut_mean_ret") > up_thresh, "UP")
+        .when(F.col("fut_mean_ret") < dn_thresh, "DOWN")
+        .otherwise("RANGE")
+    )
+    norm_seq = F.when(
+        F.col("seq_std") > 0,
+        F.transform(F.col("seq"), lambda x: (x - F.col("seq_mean")) / F.col("seq_std")),
+    ).otherwise(F.transform(F.col("seq"), lambda x: F.lit(0.0)))
+    return t.withColumns({"label": label, "norm_seq": norm_seq})
+
+
+# Fixed logistic weights for the deterministic trend classifier (I1
+# test-mode substitute): a linear ramp favoring recent momentum —
+# w_i = (i − (L−1)/2) / L over the normalized sequence.
+def trend_classifier(
+    seqs: DataFrame, seq_len: int = 10, band: float = 0.25
+) -> DataFrame:
+    """I1 substitute: deterministic logistic trend classifier over the
+    normalized price sequences (reference TrendLSTM,
+    data_manager.py:34-61,931-965 — torch is not available in this
+    container, and SURVEY §7 prescribes a deterministic substitute so
+    the surface stays oracle-checkable; the real-model seam is a
+    broadcast-weights pandas_udf with identical I/O).
+
+    score = σ(Σ wᵢ·norm_seqᵢ); UP if score > 0.5+band, DOWN if
+    < 0.5−band, else RANGE — mirroring the 3-class head + hysteresis
+    band."""
+    weights = [(i - (seq_len - 1) / 2.0) / seq_len for i in range(seq_len)]
+    warr = F.array(*[F.lit(w) for w in weights])
+    z = F.aggregate(
+        F.zip_with(F.col("norm_seq"), warr, lambda x, w: x * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    pred = (
+        F.when(score > 0.5 + band, "UP")
+        .when(score < 0.5 - band, "DOWN")
+        .otherwise("RANGE")
+    )
+    return seqs.withColumns({"trend_score": score, "trend_pred": pred})
+
+
 def cumulative_sum(df: DataFrame, value: str, order: list[str]) -> DataFrame:
     """F3/E14: running total in a deterministic order (reference
     cumulative P&L, zscore_excel_logger.py:330-343)."""

@@ -346,8 +346,40 @@ FROM seg
 """
 
 
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation). The scale path
+    is `approx_percentile` (t-digest sketch, no sort) — kept exact here
+    for the oracle; swap at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return pct.select(
+        "l_returnflag",
+        F.round("p25", 6).alias("p25"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p75", 6).alias("p75"),
+        "n",
+    )
+
+
+SQL_PRICE_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY),
+    "price_percentiles": Query(q_price_percentiles, SQL_PRICE_PERCENTILES),
     "star_revenue": Query(q_star_revenue, SQL_STAR_REVENUE),
     "top_customers_per_nation": Query(
         q_top_customers_per_nation, SQL_TOP_CUSTOMERS_PER_NATION

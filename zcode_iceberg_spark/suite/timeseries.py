@@ -291,8 +291,102 @@ FROM seqs
 """
 
 
+def q_sequence_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5+I2: sliding sequence windows + future-return 3-class labels
+    (the LSTM training-dataset operator)."""
+    s = ops.sequence_windows(events_ticks(spark, sf_dir), seq_len=10, horizon=5)
+    return s.select(
+        "event_id",
+        "user_id",
+        F.round(F.element_at("norm_seq", 1), 6).alias("seq_first"),
+        F.round(F.element_at("norm_seq", 10), 6).alias("seq_last"),
+        F.round("fut_mean_ret", 6).alias("fut_mean_ret"),
+        "label",
+    )
+
+
+SEQ_CTE = """
+rets AS (
+  SELECT event_id, user_id, ts, price,
+         (price - lag(price) OVER wo) / lag(price) OVER wo AS ret
+  FROM ticks
+  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+seqs AS (
+  SELECT event_id, user_id,
+         list(price) OVER wp AS seq,
+         avg(price) OVER wp AS seq_mean,
+         stddev_pop(price) OVER wp AS seq_std,
+         avg(ret) OVER wf AS fut_mean_ret,
+         count(ret) OVER wf AS n_fut
+  FROM rets
+  WINDOW
+    wp AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND 5 FOLLOWING)
+),
+full_seqs AS (
+  SELECT * FROM seqs WHERE len(seq) = 10 AND n_fut >= 1
+)"""
+
+SQL_SEQUENCE_LABELS = f"""
+{TICKS_CTE},
+{SEQ_CTE}
+SELECT event_id, user_id,
+       round(CASE WHEN seq_std > 0 THEN (seq[1] - seq_mean) / seq_std
+                  ELSE 0.0 END, 6) AS seq_first,
+       round(CASE WHEN seq_std > 0 THEN (seq[10] - seq_mean) / seq_std
+                  ELSE 0.0 END, 6) AS seq_last,
+       round(fut_mean_ret, 6) AS fut_mean_ret,
+       CASE WHEN fut_mean_ret > 5e-4 THEN 'UP'
+            WHEN fut_mean_ret < -5e-4 THEN 'DOWN'
+            ELSE 'RANGE' END AS label
+FROM full_seqs
+"""
+
+
+def q_trend_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 substitute: deterministic logistic trend classifier over the
+    normalized sequences (torch-free; same I/O seam as the LSTM)."""
+    s = ops.sequence_windows(events_ticks(spark, sf_dir), seq_len=10, horizon=5)
+    c = ops.trend_classifier(s, seq_len=10)
+    return c.select(
+        "event_id",
+        "user_id",
+        F.round("trend_score", 6).alias("trend_score"),
+        "trend_pred",
+    )
+
+
+_TREND_W = "[" + ", ".join(
+    str((i - 4.5) / 10.0) for i in range(10)
+) + "]"
+_TREND_Z = (
+    "CASE WHEN seq_std > 0 THEN "
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, 10), "
+    f"i -> ((seq[i] - seq_mean) / seq_std) * ({_TREND_W})[i])), "
+    "(acc, x) -> acc + x) ELSE 0.0 END"
+)
+_TREND_SCORE = f"(1.0 / (1.0 + exp(-({_TREND_Z}))))"
+
+SQL_TREND_CLASSIFIER = f"""
+{TICKS_CTE},
+{SEQ_CTE}
+SELECT event_id, user_id,
+       round({_TREND_SCORE}, 6) AS trend_score,
+       CASE WHEN {_TREND_SCORE} > 0.75 THEN 'UP'
+            WHEN {_TREND_SCORE} < 0.25 THEN 'DOWN'
+            ELSE 'RANGE' END AS trend_pred
+FROM full_seqs
+"""
+
+
 QUERIES = {
     "ohlc_1h": Query(q_ohlc_1h, SQL_OHLC_1H),
+    "sequence_labels": Query(q_sequence_labels, SQL_SEQUENCE_LABELS),
+    "trend_classifier": Query(q_trend_classifier, SQL_TREND_CLASSIFIER),
     "atr_1h": Query(q_atr_1h, SQL_ATR_1H),
     "realized_vol": Query(q_realized_vol, SQL_REALIZED_VOL),
     "liquidity_velocity": Query(q_liquidity_velocity, SQL_LIQUIDITY_VELOCITY),
