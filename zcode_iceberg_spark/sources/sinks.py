@@ -1,0 +1,101 @@
+"""Sinks + table-maintenance operations (SURVEY A6-A10; BASELINE
+north-star "Spark read/write + maintenance ops").
+
+The reference sinks are three Excel sheets, Telegram messages, and
+rotating logs (zscore_excel_logger.py, telegram_notifier.py). The
+engine equivalents are parquet table writes with the layouts that
+matter at 100 TB:
+
+- append-mode event/ledger tables partitioned by day — partition
+  pruning makes per-day reads O(day), and writers never rewrite
+  history (A6/A7: per-trade ledger, per-decision feature log);
+- per-partition upsert for the daily-summary table via DYNAMIC
+  partition overwrite — only touched days are rewritten, the Delta/
+  Iceberg MERGE analog on plain parquet (A8);
+- compaction: rewrite a directory to target file sizes — the
+  small-files problem is THE operational failure mode of streaming
+  parquet sinks at scale;
+- table stats: file/row/byte counts + per-column min/max from
+  metadata + a single scan, for planner visibility and sanity checks.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned_append(
+    df: DataFrame, path: str, ts_col: str, partition_col: str = "day"
+) -> None:
+    """Append rows partitioned by calendar day of `ts_col` (ledger /
+    feature-log sink, A6/A7)."""
+    (
+        df.withColumn(partition_col, F.date_format(ts_col, "yyyy-MM-dd"))
+        .write.mode("append")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def upsert_daily_partitions(
+    df: DataFrame, path: str, partition_col: str = "day"
+) -> None:
+    """Upsert per-day aggregate rows: dynamic partition overwrite
+    rewrites ONLY the partitions present in `df` (A8 daily-summary
+    upsert; plain-parquet analog of a MERGE on day)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Rewrite a parquet directory into ~target-sized files; returns
+    the output file count. Uses the source's on-disk byte size to pick
+    the file count, then a single repartition (round-robin, no key
+    skew) before the write."""
+    total_bytes = sum(
+        f.stat().st_size for f in Path(src).rglob("*.parquet") if f.is_file()
+    )
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    spark.read.parquet(src).repartition(n_files).write.mode("overwrite").parquet(dst)
+    return n_files
+
+
+def table_stats(spark: SparkSession, path: str) -> dict:
+    """Maintenance visibility: file/byte counts from the filesystem,
+    row count + per-numeric-column min/max from one scan."""
+    files = [f for f in Path(path).rglob("*.parquet") if f.is_file()]
+    df = spark.read.parquet(path)
+    numeric = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("double", "float", "long", "integer")
+    ]
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in numeric:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    return {
+        "n_files": len(files),
+        "total_bytes": sum(f.stat().st_size for f in files),
+        "n_rows": row.pop("__rows"),
+        "column_ranges": row,
+    }
