@@ -129,3 +129,36 @@ def volume_factor(
             F.lit(1.0)
         ),
     )
+
+
+def sessionize(ticks: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per key: a session closes after `gap` of
+    inactivity (Spark ``session_window`` — merging windows in one
+    shuffle on the key; in streaming mode the same expression runs
+    with a watermark bounding state).
+
+    The reference's analog is the WebSocket-staleness boundary (SURVEY
+    H9, main.py:44 — 20 s idle splits the stream into live sessions);
+    for a training pipeline this is the canonical user-sessionization
+    op. Output: one row per (key, session) with start/end (end = last
+    event, i.e. window end minus the gap), event count, and volume.
+    """
+    w = F.session_window("ts", gap)
+    return (
+        ticks.groupBy("user_id", w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("qty").alias("volume"),
+            F.sum(F.when(F.col("is_buy"), F.col("qty")).otherwise(0.0)).alias(
+                "buy_volume"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            (F.col("w.end") - F.expr(f"INTERVAL {gap}")).alias("session_end"),
+            "n_events",
+            "volume",
+            "buy_volume",
+        )
+    )

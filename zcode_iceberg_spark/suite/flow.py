@@ -131,8 +131,55 @@ FROM d
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1/H9 analog: 30-minute-gap session windows per key
+    (``session_window`` — one shuffle on the key; watermark-bounded
+    state in streaming mode)."""
+    s = ops.sessionize(events_ticks(spark, sf_dir), gap="30 minutes")
+    return s.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        F.round("volume", 6).alias("volume"),
+        F.round("buy_volume", 6).alias("buy_volume"),
+    )
+
+
+# gaps-and-islands twin of session_window: a new session starts where
+# the gap from the previous event exceeds 30 min; session_end is the
+# LAST event (Spark's window.end minus the gap).
+SQL_SESSIONIZE = f"""
+{TICKS_CTE},
+marks AS (
+  SELECT user_id, ts, event_id, qty, is_buy,
+         -- Spark merges event windows [ts, ts+gap) on OVERLAP, so an
+         -- exactly-gap-sized silence starts a NEW session → split on >=
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM ticks
+),
+sess AS (
+  SELECT *,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events,
+       round(sum(qty), 6) AS volume,
+       round(sum(CASE WHEN is_buy THEN qty ELSE 0.0 END), 6) AS buy_volume
+FROM sess GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "ticks_normalize": Query(q_ticks_normalize, SQL_TICKS_NORMALIZE),
+    "sessionize": Query(q_sessionize, SQL_SESSIONIZE),
     "delta_zscore": Query(q_delta_zscore, SQL_DELTA_ZSCORE),
     "cvd": Query(q_cvd, SQL_CVD),
     "volume_factor": Query(q_volume_factor, SQL_VOLUME_FACTOR),

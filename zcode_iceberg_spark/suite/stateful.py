@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from zcode_iceberg_spark.operators import flow as flow_ops
 from zcode_iceberg_spark.operators import stateful as st
@@ -136,6 +137,7 @@ def q_position_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return led.select(
         "user_id",
         "trade_seq",
+        F.format_string("ZS%04d", F.col("trade_seq")).alias("trade_id"),
         "side",
         F.date_format("entry_ts", "yyyy-MM-dd HH:mm:ss").alias("entry_ts"),
         F.date_format("exit_ts", "yyyy-MM-dd HH:mm:ss").alias("exit_ts"),
@@ -156,8 +158,26 @@ def q_ledger_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.ledger_daily_summary(led)
 
 
+def q_ledger_exit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16: outcome-rate stats per exit reason over the FSM ledger
+    (reference order_manager.py:444-466 success-rate counters) —
+    rows-only check, FSM input is non-SQL."""
+    led = st.position_fsm(_decisions(spark, sf_dir))
+    n_total = F.sum("n").over(Window.partitionBy())
+    g = led.groupBy("exit_reason").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("pnl"), 6).alias("avg_pnl"),
+        F.round(F.avg("hold_secs"), 6).alias("avg_hold_secs"),
+        F.round(
+            F.sum(F.when(F.col("pnl") > 0, 1).otherwise(0)) / F.count(F.lit(1)), 6
+        ).alias("win_rate"),
+    )
+    return g.withColumn("share", F.round(F.col("n") / n_total, 6))
+
+
 QUERIES = {
     "trend_hysteresis": Query(q_trend_hysteresis, SQL_TREND_HYSTERESIS),
     "position_ledger": Query(q_position_ledger, None),
     "ledger_daily_summary": Query(q_ledger_daily_summary, None),
+    "ledger_exit_stats": Query(q_ledger_exit_stats, None),
 }
