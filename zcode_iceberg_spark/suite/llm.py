@@ -41,13 +41,10 @@ toks AS (
 CHSH_CTE = r"""
 chsh AS (
   SELECT doc_id, source,
-         CASE WHEN len(string_split(lower(text), '')) >= 4
+         CASE WHEN length(text) >= 4
               THEN list_transform(
-                     generate_series(1, len(string_split(lower(text), '')) - 3),
-                     i -> concat(string_split(lower(text), '')[i],
-                                 string_split(lower(text), '')[i+1],
-                                 string_split(lower(text), '')[i+2],
-                                 string_split(lower(text), '')[i+3]))
+                     generate_series(1, length(text) - 3),
+                     i -> substr(lower(text), i, 4))
               ELSE [] END AS s
   FROM documents
 )"""
@@ -259,12 +256,18 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle), count intersections (blocked all-pairs: the block key
     bounds the quadratic term)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
+    # materialize the token array as a column BEFORE shingling: the
+    # shingle lambda does 3 element_at's per output gram, and an
+    # inlined split() would re-tokenize per gram (lambda bodies get no
+    # cross-bound CSE). Repartition fans the CPU-bound pass out past
+    # the input's (often single) file split.
+    toked = d.select(
+        "doc_id", "source", tx.tokens(F.col("text")).alias("w")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    sh = toked.select(
         "doc_id",
         "source",
-        F.explode(
-            F.array_distinct(tx.shingles(tx.tokens(F.col("text")), 3))
-        ).alias("sh"),
+        F.explode(F.array_distinct(tx.shingles(F.col("w"), 3))).alias("sh"),
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -598,6 +601,92 @@ SELECT id1, id2, label, cos_sim FROM pairs WHERE cos_sim >= {NEARDUP_MIN_COS}
 """
 
 
+NLIST = 16  # IVF cells
+NPROBE = 2  # cells probed per query
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the second scale path besides LSH): assign every
+    vector to its nearest of NLIST coarse centroids, probe the
+    NPROBE nearest cells per query, brute-force only inside them.
+
+    Centroids here are the NLIST lowest-vec_id embeddings — a
+    deterministic stand-in for a k-means fit (the fit is offline
+    "model training"; the ENGINE part is the assign/probe dataflow,
+    which is what scales: one broadcast of nlist·dim floats, one
+    map-side argmax per vector, then an equi-join on cell id — the
+    fact table is never shuffled by anything bigger than its cell).
+    Cell ranks use round-6 cosine so Spark/DuckDB float folds agree.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    w16 = Window.orderBy("vec_id")
+    cents = (
+        e.orderBy("vec_id")
+        .limit(NLIST)
+        .select(
+            (F.row_number().over(w16) - 1).alias("cell"),
+            F.col("embedding").alias("ce"),
+        )
+    )
+    scored_cells = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        F.round(sim_ops.cosine(F.col("embedding"), F.col("ce")), 6).alias("ccos"),
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cell")
+    ranked = scored_cells.withColumn("crank", F.row_number().over(wc))
+    v_cells = ranked.filter(F.col("crank") == 1).select("vec_id", "embedding", "cell")
+    q_cells = ranked.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("crank") <= NPROBE)
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "cell")
+    pairs = v_cells.join(F.broadcast(q_cells), "cell").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    scored = pairs.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.col("cell").cast("int").alias("cell"),
+        F.round(sim_ops.cosine(F.col("qe"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOPK
+    )
+
+
+SQL_ANN_IVF = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS ce
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {NLIST})
+),
+scored_cells AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         round({_cos_sql('e.embedding', 'c.ce')}, 6) AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY ccos DESC, cell) AS crank
+  FROM scored_cells
+),
+v_cells AS (SELECT vec_id, embedding, cell FROM ranked WHERE crank = 1),
+q_cells AS (SELECT vec_id AS qid, embedding AS qe, cell FROM ranked
+            WHERE vec_id % 100 = 0 AND crank <= {NPROBE}),
+scored AS (
+  SELECT q.qid, v.vec_id AS nid, CAST(v.cell AS INTEGER) AS cell,
+         round({_cos_sql('q.qe', 'v.embedding')}, 6) AS cos_sim
+  FROM v_cells v JOIN q_cells q USING (cell)
+  WHERE v.vec_id <> q.qid
+)
+SELECT qid, nid, cell, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cos_sim DESC, nid) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
 QUERIES = {
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signatures": Query(q_minhash_signatures, SQL_MINHASH_SIGNATURES),
@@ -610,5 +699,6 @@ QUERIES = {
     "token_counts": Query(q_token_counts, SQL_TOKEN_COUNTS),
     "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
     "ann_lsh": Query(q_ann_lsh, SQL_ANN_LSH),
+    "ann_ivf": Query(q_ann_ivf, SQL_ANN_IVF),
     "embedding_neardup": Query(q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
 }
