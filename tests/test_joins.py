@@ -1,0 +1,98 @@
+"""Join-strategy tests: result parity with plain joins plus the PLAN
+properties that are the point — broadcast keeps the fact unshuffled,
+salting splits a hot key, bucketing eliminates the join exchange."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from zcode_iceberg_spark.operators.joins import (
+    broadcast_dim_join,
+    bucketed_join,
+    bucketed_write,
+    salted_agg,
+    salted_join,
+)
+from zcode_iceberg_spark.sources.tables import load_table
+
+
+def simple_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def test_broadcast_dim_join_parity_and_plan(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    nation_r = nation.withColumnRenamed("n_nationkey", "c_nationkey")
+    j = broadcast_dim_join(cust, nation_r, "c_nationkey")
+    plain = cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+    assert j.count() == plain.count()
+    assert "BroadcastHashJoin" in simple_plan(j)
+
+
+def test_salted_join_parity(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    right = cust.withColumnRenamed("c_custkey", "o_custkey")
+    got = salted_join(orders, right, "o_custkey", n_salt=8)
+    want = orders.join(right, "o_custkey")
+    assert got.count() == want.count()
+    # same row multiset
+    assert (
+        got.groupBy("o_custkey").count().orderBy("o_custkey").collect()
+        == want.groupBy("o_custkey").count().orderBy("o_custkey").collect()
+    )
+
+
+def test_salted_agg_parity(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    got = salted_agg(
+        li,
+        "l_orderkey",
+        {"qty": F.sum("l_quantity"), "n": F.count(F.lit(1))},
+        n_salt=8,
+    )
+    want = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("qty"), F.count(F.lit(1)).alias("n")
+    )
+    g = {r["l_orderkey"]: (r["qty"], r["n"]) for r in got.collect()}
+    w = {r["l_orderkey"]: (r["qty"], r["n"]) for r in want.collect()}
+    assert g == w
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    li = li.withColumnRenamed("l_orderkey", "o_orderkey")
+    try:
+        bucketed_write(
+            orders, "b_orders", "o_orderkey", n_buckets=8,
+            path=str(tmp_path / "b_orders"),
+        )
+        bucketed_write(
+            li, "b_lineitem", "o_orderkey", n_buckets=8,
+            path=str(tmp_path / "b_lineitem"),
+        )
+    except Exception as e:  # pragma: no cover - catalog-less session
+        pytest.skip(f"saveAsTable unavailable: {e}")
+    # force the sort-merge path so the exchange (or its absence) is real
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        p = simple_plan(j)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, p
+        want = orders.join(li, "o_orderkey").count()
+        assert j.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
