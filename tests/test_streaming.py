@@ -154,3 +154,61 @@ def test_hysteresis_stream_agreement(spark, sf_dir, raw_events_dir, tmp):
     # micro-batch boundaries where GroupState carried the fold
     assert len(got_m) == len(want_m) > 0
     assert got_m == want_m
+
+
+def test_position_fsm_stream_agreement(spark, sf_dir, tmp):
+    """Closed trades from the streaming FSM must equal the batch
+    ledger minus its EOD close-outs, across micro-batch boundaries
+    where GroupState carried an open position."""
+    from pyspark.sql import types as T
+
+    from zcode_iceberg_spark.operators.stateful import position_fsm
+    from zcode_iceberg_spark.streaming.pipeline import position_fsm_stream
+    from zcode_iceberg_spark.suite.stateful import _decisions
+
+    dec = _decisions(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "price", "z"
+    )
+    src = tmp / "dec_src"
+    src.mkdir()
+    qs = dec.approxQuantile("event_id", [0.33, 0.66], 0.0)
+    b0, b1 = int(qs[0]), int(qs[1])
+    parts = [
+        dec.filter(F.col("event_id") <= b0),
+        dec.filter((F.col("event_id") > b0) & (F.col("event_id") <= b1)),
+        dec.filter(F.col("event_id") > b1),
+    ]
+    for i, p in enumerate(parts):
+        sub = tmp / f"dpart{i}"
+        p.coalesce(1).write.parquet(str(sub))
+        f = next(sub.glob("*.parquet"))
+        dst = src / f"{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("z", T.DoubleType()),
+        ]
+    )
+    st = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = _drain(spark, position_fsm_stream(st), tmp, "fsm").collect()
+
+    want = [
+        r
+        for r in position_fsm(dec).collect()
+        if r["exit_reason"] != "EOD"
+    ]
+    key = lambda r: (r["user_id"], r["trade_seq"])
+    gm = {key(r): (r["side"], r["entry_price"], r["exit_price"], r["exit_reason"]) for r in got}
+    wm = {key(r): (r["side"], r["entry_price"], r["exit_price"], r["exit_reason"]) for r in want}
+    assert len(gm) == len(wm) > 0
+    assert gm == wm

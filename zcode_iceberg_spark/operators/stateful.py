@@ -118,6 +118,56 @@ LEDGER_SCHEMA = T.StructType(
 )
 
 
+def _fsm_step(
+    pdf: pd.DataFrame,
+    st: dict,
+    *,
+    z_entry: float,
+    tp_pct: float,
+    sl_pct: float,
+    max_hold_secs: float,
+    margin: float,
+    leverage: float,
+) -> list[tuple]:
+    """One FSM pass over time-ordered rows, mutating carried state —
+    THE shared kernel for batch (applyInPandas, fresh state + EOD
+    close) and streaming (applyInPandasWithState, state persisted
+    across micro-batches). ``st`` keys: uid, seq, qty (sized from the
+    first observed price), pos (open position dict or None)."""
+    rows: list[tuple] = []
+    uid = st["uid"]
+    for r in pdf.itertuples(index=False):
+        px, ts, z = float(r.price), r.ts, float(r.z)
+        if st["qty"] is None:
+            st["qty"] = round(margin * leverage / max(px, 1e-9), 6)
+        pos = st["pos"]
+        if pos is None:
+            if abs(z) >= z_entry:
+                side = "LONG" if z > 0 else "SHORT"
+                st["pos"] = {"side": side, "entry_ts": ts, "entry_price": px}
+        else:
+            direction = 1.0 if pos["side"] == "LONG" else -1.0
+            change = (px - pos["entry_price"]) / pos["entry_price"] * direction
+            held = (ts - pos["entry_ts"]).total_seconds()
+            reason = None
+            if change >= tp_pct:
+                reason = "TP"
+            elif change <= -sl_pct:
+                reason = "SL"
+            elif held >= max_hold_secs:
+                reason = "TIME"
+            if reason:
+                st["seq"] += 1
+                pnl = (px - pos["entry_price"]) * direction * st["qty"]
+                rows.append(
+                    (uid, st["seq"], pos["side"], pos["entry_ts"], ts,
+                     pos["entry_price"], px, st["qty"], pnl, pnl / margin,
+                     reason, held)
+                )
+                st["pos"] = None
+    return rows
+
+
 def position_fsm(
     decisions: DataFrame,
     z_entry: float = 1.5,
@@ -138,50 +188,28 @@ def position_fsm(
     closed trade; a still-open position at end-of-data is closed at
     the last price with reason EOD (so batch output is total).
     """
+    params = dict(
+        z_entry=z_entry, tp_pct=tp_pct, sl_pct=sl_pct,
+        max_hold_secs=max_hold_secs, margin=margin, leverage=leverage,
+    )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        rows = []
-        pos = None
-        seq = 0
         uid = int(pdf[key].iloc[0]) if len(pdf) else None
-        qty = round(margin * leverage / max(float(pdf["price"].iloc[0]), 1e-9), 6)
-        for r in pdf.itertuples(index=False):
-            px, ts, z = float(r.price), r.ts, float(r.z)
-            if pos is None:
-                if abs(z) >= z_entry:
-                    side = "LONG" if z > 0 else "SHORT"
-                    pos = {"side": side, "entry_ts": ts, "entry_price": px}
-            else:
-                direction = 1.0 if pos["side"] == "LONG" else -1.0
-                change = (px - pos["entry_price"]) / pos["entry_price"] * direction
-                held = (ts - pos["entry_ts"]).total_seconds()
-                reason = None
-                if change >= tp_pct:
-                    reason = "TP"
-                elif change <= -sl_pct:
-                    reason = "SL"
-                elif held >= max_hold_secs:
-                    reason = "TIME"
-                if reason:
-                    seq += 1
-                    pnl = (px - pos["entry_price"]) * direction * qty
-                    rows.append(
-                        (uid, seq, pos["side"], pos["entry_ts"], ts,
-                         pos["entry_price"], px, qty, pnl, pnl / margin,
-                         reason, held)
-                    )
-                    pos = None
+        st = {"uid": uid, "seq": 0, "qty": None, "pos": None}
+        rows = _fsm_step(pdf, st, **params)
+        pos = st["pos"]
         if pos is not None and len(pdf):
             last = pdf.iloc[-1]
             px, ts = float(last["price"]), last["ts"]
             direction = 1.0 if pos["side"] == "LONG" else -1.0
-            pnl = (px - pos["entry_price"]) * direction * qty
+            pnl = (px - pos["entry_price"]) * direction * st["qty"]
             held = (ts - pos["entry_ts"]).total_seconds()
-            seq += 1
+            st["seq"] += 1
             rows.append(
-                (uid, seq, pos["side"], pos["entry_ts"], ts,
-                 pos["entry_price"], px, qty, pnl, pnl / margin, "EOD", held)
+                (uid, st["seq"], pos["side"], pos["entry_ts"], ts,
+                 pos["entry_price"], px, st["qty"], pnl, pnl / margin,
+                 "EOD", held)
             )
         return pd.DataFrame(rows, columns=[f.name for f in LEDGER_SCHEMA.fields])
 

@@ -22,6 +22,11 @@ aether_oracle.py:77-250). Spark-first re-expression:
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -303,6 +308,43 @@ def trend_classifier(
         .otherwise("RANGE")
     )
     return seqs.withColumns({"trend_score": score, "trend_pred": pred})
+
+
+def trend_classifier_udf(
+    seqs: DataFrame, seq_len: int = 10, band: float = 0.25
+) -> DataFrame:
+    """I1 real-model seam: the SAME classifier as `trend_classifier`
+    but scored through an Iterator-of-Series pandas_udf with the
+    weight vector broadcast once per executor — the exact shape a
+    trained model (torch/onnx weights) plugs into (reference predict
+    path data_manager.py:931-965). Arrow-batched, model loaded once
+    per worker (outside the batch loop), never per row.
+
+    Kept alongside the expression form so the suite can assert both
+    paths agree bit-for-bit — swap the `np.dot` line for a real
+    forward pass and nothing else changes.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    spark = seqs.sparkSession
+    weights = [(i - (seq_len - 1) / 2.0) / seq_len for i in range(seq_len)]
+    bw = spark.sparkContext.broadcast(np.asarray(weights))
+
+    @pandas_udf("double")
+    def score_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        w = bw.value  # "model load": once per worker, not per batch
+        for seq_batch in it:
+            m = np.vstack(seq_batch.to_numpy())
+            z = m @ w
+            yield pd.Series(1.0 / (1.0 + np.exp(-z)))
+
+    out = seqs.withColumn("trend_score", score_udf(F.col("norm_seq")))
+    pred = (
+        F.when(F.col("trend_score") > 0.5 + band, "UP")
+        .when(F.col("trend_score") < 0.5 - band, "DOWN")
+        .otherwise("RANGE")
+    )
+    return out.withColumn("trend_pred", pred)
 
 
 def cumulative_sum(df: DataFrame, value: str, order: list[str]) -> DataFrame:

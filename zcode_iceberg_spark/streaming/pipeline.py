@@ -184,3 +184,85 @@ def run_available_now(df: DataFrame, out_dir: str, checkpoint: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+FSM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("qty", T.DoubleType()),  # -1.0 = not yet sized
+        T.StructField("side", T.StringType()),  # "" = flat
+        T.StructField("entry_ts_us", T.LongType()),
+        T.StructField("entry_price", T.DoubleType()),
+    ]
+)
+
+
+def position_fsm_stream(
+    decisions: DataFrame,
+    z_entry: float = 1.5,
+    tp_pct: float = 0.01,
+    sl_pct: float = 0.01,
+    max_hold_secs: float = 86400.0,
+    margin: float = 50.0,
+    leverage: float = 25.0,
+) -> DataFrame:
+    """H6 streaming twin: the position lifecycle FSM under
+    ``applyInPandasWithState``, one state row per key carrying
+    (trade_seq, sized qty, open position) across micro-batches —
+    the SAME ``_fsm_step`` kernel as the batch fold, so batch and
+    stream provably agree on every CLOSED trade (the batch EOD
+    close has no streaming analog: an open position simply stays
+    in state awaiting more data).
+
+    Input: streaming (user_id, ts, event_id, price, z). Output:
+    ledger rows appended as trades close."""
+    from zcode_iceberg_spark.operators.stateful import LEDGER_SCHEMA, _fsm_step
+
+    params = dict(
+        z_entry=z_entry, tp_pct=tp_pct, sl_pct=sl_pct,
+        max_hold_secs=max_hold_secs, margin=margin, leverage=leverage,
+    )
+    cols = [f.name for f in LEDGER_SCHEMA.fields]
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        uid = int(key[0])
+        if state.exists:
+            seq, qty, side, ets_us, epx = state.get
+            pos = (
+                None
+                if side == ""
+                else {
+                    "side": side,
+                    "entry_ts": pd.Timestamp(ets_us * 1000),
+                    "entry_price": epx,
+                }
+            )
+            st = {"uid": uid, "seq": seq, "qty": None if qty < 0 else qty,
+                  "pos": pos}
+        else:
+            st = {"uid": uid, "seq": 0, "qty": None, "pos": None}
+        rows: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            rows.extend(_fsm_step(pdf, st, **params))
+        yield pd.DataFrame(rows, columns=cols)
+        pos = st["pos"]
+        state.update(
+            (
+                int(st["seq"]),
+                -1.0 if st["qty"] is None else float(st["qty"]),
+                pos["side"] if pos else "",
+                int(pd.Timestamp(pos["entry_ts"]).value // 1000) if pos else 0,
+                float(pos["entry_price"]) if pos else 0.0,
+            )
+        )
+
+    return decisions.groupBy("user_id").applyInPandasWithState(
+        fn,
+        LEDGER_SCHEMA,
+        FSM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
