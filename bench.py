@@ -38,6 +38,7 @@ def main() -> None:
         t0 = time.time()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
+        print(f"## {name} {times[name]:.3f}s", file=sys.stderr, flush=True)
 
     print(
         json.dumps(

@@ -226,6 +226,67 @@ GROUP BY a.doc_id, b.doc_id
 """
 
 
+NEARDUP_EST_MIN = 0.5  # signature-agreement threshold for merging
+
+
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup DEDUP over the LSH candidates: every doc
+    maps to min(doc_id over {self} ∪ {candidates with est_jaccard ≥
+    threshold}); is_kept marks the canonical survivor per cluster.
+
+    This is single-pass "star" dedup — the scalable one-hop
+    approximation of connected components (full CC iterates this
+    min-propagation to fixpoint; one hop is the standard first-round
+    choice because it's one groupBy + one join, no driver loop).
+    Everything upstream (signatures, banding, bucket equi-join) is
+    the same shuffle-bounded layout as `lsh_candidates`.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = q_lsh_candidates(spark, sf_dir).filter(
+        F.col("est_jaccard") >= NEARDUP_EST_MIN
+    )
+    edges = pairs.select(
+        F.col("doc1").alias("doc_id"), F.col("doc2").alias("nbr")
+    ).union(pairs.select(F.col("doc2").alias("doc_id"), F.col("doc1").alias("nbr")))
+    canon = edges.groupBy("doc_id").agg(F.min("nbr").alias("min_nbr"))
+    out = d.select("doc_id").join(canon, "doc_id", "left")
+    canonical = F.least(F.col("doc_id"), F.coalesce("min_nbr", F.col("doc_id")))
+    return out.select(
+        "doc_id",
+        canonical.alias("canonical_id"),
+        (F.col("doc_id") == canonical).alias("is_kept"),
+    )
+
+
+SQL_DEDUP_NEAR = f"""
+WITH {CHSH_CTE},
+{HASHES_CTE},
+{SIG_CTE},
+{BANDS_CTE},
+cand AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.bucket_key = b.bucket_key
+              AND a.doc_id < b.doc_id
+  JOIN sig sa ON sa.doc_id = a.doc_id
+  JOIN sig sb ON sb.doc_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING round(max({_EST_JACCARD_SQL.replace('a.s', 'sa.s').replace('b.s', 'sb.s')}), 6)
+         >= {NEARDUP_EST_MIN}
+),
+edges AS (
+  SELECT doc1 AS doc_id, doc2 AS nbr FROM cand
+  UNION ALL
+  SELECT doc2 AS doc_id, doc1 AS nbr FROM cand
+),
+canon AS (SELECT doc_id, min(nbr) AS min_nbr FROM edges GROUP BY doc_id)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(c.min_nbr, d.doc_id)) AS canonical_id,
+       d.doc_id = least(d.doc_id, coalesce(c.min_nbr, d.doc_id)) AS is_kept
+FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprint (16-bit) per document — order-independent
     integer bit-vote, expression-only on the Spark side."""
@@ -691,6 +752,7 @@ QUERIES = {
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signatures": Query(q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "lsh_candidates": Query(q_lsh_candidates, SQL_LSH_CANDIDATES),
+    "dedup_near": Query(q_dedup_near, SQL_DEDUP_NEAR),
     "simhash": Query(q_simhash, SQL_SIMHASH),
     "ngram_jaccard": Query(q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "doc_fingerprint": Query(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
