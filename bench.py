@@ -23,9 +23,43 @@ from zcode_iceberg_spark.session import get_spark
 from zcode_iceberg_spark.suite import registry
 
 
+def _wait_for_quiet_machine(max_wait_sec: float = 90.0) -> None:
+    """Benchmarks need the machine to themselves: a leftover Spark JVM
+    from a prior test run inflates timings 10-30x (observed). Wait
+    (bounded) for other java processes to exit before measuring."""
+    deadline = time.time() + max_wait_sec
+    while time.time() < deadline:
+        others = [
+            pid
+            for pid in os.listdir("/proc")
+            if pid.isdigit()
+            and _cmdline_has_java(pid)
+        ]
+        if not others:
+            return
+        print(
+            f"## bench: waiting for stray JVMs {others} to exit",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(5)
+    print("## bench: stray JVMs still alive; timings may be inflated",
+          file=sys.stderr, flush=True)
+
+
+def _cmdline_has_java(pid: str) -> bool:
+    try:
+        with open(f"/proc/{pid}/cmdline", "rb") as f:
+            argv0 = f.read().split(b"\0", 1)[0]
+        return argv0.endswith(b"/java") or argv0 == b"java"
+    except OSError:
+        return False
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    _wait_for_quiet_machine()
     spark = get_spark(app_name="zcode-iceberg-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
