@@ -56,6 +56,19 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), _dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
 
 
+def norm(a: Column) -> Column:
+    """Row-level vector norm, for precomputing BEFORE a pairwise join."""
+    return _norm(a)
+
+
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine from precomputed norms — identical arithmetic to
+    ``cosine`` (same dot fold, same /(na*nb)), but the O(dim) norm
+    folds run once per ROW instead of once per PAIR. Inside an n²
+    blocked join this removes 2/3 of the per-pair expression work."""
+    return F.when((na > 0) & (nb > 0), _dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
 def plane_weight(i: int, j: int) -> float:
     """Deterministic pseudo-random ±1 weight for dimension i (1-based),
     plane j — integer arithmetic only, so the oracle reproduces it:
@@ -103,16 +116,25 @@ def brute_force_topk(
     ordering.
     """
     q = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("q_emb")
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("q_emb"),
+        norm(F.col(vec_col)).alias("q_nrm"),
     )
     c = candidates.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("n_emb")
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("n_emb"),
+        norm(F.col(vec_col)).alias("n_nrm"),
     )
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("nid"))
     scored = pairs.select(
         "qid",
         "nid",
-        F.round(cosine(F.col("q_emb"), F.col("n_emb")), 6).alias("cos_sim"),
+        F.round(
+            cosine_with_norms(
+                F.col("q_emb"), F.col("n_emb"), F.col("q_nrm"), F.col("n_nrm")
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     from pyspark.sql import Window
 

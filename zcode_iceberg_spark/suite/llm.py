@@ -571,11 +571,13 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         sim_ops.lsh_bucket(F.col("embedding"), EMB_DIM).alias("bucket"),
+        sim_ops.norm(F.col("embedding")).alias("nrm"),
     )
     q = bucketed.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         F.col("bucket").alias("qbucket"),
+        F.col("nrm").alias("qnrm"),
     )
     pairs = bucketed.join(
         F.broadcast(q),
@@ -585,7 +587,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid",
         F.col("vec_id").alias("nid"),
         F.col("bucket").cast("bigint").alias("bucket"),
-        F.round(sim_ops.cosine(F.col("qe"), F.col("embedding")), 6).alias("cos_sim"),
+        F.round(
+            sim_ops.cosine_with_norms(
+                F.col("qe"), F.col("embedding"), F.col("qnrm"), F.col("nrm")
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
@@ -633,7 +640,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (stand-in for
     an IVF/cluster pre-partition): all same-label pairs with cosine ≥
     {NEARDUP_MIN_COS}. The block key bounds the quadratic join."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        sim_ops.norm(F.col("embedding")).alias("nrm"),
+    )
     a = e.alias("a")
     b = e.alias("b")
     pairs = a.join(
@@ -646,7 +658,13 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.vec_id").alias("id2"),
         F.col("a.label").alias("label"),
         F.round(
-            sim_ops.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+            sim_ops.cosine_with_norms(
+                F.col("a.embedding"),
+                F.col("b.embedding"),
+                F.col("a.nrm"),
+                F.col("b.nrm"),
+            ),
+            6,
         ).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= NEARDUP_MIN_COS)
 
@@ -679,7 +697,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact table is never shuffled by anything bigger than its cell).
     Cell ranks use round-6 cosine so Spark/DuckDB float folds agree.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", sim_ops.norm(F.col("embedding")).alias("nrm")
+    )
     w16 = Window.orderBy("vec_id")
     cents = (
         e.orderBy("vec_id")
@@ -687,20 +707,34 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             (F.row_number().over(w16) - 1).alias("cell"),
             F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cnrm"),
         )
     )
     scored_cells = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
+        "nrm",
         "cell",
-        F.round(sim_ops.cosine(F.col("embedding"), F.col("ce")), 6).alias("ccos"),
+        F.round(
+            sim_ops.cosine_with_norms(
+                F.col("embedding"), F.col("ce"), F.col("nrm"), F.col("cnrm")
+            ),
+            6,
+        ).alias("ccos"),
     )
     wc = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cell")
     ranked = scored_cells.withColumn("crank", F.row_number().over(wc))
-    v_cells = ranked.filter(F.col("crank") == 1).select("vec_id", "embedding", "cell")
+    v_cells = ranked.filter(F.col("crank") == 1).select(
+        "vec_id", "embedding", "nrm", "cell"
+    )
     q_cells = ranked.filter(
         (F.col("vec_id") % 100 == 0) & (F.col("crank") <= NPROBE)
-    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "cell")
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        "cell",
+    )
     pairs = v_cells.join(F.broadcast(q_cells), "cell").filter(
         F.col("vec_id") != F.col("qid")
     )
@@ -708,7 +742,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid",
         F.col("vec_id").alias("nid"),
         F.col("cell").cast("int").alias("cell"),
-        F.round(sim_ops.cosine(F.col("qe"), F.col("embedding")), 6).alias("cos_sim"),
+        F.round(
+            sim_ops.cosine_with_norms(
+                F.col("qe"), F.col("embedding"), F.col("qnrm"), F.col("nrm")
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(

@@ -42,8 +42,16 @@ ORACLE_W = (0.4, 0.3, 0.3)  # MC / Bayes / RL — aether_oracle.py:446-462
 
 def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key feature frame: imbalance, total CVD, ATR% (last bar),
-    Hurst, BOS score — each a tiny per-key aggregate joined by key."""
+    Hurst, BOS score — each a tiny per-key aggregate joined by key.
+
+    One explicit hash-repartition on ``user_id`` feeds every branch:
+    hash(user_id) satisfies each downstream grouping/window clustering
+    ((user_id), (user_id, side), (user_id, bar_ts)), so Catalyst plans
+    NO further exchange in any branch and ReuseExchange shares the one
+    shuffle across all five — the whole feature assembly costs a single
+    pass over ticks at any scale."""
     t = events_ticks(spark, sf_dir)
+    t = t.repartition(t.sparkSession.sparkContext.defaultParallelism, "user_id")
     book = book_ops.book_levels(t)
     imb = book_ops.imbalance(book).select("user_id", "imbalance")
     cvd = (
@@ -329,6 +337,8 @@ def q_trade_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     148-174: balance·5%, clamp [4, 10000], qty = margin·25/px).
     """
     t = events_ticks(spark, sf_dir)
+    # identical subtree to _features' repartitioned ticks → ReuseExchange
+    t = t.repartition(t.sparkSession.sparkContext.defaultParallelism, "user_id")
     tie = F.struct(F.col("ts"), F.col("event_id"))
     last_px = t.groupBy("user_id").agg(F.max_by("price", tie).alias("px"))
     f = _features(spark, sf_dir).join(last_px, "user_id")
