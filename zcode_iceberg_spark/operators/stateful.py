@@ -97,7 +97,18 @@ def hysteresis(
             }
         )
 
-    return df.groupBy(key).applyInPandas(fold, HYST_SCHEMA)
+    return _fanout(df, key).groupBy(key).applyInPandas(fold, HYST_SCHEMA)
+
+
+def _fanout(df: DataFrame, key: str) -> DataFrame:
+    """Explicit hash-repartition before a Python fold stage.
+
+    AQE coalesces the small upstream shuffle to a handful of partitions
+    (observed: 3 at sf0.1), which then caps the parallelism of the
+    Python applyInPandas stage — the most expensive stage in the plan.
+    A user-specified repartition with an explicit partition count is
+    exempt from AQE coalescing, so the fold keeps full-core fan-out."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
 
 
 LEDGER_SCHEMA = T.StructType(
@@ -213,7 +224,7 @@ def position_fsm(
             )
         return pd.DataFrame(rows, columns=[f.name for f in LEDGER_SCHEMA.fields])
 
-    return decisions.groupBy(key).applyInPandas(fold, LEDGER_SCHEMA)
+    return _fanout(decisions, key).groupBy(key).applyInPandas(fold, LEDGER_SCHEMA)
 
 
 def ledger_daily_summary(ledger: DataFrame) -> DataFrame:

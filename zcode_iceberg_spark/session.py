@@ -44,6 +44,13 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesce targets max(total/parallelism, minPartitionSize);
+        # the 1m default floor caps small-SF stages at ~3 tasks, which
+        # strangles Python fold stages (applyInPandas) that follow the
+        # shuffle. A tiny floor keeps parallelismFirst in charge: local
+        # stages fan out to all cores, while at real scale partitions
+        # are >> 1m and behavior is unchanged.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
