@@ -535,6 +535,46 @@ FROM toks
 """
 
 
+VOCAB_K = 100
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: corpus-wide token frequencies, top-{VOCAB_K}
+    by (count DESC, token ASC).
+
+    The scale shape: explode → hash-groupBy with map-side partial
+    counts (vocabulary aggregation never moves raw text), then a
+    DISTRIBUTED top-k — orderBy+limit plans as TakeOrderedAndProject
+    (per-partition heaps + driver merge of k rows), NOT a global sort.
+    The rank window runs on the k surviving rows only."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tx.tokens(F.col("text"))).alias("token")).filter(
+        F.col("token").rlike("^[a-z]{2,}$")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), "token").limit(VOCAB_K)
+    w = Window.orderBy(F.col("n").desc(), "token")
+    return top.select(
+        "token", "n", F.row_number().over(w).cast("bigint").alias("rank")
+    )
+
+
+SQL_VOCAB_TOPK = f"""
+WITH {TOKS_CTE},
+tok AS (
+  SELECT t.token
+  FROM toks, unnest(w) AS t(token)
+  WHERE regexp_matches(t.token, '^[a-z]{{2,}}$')
+),
+counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token)
+SELECT token, n, rank FROM (
+  SELECT token, n,
+         row_number() OVER (ORDER BY n DESC, token) AS rank
+  FROM counts
+) WHERE rank <= {VOCAB_K}
+"""
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-{TOPK}: query set = vec_id % 100 == 0,
     broadcast against the full candidate scan (similarity.py)."""
@@ -798,6 +838,7 @@ QUERIES = {
     "lang_id": Query(q_lang_id, SQL_LANG_ID),
     "text_quality": Query(q_text_quality, SQL_TEXT_QUALITY),
     "token_counts": Query(q_token_counts, SQL_TOKEN_COUNTS),
+    "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),
     "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
     "ann_lsh": Query(q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf": Query(q_ann_ivf, SQL_ANN_IVF),
