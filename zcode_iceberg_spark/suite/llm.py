@@ -559,6 +559,52 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_TRAIN, SPLIT_VAL = 0.9, 0.95  # train/val/test = 90/5/5
+
+
+def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split + audit counts.
+
+    Every doc gets a uniform-ish u ∈ [0,1) from the md5 of its id —
+    pure projection, no shuffle, reproducible on any engine and stable
+    under re-runs/backfills (the property that matters in a training
+    pipeline: membership never depends on row order or partitioning).
+    Output is the per-(lang, split) audit: doc count + u-range. The
+    only shuffle is the final tiny groupBy on (lang, split)."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (tx.word_hash(F.col("doc_id").cast("string")) % 1000000) / 1000000.0
+    split = (
+        F.when(u < SPLIT_TRAIN, "train")
+        .when(u < SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select("lang", u.alias("u"), split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("u"), 6).alias("u_min"),
+            F.round(F.max("u"), 6).alias("u_max"),
+        )
+    )
+
+
+_U_SQL = f"(({WORD_HASH_SQL.format(x='CAST(doc_id AS VARCHAR)')}) % 1000000) / 1000000.0"
+
+SQL_DOC_SPLIT = f"""
+WITH assigned AS (
+  SELECT lang, {_U_SQL} AS u,
+         CASE WHEN {_U_SQL} < {SPLIT_TRAIN} THEN 'train'
+              WHEN {_U_SQL} < {SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split, count(*) AS n_docs,
+       round(min(u), 6) AS u_min, round(max(u), 6) AS u_max
+FROM assigned GROUP BY lang, split
+"""
+
+
 SQL_VOCAB_TOPK = f"""
 WITH {TOKS_CTE},
 tok AS (
@@ -839,6 +885,7 @@ QUERIES = {
     "text_quality": Query(q_text_quality, SQL_TEXT_QUALITY),
     "token_counts": Query(q_token_counts, SQL_TOKEN_COUNTS),
     "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),
+    "doc_split": Query(q_doc_split, SQL_DOC_SPLIT),
     "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
     "ann_lsh": Query(q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf": Query(q_ann_ivf, SQL_ANN_IVF),
