@@ -605,6 +605,55 @@ FROM assigned GROUP BY lang, split
 """
 
 
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_URL_RE = "https?://[A-Za-z0-9./_%-]+"
+_IDISH_RE = "\\b(key|row|table)\\b"
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / pattern scrub audit per source: docs containing emails or
+    URLs and total match counts. Pure regexp_count projection (codegen,
+    no Python) + a tiny groupBy — the scan shape a scrubbing pass over
+    100 TB needs (the expensive regex work is map-side; only per-source
+    counters shuffle). Patterns are RE2/Java-compatible so the DuckDB
+    oracle runs them verbatim."""
+    d = load_table(spark, sf_dir, "documents")
+    emails = F.regexp_count("text", F.lit(_EMAIL_RE))
+    urls = F.regexp_count("text", F.lit(_URL_RE))
+    # id-like pattern fires on the synthetic corpus, keeping the regex
+    # path's value-hash evidence non-degenerate
+    idish = F.regexp_count("text", F.lit(_IDISH_RE))
+    return (
+        d.select("source", emails.alias("e"), urls.alias("u"), idish.alias("i"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("e") > 0).cast("bigint")).alias("docs_with_email"),
+            F.sum((F.col("u") > 0).cast("bigint")).alias("docs_with_url"),
+            F.sum("e").cast("bigint").alias("total_emails"),
+            F.sum("u").cast("bigint").alias("total_urls"),
+            F.sum("i").cast("bigint").alias("total_idish"),
+        )
+    )
+
+
+SQL_PII_SCAN = f"""
+WITH m AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{_EMAIL_RE}')) AS e,
+         len(regexp_extract_all(text, '{_URL_RE}')) AS u,
+         len(regexp_extract_all(text, '{_IDISH_RE}')) AS i
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS docs_with_email,
+       sum(CASE WHEN u > 0 THEN 1 ELSE 0 END) AS docs_with_url,
+       sum(e) AS total_emails, sum(u) AS total_urls,
+       sum(i) AS total_idish
+FROM m GROUP BY source
+"""
+
+
 SQL_VOCAB_TOPK = f"""
 WITH {TOKS_CTE},
 tok AS (
@@ -886,6 +935,7 @@ QUERIES = {
     "token_counts": Query(q_token_counts, SQL_TOKEN_COUNTS),
     "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),
     "doc_split": Query(q_doc_split, SQL_DOC_SPLIT),
+    "pii_scan": Query(q_pii_scan, SQL_PII_SCAN),
     "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
     "ann_lsh": Query(q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf": Query(q_ann_ivf, SQL_ANN_IVF),
