@@ -287,6 +287,74 @@ FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id
 """
 
 
+CROSSCHECK_COS = 0.9
+
+
+def q_dedup_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage near-dup verification: cheap text-LSH candidates
+    (stage 1, sub-quadratic) re-scored with embedding cosine (stage 2,
+    only on the candidate pairs — never all-pairs). ``agree`` marks
+    pairs where the semantic signal confirms the lexical one.
+
+    The scale property: stage-2 cost is O(|candidates|), and the
+    embedding side joins in by id (hash join on vec_id), so the dense
+    vectors are only ever shuffled for rows that survived banding."""
+    pairs = q_lsh_candidates(spark, sf_dir).filter(
+        F.col("est_jaccard") >= NEARDUP_EST_MIN
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", sim_ops.norm(F.col("embedding")).alias("nrm")
+    )
+    a = e.alias("ea")
+    b = e.alias("eb")
+    cos = F.round(
+        sim_ops.cosine_with_norms(
+            F.col("ea.embedding"), F.col("eb.embedding"),
+            F.col("ea.nrm"), F.col("eb.nrm"),
+        ),
+        6,
+    )
+    return (
+        pairs.join(a, F.col("doc1") == F.col("ea.vec_id"))
+        .join(b, F.col("doc2") == F.col("eb.vec_id"))
+        .select(
+            "doc1",
+            "doc2",
+            "est_jaccard",
+            cos.alias("cos_sim"),
+            (cos >= CROSSCHECK_COS).alias("agree"),
+        )
+    )
+
+
+SQL_DEDUP_CROSSCHECK = f"""
+WITH {CHSH_CTE},
+{HASHES_CTE},
+{SIG_CTE},
+{BANDS_CTE},
+cand AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         round(max({_EST_JACCARD_SQL.replace('a.s', 'sa.s').replace('b.s', 'sb.s')}), 6)
+           AS est_jaccard
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.bucket_key = b.bucket_key
+              AND a.doc_id < b.doc_id
+  JOIN sig sa ON sa.doc_id = a.doc_id
+  JOIN sig sb ON sb.doc_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING round(max({_EST_JACCARD_SQL.replace('a.s', 'sa.s').replace('b.s', 'sb.s')}), 6)
+         >= {NEARDUP_EST_MIN}
+)
+SELECT c.doc1, c.doc2, c.est_jaccard,
+       round({_cos_sql('ea.embedding', 'eb.embedding')}, 6) AS cos_sim,
+       round({_cos_sql('ea.embedding', 'eb.embedding')}, 6) >= {CROSSCHECK_COS}
+         AS agree
+FROM cand c
+JOIN embeddings ea ON c.doc1 = ea.vec_id
+JOIN embeddings eb ON c.doc2 = eb.vec_id
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprint (16-bit) per document — order-independent
     integer bit-vote, expression-only on the Spark side."""
@@ -927,6 +995,7 @@ QUERIES = {
     "minhash_signatures": Query(q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "lsh_candidates": Query(q_lsh_candidates, SQL_LSH_CANDIDATES),
     "dedup_near": Query(q_dedup_near, SQL_DEDUP_NEAR),
+    "dedup_crosscheck": Query(q_dedup_crosscheck, SQL_DEDUP_CROSSCHECK),
     "simhash": Query(q_simhash, SQL_SIMHASH),
     "ngram_jaccard": Query(q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "doc_fingerprint": Query(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
