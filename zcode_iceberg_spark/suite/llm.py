@@ -287,6 +287,91 @@ FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id
 """
 
 
+REP_TOK_MAX, REP_BIGRAM_MAX = 0.2, 0.18  # Gopher-style repetition caps
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals per doc (the Gopher-rule
+    family): top-token fraction, distinct-token ratio, top-bigram
+    fraction, and the resulting keep/drop flag.
+
+    Shape: two explode → (doc, gram) groupBy → (doc) groupBy chains —
+    all partial-agged, text itself never shuffles (only gram counts
+    do). The token-array column is materialized BEFORE the explodes so
+    the split runs once per doc, not once per element."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tx.tokens(F.col("text")).alias("w")
+    )
+    uni = (
+        d.select("doc_id", F.explode("w").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.max("n").alias("top_tok"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    )
+    bi = (
+        d.select("doc_id", F.explode(tx.shingles(F.col("w"), 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("n_bigrams"), F.max("n").alias("top_bigram"))
+    )
+    top_tok_frac = F.round(F.col("top_tok") / F.col("n_tokens"), 6)
+    distinct_ratio = F.round(F.col("n_distinct") / F.col("n_tokens"), 6)
+    bigram_frac = F.round(
+        F.coalesce(F.col("top_bigram") / F.col("n_bigrams"), F.lit(0.0)), 6
+    )
+    return (
+        uni.join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            top_tok_frac.alias("top_tok_frac"),
+            distinct_ratio.alias("distinct_ratio"),
+            bigram_frac.alias("top_bigram_frac"),
+            (
+                (top_tok_frac <= REP_TOK_MAX)
+                & (bigram_frac <= REP_BIGRAM_MAX)
+            ).alias("keep"),
+        )
+    )
+
+
+SQL_DOC_REPETITION = f"""
+WITH {TOKS_CTE},
+uni AS (
+  SELECT doc_id, sum(n) AS n_tokens, max(n) AS top_tok,
+         count(*) AS n_distinct
+  FROM (SELECT doc_id, t.g, count(*) AS n
+        FROM toks, unnest(w) AS t(g) GROUP BY doc_id, t.g)
+  GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id, sum(n) AS n_bigrams, max(n) AS top_bigram
+  FROM (SELECT doc_id, g, count(*) AS n FROM (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(w) - 1),
+                                       i -> w[i] || ' ' || w[i + 1])) AS g
+          FROM toks)
+        GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT u.doc_id, u.n_tokens,
+       round(u.top_tok / CAST(u.n_tokens AS DOUBLE), 6) AS top_tok_frac,
+       round(u.n_distinct / CAST(u.n_tokens AS DOUBLE), 6) AS distinct_ratio,
+       round(coalesce(b.top_bigram / CAST(b.n_bigrams AS DOUBLE), 0.0), 6)
+         AS top_bigram_frac,
+       round(u.top_tok / CAST(u.n_tokens AS DOUBLE), 6) <= {REP_TOK_MAX}
+         AND round(coalesce(b.top_bigram / CAST(b.n_bigrams AS DOUBLE), 0.0), 6)
+             <= {REP_BIGRAM_MAX} AS keep
+FROM uni u LEFT JOIN bi b ON u.doc_id = b.doc_id
+"""
+
+
 CROSSCHECK_COS = 0.9
 
 
@@ -1005,6 +1090,7 @@ QUERIES = {
     "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),
     "doc_split": Query(q_doc_split, SQL_DOC_SPLIT),
     "pii_scan": Query(q_pii_scan, SQL_PII_SCAN),
+    "doc_repetition": Query(q_doc_repetition, SQL_DOC_REPETITION),
     "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
     "ann_lsh": Query(q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf": Query(q_ann_ivf, SQL_ANN_IVF),
