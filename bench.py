@@ -69,6 +69,10 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name, q in sorted(reg.items()):
+        # pending GC from earlier queries otherwise lands inside a later
+        # query's measurement (observed: +4-7s on whichever query follows
+        # the heaviest ones) — collect between measurements, not during
+        spark._jvm.System.gc()
         t0 = time.time()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
