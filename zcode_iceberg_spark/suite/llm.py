@@ -287,6 +287,58 @@ FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id
 """
 
 
+INCR_SPLIT_FRAC = 0.8  # docs below the id cut are the "historical" corpus
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (append-batch) dedup: the last {1-INCR_SPLIT_FRAC:.0%}
+    of doc ids play the incoming batch, deduped against BOTH the
+    historical corpus and itself — exactly the daily-ingest shape.
+
+    Scale shape: content hashes only (16-byte md5, never full text)
+    flow into a left anti join against the historical hash set plus a
+    min-id groupBy within the batch. The anti join hash-partitions by
+    content_hash; at 100 TB the historical side is a compacted hash
+    table read, not a text scan."""
+    d = load_table(spark, sf_dir, "documents")
+    cut = d.agg(
+        F.floor(F.lit(INCR_SPLIT_FRAC) * (F.max("doc_id") + 1)).cast("bigint")
+    ).collect()[0][0]
+    hashed = d.select("doc_id", F.md5("text").alias("content_hash"))
+    old_hashes = hashed.filter(F.col("doc_id") < cut).select("content_hash")
+    new = hashed.filter(F.col("doc_id") >= cut)
+    vs_corpus = new.join(old_hashes, "content_hash", "left_anti")
+    keeper = vs_corpus.groupBy("content_hash").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        new.join(keeper.select("keep_id"), new.doc_id == keeper.keep_id, "left")
+        .select(
+            "doc_id",
+            "content_hash",
+            F.col("keep_id").isNotNull().alias("is_kept"),
+        )
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH cut AS (
+  SELECT CAST(floor({INCR_SPLIT_FRAC} * (max(doc_id) + 1)) AS BIGINT) AS c
+  FROM documents
+),
+hashed AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+new AS (SELECT h.* FROM hashed h, cut WHERE h.doc_id >= cut.c),
+old AS (SELECT h.content_hash FROM hashed h, cut WHERE h.doc_id < cut.c),
+keeper AS (
+  SELECT min(doc_id) AS keep_id
+  FROM new n
+  WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.content_hash = n.content_hash)
+  GROUP BY content_hash
+)
+SELECT n.doc_id, n.content_hash,
+       k.keep_id IS NOT NULL AS is_kept
+FROM new n LEFT JOIN keeper k ON n.doc_id = k.keep_id
+"""
+
+
 REP_TOK_MAX, REP_BIGRAM_MAX = 0.2, 0.18  # Gopher-style repetition caps
 
 
@@ -1091,6 +1143,7 @@ QUERIES = {
     "doc_split": Query(q_doc_split, SQL_DOC_SPLIT),
     "pii_scan": Query(q_pii_scan, SQL_PII_SCAN),
     "doc_repetition": Query(q_doc_repetition, SQL_DOC_REPETITION),
+    "dedup_incremental": Query(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
     "ann_lsh": Query(q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf": Query(q_ann_ivf, SQL_ANN_IVF),
