@@ -100,3 +100,35 @@ def test_events_scan_prunes_columns(spark, sf_dir):
     # lists a ReadSchema at all and pushes the value filter
     assert "PushedFilters:" in p
     assert "GreaterThan(value,0.0)" in p
+
+
+def test_vocab_topk_distributed_cut(spark, sf_dir):
+    """The vocabulary cut must plan as TakeOrderedAndProject (per-
+    partition heaps + driver merge of k rows), never a global sort of
+    the whole vocabulary."""
+    p = plan(spark, sf_dir, "vocab_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "GlobalLimit" not in p
+
+
+def test_dedup_pipeline_joins_stay_hashed(spark, sf_dir):
+    """Every join in the dedup family must be key-hashed (LSH banding,
+    id equi-joins) — a nested-loop/cartesian here is the n² trap the
+    LSH layout exists to avoid."""
+    for name in ("dedup_near", "dedup_crosscheck", "dedup_incremental"):
+        p = plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_scoring_features_share_one_ticks_shuffle(spark, sf_dir):
+    """All five feature branches hang off the SAME repartition(user_id)
+    subtree; at runtime AQE ReuseExchange collapses them. Statically we
+    pin the enabling property: every exchange in the plan is a plain
+    hashpartitioning on user_id (no per-branch re-keying)."""
+    p = plan(spark, sf_dir, "signal_scores")
+    import re
+
+    parts = re.findall(r"Arguments: hashpartitioning\(([^,]+)", p)
+    assert parts, "expected hash exchanges in the plan"
+    assert all(k.split("#")[0] == "user_id" for k in parts), parts
