@@ -212,3 +212,44 @@ def test_position_fsm_stream_agreement(spark, sf_dir, tmp):
     wm = {key(r): (r["side"], r["entry_price"], r["exit_price"], r["exit_reason"]) for r in want}
     assert len(gm) == len(wm) > 0
     assert gm == wm
+
+
+@pytest.fixture(scope="module")
+def raw_docs_dir(spark, sf_dir):
+    """documents.parquet replayed as a 2-file directory (id-split,
+    mtime-ordered) so the dedup state is exercised ACROSS micro-batches,
+    not just within one."""
+    d = Path(tempfile.mkdtemp(prefix="zspark_docs_"))
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mid = raw.agg(F.max("doc_id")).collect()[0][0] // 2
+    parts = [raw.filter(F.col("doc_id") <= mid), raw.filter(F.col("doc_id") > mid)]
+    for i, p in enumerate(parts):
+        sub = d / f"part{i}"
+        p.coalesce(1).write.parquet(str(sub))
+        f = next(sub.glob("*.parquet"))
+        dst = d / f"{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+        shutil.rmtree(sub)
+    yield str(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_stream_agreement(spark, sf_dir, raw_docs_dir, tmp):
+    """Streamed dropDuplicates keeps exactly one row per distinct
+    content hash; the kept-hash SET (membership is deterministic even
+    though which duplicate wins the race is not) must equal the batch
+    dedup_exact hash set."""
+    from zcode_iceberg_spark.streaming.pipeline import dedup_stream
+
+    got = _drain(spark, dedup_stream(spark, raw_docs_dir), tmp, "dedup").collect()
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("content_hash"))
+        .count()
+        .collect()
+    )
+    got_hashes = sorted(r["content_hash"] for r in got)
+    want_hashes = sorted(r["content_hash"] for r in batch)
+    assert len(got) == len(set(got_hashes))  # one keeper per hash
+    assert got_hashes == want_hashes

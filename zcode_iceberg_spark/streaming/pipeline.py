@@ -173,6 +173,39 @@ def hysteresis_stream(
     )
 
 
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def dedup_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Streaming exact dedup of an arriving document feed: first-seen
+    row per content hash via ``dropDuplicates`` keyed state — the
+    canonical Structured Streaming dedup, and the streaming twin of
+    the batch ``dedup_exact``/``dedup_incremental`` pair (state =
+    the historical hash set those queries anti-join against).
+
+    Scale note: keyed state here is one 16-byte md5 per distinct doc
+    and grows without bound; a production feed with an event-time
+    column bounds it with ``dropDuplicatesWithinWatermark`` (the
+    fixture documents carry no timestamp, so the unbounded form is
+    the honest mapping)."""
+    raw = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return raw.select(
+        "doc_id", "source", F.md5("text").alias("content_hash")
+    ).dropDuplicates(["content_hash"])
+
+
 def run_available_now(df: DataFrame, out_dir: str, checkpoint: str) -> None:
     """Drain the stream deterministically (test/batch-replay mode)."""
     q = (
