@@ -424,6 +424,101 @@ FROM uni u LEFT JOIN bi b ON u.doc_id = b.doc_id
 """
 
 
+CC_MAX_ITERS = 12
+
+
+def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full connected-components dedup clustering: iterative min-label
+    propagation over the LSH candidate graph, run to FIXPOINT — the
+    exact clustering that ``dedup_near``'s single hop approximates.
+
+    Each iteration is one distributed join + groupBy (labels never
+    leave the cluster; the driver sees only a 1-row convergence
+    scalar), with ``localCheckpoint`` truncating lineage so plan size
+    stays constant across iterations — the standard Spark shape for
+    label propagation. Converges in O(component diameter) rounds;
+    near-dup clusters are shallow, so the loop exits early long before
+    {CC_MAX_ITERS}.
+
+    Oracle: DuckDB computes min-over-transitive-closure with a
+    recursive CTE — exact, so this iterative algorithm still gets a
+    full value-hash check."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = q_lsh_candidates(spark, sf_dir).filter(
+        F.col("est_jaccard") >= NEARDUP_EST_MIN
+    )
+    edges = (
+        pairs.select(F.col("doc1").alias("doc_id"), F.col("doc2").alias("nbr"))
+        .union(pairs.select(F.col("doc2").alias("doc_id"), F.col("doc1").alias("nbr")))
+        .localCheckpoint()
+    )
+    labels = d.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    prev_sum = None
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("nbr"), F.col("label").alias("nbr_label")
+                ),
+                "nbr",
+            )
+            .groupBy("doc_id")
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_root"),
+    )
+
+
+SQL_DEDUP_CC = f"""
+WITH RECURSIVE {CHSH_CTE},
+{HASHES_CTE},
+{SIG_CTE},
+{BANDS_CTE},
+cand AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.bucket_key = b.bucket_key
+              AND a.doc_id < b.doc_id
+  JOIN sig sa ON sa.doc_id = a.doc_id
+  JOIN sig sb ON sb.doc_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING round(max({_EST_JACCARD_SQL.replace('a.s', 'sa.s').replace('b.s', 'sb.s')}), 6)
+         >= {NEARDUP_EST_MIN}
+),
+edges AS (
+  SELECT doc1 AS doc_id, doc2 AS nbr FROM cand
+  UNION ALL
+  SELECT doc2 AS doc_id, doc1 AS nbr FROM cand
+),
+reach AS (
+  SELECT doc_id, doc_id AS label FROM documents
+  UNION
+  SELECT e.doc_id, r.label
+  FROM edges e JOIN reach r ON e.nbr = r.doc_id
+)
+SELECT doc_id, min(label) AS cluster_id,
+       doc_id = min(label) AS is_root
+FROM reach GROUP BY doc_id
+"""
+
+
 CROSSCHECK_COS = 0.9
 
 
@@ -1144,6 +1239,7 @@ QUERIES = {
     "pii_scan": Query(q_pii_scan, SQL_PII_SCAN),
     "doc_repetition": Query(q_doc_repetition, SQL_DOC_REPETITION),
     "dedup_incremental": Query(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "dedup_cc": Query(q_dedup_cc, SQL_DEDUP_CC),
     "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
     "ann_lsh": Query(q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf": Query(q_ann_ivf, SQL_ANN_IVF),
