@@ -1222,6 +1222,198 @@ SELECT qid, nid, cell, cos_sim, rank FROM (
 """
 
 
+# ---------------------------------------------------- domain mixture sampling
+
+MIX_BUDGET_FRAC = 0.5  # keep ~50% of corpus tokens, spread evenly per source
+
+
+def _hash_u(col, salt: str):
+    """Uniform-ish u ∈ [0,1) from a salted md5 of a key — the same
+    order/partition-independent membership trick as q_doc_split."""
+    return (
+        tx.word_hash(F.concat(F.lit(salt), col.cast("string"))) % 1000000
+    ) / 1000000.0
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling to a per-source token budget (the
+    mixture-reweighting pass of an LLM data pipeline, à la Pile/DoReMi
+    uniform-domain variant): two passes —
+
+    1. per-source token totals (map-side partial counts; only a
+       #sources-row aggregate shuffles), global budget = corpus_tokens
+       × {MIX_BUDGET_FRAC} split evenly across sources;
+    2. Bernoulli keep with rate = min(1, budget/source_tokens) decided
+       by a salted hash of doc_id — membership is reproducible under
+       re-runs, backfills, and any partitioning, and the tiny rates
+       table is BROADCAST back onto the corpus scan (no big-side
+       shuffle at 100 TB; under-budget sources get rate 1 — upsampling
+       is an epoch-count concern, not a filter's).
+
+    Output = per-source audit: docs/tokens before, sampling rate,
+    docs/tokens kept."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.size(tx.tokens(F.col("text"))).cast("bigint").alias("tok")
+    )
+    per_src = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("tok_total")
+    )
+    totals = per_src.agg(
+        F.sum("tok_total").alias("corpus_tok"), F.count(F.lit(1)).alias("n_src")
+    )
+    rates = per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "tok_total",
+        F.least(
+            F.lit(1.0),
+            (F.col("corpus_tok") * MIX_BUDGET_FRAC / F.col("n_src"))
+            / F.col("tok_total"),
+        ).alias("rate"),
+    )
+    kept = (
+        toks.withColumn("u", _hash_u(F.col("doc_id"), "mix:"))
+        .join(F.broadcast(rates.select("source", "rate")), "source")
+        .where(F.col("u") < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("tok").alias("kept_tokens"))
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "tok_total",
+        F.round("rate", 6).alias("rate"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+    )
+
+
+_MIX_U_SQL = (
+    f"(({WORD_HASH_SQL.format(x=chr(39) + 'mix:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')})"
+    " % 1000000) / 1000000.0"
+)
+
+SQL_DOMAIN_MIX = f"""
+WITH tl AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS tok,
+         {_MIX_U_SQL} AS u
+  FROM documents
+),
+per_src AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tok_total
+  FROM tl GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(tok_total) AS BIGINT) AS corpus_tok, count(*) AS n_src
+  FROM per_src
+),
+rates AS (
+  SELECT source, n_docs, tok_total,
+         least(1.0, (corpus_tok * {MIX_BUDGET_FRAC} / n_src) / tok_total) AS rate
+  FROM per_src, tot
+),
+kept AS (
+  SELECT t.source, count(*) AS n_kept, CAST(sum(t.tok) AS BIGINT) AS kept_tokens
+  FROM tl t JOIN rates r USING (source)
+  WHERE t.u < r.rate
+  GROUP BY t.source
+)
+SELECT r.source, r.n_docs, r.tok_total, round(r.rate, 6) AS rate,
+       coalesce(k.n_kept, 0) AS n_kept,
+       coalesce(k.kept_tokens, 0) AS kept_tokens
+FROM rates r LEFT JOIN kept k USING (source)
+"""
+
+
+# ------------------------------------------------------ split decontamination
+
+DECON_N = 3  # word n-gram size
+DECON_FLAG = 0.6  # contamination fraction that flags a test doc
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every TEST-split document, the
+    fraction of its distinct word {DECON_N}-grams that also appear
+    anywhere in the TRAIN split (the n-gram-overlap check run before
+    training to catch eval leakage).
+
+    Scale shape: n-grams are HASHED to bigints map-side (raw text
+    never shuffles); the train side collapses to distinct gram hashes
+    via partial aggregation; the probe is a LEFT SEMI join on the hash
+    — both sides shuffle-partitioned by gram, no row explosion beyond
+    the gram lists themselves. Splits reuse q_doc_split's md5
+    membership, so train/test here is exactly the split the pipeline
+    would train on."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        _hash_u(F.col("doc_id"), "").alias("u"),
+        tx.tokens(F.col("text")).alias("w"),
+    )
+    grams = base.select(
+        "doc_id",
+        "u",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    tx.shingles(F.col("w"), DECON_N), lambda s: tx.word_hash(s)
+                )
+            )
+        ).alias("g"),
+    )
+    train_g = grams.where(F.col("u") < SPLIT_TRAIN).select("g").distinct()
+    test_g = grams.where(F.col("u") >= SPLIT_VAL).select("doc_id", "g")
+    n_grams = test_g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    n_hit = (
+        test_g.join(train_g, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    frac = F.coalesce("n_hit", F.lit(0)) / F.col("n_grams")
+    return n_grams.join(n_hit, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        F.round(frac, 6).alias("contamination"),
+        (frac >= DECON_FLAG).alias("flagged"),
+    )
+
+
+_GRAM_HASH_SQL = WORD_HASH_SQL.format(
+    x=f"array_to_string(list_slice(w, i, i + {DECON_N - 1}), ' ')"
+)
+
+SQL_DECONTAMINATE = f"""
+WITH {TOKS_CTE},
+tu AS (
+  SELECT doc_id, w, {_U_SQL} AS u FROM toks
+),
+grams AS (
+  SELECT doc_id, u,
+         unnest(list_distinct(list_transform(
+           CASE WHEN len(w) >= {DECON_N}
+                THEN generate_series(1, len(w) - {DECON_N - 1})
+                ELSE [] END,
+           i -> {_GRAM_HASH_SQL}))) AS g
+  FROM tu
+),
+tr AS (SELECT DISTINCT g FROM grams WHERE u < {SPLIT_TRAIN}),
+te AS (SELECT doc_id, g FROM grams WHERE u >= {SPLIT_VAL}),
+ng AS (SELECT doc_id, count(*) AS n_grams FROM te GROUP BY doc_id),
+hit AS (
+  SELECT doc_id, count(*) AS n_hit FROM te
+  WHERE g IN (SELECT g FROM tr)
+  GROUP BY doc_id
+)
+SELECT ng.doc_id, ng.n_grams, coalesce(hit.n_hit, 0) AS n_hit,
+       round(coalesce(hit.n_hit, 0) / ng.n_grams, 6) AS contamination,
+       (coalesce(hit.n_hit, 0) / ng.n_grams) >= {DECON_FLAG} AS flagged
+FROM ng LEFT JOIN hit USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signatures": Query(q_minhash_signatures, SQL_MINHASH_SIGNATURES),
@@ -1239,6 +1431,8 @@ QUERIES = {
     "pii_scan": Query(q_pii_scan, SQL_PII_SCAN),
     "doc_repetition": Query(q_doc_repetition, SQL_DOC_REPETITION),
     "dedup_incremental": Query(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "domain_mix": Query(q_domain_mix, SQL_DOMAIN_MIX),
+    "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),
     "dedup_cc": Query(q_dedup_cc, SQL_DEDUP_CC),
     "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
     "ann_lsh": Query(q_ann_lsh, SQL_ANN_LSH),
