@@ -118,6 +118,40 @@ def test_windowed_delta_agreement(spark, sf_dir, raw_events_dir, tmp):
     assert got_m == want_m
 
 
+def test_session_window_stream_agreement(spark, sf_dir, raw_events_dir, tmp):
+    """H9 streaming twin: `sessionize` (operators/flow.py) is the SAME
+    expression batch and stream — merging session windows run
+    incrementally under the watermark. A batch session is finalized
+    (emitted in append mode) once the watermark passes its window end,
+    which for session windows is last_event + gap."""
+    from zcode_iceberg_spark.operators.flow import sessionize
+
+    st = sessionize(stream_events(spark, raw_events_dir))
+    got = _drain(spark, st, tmp, "sessions").collect()
+
+    ticks = events_ticks(spark, sf_dir)
+    hi, secs = _finalized_cutoff(ticks)
+    want = (
+        sessionize(ticks.withWatermark("ts", WATERMARK))
+        .filter(
+            F.col("session_end") + F.expr("INTERVAL 30 MINUTES")
+            <= F.lit(hi) - F.expr(f"INTERVAL {secs} SECONDS")
+        )
+        .collect()
+    )
+    key = lambda r: (r["user_id"], r["session_start"])
+    val = lambda r: (
+        r["session_end"],
+        r["n_events"],
+        round(r["volume"], 6),
+        round(r["buy_volume"], 6),
+    )
+    got_m = {key(r): val(r) for r in got}
+    want_m = {key(r): val(r) for r in want}
+    assert want_m  # nonempty: the fixture contains closed sessions
+    assert got_m == want_m
+
+
 def test_tumbling_ohlc_agreement(spark, sf_dir, raw_events_dir, tmp):
     st = tumbling_ohlc_stream(stream_events(spark, raw_events_dir))
     got = _drain(spark, st, tmp, "ohlc").collect()

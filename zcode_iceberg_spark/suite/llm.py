@@ -1414,6 +1414,229 @@ FROM ng LEFT JOIN hit USING (doc_id)
 """
 
 
+# -------------------------------------------------------- sequence packing
+
+PACK_BUDGET = 256  # tokens per training sequence
+PACK_SHARDS = 4  # independent packing lanes per source
+
+
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign documents (in doc_id order) to
+    fixed token-budget training sequences — bin advances when the next
+    doc would overflow {PACK_BUDGET} tokens (oversized docs get their
+    own bin). The batching step that turns a filtered corpus into
+    fixed-length training examples.
+
+    Packing is inherently sequential, so the scale shape BOUNDS the
+    sequential extent instead of pretending it away: docs are sharded
+    into {PACK_SHARDS} hash lanes per source and each (source, shard)
+    lane packs independently — a collect_list + F.aggregate fold, pure
+    JVM expression, one task per lane. At 100 TB you size the lane
+    count so each lane's array stays bounded (e.g. per
+    source × day × 2^k); output bins are keyed by (source, shard) so
+    lane-local ids never collide. (An applyInPandas fold is the
+    fallback if lanes must exceed expression-fold sizes.)"""
+    d = load_table(spark, sf_dir, "documents")
+    rows = d.select(
+        "doc_id",
+        "source",
+        F.floor(_hash_u(F.col("doc_id"), "pack:") * PACK_SHARDS)
+        .cast("int")
+        .alias("shard"),
+        F.size(tx.tokens(F.col("text"))).cast("bigint").alias("tok"),
+    )
+    lanes = rows.groupBy("source", "shard").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "tok"))).alias("xs")
+    )
+    out_t = "array<struct<doc_id:bigint,tok:bigint,bin_id:bigint>>"
+    seed = F.struct(
+        F.lit(0).cast("bigint").alias("acc"),
+        F.lit(0).cast("bigint").alias("bin"),
+        F.array().cast(out_t).alias("out"),
+    )
+
+    def step(s, x):
+        overflow = ((s["acc"] + x["tok"]) > PACK_BUDGET) & (s["acc"] > 0)
+        nbin = F.when(overflow, s["bin"] + 1).otherwise(s["bin"])
+        nacc = F.when(overflow, x["tok"]).otherwise(s["acc"] + x["tok"])
+        entry = F.struct(
+            x["doc_id"].alias("doc_id"),
+            x["tok"].alias("tok"),
+            nbin.alias("bin_id"),
+        )
+        return F.struct(
+            nacc.alias("acc"),
+            nbin.alias("bin"),
+            F.concat(s["out"], F.array(entry)).alias("out"),
+        )
+
+    packed = F.aggregate(F.col("xs"), seed, step, lambda s: s["out"])
+    return lanes.select(
+        "source", "shard", F.explode(packed).alias("p")
+    ).select(
+        F.col("p.doc_id").alias("doc_id"),
+        "source",
+        "shard",
+        F.col("p.tok").alias("tok"),
+        F.col("p.bin_id").alias("bin_id"),
+    )
+
+
+_PACK_U_SQL = (
+    f"(({WORD_HASH_SQL.format(x=chr(39) + 'pack:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')})"
+    " % 1000000) / 1000000.0"
+)
+
+SQL_SEQ_PACKING = f"""
+WITH RECURSIVE tl AS (
+  SELECT doc_id, source,
+         CAST(floor(({_PACK_U_SQL}) * {PACK_SHARDS}) AS INTEGER) AS shard,
+         CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS tok
+  FROM documents
+),
+seq AS (
+  SELECT *, row_number() OVER (PARTITION BY source, shard ORDER BY doc_id) AS rn
+  FROM tl
+),
+rec AS (
+  SELECT doc_id, source, shard, tok, rn,
+         tok AS acc, CAST(0 AS BIGINT) AS bin_id
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.doc_id, s.source, s.shard, s.tok, s.rn,
+         CASE WHEN r.acc + s.tok > {PACK_BUDGET} AND r.acc > 0
+              THEN s.tok ELSE r.acc + s.tok END,
+         CASE WHEN r.acc + s.tok > {PACK_BUDGET} AND r.acc > 0
+              THEN r.bin_id + 1 ELSE r.bin_id END
+  FROM rec r
+  JOIN seq s ON s.source = r.source AND s.shard = r.shard AND s.rn = r.rn + 1
+)
+SELECT doc_id, source, shard, tok, bin_id FROM rec
+"""
+
+
+# ------------------------------------------------------------ k-means (Lloyd)
+
+KM_K = 8
+KM_ITERS = 2  # centroid updates; assignments = KM_ITERS + 1
+
+
+def _km_assign(emb: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared L2,
+    tie-break on cluster id). Centroids arrive as driver-side Python
+    floats and are BROADCAST — the MLlib k-means layout: per iteration
+    the big side is scanned once, only k×dim numbers move."""
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents], "cid int, c array<double>"
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("e"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.crossJoin(F.broadcast(cdf)).select(
+        "vec_id", "e", "cid", dist.alias("dist")
+    )
+    rk = F.row_number().over(Window.partitionBy("vec_id").orderBy("dist", "cid"))
+    return scored.withColumn("rk", rk).where(F.col("rk") == 1)
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering of the embedding corpus ({KM_K} clusters,
+    {KM_ITERS} Lloyd iterations, deterministic init = the {KM_K}
+    lowest vec_ids) — the coarse-quantizer trainer behind an IVF ANN
+    index, and the canonical iterative algorithm on Spark: per round
+    one broadcast-join scan + one partial-aggregated groupBy; k×dim
+    doubles return to the driver and go back out as the next round's
+    broadcast. Nothing but the k-row centroid table ever leaves the
+    executors, so the shape is unchanged at 100 TB.
+
+    Determinism (for the DuckDB oracle, which unrolls the same
+    iterations as CTEs): centroid updates fold member vectors in
+    vec_id order — left-to-right double folds are bit-identical on
+    both engines, so nearest-centroid argmins agree exactly; floats
+    are only rounded at the output edge."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    seeds = sorted(
+        emb.orderBy("vec_id").limit(KM_K).collect(), key=lambda r: r["vec_id"]
+    )
+    cents = [(i, list(r["e"])) for i, r in enumerate(seeds)]
+    dim = len(cents[0][1])
+    for _ in range(KM_ITERS):
+        assign = _km_assign(emb, cents)
+        members = assign.groupBy("cid").agg(
+            F.sort_array(F.collect_list(F.struct("vec_id", "e"))).alias("ms"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        new_c = F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda d: F.aggregate(
+                F.col("ms"),
+                F.lit(0.0),
+                lambda acc, x: acc + F.element_at(x["e"], d),
+            )
+            / F.col("n"),
+        )
+        rows = members.select("cid", new_c.alias("c")).collect()
+        cents = sorted((r["cid"], list(r["c"])) for r in rows)
+    return _km_assign(emb, cents).select(
+        "vec_id",
+        F.col("cid").alias("cluster"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+def _km_dist_sql(e: str, c: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {EMB_DIM}), "
+        f"i -> ({e}[i] - {c}[i]) * ({e}[i] - {c}[i]))), (acc, x) -> acc + x)"
+    )
+
+
+def _km_assign_cte(n: int, cent: str) -> str:
+    return f"""a{n} AS (
+  SELECT vec_id, e, cid, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+  FROM (SELECT m.vec_id, m.e, c.cid, {_km_dist_sql('m.e', 'c.c')} AS dist
+        FROM emb m CROSS JOIN {cent} c))"""
+
+
+def _km_cent_cte(n: int, prev_a: str) -> str:
+    return f"""cent{n} AS (
+  SELECT cid, list_transform(generate_series(1, {EMB_DIM}), d ->
+           list_reduce(list_prepend(0.0, list_transform(ms, e -> e[d])),
+                       (acc, x) -> acc + x) / n) AS c
+  FROM (SELECT cid, list(e ORDER BY vec_id) AS ms, count(*) AS n
+        FROM {prev_a} WHERE rk = 1 GROUP BY cid))"""
+
+
+def _km_sql() -> str:
+    parts = [
+        """emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings)""",
+        f"""cent0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, e AS c
+  FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT {KM_K}))""",
+    ]
+    for it in range(KM_ITERS):
+        parts.append(_km_assign_cte(it + 1, f"cent{it}"))
+        parts.append(_km_cent_cte(it + 1, f"a{it + 1}"))
+    parts.append(_km_assign_cte(KM_ITERS + 1, f"cent{KM_ITERS}"))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id, cid AS cluster, round(dist, 6) AS dist"
+        f" FROM a{KM_ITERS + 1} WHERE rk = 1"
+    )
+
+
+SQL_KMEANS = _km_sql()
+
+
 QUERIES = {
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signatures": Query(q_minhash_signatures, SQL_MINHASH_SIGNATURES),
@@ -1433,6 +1656,8 @@ QUERIES = {
     "dedup_incremental": Query(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "domain_mix": Query(q_domain_mix, SQL_DOMAIN_MIX),
     "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),
+    "seq_packing": Query(q_seq_packing, SQL_SEQ_PACKING),
+    "kmeans": Query(q_kmeans, SQL_KMEANS),
     "dedup_cc": Query(q_dedup_cc, SQL_DEDUP_CC),
     "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
     "ann_lsh": Query(q_ann_lsh, SQL_ANN_LSH),
