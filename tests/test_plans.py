@@ -121,6 +121,30 @@ def test_dedup_pipeline_joins_stay_hashed(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in p, name
 
 
+def test_mix_and_decon_scale_shapes(spark, sf_dir):
+    """domain_mix: the per-source rates table must come back onto the
+    corpus scan as a BROADCAST join (the big side never shuffles).
+    decontaminate: the train-gram probe must stay a hashed semi join —
+    no nested loop anywhere in either pipeline."""
+    p = plan(spark, sf_dir, "domain_mix")
+    # rates→corpus is a broadcast HASH join on source; the only nested
+    # loop allowed is the 1-row totals crossJoin
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    p = plan(spark, sf_dir, "decontaminate")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    """Every k-means round scans the embeddings once against BROADCAST
+    centroids — the k-row side is the only thing that moves, so the
+    per-iteration cost is one scan regardless of corpus size."""
+    p = plan(spark, sf_dir, "kmeans")
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
 def test_scoring_features_share_one_ticks_shuffle(spark, sf_dir):
     """All five feature branches hang off the SAME repartition(user_id)
     subtree; at runtime AQE ReuseExchange collapses them. Statically we

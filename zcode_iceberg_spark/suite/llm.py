@@ -1279,7 +1279,9 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("tok").alias("kept_tokens"))
     )
-    return rates.join(kept, "source", "left").select(
+    # both sides are #sources-row aggregates; hint the build side so the
+    # audit join never falls back to a sort-merge of two tiny relations
+    return rates.join(F.broadcast(kept), "source", "left").select(
         "source",
         "n_docs",
         "tok_total",
