@@ -145,6 +145,15 @@ def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
 
 
+def test_correlated_subquery_decorrelates(spark, sf_dir):
+    """The per-row correlated average must be rewritten into one
+    per-customer aggregate joined back on the key — never a re-scan
+    per outer row (nested loop)."""
+    p = plan(spark, sf_dir, "above_customer_avg")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "partial_avg" in p  # decorrelated into a map-side partial agg
+
+
 def test_scoring_features_share_one_ticks_shuffle(spark, sf_dir):
     """All five feature branches hang off the SAME repartition(user_id)
     subtree; at runtime AQE ReuseExchange collapses them. Statically we

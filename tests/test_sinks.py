@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from zcode_iceberg_spark.sources.sinks import (
+    cluster_rewrite,
     compact_parquet,
     table_stats,
     upsert_daily_partitions,
@@ -82,3 +83,50 @@ def test_table_stats(spark, sf_dir, tmp):
     assert stats["n_rows"] == t.count()
     assert stats["n_files"] >= 1 and stats["total_bytes"] > 0
     assert stats["column_ranges"]["min_price"] > 0
+
+
+def test_cluster_rewrite_enables_file_skipping(spark, sf_dir, tmp):
+    """After a sort-order rewrite on l_shipdate, parquet footer
+    min/max stats must partition the key space into near-disjoint
+    per-file ranges — i.e. a narrow date predicate can skip all but
+    ~1 file. Checked from the actual footers (pyarrow), not the plan:
+    this is the property ANY engine's scan pruning consumes."""
+    import pyarrow.parquet as pq
+
+    dst = tmp / "li_clustered"
+    cluster_rewrite(
+        spark, f"{sf_dir}/lineitem.parquet", str(dst), ["l_shipdate"], 8
+    )
+    files = sorted(dst.glob("*.parquet"))
+    assert len(files) == 8
+
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i
+            for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "l_shipdate"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            assert st is not None and st.has_min_max
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+
+    # near-disjoint: ordered by min, each file's range may touch its
+    # neighbor only at the range-partition boundary value
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+
+    # skipping evidence: a one-day predicate overlaps at most 2 files
+    probe = ranges[3][0]
+    overlapping = [r for r in ranges if r[0] <= probe <= r[1]]
+    assert len(overlapping) <= 2, overlapping
+
+    # and the rewrite is lossless
+    n = spark.read.parquet(str(dst)).count()
+    assert n == spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()

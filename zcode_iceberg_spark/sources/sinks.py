@@ -78,6 +78,28 @@ def compact_parquet(
     return n_files
 
 
+def cluster_rewrite(
+    spark: SparkSession, src: str, dst: str, cols: list[str], n_files: int
+) -> str:
+    """Sort-cluster a table's file layout on `cols` — the plain-parquet
+    analog of an Iceberg/Delta sort-order rewrite: range-repartition on
+    the keys (sampled range bounds → near-equal file sizes, no manual
+    histogram), then sort within each file. Every output file then
+    covers a narrow, essentially disjoint key range, so parquet footer
+    min/max stats let ANY reader skip files a predicate cannot match.
+    At 100 TB this layout is the difference between touching every
+    file and touching the handful a key/time-range query overlaps —
+    the same stats also tighten row-group pruning inside each file."""
+    df = spark.read.parquet(src)
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(dst)
+    )
+    return dst
+
+
 def table_stats(spark: SparkSession, path: str) -> dict:
     """Maintenance visibility: file/byte counts from the filesystem,
     row count + per-numeric-column min/max from one scan."""

@@ -377,6 +377,68 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_cube_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate — all four grouping combinations of
+    (lang, source) over the document corpus in ONE pass (per-group,
+    per-lang, per-source, grand total). Completes the grouping-sets
+    family next to rollup_sales; Spark expands the cube BELOW the
+    shuffle, so partial aggregation still collapses rows map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "chars_total",
+        )
+    )
+
+
+SQL_CUBE_CORPUS = """
+SELECT coalesce(lang, 'ALL') AS lang,
+       coalesce(source, 'ALL') AS source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total
+FROM documents
+GROUP BY CUBE (lang, source)
+"""
+
+
+def q_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders worth more than 2× their own
+    customer's average order value. Written as SQL so CATALYST does the
+    decorrelation — the optimizer rewrites the per-row subquery into a
+    per-customer aggregate joined back on o_custkey (one scan + one
+    hash agg + one join; plan-asserted in tests/test_plans.py). The
+    naive interpretation would re-aggregate per outer row — the n²
+    trap decorrelation exists to avoid."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice, 6) AS totalprice
+        FROM orders_v o
+        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice)
+                                  FROM orders_v i
+                                  WHERE i.o_custkey = o.o_custkey)
+        """
+    )
+
+
+SQL_ABOVE_CUSTOMER_AVG = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS totalprice
+FROM orders o
+WHERE o_totalprice > 2 * (SELECT avg(o_totalprice)
+                          FROM orders i
+                          WHERE i.o_custkey = o.o_custkey)
+"""
+
+
 QUERIES = {
     "pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY),
     "price_percentiles": Query(q_price_percentiles, SQL_PRICE_PERCENTILES),
@@ -400,4 +462,6 @@ QUERIES = {
     ),
     "approx_distinct_parts": Query(q_approx_distinct_parts, None),
     "segment_share": Query(q_segment_share, SQL_SEGMENT_SHARE),
+    "cube_corpus": Query(q_cube_corpus, SQL_CUBE_CORPUS),
+    "above_customer_avg": Query(q_above_customer_avg, SQL_ABOVE_CUSTOMER_AVG),
 }
