@@ -287,3 +287,49 @@ def test_dedup_stream_agreement(spark, sf_dir, raw_docs_dir, tmp):
     want_hashes = sorted(r["content_hash"] for r in batch)
     assert len(got) == len(set(got_hashes))  # one keeper per hash
     assert got_hashes == want_hashes
+
+
+def test_range_join_stream_agreement(spark, sf_dir, raw_events_dir, tmp):
+    """D2 twin: the stream-stream interval join must produce exactly
+    the batch inner-join pairs — inner matches emit eagerly (no
+    watermark finalization), and the time-ordered replay means join
+    state is never evicted before a matching row arrives. Compared as
+    per-decision aggregates (pair multisets are large)."""
+    from zcode_iceberg_spark.streaming.pipeline import range_join_stream
+
+    st = range_join_stream(spark, raw_events_dir)
+    got = (
+        _drain(spark, st, tmp, "rjoin")
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("qty"), 6).alias("vol"),
+        )
+        .collect()
+    )
+
+    t = events_ticks(spark, sf_dir)
+    d = t.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("d_user"), F.col("ts").alias("d_ts")
+    )
+    tr = t.select(
+        F.col("user_id").alias("t_user"), F.col("ts").alias("t_ts"), "qty"
+    )
+    cond = (
+        (F.col("d_user") == F.col("t_user"))
+        & (F.col("t_ts") <= F.col("d_ts"))
+        & (F.col("t_ts") >= F.col("d_ts") - F.expr("INTERVAL 3600 SECONDS"))
+    )
+    want = (
+        d.join(tr, cond, "inner")
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("qty"), 6).alias("vol"),
+        )
+        .collect()
+    )
+    got_m = {r["event_id"]: (r["n"], r["vol"]) for r in got}
+    want_m = {r["event_id"]: (r["n"], r["vol"]) for r in want}
+    assert want_m
+    assert got_m == want_m

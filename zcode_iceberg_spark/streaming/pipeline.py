@@ -299,3 +299,36 @@ def position_fsm_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def range_join_stream(
+    spark: SparkSession, src_dir: str, lookback_sec: int = 3600
+) -> DataFrame:
+    """D2 streaming twin: a STREAM-STREAM interval join — every
+    purchase decision paired with the same user's trades from the
+    trailing `lookback_sec` window, both sides live streams.
+
+    The watermark + time-bound join condition is what makes this
+    feasible at scale: the engine derives exactly how long each side's
+    rows can still match a future row (trades: lookback + watermark;
+    decisions: watermark) and EVICTS join state past that horizon —
+    bounded state regardless of stream length. Inner-join matches emit
+    as soon as both rows have arrived (no finalization wait).
+    """
+    decisions = stream_events(spark, src_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "event_id", F.col("user_id").alias("d_user"), F.col("ts").alias("d_ts")
+    )
+    trades = stream_events(spark, src_dir).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        "qty",
+        "is_buy",
+    )
+    cond = (
+        (F.col("d_user") == F.col("t_user"))
+        & (F.col("t_ts") <= F.col("d_ts"))
+        & (F.col("t_ts") >= F.col("d_ts") - F.expr(f"INTERVAL {lookback_sec} SECONDS"))
+    )
+    return decisions.join(trades, cond, "inner")

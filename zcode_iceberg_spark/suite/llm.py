@@ -1517,6 +1517,48 @@ SELECT doc_id, source, shard, tok, bin_id FROM rec
 """
 
 
+# ---------------------------------------------------------- document chunking
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for embedding/RAG indexing: fixed
+    {CHUNK_TOKENS}-token windows every {CHUNK_STRIDE} tokens (8-token
+    overlap), one output row per chunk with its token count and
+    content hash. Pure expression — tokenize once as a projected
+    column, then a stride `sequence` + `transform` + `explode`; the
+    fan-out is bounded by ceil(len/stride) per doc and everything
+    stays in whole-stage codegen (no Python, no shuffle before the
+    explode)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tx.tokens(F.col("text")).alias("w"))
+    starts = F.sequence(F.lit(1), F.size("w"), F.lit(CHUNK_STRIDE))
+    chunk = lambda i: F.slice(F.col("w"), i, CHUNK_TOKENS)  # noqa: E731
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            F.floor((i - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+            F.size(chunk(i)).cast("bigint").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", chunk(i))).alias("chunk_hash"),
+        ),
+    )
+    return base.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_id", "c.n_tokens", "c.chunk_hash"
+    )
+
+
+SQL_DOC_CHUNKS = f"""
+WITH {TOKS_CTE}
+SELECT doc_id,
+       CAST(floor((i - 1) / {CHUNK_STRIDE}) AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(w, i, i + {CHUNK_TOKENS - 1})) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_slice(w, i, i + {CHUNK_TOKENS - 1}), ' ')) AS chunk_hash
+FROM toks, unnest(generate_series(1, len(w), {CHUNK_STRIDE})) AS t(i)
+"""
+
+
 # ------------------------------------------------------------ k-means (Lloyd)
 
 KM_K = 8
@@ -1660,6 +1702,7 @@ QUERIES = {
     "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),
     "seq_packing": Query(q_seq_packing, SQL_SEQ_PACKING),
     "kmeans": Query(q_kmeans, SQL_KMEANS),
+    "doc_chunks": Query(q_doc_chunks, SQL_DOC_CHUNKS),
     "dedup_cc": Query(q_dedup_cc, SQL_DEDUP_CC),
     "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
     "ann_lsh": Query(q_ann_lsh, SQL_ANN_LSH),
