@@ -51,7 +51,7 @@ def test_star_revenue_broadcasts_dims(spark, sf_dir):
 
 
 def test_topk_pushed_into_window_sort(spark, sf_dir):
-    for name in ("book_topk", "top_customers_per_nation"):
+    for name in ("book_topk", "top_customers_per_nation", "tf_idf"):
         p = plan(spark, sf_dir, name)
         assert "WindowGroupLimit" in p, name
 

@@ -1559,6 +1559,76 @@ FROM toks, unnest(generate_series(1, len(w), {CHUNK_STRIDE})) AS t(i)
 """
 
 
+# ----------------------------------------------------------------- TF-IDF
+
+TFIDF_TOPK = 5
+
+
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOPK} terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1) — the keyword/feature-extraction pass
+    of a corpus pipeline.
+
+    Scale shape: term frequencies collapse map-side before their
+    (doc, token) shuffle; document frequencies are a second partial
+    agg over the tf table keyed by token — the result is
+    vocabulary-sized, so it re-enters as a BROADCAST join (the corpus
+    never shuffles for the idf lookup). The per-doc top-k rides one
+    window sort with the rank filter pushed down (WindowGroupLimit)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token").rlike("^[a-z]{2,}$"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOPK)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round("tfidf", 6).alias("tfidf"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+SQL_TF_IDF = f"""
+WITH {TOKS_CTE},
+tok AS (
+  SELECT doc_id, t.token
+  FROM toks, unnest(w) AS t(token)
+  WHERE regexp_matches(t.token, '^[a-z]{{2,}}$')
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         tf.tf * (ln((n.n_docs + 1) / (dfreq.df + 1)) + 1.0) AS tfidf
+  FROM tf JOIN dfreq USING (token), n
+)
+SELECT doc_id, token, tf, df, round(tfidf, 6) AS tfidf, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_TOPK}
+"""
+
+
 # ------------------------------------------------------------ k-means (Lloyd)
 
 KM_K = 8
@@ -1703,6 +1773,7 @@ QUERIES = {
     "seq_packing": Query(q_seq_packing, SQL_SEQ_PACKING),
     "kmeans": Query(q_kmeans, SQL_KMEANS),
     "doc_chunks": Query(q_doc_chunks, SQL_DOC_CHUNKS),
+    "tf_idf": Query(q_tf_idf, SQL_TF_IDF),
     "dedup_cc": Query(q_dedup_cc, SQL_DEDUP_CC),
     "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
     "ann_lsh": Query(q_ann_lsh, SQL_ANN_LSH),
