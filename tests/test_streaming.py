@@ -333,3 +333,57 @@ def test_range_join_stream_agreement(spark, sf_dir, raw_events_dir, tmp):
     want_m = {r["event_id"]: (r["n"], r["vol"]) for r in want}
     assert want_m
     assert got_m == want_m
+
+
+@pytest.fixture(scope="module")
+def raw_dup_events_dir(spark, sf_dir):
+    """events replayed as 3 time-ordered files WITH duplicates: every
+    file contains its rows twice (in-batch dups), and each file also
+    re-appends the previous file's final-60s rows (cross-batch dups
+    that arrive one micro-batch later but within the 120s watermark —
+    these only dedup if the keyed state survived the batch boundary
+    and was not yet evicted)."""
+    d = Path(tempfile.mkdtemp(prefix="zspark_dupsrc_"))
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    qs = raw.approxQuantile("event_id", [0.33, 0.66], 0.0)
+    b = [int(q) for q in qs]
+    parts = [
+        raw.filter(F.col("event_id") <= b[0]),
+        raw.filter((F.col("event_id") > b[0]) & (F.col("event_id") <= b[1])),
+        raw.filter(F.col("event_id") > b[1]),
+    ]
+    for i, p in enumerate(parts):
+        batch = p.union(p)
+        if i > 0:
+            prev = parts[i - 1]
+            hi = prev.agg(F.max("ts")).collect()[0][0]  # int64 nanos
+            tail = prev.filter(F.col("ts") >= hi - 60 * 10**9)
+            assert tail.count() > 0
+            batch = batch.union(tail)
+        sub = d / f"part{i}"
+        batch.coalesce(1).write.parquet(str(sub))
+        f = next(sub.glob("*.parquet"))
+        dst = d / f"{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+        shutil.rmtree(sub)
+    yield str(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_stream_bounded_agreement(spark, sf_dir, raw_dup_events_dir, tmp):
+    """dropDuplicatesWithinWatermark must collapse both the in-batch
+    duplicates and the cross-batch within-watermark duplicates to one
+    row per event_id — i.e. exactly the distinct ids of the clean
+    table — while keeping only bounded (watermark-evicted) state."""
+    from zcode_iceberg_spark.streaming.pipeline import dedup_stream_bounded
+
+    got = _drain(
+        spark, dedup_stream_bounded(spark, raw_dup_events_dir), tmp, "dedupb"
+    ).collect()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids))  # no duplicate survived
+    want = {
+        r["event_id"] for r in events_ticks(spark, sf_dir).select("event_id").collect()
+    }
+    assert set(ids) == want

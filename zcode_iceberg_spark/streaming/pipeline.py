@@ -206,6 +206,18 @@ def dedup_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     ).dropDuplicates(["content_hash"])
 
 
+def dedup_stream_bounded(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    keeps the first-seen row per event_id and EVICTS each key's state
+    once the watermark passes its event time + delay — state is
+    O(keys within one watermark window), not O(all history). This is
+    the form that survives an unbounded feed at 100 TB; the unbounded
+    ``dedup_stream`` hash-set form is the honest mapping only for the
+    timestamp-less documents table. The contract: duplicates arriving
+    within WATERMARK of the first occurrence are guaranteed dropped."""
+    return stream_events(spark, src_dir).dropDuplicatesWithinWatermark(["event_id"])
+
+
 def run_available_now(df: DataFrame, out_dir: str, checkpoint: str) -> None:
     """Drain the stream deterministically (test/batch-replay mode)."""
     q = (
