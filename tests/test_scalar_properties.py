@@ -1,0 +1,79 @@
+"""Property-based checks for the scalar expression library (SURVEY §5:
+operators with no SQL oracle get self-consistency properties). Driven
+by hypothesis; each example evaluates every expression in one small
+Spark job over a generated batch.
+
+The Φ check is the strong one: the Abramowitz–Stegun polynomial the
+engine (and its DuckDB oracles) use must stay within its documented
+7.5e-8 absolute error of the true normal CDF — compared against
+0.5·(1+erf(x/√2)) from the Python stdlib, an independent
+implementation.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from zcode_iceberg_spark.functions.scalar import (
+    clamp,
+    kelly_fraction,
+    normal_cdf,
+    sigmoid,
+)
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+def _eval(spark, xs, exprs):
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    cols = [e.alias(f"c{i}") for i, e in enumerate(exprs)]
+    rows = df.select(F.col("x"), *cols).collect()
+    return rows
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(finite, min_size=1, max_size=32))
+def test_clamp_sigmoid_kelly_bounds(spark, xs):
+    rows = _eval(
+        spark,
+        xs,
+        [
+            clamp(F.col("x"), -1.0, 1.0),
+            sigmoid(F.col("x")),
+            kelly_fraction(clamp(F.col("x"), 0.0, 1.0)),
+        ],
+    )
+    for r in rows:
+        assert -1.0 <= r["c0"] <= 1.0
+        assert r["c0"] == max(-1.0, min(1.0, r["x"]))
+        # float64 saturates to exactly 0.0/1.0 for |x| ≳ 37 — bounds
+        # are closed, not open
+        assert 0.0 <= r["c1"] <= 1.0
+        assert 0.0 <= r["c2"] <= 0.02  # Kelly cap (config cap=0.02)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.floats(min_value=-8, max_value=8, allow_nan=False), min_size=1, max_size=32))
+def test_normal_cdf_matches_stdlib_erf(spark, xs):
+    rows = _eval(spark, xs, [normal_cdf(F.col("x"))])
+    for r in rows:
+        truth = 0.5 * (1.0 + math.erf(r["x"] / math.sqrt(2.0)))
+        assert abs(r["c0"] - truth) < 7.5e-8, (r["x"], r["c0"], truth)
+        assert 0.0 <= r["c0"] <= 1.0
+
+
+def test_normal_cdf_monotone_and_symmetric(spark):
+    xs = [x / 10.0 for x in range(-60, 61)]
+    rows = sorted(_eval(spark, xs, [normal_cdf(F.col("x"))]), key=lambda r: r["x"])
+    vals = [r["c0"] for r in rows]
+    assert all(a <= b for a, b in zip(vals, vals[1:]))  # monotone
+    mid = dict((round(r["x"], 1), r["c0"]) for r in rows)
+    for x in (0.5, 1.0, 2.0, 4.0):
+        # Φ(-x) ≈ 1 - Φ(x) within twice the polynomial's error bound
+        assert abs(mid[-x] - (1.0 - mid[x])) < 1.5e-7
+    assert abs(mid[0.0] - 0.5) < 7.5e-8
