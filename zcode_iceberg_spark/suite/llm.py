@@ -452,7 +452,16 @@ def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("doc2").alias("doc_id"), F.col("doc1").alias("nbr")))
         .localCheckpoint()
     )
-    labels = d.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    # propagate ONLY over the candidate-graph vertex set — isolated
+    # docs (the overwhelming majority of a 100 TB corpus) can never
+    # change label, so they stay out of every iteration's join/agg and
+    # re-enter once at the end as their own cluster
+    labels = (
+        edges.select("doc_id")
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
     prev_sum = None
     for _ in range(CC_MAX_ITERS):
         nbr_min = (
@@ -479,10 +488,16 @@ def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels.select(
-        "doc_id",
-        F.col("label").alias("cluster_id"),
-        (F.col("doc_id") == F.col("label")).alias("is_root"),
+    return (
+        d.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+            (F.col("doc_id") == F.coalesce("label", F.col("doc_id"))).alias(
+                "is_root"
+            ),
+        )
     )
 
 
