@@ -130,3 +130,67 @@ def test_cluster_rewrite_enables_file_skipping(spark, sf_dir, tmp):
     # and the rewrite is lossless
     n = spark.read.parquet(str(dst)).count()
     assert n == spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+
+def test_zorder_rewrite_clusters_both_dimensions(spark, sf_dir, tmp):
+    """Z-order vs linear sort on (l_extendedprice, l_quantity): the
+    linear layout gives tight per-file ranges only on its FIRST sort
+    column — each file spans ~the full quantity domain. The Morton
+    layout must shrink the average per-file span of BOTH columns,
+    which is exactly what makes min/max skipping work for predicates
+    on either column."""
+    import pyarrow.parquet as pq
+    from zcode_iceberg_spark.sources.sinks import zorder_rewrite
+
+    src = f"{sf_dir}/lineitem.parquet"
+
+    def spans(path, col):
+        out = []
+        for f in sorted(Path(path).glob("*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = next(
+                i
+                for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            mn = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            mx = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            out.append(float(mx) - float(mn))
+        return out
+
+    zorder_rewrite(
+        spark, src, str(tmp / "z"), ["l_extendedprice", "l_quantity"], 16
+    )
+    cluster_rewrite(
+        spark, src, str(tmp / "lin"), ["l_extendedprice", "l_quantity"], 16
+    )
+
+    import statistics
+
+    row = spark.read.parquet(src).agg(
+        F.max("l_quantity"), F.min("l_quantity"),
+        F.max("l_extendedprice"), F.min("l_extendedprice"),
+    ).collect()[0]
+    q_dom = float(row[0] - row[1])
+    p_dom = float(row[2] - row[3])
+
+    z_q = statistics.mean(spans(tmp / "z", "l_quantity")) / q_dom
+    lin_q = statistics.mean(spans(tmp / "lin", "l_quantity")) / q_dom
+    z_p = statistics.mean(spans(tmp / "z", "l_extendedprice")) / p_dom
+
+    # linear: 2nd column unclustered (≈ full domain per file);
+    # z-order: both columns materially clustered
+    assert lin_q > 0.9, lin_q
+    assert z_q < 0.6, z_q
+    assert z_p < 0.6, z_p
+
+    assert (
+        spark.read.parquet(str(tmp / "z")).count()
+        == spark.read.parquet(src).count()
+    )

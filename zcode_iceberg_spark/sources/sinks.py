@@ -100,6 +100,66 @@ def cluster_rewrite(
     return dst
 
 
+def zorder_key(bucket_cols: list, bits: int = 8):
+    """Morton (Z-order) key: interleave the bits of per-column integer
+    buckets so that sorting by the single key keeps rows close in
+    EVERY clustered dimension at once — the multi-column file-skipping
+    layout (Delta OPTIMIZE ZORDER analog). `bucket_cols` are integer
+    Columns already scaled to [0, 2^bits)."""
+    n = len(bucket_cols)
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(bucket_cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            key = key + F.shiftleft(bit, b * n + i)
+    return key
+
+
+def zorder_rewrite(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = 8,
+) -> str:
+    """Z-order cluster rewrite on multiple columns: bucket each column
+    to 2^bits levels on its [min, max] span (one tiny agg; at scale
+    use sampled quantile bounds for skew), interleave into a Morton
+    key, then range-partition + sort on the key. Unlike the linear
+    `cluster_rewrite` — where only the FIRST sort column gets tight
+    per-file ranges — every clustered column's per-file min/max span
+    shrinks to roughly range/n_files^(1/k), so predicates on ANY of
+    the k columns skip files."""
+    df = spark.read.parquet(src)
+    bounds = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    buckets = []
+    for c in cols:
+        lo, hi = float(bounds[f"lo_{c}"]), float(bounds[f"hi_{c}"])
+        span = (hi - lo) or 1.0
+        buckets.append(
+            F.least(
+                F.lit(top),
+                F.floor((F.col(c) - F.lit(lo)) / F.lit(span) * F.lit(top + 1)).cast(
+                    "long"
+                ),
+            )
+        )
+    keyed = df.withColumn("_zkey", zorder_key(buckets, bits))
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(dst)
+    )
+    return dst
+
+
 def table_stats(spark: SparkSession, path: str) -> dict:
     """Maintenance visibility: file/byte counts from the filesystem,
     row count + per-numeric-column min/max from one scan."""
