@@ -17,3 +17,42 @@ def test_expression_and_udf_classifiers_agree(spark, sf_dir):
     bm = {key(r): (round(r["trend_score"], 9), r["trend_pred"]) for r in b.collect()}
     assert len(am) == len(bm) > 0
     assert am == bm
+
+
+def test_sql_functions_match_column_api(spark):
+    """The SQL-macro registrations must inline the SAME arithmetic as
+    the Column builders — exact float equality, not approximate."""
+    from pyspark.sql import functions as F
+
+    from zcode_iceberg_spark.functions.scalar import (
+        clamp,
+        kelly_fraction,
+        normal_cdf,
+        sigmoid,
+    )
+    from zcode_iceberg_spark.functions.sqlfuncs import register_sql_functions
+
+    names = register_sql_functions(spark)
+    assert set(names) == {"norm_cdf", "sigmoid", "clamp", "kelly"}
+
+    xs = [x / 7.0 for x in range(-30, 31)]
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    df.createOrReplaceTempView("probe_v")
+    via_sql = spark.sql(
+        """
+        SELECT x, norm_cdf(x) AS phi, sigmoid(x) AS sig,
+               clamp(x, -1.0, 1.0) AS cl,
+               kelly(clamp(x, 0.0, 1.0), 3.33, 0.02) AS k
+        FROM probe_v
+        """
+    ).collect()
+    via_col = df.select(
+        "x",
+        normal_cdf(F.col("x")).alias("phi"),
+        sigmoid(F.col("x")).alias("sig"),
+        clamp(F.col("x"), -1.0, 1.0).alias("cl"),
+        kelly_fraction(clamp(F.col("x"), 0.0, 1.0)).alias("k"),
+    ).collect()
+    a = {r["x"]: (r["phi"], r["sig"], r["cl"], r["k"]) for r in via_sql}
+    b = {r["x"]: (r["phi"], r["sig"], r["cl"], r["k"]) for r in via_col}
+    assert a == b
