@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zcode_iceberg_spark.operators import flow as ops
@@ -177,10 +177,106 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 extension: trailing sample correlation/covariance between
+    price and traded qty per user over the last 50 ticks — one window
+    family on the same (user, ts) sort every trailing stat uses.
+
+    Float determinism: NEITHER builtin corr()/covar_samp() NOR plain
+    windowed sums are bit-identical between Spark and DuckDB here
+    (different co-moment algorithms / segment-tree summation — ulp
+    diffs that flip round(6) on ~0.03% of rows). So the frame values
+    are collected in frame order and folded LEFT-TO-RIGHT with
+    F.aggregate ↔ list_reduce — sequential double folds are the one
+    accumulation both engines execute identically (same trick as the
+    EMA/cosine oracles). Null where the frame lacks variance."""
+    t = events_ticks(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-49, 0)
+    )
+    lx = F.collect_list("price").over(w)
+    ly = F.collect_list("qty").over(w)
+    pre = t.select(
+        "event_id", "user_id", lx.alias("lx"), ly.alias("ly")
+    )
+
+    def fold(arr, f):
+        return F.aggregate(arr, F.lit(0.0), f)
+
+    n = F.size("lx").cast("bigint")
+    sx = fold(F.col("lx"), lambda a, x: a + x)
+    sy = fold(F.col("ly"), lambda a, x: a + x)
+    sxx = fold(F.col("lx"), lambda a, x: a + x * x)
+    syy = fold(F.col("ly"), lambda a, x: a + x * x)
+    sxy = fold(
+        F.zip_with(F.col("lx"), F.col("ly"), lambda a, b: a * b),
+        lambda a, x: a + x,
+    )
+    sums = pre.select(
+        "event_id",
+        "user_id",
+        n.alias("n"),
+        sx.alias("sx"),
+        sy.alias("sy"),
+        sxx.alias("sxx"),
+        syy.alias("syy"),
+        sxy.alias("sxy"),
+    )
+    com = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    cov = F.when(F.col("n") > 1, com / (F.col("n") - 1))
+    corr = F.when((F.col("n") > 1) & (vx > 0) & (vy > 0), com / F.sqrt(vx * vy))
+    return sums.select(
+        "event_id",
+        "user_id",
+        F.round(corr, 6).alias("corr_50"),
+        F.round(cov, 6).alias("cov_50"),
+        F.col("n").alias("n_win"),
+    )
+
+
+_FOLD_SUM = "list_reduce(list_prepend(0.0, {arr}), (a, x) -> a + x)"
+_FOLD_SQ = "list_reduce(list_prepend(0.0, {arr}), (a, x) -> a + x * x)"
+
+SQL_ROLLING_CORR = f"""
+{TICKS_CTE},
+lists AS (
+  SELECT event_id, user_id,
+         list(price) OVER w AS lx, list(qty) OVER w AS ly
+  FROM ticks
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+),
+sums AS (
+  SELECT event_id, user_id, CAST(len(lx) AS BIGINT) AS n,
+         {_FOLD_SUM.format(arr='lx')} AS sx,
+         {_FOLD_SUM.format(arr='ly')} AS sy,
+         {_FOLD_SQ.format(arr='lx')} AS sxx,
+         {_FOLD_SQ.format(arr='ly')} AS syy,
+         {_FOLD_SUM.format(arr="list_transform(generate_series(1, len(lx)), i -> lx[i] * ly[i])")} AS sxy
+  FROM lists
+)
+SELECT event_id, user_id,
+       round(CASE WHEN n > 1 AND (sxx - sx * sx / n) > 0
+                   AND (syy - sy * sy / n) > 0
+             THEN (sxy - sx * sy / n)
+                  / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) END,
+             6) AS corr_50,
+       round(CASE WHEN n > 1 THEN (sxy - sx * sy / n) / (n - 1) END, 6)
+         AS cov_50,
+       n AS n_win
+FROM sums
+"""
+
+
 QUERIES = {
     "ticks_normalize": Query(q_ticks_normalize, SQL_TICKS_NORMALIZE),
     "sessionize": Query(q_sessionize, SQL_SESSIONIZE),
     "delta_zscore": Query(q_delta_zscore, SQL_DELTA_ZSCORE),
     "cvd": Query(q_cvd, SQL_CVD),
     "volume_factor": Query(q_volume_factor, SQL_VOLUME_FACTOR),
+    "rolling_corr": Query(q_rolling_corr, SQL_ROLLING_CORR),
 }

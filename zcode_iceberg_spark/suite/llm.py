@@ -1574,6 +1574,52 @@ FROM toks, unnest(generate_series(1, len(w), {CHUNK_STRIDE})) AS t(i)
 """
 
 
+# ------------------------------------------------------- stratified sampling
+
+SAMPLE_K = 5
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sample: the {SAMPLE_K} lowest
+    salted-hash documents per language — a "reservoir" whose
+    membership is a pure function of doc_id, so it is identical under
+    any partitioning, row order, re-run, or backfill (the property a
+    100 TB eval-set draw needs). The per-group top-k plans as one
+    window sort with the rank filter pushed down (WindowGroupLimit);
+    nothing but (lang, k rows) survives."""
+    d = load_table(spark, sf_dir, "documents")
+    u = _hash_u(F.col("doc_id"), "sample:")
+    w = Window.partitionBy("lang").orderBy("u", "doc_id")
+    return (
+        d.select("lang", "doc_id", u.alias("u"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= SAMPLE_K)
+        .select(
+            "lang",
+            "doc_id",
+            F.round("u", 6).alias("u"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+_SAMPLE_U_SQL = (
+    f"(({WORD_HASH_SQL.format(x=chr(39) + 'sample:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')})"
+    " % 1000000) / 1000000.0"
+)
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH su AS (
+  SELECT lang, doc_id, {_SAMPLE_U_SQL} AS u FROM documents
+)
+SELECT lang, doc_id, round(u, 6) AS u, rank FROM (
+  SELECT lang, doc_id, u,
+         row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rank
+  FROM su
+) WHERE rank <= {SAMPLE_K}
+"""
+
+
 # ----------------------------------------------------------------- TF-IDF
 
 TFIDF_TOPK = 5
@@ -1789,6 +1835,7 @@ QUERIES = {
     "kmeans": Query(q_kmeans, SQL_KMEANS),
     "doc_chunks": Query(q_doc_chunks, SQL_DOC_CHUNKS),
     "tf_idf": Query(q_tf_idf, SQL_TF_IDF),
+    "stratified_sample": Query(q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "dedup_cc": Query(q_dedup_cc, SQL_DEDUP_CC),
     "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
     "ann_lsh": Query(q_ann_lsh, SQL_ANN_LSH),
