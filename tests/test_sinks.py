@@ -194,3 +194,36 @@ def test_zorder_rewrite_clusters_both_dimensions(spark, sf_dir, tmp):
         spark.read.parquet(str(tmp / "z")).count()
         == spark.read.parquet(src).count()
     )
+
+
+def test_merge_upsert_row_level(spark, sf_dir, tmp):
+    """MERGE semantics on a plain-parquet table: matched keys are
+    replaced by the update rows, unmatched update rows are inserted,
+    untouched rows survive byte-identically."""
+    from zcode_iceberg_spark.sources.sinks import merge_upsert
+
+    path = str(tmp / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, tag string, val double",
+    )
+    base.write.parquet(path)
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)], "id long, tag string, val double"
+    )
+    merge_upsert(spark, path, updates, "id")
+
+    got = {
+        r["id"]: (r["tag"], r["val"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        1: ("a", 10.0),
+        2: ("b2", 21.0),
+        3: ("c", 30.0),
+        4: ("d", 40.0),
+    }
+    # idempotent re-apply
+    merge_upsert(spark, path, updates, "id")
+    assert spark.read.parquet(path).count() == 4

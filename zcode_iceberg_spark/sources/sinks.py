@@ -100,6 +100,30 @@ def cluster_rewrite(
     return dst
 
 
+def merge_upsert(
+    spark: SparkSession, path: str, updates: DataFrame, key: str
+) -> None:
+    """Row-level MERGE (upsert by key) on a plain-parquet table:
+    survivors = target LEFT ANTI updates on the key, result =
+    survivors ∪ updates — matched rows are replaced, unmatched rows
+    inserted. Plain parquet has no row-level delete metadata, so a
+    merge IS a rewrite; the scale discipline is to bound what gets
+    rewritten — partition the table and merge only touched partitions
+    (see :func:`upsert_daily_partitions` for the partition-level
+    form), or graduate to a table format with delete files when
+    rewrite amplification dominates. The result is staged to a temp
+    directory and swapped in, because lazily reading and overwriting
+    the same path would corrupt the table mid-scan."""
+    import shutil as _shutil
+
+    tgt = spark.read.parquet(path)
+    merged = tgt.join(updates.select(key), key, "left_anti").unionByName(updates)
+    tmp = path.rstrip("/") + ".__merge_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    _shutil.rmtree(path)
+    Path(tmp).rename(path)
+
+
 def zorder_key(bucket_cols: list, bits: int = 8):
     """Morton (Z-order) key: interleave the bits of per-column integer
     buckets so that sorting by the single key keeps rows close in
