@@ -227,3 +227,31 @@ def test_merge_upsert_row_level(spark, sf_dir, tmp):
     # idempotent re-apply
     merge_upsert(spark, path, updates, "id")
     assert spark.read.parquet(path).count() == 4
+
+
+def test_snapshot_versioning_time_travel(spark, tmp):
+    """Snapshot writes never mutate earlier versions: v0 stays
+    readable (time travel) after v1 lands, the latest read follows
+    the newest version, and expiry removes exactly the oldest."""
+    from zcode_iceberg_spark.sources.sinks import (
+        expire_snapshots,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = str(tmp / "snap_tbl")
+    v0 = write_snapshot(
+        spark.createDataFrame([(1, "a")], "id long, tag string"), t
+    )
+    v1 = write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, tag string"), t
+    )
+    assert (v0, v1) == (0, 1)
+    assert read_snapshot(spark, t).count() == 2  # latest
+    assert read_snapshot(spark, t, 0).count() == 1  # time travel
+    assert expire_snapshots(t, keep_last=1) == [0]
+    assert read_snapshot(spark, t).count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, 0)

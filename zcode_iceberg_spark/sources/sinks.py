@@ -100,6 +100,54 @@ def cluster_rewrite(
     return dst
 
 
+def write_snapshot(df: DataFrame, table_dir: str) -> int:
+    """Versioned snapshot write — the plain-parquet analog of a table
+    format's snapshot log: each write lands whole in
+    ``table_dir/v=N`` (N = prior max + 1) and never mutates earlier
+    versions, so concurrent readers keep a consistent view and any
+    version stays readable until expired (time travel). Returns N."""
+    versions = _snapshot_versions(table_dir)
+    n = (max(versions) + 1) if versions else 0
+    df.write.mode("errorifexists").parquet(f"{table_dir}/v={n}")
+    return n
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read a pinned snapshot version, or the latest when omitted."""
+    versions = _snapshot_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots under {table_dir}")
+    v = max(versions) if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"snapshot v={v} not in {sorted(versions)}")
+    return spark.read.parquet(f"{table_dir}/v={v}")
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Garbage-collect old snapshots, keeping the newest `keep_last`;
+    returns the expired version numbers."""
+    import shutil as _shutil
+
+    versions = sorted(_snapshot_versions(table_dir))
+    expired = versions[:-keep_last] if keep_last > 0 else versions
+    for v in expired:
+        _shutil.rmtree(f"{table_dir}/v={v}")
+    return expired
+
+
+def _snapshot_versions(table_dir: str) -> list[int]:
+    p = Path(table_dir)
+    if not p.exists():
+        return []
+    return [
+        int(d.name.split("=", 1)[1])
+        for d in p.iterdir()
+        if d.is_dir() and d.name.startswith("v=")
+    ]
+
+
 def merge_upsert(
     spark: SparkSession, path: str, updates: DataFrame, key: str
 ) -> None:
