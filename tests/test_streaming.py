@@ -387,3 +387,32 @@ def test_dedup_stream_bounded_agreement(spark, sf_dir, raw_dup_events_dir, tmp):
         r["event_id"] for r in events_ticks(spark, sf_dir).select("event_id").collect()
     }
     assert set(ids) == want
+
+
+def test_enriched_stream_agreement(spark, sf_dir, raw_events_dir, tmp):
+    """Stream-static joins are stateless — every streamed row carries
+    the same dimension attributes the batch join attaches, with no
+    finalization filter needed."""
+    from zcode_iceberg_spark.streaming.pipeline import enriched_stream
+
+    st = enriched_stream(spark, raw_events_dir, sf_dir)
+    got = (
+        _drain(spark, st, tmp, "enrich")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("qty"), 6).alias("vol"))
+        .collect()
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    want = (
+        events_ticks(spark, sf_dir)
+        .join(dim, "user_id", "left")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("qty"), 6).alias("vol"))
+        .collect()
+    )
+    got_m = {r["segment"]: (r["n"], r["vol"]) for r in got}
+    want_m = {r["segment"]: (r["n"], r["vol"]) for r in want}
+    assert want_m and got_m == want_m

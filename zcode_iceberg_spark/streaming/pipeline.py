@@ -344,3 +344,21 @@ def range_join_stream(
         & (F.col("t_ts") >= F.col("d_ts") - F.expr(f"INTERVAL {lookback_sec} SECONDS"))
     )
     return decisions.join(trades, cond, "inner")
+
+
+def enriched_stream(spark: SparkSession, src_dir: str, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (D5 × H-group): the live tick
+    stream joined against the static customer dimension, broadcast
+    per micro-batch — stateless (no watermark bookkeeping, nothing to
+    evict), the standard way to attach slowly-changing dimensions to
+    a stream: the dim is re-resolved each micro-batch, so a refreshed
+    dimension table is picked up without restarting the query."""
+    from zcode_iceberg_spark.sources.tables import load_table
+
+    ticks = stream_events(spark, src_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    return ticks.join(F.broadcast(dim), "user_id", "left")
