@@ -255,3 +255,21 @@ def test_snapshot_versioning_time_travel(spark, tmp):
 
     with _pytest.raises(FileNotFoundError):
         read_snapshot(spark, t, 0)
+
+
+def test_snapshot_schema_evolution_read(spark, tmp):
+    """Additive schema evolution across snapshot versions: a column
+    added in v1 reads as NULL for v0 rows under mergeSchema, and each
+    pinned version keeps its own exact schema."""
+    from zcode_iceberg_spark.sources.sinks import read_snapshot, write_snapshot
+
+    t = str(tmp / "evo_tbl")
+    write_snapshot(spark.createDataFrame([(1,)], "id long"), t)
+    write_snapshot(
+        spark.createDataFrame([(2, "x")], "id long, note string"), t
+    )
+    union = spark.read.option("mergeSchema", "true").parquet(t)
+    rows = {r["id"]: r["note"] for r in union.collect()}
+    assert rows == {1: None, 2: "x"}
+    assert read_snapshot(spark, t, 0).columns == ["id"]
+    assert "note" in read_snapshot(spark, t, 1).columns

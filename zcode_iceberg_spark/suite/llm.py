@@ -1140,7 +1140,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     NPROBE nearest cells per query, brute-force only inside them.
 
     Centroids here are the NLIST lowest-vec_id embeddings — a
-    deterministic stand-in for a k-means fit (the fit is offline
+    deterministic stand-in for a k-means fit (``q_kmeans`` IS that
+    trainer, same broadcast-assign shape; the fit is offline
     "model training"; the ENGINE part is the assign/probe dataflow,
     which is what scales: one broadcast of nlist·dim floats, one
     map-side argmax per vector, then an equi-join on cell id — the
