@@ -439,6 +439,64 @@ WHERE o_totalprice > 2 * (SELECT avg(o_totalprice)
 """
 
 
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def q_pivot_priority_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts by priority × customer segment, segments as
+    columns. The pivot values are an explicit literal list — with known
+    values Spark plans a single-pass conditional aggregation (no extra
+    distinct-values job, stable output schema), exactly the portable
+    CASE-WHEN form the oracle uses."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return (
+        o.join(F.broadcast(c), "o_custkey")
+        .groupBy("o_orderpriority")
+        .pivot("c_mktsegment", SEGMENTS)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, SEGMENTS)
+    )
+
+
+SQL_PIVOT_PRIORITY_SEGMENT = f"""
+SELECT o.o_orderpriority,
+       {", ".join(f"coalesce(sum(CASE WHEN c.c_mktsegment = '{s}' THEN 1 END), 0) AS {s}" for s in SEGMENTS)}
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY o.o_orderpriority
+"""
+
+
+UNPIVOT_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def q_unpivot_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): per-returnflag sums of three measures rotated
+    into (metric, value) rows — the long-format hand-off shape for
+    stats/reporting consumers. Aggregate FIRST, melt the 3-row-per-
+    group result: the unpivot fan-out happens after the data is tiny,
+    never on the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        *[F.round(F.sum(c), 6).alias(c) for c in UNPIVOT_COLS]
+    )
+    return agg.unpivot(
+        ["l_returnflag"], UNPIVOT_COLS, "metric", "value"
+    )
+
+
+SQL_UNPIVOT_LINEITEM_STATS = f"""
+WITH agg AS (
+  SELECT l_returnflag,
+         {", ".join(f"round(sum({c}), 6) AS {c}" for c in UNPIVOT_COLS)}
+  FROM lineitem GROUP BY l_returnflag
+)
+{" UNION ALL ".join(f"SELECT l_returnflag, '{c}' AS metric, {c} AS value FROM agg" for c in UNPIVOT_COLS)}
+"""
+
+
 QUERIES = {
     "pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY),
     "price_percentiles": Query(q_price_percentiles, SQL_PRICE_PERCENTILES),
@@ -464,4 +522,10 @@ QUERIES = {
     "segment_share": Query(q_segment_share, SQL_SEGMENT_SHARE),
     "cube_corpus": Query(q_cube_corpus, SQL_CUBE_CORPUS),
     "above_customer_avg": Query(q_above_customer_avg, SQL_ABOVE_CUSTOMER_AVG),
+    "pivot_priority_segment": Query(
+        q_pivot_priority_segment, SQL_PIVOT_PRIORITY_SEGMENT
+    ),
+    "unpivot_lineitem_stats": Query(
+        q_unpivot_lineitem_stats, SQL_UNPIVOT_LINEITEM_STATS
+    ),
 }
