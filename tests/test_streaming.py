@@ -13,6 +13,7 @@ drain would never touch the saved state.
 
 from __future__ import annotations
 
+import datetime as dt
 import os
 import shutil
 import tempfile
@@ -57,7 +58,8 @@ def raw_events_dir(spark, sf_dir):
     source's oldest-first ordering replays event time."""
     d = Path(tempfile.mkdtemp(prefix="zspark_src_"))
     ev = load_table(spark, sf_dir, "events")
-    # keep raw int64-nanos layout: re-read without the ts normalization
+    # keep the raw on-disk ts layout: re-read without the ts
+    # normalization — stream_events sniffs the real schema either way
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     qs = raw.approxQuantile("event_id", [0.33, 0.66], 0.0)
     bounds = [int(q) for q in qs]
@@ -356,8 +358,10 @@ def raw_dup_events_dir(spark, sf_dir):
         batch = p.union(p)
         if i > 0:
             prev = parts[i - 1]
-            hi = prev.agg(F.max("ts")).collect()[0][0]  # int64 nanos
-            tail = prev.filter(F.col("ts") >= hi - 60 * 10**9)
+            hi = prev.agg(F.max("ts")).collect()[0][0]
+            # ts is int64-nanos or a datetime depending on fixture vintage
+            lo = hi - (60 * 10**9 if isinstance(hi, int) else dt.timedelta(seconds=60))
+            tail = prev.filter(F.col("ts") >= lo)
             assert tail.count() > 0
             batch = batch.union(tail)
         sub = d / f"part{i}"

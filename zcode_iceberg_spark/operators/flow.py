@@ -32,8 +32,10 @@ KEY = "user_id"
 
 def _us(col: str = "ts"):
     """Event time as epoch microseconds — RANGE frames need a numeric
-    order key; microseconds preserve full ordering."""
-    return F.unix_micros(F.col(col))
+    order key; microseconds preserve full ordering. The cast makes this
+    tolerant of TIMESTAMP_NTZ inputs (``unix_micros`` rejects NTZ;
+    session timezone is UTC so the cast is value-preserving)."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
 
 
 def taker_delta(ticks: DataFrame, window_sec: int = 600) -> DataFrame:

@@ -34,7 +34,8 @@ KEY = "user_id"
 
 
 def _us(col: str = "ts") -> Column:
-    return F.unix_micros(F.col(col))
+    # cast tolerates TIMESTAMP_NTZ inputs (session tz is UTC → lossless)
+    return F.unix_micros(F.col(col).cast("timestamp"))
 
 
 def ohlc_bars(ticks: DataFrame, minutes: int = 60) -> DataFrame:

@@ -38,16 +38,38 @@ TABLES = [
 ]
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-zone TIMESTAMP no matter
+    which physical layout the feed writes it in — the Spark analog of the
+    reference's defensive ingest, which survives upstream format drift by
+    normalizing every tick at the boundary (data_manager.py:272-285,
+    futures_websocket.py:71-94). Handled layouts:
+
+    - int64 nanoseconds (old driver layout, read as LongType under
+      ``nanosAsLong``) → truncate to micros, ``timestamp_micros``;
+    - parquet ``timestamp[us]`` tz-naive → Spark ``TIMESTAMP_NTZ`` →
+      cast to TIMESTAMP (value-preserving: session timezone is UTC);
+    - already TIMESTAMP → no-op.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype in ("bigint", "long"):
+        return df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table, normalizing ingest quirks.
 
-    ``events.ts`` arrives as int64 nanoseconds (see module docstring);
-    it is exposed as a proper TIMESTAMP column here so every downstream
-    operator sees event-time semantics.
+    ``events.ts`` has shipped as int64 nanoseconds and as tz-naive
+    ``timestamp[us]`` across driver versions; ``normalize_ts`` exposes a
+    proper TIMESTAMP column either way so every downstream operator sees
+    one event-time type.
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    if name == "events":
+        df = normalize_ts(df)
     return df
 
 

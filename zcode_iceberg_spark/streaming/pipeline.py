@@ -35,11 +35,15 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from zcode_iceberg_spark.operators.stateful import _hysteresis_fold
+from zcode_iceberg_spark.sources.tables import normalize_ts
 
+# Current driver layout: ts is parquet timestamp[us] tz-naive → NTZ.
+# stream_events sniffs the real on-disk schema (footer-only batch read)
+# so the stream survives the same layout drift the batch loader does.
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw int64 nanos as on disk
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -52,17 +56,27 @@ WATERMARK = "120 seconds"
 
 def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
     """File-source stream of event rows, normalized exactly like the
-    batch loader (sources/tables.py): ns→timestamp, JSON qty, validity
-    filter — one schema for batch and stream."""
+    batch loader (sources/tables.py:normalize_ts): any on-disk ts layout
+    → TIMESTAMP, JSON qty, validity filter — one schema for batch and
+    stream. The file source needs an explicit schema; reading it from
+    the directory's parquet footers (a metadata-only batch read) keeps
+    the stream robust to the driver regenerating the fixtures with a
+    different physical ts type (reference analog: defensive feed ingest,
+    data_manager.py:272-285)."""
+    try:
+        schema = spark.read.parquet(src_dir).schema
+    except Exception:  # empty dir at setup time: fall back to the known layout
+        schema = EVENT_SCHEMA
     raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
     return (
-        raw.select(
+        normalize_ts(raw)
+        .select(
             "event_id",
-            F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"),
+            "ts",
             "user_id",
             "event_type",
             F.col("value").alias("price"),
