@@ -249,6 +249,11 @@ def q_daily_order_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Excel Daily-Summary sheet as a groupBy(to_date) hash agg
     (zscore_excel_logger.py:345-407)."""
     o = load_table(spark, sf_dir, "orders")
+    # money sums accumulate in DECIMAL(18,2): exact, order-independent
+    # addition, so the hash agrees with the oracle regardless of how
+    # either engine schedules partial aggregation across partitions
+    # (a double sum differs in final ULPs between accumulation orders)
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
     return (
         o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
         .agg(
@@ -256,10 +261,12 @@ def q_daily_order_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_f"),
             F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_o"),
             F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_p"),
-            F.round(F.sum("o_totalprice"), 6).alias("total_value"),
+            F.round(F.sum(price_dec).cast("double"), 6).alias("total_value"),
             F.round(F.max("o_totalprice"), 6).alias("max_value"),
             F.round(F.min("o_totalprice"), 6).alias("min_value"),
-            F.round(F.avg("o_totalprice"), 6).alias("avg_value"),
+            F.round(
+                (F.sum(price_dec) / F.count(F.lit(1))).cast("double"), 6
+            ).alias("avg_value"),
         )
     )
 
@@ -267,13 +274,13 @@ def q_daily_order_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DAILY_ORDER_SUMMARY = """
 SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date,
        count(*) AS n_orders,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
-       round(sum(o_totalprice), 6) AS total_value,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS total_value,
        round(max(o_totalprice), 6) AS max_value,
        round(min(o_totalprice), 6) AS min_value,
-       round(avg(o_totalprice), 6) AS avg_value
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) / count(*) AS DOUBLE), 6) AS avg_value
 FROM orders
 GROUP BY strftime(o_orderdate, '%Y-%m-%d')
 """
@@ -461,9 +468,11 @@ def q_pivot_priority_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# count(CASE …) (BIGINT) rather than sum(CASE …) (DuckDB HUGEINT):
+# Spark's pivot-count is BIGINT and the hash compare is dtype-sensitive
 SQL_PIVOT_PRIORITY_SEGMENT = f"""
 SELECT o.o_orderpriority,
-       {", ".join(f"coalesce(sum(CASE WHEN c.c_mktsegment = '{s}' THEN 1 END), 0) AS {s}" for s in SEGMENTS)}
+       {", ".join(f"count(CASE WHEN c.c_mktsegment = '{s}' THEN 1 END) AS {s}" for s in SEGMENTS)}
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY o.o_orderpriority
 """
