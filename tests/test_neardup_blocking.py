@@ -1,0 +1,73 @@
+"""Scale-safety property tests for the blocked embedding near-dup
+(suite/llm.py:q_embedding_neardup): the quadratic work inside any one
+block must stay bounded no matter how hot a single label is, because
+the block key sub-buckets hot labels by an LSH bit-slice.
+
+sf0.001 already exercises the hot path: several labels exceed
+NEARDUP_MAX_BLOCK=50 rows and therefore get sub-bucketed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zcode_iceberg_spark.operators import similarity as sim_ops
+from zcode_iceberg_spark.sources.tables import load_table
+from zcode_iceberg_spark.suite.llm import (
+    EMB_DIM,
+    NEARDUP_MAX_BLOCK,
+    NEARDUP_SLICE_BITS,
+    q_embedding_neardup,
+)
+
+
+def _block_sizes(spark, sf_dir):
+    """Recompute the query's block key and return per-block row counts."""
+    base = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    counts = base.groupBy("label").agg(F.count(F.lit(1)).alias("label_n"))
+    blocked = base.join(F.broadcast(counts), "label").withColumn(
+        "sub",
+        F.when(
+            F.col("label_n") > NEARDUP_MAX_BLOCK,
+            sim_ops.lsh_bucket(F.col("embedding"), EMB_DIM, NEARDUP_SLICE_BITS) + 1,
+        ).otherwise(F.lit(0)),
+    )
+    return blocked.groupBy("label", "sub").agg(
+        F.count(F.lit(1)).alias("block_n"), F.max("label_n").alias("label_n")
+    )
+
+
+def test_hot_labels_are_subbucketed(spark, sf_dir):
+    sizes = _block_sizes(spark, sf_dir).collect()
+    hot = [r for r in sizes if r["label_n"] > NEARDUP_MAX_BLOCK]
+    cold = [r for r in sizes if r["label_n"] <= NEARDUP_MAX_BLOCK]
+    assert hot, "fixture regression: no hot label left to exercise the split"
+    # hot labels never pair as one block: they are split across slices
+    assert all(r["sub"] > 0 for r in hot)
+    assert all(r["sub"] == 0 for r in cold)
+    # every sub-bucket is a strict shrink of its label block, so the n²
+    # pair work per task is bounded well below the unsplit block's
+    for r in hot:
+        assert r["block_n"] < r["label_n"]
+
+
+def test_pair_count_bounded_by_blocks(spark, sf_dir):
+    """Emitted candidate pairs can never exceed Σ block_n·(block_n−1)/2
+    — the proof that no unsplit hot-label n² sneaks into the plan."""
+    sizes = _block_sizes(spark, sf_dir).collect()
+    bound = sum(r["block_n"] * (r["block_n"] - 1) // 2 for r in sizes)
+    unsplit = {}
+    for r in sizes:
+        unsplit[r["label"]] = r["label_n"]
+    unsplit_bound = sum(n * (n - 1) // 2 for n in unsplit.values())
+    assert bound < unsplit_bound  # the split strictly reduced pair work
+    n_pairs = q_embedding_neardup(spark, sf_dir).count()
+    assert n_pairs <= bound
+
+
+def test_block_key_is_equijoin(spark, sf_dir):
+    """The physical plan must join on the block key (hash equi-join),
+    not degenerate into a nested-loop / cartesian product."""
+    plan = q_embedding_neardup(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1050,9 +1050,9 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_sql(emb: str) -> str:
+def _bucket_sql(emb: str, n_planes: int = sim_ops.N_PLANES) -> str:
     terms = []
-    for j, weights in enumerate(sim_ops.plane_weights(EMB_DIM)):
+    for j, weights in enumerate(sim_ops.plane_weights(EMB_DIM, n_planes)):
         warr = "[" + ", ".join(str(w) for w in weights) + "]"
         proj = (
             f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
@@ -1086,21 +1086,57 @@ SELECT qid, nid, bucket, cos_sim, rank FROM (
 """
 
 
+NEARDUP_MAX_BLOCK = 50  # labels above this are LSH-sub-bucketed
+NEARDUP_SLICE_BITS = 4  # 16 sub-buckets per hot label
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label (stand-in for
-    an IVF/cluster pre-partition): all same-label pairs with cosine ≥
-    {NEARDUP_MIN_COS}. The block key bounds the quadratic join."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    """Embedding-cosine near-dup pairs with BOUNDED quadratic blocks.
+
+    Block key = (label, sub) where sub = 0 for labels at or below
+    NEARDUP_MAX_BLOCK rows (exact within-label pairing) and a
+    NEARDUP_SLICE_BITS-bit hyperplane-LSH slice + 1 for hot labels —
+    so one hot label can never force an unbounded n² block: it is
+    split 2^bits ways, and near-identical vectors land in the same
+    slice with high probability (sign-agreement ∝ 1 − θ/π per plane).
+    At larger scale the slice widens (log2(block/MAX_BLOCK) bits);
+    the recall trade on hot blocks is the standard LSH-banding one
+    and `embedding_topk` stays the exact-recall baseline.
+
+    The join stays a pure equi-join on the block key (shuffle hash
+    partitioned by (label, sub)); the oracle replicates the same
+    deterministic blocking, so this is hash-checked, not trusted.
+    """
+    base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         "embedding",
         sim_ops.norm(F.col("embedding")).alias("nrm"),
+    )
+    # label cardinality via partial-agg groupBy + broadcast back — NOT a
+    # count-over-window partitioned by label, which would funnel every
+    # row of a hot label through one task (the exact skew this blocking
+    # exists to prevent)
+    counts = base.groupBy("label").agg(F.count(F.lit(1)).alias("label_n"))
+    e = (
+        base.join(F.broadcast(counts), "label")
+        .withColumn(
+            "sub",
+            F.when(
+                F.col("label_n") > NEARDUP_MAX_BLOCK,
+                sim_ops.lsh_bucket(
+                    F.col("embedding"), EMB_DIM, NEARDUP_SLICE_BITS
+                )
+                + 1,
+            ).otherwise(F.lit(0)),
+        )
     )
     a = e.alias("a")
     b = e.alias("b")
     pairs = a.join(
         b,
         (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.sub") == F.col("b.sub"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
     return pairs.select(
@@ -1120,11 +1156,21 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EMBEDDING_NEARDUP = f"""
-WITH pairs AS (
+WITH counts AS (
+  SELECT label, count(*) AS label_n FROM embeddings GROUP BY label
+),
+blocked AS (
+  SELECT e.vec_id, e.label, e.embedding,
+         CASE WHEN c.label_n > {NEARDUP_MAX_BLOCK}
+              THEN {_bucket_sql('e.embedding', NEARDUP_SLICE_BITS)} + 1
+              ELSE 0 END AS sub
+  FROM embeddings e JOIN counts c ON e.label = c.label
+),
+pairs AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2, a.label AS label,
          round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
-  FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM blocked a JOIN blocked b
+    ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
 )
 SELECT id1, id2, label, cos_sim FROM pairs WHERE cos_sim >= {NEARDUP_MIN_COS}
 """
