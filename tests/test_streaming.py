@@ -420,3 +420,48 @@ def test_enriched_stream_agreement(spark, sf_dir, raw_events_dir, tmp):
     got_m = {r["segment"]: (r["n"], r["vol"]) for r in got}
     want_m = {r["segment"]: (r["n"], r["vol"]) for r in want}
     assert want_m and got_m == want_m
+
+
+def test_checkpoint_kill_and_resume(spark, sf_dir, raw_events_dir, tmp):
+    """H9 recovery contract (reference restarts stale streams,
+    main.py:44,233-309): a query stopped after a partial drain and
+    RESTARTED from the same checkpoint must produce exactly the rows
+    of one uninterrupted run — watermark, window state, and the file
+    source's processed-files log all recover from the checkpoint, and
+    no finalized window is re-emitted or lost across the restart."""
+    files = sorted(Path(raw_events_dir).glob("*.parquet"))
+    assert len(files) == 3
+    src = tmp / "resume_src"
+    src.mkdir()
+    out, ckpt = str(tmp / "resume_out"), str(tmp / "resume_ckpt")
+
+    # phase 1: only the first file exists; drain and stop (the "kill")
+    shutil.copy(files[0], src / files[0].name)
+    run_available_now(
+        windowed_delta_stream(stream_events(spark, str(src))), out, ckpt
+    )
+
+    # phase 2: the rest of the feed lands; restart from the SAME
+    # checkpoint and drain again — state must carry, not reset
+    for f in files[1:]:
+        shutil.copy(f, src / f.name)
+    run_available_now(
+        windowed_delta_stream(stream_events(spark, str(src))), out, ckpt
+    )
+    got = spark.read.parquet(out).collect()
+
+    # reference run: the same stream drained once, no interruption
+    ref_out, ref_ckpt = str(tmp / "ref_out"), str(tmp / "ref_ckpt")
+    run_available_now(
+        windowed_delta_stream(stream_events(spark, raw_events_dir)),
+        ref_out,
+        ref_ckpt,
+    )
+    want = spark.read.parquet(ref_out).collect()
+
+    key = lambda r: (r["user_id"], r["win_start"])
+    got_m = {key(r): (r["buy_vol"], r["sell_vol"], r["delta"]) for r in got}
+    want_m = {key(r): (r["buy_vol"], r["sell_vol"], r["delta"]) for r in want}
+    assert len(got) == len(got_m)  # no duplicate emission across restart
+    assert want_m
+    assert got_m == want_m
