@@ -77,3 +77,18 @@ def test_normal_cdf_monotone_and_symmetric(spark):
         # Φ(-x) ≈ 1 - Φ(x) within twice the polynomial's error bound
         assert abs(mid[-x] - (1.0 - mid[x])) < 1.5e-7
     assert abs(mid[0.0] - 0.5) < 7.5e-8
+
+
+def test_mc_sampled_converges_to_closed_form(spark, sf_dir):
+    """G8 convergence property: the sampled Monte-Carlo win probability
+    must approach Φ(μ/σ) at the O(1/√N) Monte-Carlo rate. With N=4096
+    the binomial standard error is ≤ 0.5/√N ≈ 0.008; a 6-sigma band
+    keeps this deterministic-in-practice without hiding real bias. The
+    clamp to [0.01, 0.99] means extreme-μ keys sit exactly on the
+    clamp on both sides, which the bound tolerates by construction."""
+    from zcode_iceberg_spark.suite.scoring import q_mc_win_prob
+
+    rows = q_mc_win_prob(spark, sf_dir, n_paths=4096).collect()
+    assert rows
+    worst = max(r["mc_abs_err"] for r in rows)
+    assert worst <= 6 * 0.5 / (4096 ** 0.5), worst

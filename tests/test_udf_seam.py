@@ -56,3 +56,85 @@ def test_sql_functions_match_column_api(spark):
     a = {r["x"]: (r["phi"], r["sig"], r["cl"], r["k"]) for r in via_sql}
     b = {r["x"]: (r["phi"], r["sig"], r["cl"], r["k"]) for r in via_col}
     assert a == b
+
+
+def test_classifier_seam_model_contract(spark):
+    """Golden I/O contract for the I1 real-model seam: the pandas_udf
+    receives fixed-length float sequences and must emit σ(w·x) for the
+    documented ramp weights — pinned here against a hand-computed
+    value so swapping in a real forward pass that changes shape or
+    scaling fails loudly instead of silently drifting."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    seq_len = 10
+    weights = [(i - (seq_len - 1) / 2.0) / seq_len for i in range(seq_len)]
+    seqs = [
+        [float(i) for i in range(seq_len)],          # rising ramp → UP-ish
+        [float(seq_len - i) for i in range(seq_len)],  # falling → DOWN-ish
+        [0.0] * seq_len,                              # flat → exactly 0.5
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(seqs)], "id long, norm_seq array<double>"
+    )
+    got = {
+        r["id"]: r["trend_score"]
+        for r in ops.trend_classifier_udf(df, seq_len=seq_len).collect()
+    }
+    for i, s in enumerate(seqs):
+        z = sum(w * x for w, x in zip(weights, s))
+        want = 1.0 / (1.0 + math.exp(-z))
+        assert abs(got[i] - want) < 1e-12, (i, got[i], want)
+    assert got[2] == 0.5
+
+
+def test_media_decode_seam_contract(spark, sf_dir):
+    """Golden contract for the media decode seam: exact output schema,
+    byte-arithmetic values pinned against an independent hashlib
+    recomputation, and the real-decoder stub raising at evaluation —
+    the three things a PIL/ffmpeg drop-in must preserve."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from zcode_iceberg_spark.operators.media import (
+        FRAME_SCHEMA,
+        MEDIA_SCHEMA,
+        decode_media,
+        sample_frames,
+        with_payload,
+    )
+    from zcode_iceberg_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    media = with_payload(docs)
+    decoded = decode_media(media)
+    assert decoded.schema == MEDIA_SCHEMA
+
+    # independent recomputation of the fake-decode byte arithmetic
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    for r in decoded.collect():
+        b = hashlib.md5(texts[r["doc_id"]].encode()).digest()
+        assert r["payload_len"] == 16
+        assert r["width"] == 64 + b[0] % 192
+        assert r["height"] == 64 + b[1] % 192
+        assert r["channels"] == 1 + b[2] % 4
+        assert abs(r["mean_byte"] - sum(b) / len(b)) < 1e-12
+
+    frames = sample_frames(media, every_n=4)
+    assert frames.schema == FRAME_SCHEMA
+    by_doc = {}
+    for r in frames.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc, "fixture contains no video docs"
+    for doc_id, rows in by_doc.items():
+        assert doc_id % 3 == 2  # only video docs fan out
+        b = hashlib.md5(texts[doc_id].encode()).digest()
+        assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2, 3]
+        for r in rows:
+            assert r["frame_byte"] == b[r["frame_idx"] * 4]
+
+    # the real-decoder seam must fail loudly, at evaluation time
+    with _pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+        decode_media(media, use_real_decoder=True).collect()

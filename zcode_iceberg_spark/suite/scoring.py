@@ -403,7 +403,66 @@ FROM params
 """
 
 
+MC_PATHS = 512  # sampled paths per key (reference uses 100)
+MC_SEED = 7
+
+
+def q_mc_win_prob(
+    spark: SparkSession, sf_dir: str, n_paths: int = MC_PATHS, seed: int = MC_SEED
+) -> DataFrame:
+    """G8 sampled twin: the Monte-Carlo win probability estimated by
+    actually drawing N(μ, σ²) paths, alongside the closed form Φ(μ/σ)
+    it converges to (the reference samples 100 paths per decision,
+    aether_oracle.py:266-294; `signal_scores` keeps the closed form).
+
+    Spark shape: explode a 1..n_paths sequence per key (map-side — no
+    shuffle), one seeded `F.randn` draw per (key, path) row, then a
+    partial-agg groupBy(key) mean of the win indicator. Cost is
+    n_paths×keys rows through codegen and one narrow aggregate —
+    embarrassingly parallel at any key count. Sampling is seeded but
+    partition-layout-dependent, so the check is the convergence
+    PROPERTY |hat − Φ| = O(1/√N) (tests/test_scalar_properties.py),
+    not a value hash — the honest contract for a stochastic operator.
+    """
+    f = _features(spark, sf_dir)
+    side = F.signum("imbalance")
+    sigma = F.greatest(F.col("atr_pct"), F.lit(1e-4))
+    base = f.select(
+        "user_id",
+        (F.col("cvd") * side).alias("mu"),
+        sigma.alias("sigma"),
+        clamp(normal_cdf(F.col("cvd") * side / sigma), 0.01, 0.99).alias(
+            "mc_closed"
+        ),
+    )
+    paths = base.withColumn(
+        "path", F.explode(F.sequence(F.lit(1), F.lit(n_paths)))
+    ).withColumn("draw", F.randn(seed))
+    est = paths.groupBy("user_id").agg(
+        F.first("mc_closed").alias("mc_closed"),
+        clamp(
+            F.avg(
+                F.when(
+                    F.col("mu") + F.col("sigma") * F.col("draw") > 0, 1.0
+                ).otherwise(0.0)
+            ),
+            0.01,
+            0.99,
+        ).alias("mc_sampled"),
+    )
+    return est.select(
+        "user_id",
+        F.round("mc_closed", 6).alias("mc_closed"),
+        F.round("mc_sampled", 6).alias("mc_sampled"),
+        F.round(F.abs(F.col("mc_sampled") - F.col("mc_closed")), 6).alias(
+            "mc_abs_err"
+        ),
+    )
+
+
 QUERIES = {
     "signal_scores": Query(q_signal_scores, SQL_SIGNAL_SCORES),
     "trade_params": Query(q_trade_params, SQL_TRADE_PARAMS),
+    # stochastic: convergence-property-checked, no value-hash oracle
+    "mc_win_prob": Query(q_mc_win_prob, None),
 }
