@@ -66,6 +66,24 @@ def main() -> None:
     reg = registry()
     # warm-up: JVM + parquet footer reads + codegen
     reg["delta_zscore"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warm-up 2: the Python/Arrow worker pool — otherwise ~2-3 s of
+    # daemon spin-up for all cores is billed to whichever applyInPandas
+    # query happens to run first (observed on ledger_daily_summary)
+    import pandas as _pd
+
+    from pyspark.sql import functions as F
+
+    n = spark.sparkContext.defaultParallelism
+    (
+        spark.range(n * 4)
+        .withColumn("k", F.col("id") % n)
+        .repartition(n, "k")
+        .groupBy("k")
+        .applyInPandas(lambda pdf: _pd.DataFrame({"n": [len(pdf)]}), "n long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     times: dict[str, float] = {}
     for name, q in sorted(reg.items()):

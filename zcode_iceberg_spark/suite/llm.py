@@ -474,6 +474,9 @@ def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.min("nbr_label").alias("nbr_min"))
         )
+        # lazy checkpoint: the convergence-sum action below is what
+        # materializes it, so each round runs ONE job, not two (an
+        # eager checkpoint would compute the same join twice per round)
         labels = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
@@ -482,7 +485,7 @@ def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce("nbr_min", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:

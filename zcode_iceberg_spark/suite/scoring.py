@@ -424,7 +424,38 @@ def q_mc_win_prob(
     PROPERTY |hat − Φ| = O(1/√N) (tests/test_scalar_properties.py),
     not a value hash — the honest contract for a stochastic operator.
     """
-    f = _features(spark, sf_dir)
+    # only 3 of the 5 features feed the MC estimate — build just those
+    # (skipping the Hurst R/S and BOS window chains halves the input
+    # pipeline; same one-shuffle repartition shape as _features)
+    t = events_ticks(spark, sf_dir)
+    t = t.repartition(t.sparkSession.sparkContext.defaultParallelism, "user_id")
+    book = book_ops.book_levels(t)
+    imb = book_ops.imbalance(book).select("user_id", "imbalance")
+    cvd = (
+        t.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("is_buy"), F.col("qty")).otherwise(0.0)).alias("b"),
+            F.sum(F.when(~F.col("is_buy"), F.col("qty")).otherwise(0.0)).alias("s"),
+        )
+        .select(
+            "user_id",
+            F.when(
+                F.col("b") + F.col("s") > 0,
+                clamp((F.col("b") - F.col("s")) / (F.col("b") + F.col("s")), -1.0, 1.0),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cvd"),
+        )
+    )
+    bars = ts_ops.ohlc_bars(t, minutes=60)
+    wlast = Window.partitionBy("user_id").orderBy(F.col("bar_ts").desc())
+    atr_last = (
+        ts_ops.atr(bars, n=14)
+        .withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "atr_pct")
+    )
+    f = imb.join(cvd, "user_id").join(atr_last, "user_id")
     side = F.signum("imbalance")
     sigma = F.greatest(F.col("atr_pct"), F.lit(1e-4))
     base = f.select(
