@@ -269,3 +269,26 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
             "quality": quality,
         }
     )
+
+
+def passages(df: DataFrame, id_col: str, text_col: str, width: int = 8) -> DataFrame:
+    """Sub-document passage rows: (id, pidx, ptext) — the text split
+    into fixed-width word windows (non-overlapping), the granularity
+    FineWeb-style pipelines dedup at below whole-document level.
+
+    Built map-side with array expressions only (split → sequence →
+    slice → posexplode): no shuffle, no Python — passage construction
+    is free at any corpus size; downstream dedup pays only for the
+    (hash → first-seen) aggregate shuffle."""
+    w = F.split(F.col(text_col), " ")
+    n_pass = F.ceil(F.size(w) / F.lit(width)).cast("int")
+    parr = F.transform(
+        F.sequence(F.lit(0), n_pass - 1),
+        lambda i: F.array_join(F.slice(w, i * width + 1, width), " "),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(F.size(w) > 0, parr).otherwise(F.array().cast("array<string>"))
+        ).alias("pidx", "ptext"),
+    )

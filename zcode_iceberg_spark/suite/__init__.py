@@ -43,7 +43,8 @@ PRIORITY = [
     "seq_packing", "doc_chunks", "stratified_sample", "trend_hysteresis",
     "position_ledger", "ledger_daily_summary", "ledger_exit_stats",
     "media_features", "media_frames",
-    # fixed this round: need a fresh green row
+    # new or fixed this round: need a fresh green row
+    "passage_dedup",
     "delta_zscore", "cvd", "volume_factor", "liquidity_velocity",
     "daily_order_summary", "pivot_priority_segment",
     # high-coverage keepers (each pins SURVEY §2 IDs nothing else covers)
@@ -51,7 +52,7 @@ PRIORITY = [
     "hurst", "bos_1h", "ema", "sequence_labels", "trend_classifier",
     "book_topk", "best_quotes", "imbalance", "wall_strength",
     "asof_trade_quote", "range_join_flow", "signal_scores", "trade_params",
-    "star_revenue", "cumulative_customer_value", "pricing_summary",
+    "star_revenue", "cumulative_customer_value",
 ]
 
 

@@ -1862,8 +1862,72 @@ def _km_sql() -> str:
 SQL_KMEANS = _km_sql()
 
 
+PASSAGE_W = 8  # words per passage window
+
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (passage-level) dedup stats — the FineWeb-style
+    granularity below whole-document dedup: split every doc into
+    PASSAGE_W-word windows (map-side array expressions, no shuffle),
+    md5 each, mark every passage whose hash first occurred at an
+    earlier (doc_id, pidx), and roll up per doc.
+
+    Scale shape: passage construction is expression-only; the dedup
+    itself is one groupBy(phash) partial-agg min (first-seen key) +
+    one equi-join back + one groupBy(doc_id) — hash-partitioned all
+    the way, no window over the corpus, no skew key (md5 is uniform).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    p = tx.passages(d, "doc_id", "text", width=PASSAGE_W).select(
+        "doc_id",
+        "pidx",
+        F.md5("ptext").alias("phash"),
+        (F.col("doc_id") * 1_000_000 + F.col("pidx")).alias("pkey"),
+    )
+    first_seen = p.groupBy("phash").agg(F.min("pkey").alias("first_key"))
+    marked = p.join(first_seen, "phash").select(
+        "doc_id", (F.col("pkey") != F.col("first_key")).alias("is_dup")
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup"),
+        F.round(
+            1.0
+            - F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("uniq_ratio"),
+    )
+
+
+SQL_PASSAGE_DEDUP = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+p AS (
+  SELECT doc_id, i.g AS pidx,
+         md5(array_to_string(w[(i.g*{PASSAGE_W}+1):((i.g+1)*{PASSAGE_W})], ' ')) AS phash,
+         doc_id * 1000000 + i.g AS pkey
+  FROM base,
+       unnest(generate_series(0, CAST(ceil(len(w) / {PASSAGE_W}.0) AS INT) - 1)) AS i(g)
+  WHERE len(w) > 0
+),
+first_seen AS (
+  SELECT phash, min(pkey) AS first_key FROM p GROUP BY phash
+)
+SELECT p.doc_id,
+       count(*) AS n_passages,
+       CAST(sum(CASE WHEN p.pkey <> f.first_key THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       round(1.0 - sum(CASE WHEN p.pkey <> f.first_key THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 6) AS uniq_ratio
+FROM p JOIN first_seen f ON p.phash = f.phash
+GROUP BY p.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
+    "passage_dedup": Query(q_passage_dedup, SQL_PASSAGE_DEDUP),
     "minhash_signatures": Query(q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "lsh_candidates": Query(q_lsh_candidates, SQL_LSH_CANDIDATES),
     "dedup_near": Query(q_dedup_near, SQL_DEDUP_NEAR),
