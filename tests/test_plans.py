@@ -165,3 +165,35 @@ def test_scoring_features_share_one_ticks_shuffle(spark, sf_dir):
     parts = re.findall(r"Arguments: hashpartitioning\(([^,]+)", p)
     assert parts, "expected hash exchanges in the plan"
     assert all(k.split("#")[0] == "user_id" for k in parts), parts
+
+
+def test_passage_dedup_stays_hashed_and_mapside(spark, sf_dir):
+    """Passage construction must be expression-only (generate/explode
+    before any exchange), and both aggregates + the first-seen join
+    must be hash-partitioned — no corpus-wide window, no nested loop."""
+    p = plan(spark, sf_dir, "passage_dedup")
+    assert "Generate posexplode" in p or "Generate" in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "Window" not in p  # rollups are hash aggregates, not windows
+    assert "partial_count" in p or "partial_min" in p
+
+
+def test_mc_win_prob_explode_is_mapside(spark, sf_dir):
+    """The path fan-out (explode 1..N + randn) must ride on the feature
+    frame's existing partitioning: exactly the feature-assembly
+    exchanges, no additional shuffle for sampling, and the win-mean is
+    a partial aggregate below its shuffle."""
+    p = plan(spark, sf_dir, "mc_win_prob")
+    assert "Generate" in p and "explode(" in p
+    assert "partial_avg" in p or "partial_first" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_neardup_blocking_join_on_block_key(spark, sf_dir):
+    """embedding_neardup's pair join must key on (label, sub) — the
+    bounded block key — as a hash equi-join, with the label-count side
+    broadcast back (no second big-table shuffle for the counts)."""
+    p = plan(spark, sf_dir, "embedding_neardup")
+    assert "BroadcastHashJoin" in p  # counts broadcast back
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
