@@ -465,3 +465,75 @@ def test_checkpoint_kill_and_resume(spark, sf_dir, raw_events_dir, tmp):
     assert len(got) == len(got_m)  # no duplicate emission across restart
     assert want_m
     assert got_m == want_m
+
+
+def test_fsm_checkpoint_kill_and_resume(spark, sf_dir, tmp):
+    """H6 × H9: applyInPandasWithState GroupState (open position, trade
+    seq, sized qty) must survive a stop/restart from checkpoint — the
+    resumed stream continues numbering and closing trades exactly as an
+    uninterrupted run (the reference's restart path re-hydrates its
+    position state the same way, main.py:233-309)."""
+    from pyspark.sql import types as T
+
+    from zcode_iceberg_spark.operators.stateful import position_fsm
+    from zcode_iceberg_spark.streaming.pipeline import position_fsm_stream
+    from zcode_iceberg_spark.suite.stateful import _decisions
+
+    dec = _decisions(spark, sf_dir).select("user_id", "ts", "event_id", "price", "z")
+    qs = dec.approxQuantile("event_id", [0.33, 0.66], 0.0)
+    b0, b1 = int(qs[0]), int(qs[1])
+    parts = [
+        dec.filter(F.col("event_id") <= b0),
+        dec.filter((F.col("event_id") > b0) & (F.col("event_id") <= b1)),
+        dec.filter(F.col("event_id") > b1),
+    ]
+    files = []
+    for i, p in enumerate(parts):
+        sub = tmp / f"rpart{i}"
+        p.coalesce(1).write.parquet(str(sub))
+        f = next(sub.glob("*.parquet"))
+        dst = tmp / f"{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+        files.append(dst)
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("z", T.DoubleType()),
+        ]
+    )
+    src = tmp / "fsm_resume_src"
+    src.mkdir()
+    out, ckpt = str(tmp / "fsm_resume_out"), str(tmp / "fsm_resume_ckpt")
+
+    def drain():
+        st = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        run_available_now(position_fsm_stream(st), out, ckpt)
+
+    # phase 1: first file only, then "kill"
+    shutil.copy(files[0], src / files[0].name)
+    drain()
+    # phase 2: rest of the feed, resume from the SAME checkpoint
+    for f in files[1:]:
+        shutil.copy(f, src / f.name)
+    drain()
+    got = spark.read.parquet(out).collect()
+
+    # batch reference: closed trades of one uninterrupted run
+    want = [r for r in position_fsm(dec).collect() if r["exit_reason"] != "EOD"]
+    key = lambda r: (r["user_id"], r["trade_seq"])
+    gm = {key(r): (r["side"], r["entry_price"], r["exit_price"], r["exit_reason"])
+          for r in got}
+    wm = {key(r): (r["side"], r["entry_price"], r["exit_price"], r["exit_reason"])
+          for r in want}
+    assert len(gm) == len(got)  # no duplicate (user, seq) across restart
+    assert len(gm) == len(wm) > 0
+    assert gm == wm
