@@ -1925,9 +1925,156 @@ GROUP BY p.doc_id
 """
 
 
+PIPE_MIN_QUALITY = 0.8
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pipeline as ONE composed DAG — the
+    capstone query proving the stages compose: exact dedup → quality
+    filter → deterministic split → train/test decontamination → final
+    per-split audit (doc count, token total, mean quality).
+
+    Each stage keeps its standalone scale shape (hash-groupBy dedup;
+    expression-only quality + split; hashed-gram left-semi decon), and
+    because every stage is a lazy DataFrame, Catalyst fuses the whole
+    pipeline into one plan — filters from late stages push into early
+    scans where legal, nothing materializes between stages.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # 1. exact dedup: keep the min-doc_id row of each content group
+    keepers = d.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    docs = d.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    # 2. quality gate (expression-only)
+    good = tx.quality_metrics(docs).filter(
+        F.col("quality") >= PIPE_MIN_QUALITY
+    )
+    # 3. deterministic split membership (hash of id, order-independent)
+    u = _hash_u(F.col("doc_id"), "")
+    sp = good.select(
+        "doc_id",
+        "text",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        "quality",
+        F.when(u < SPLIT_TRAIN, "train")
+        .when(u < SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    # 4. decontamination: drop test docs sharing ≥ DECON_FLAG of their
+    # distinct word 3-grams with the (surviving) train split
+    grams = sp.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    tx.shingles(tx.tokens(F.col("text")), DECON_N),
+                    lambda s: tx.word_hash(s),
+                )
+            )
+        ).alias("g"),
+    )
+    train_g = grams.filter(F.col("split") == "train").select("g").distinct()
+    test_g = grams.filter(F.col("split") == "test")
+    contaminated = (
+        test_g.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+        .join(
+            test_g.join(train_g, "g", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hit")),
+            "doc_id",
+            "left",
+        )
+        .filter(
+            F.coalesce("n_hit", F.lit(0)) / F.col("n_grams") >= DECON_FLAG
+        )
+        .select("doc_id")
+    )
+    final = sp.join(contaminated, "doc_id", "left_anti")
+    # 5. per-split audit
+    return final.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+SQL_CORPUS_PIPELINE = f"""
+WITH keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+docs AS (
+  SELECT d.* FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+),
+toks AS (
+  SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS w
+  FROM docs
+),
+m AS (
+  SELECT doc_id, text, w,
+         length(text) AS n_chars,
+         len(w) AS n_words,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+           AS n_punct,
+         len(list_filter(w, t -> t IN ({_EN_STOPS}))) AS n_stop
+  FROM toks
+),
+q AS (
+  SELECT doc_id, text, w, n_words,
+         least(greatest(
+           (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN n_words > 0 AND CAST(n_chars AS DOUBLE) / n_words
+                    BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END)
+           + (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE) / n_chars
+                    <= 0.1 THEN 0.2 ELSE 0.0 END)
+           + (CASE WHEN n_words > 0 AND CAST(n_stop AS DOUBLE) / n_words
+                    >= 0.01 THEN 0.2 ELSE 0.0 END), 0.0), 1.0) AS quality
+  FROM m
+),
+sp AS (
+  SELECT doc_id, w, n_words, quality,
+         CASE WHEN {_U_SQL} < {SPLIT_TRAIN} THEN 'train'
+              WHEN {_U_SQL} < {SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split
+  FROM q WHERE quality >= {PIPE_MIN_QUALITY}
+),
+grams AS (
+  SELECT doc_id, split,
+         unnest(list_distinct(list_transform(
+           CASE WHEN len(w) >= {DECON_N}
+                THEN generate_series(1, len(w) - {DECON_N - 1})
+                ELSE [] END,
+           i -> {_GRAM_HASH_SQL}))) AS g
+  FROM sp
+),
+tr AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+te AS (SELECT doc_id, g FROM grams WHERE split = 'test'),
+ng AS (SELECT doc_id, count(*) AS n_grams FROM te GROUP BY doc_id),
+hit AS (
+  SELECT doc_id, count(*) AS n_hit FROM te
+  WHERE g IN (SELECT g FROM tr) GROUP BY doc_id
+),
+contaminated AS (
+  SELECT ng.doc_id FROM ng LEFT JOIN hit USING (doc_id)
+  WHERE coalesce(hit.n_hit, 0) / ng.n_grams >= {DECON_FLAG}
+)
+SELECT split,
+       count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_tokens,
+       round(avg(quality), 6) AS avg_quality
+FROM sp
+WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+GROUP BY split
+"""
+
+
 QUERIES = {
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
     "passage_dedup": Query(q_passage_dedup, SQL_PASSAGE_DEDUP),
+    "corpus_pipeline": Query(q_corpus_pipeline, SQL_CORPUS_PIPELINE),
     "minhash_signatures": Query(q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "lsh_candidates": Query(q_lsh_candidates, SQL_LSH_CANDIDATES),
     "dedup_near": Query(q_dedup_near, SQL_DEDUP_NEAR),
