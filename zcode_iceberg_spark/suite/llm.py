@@ -1414,11 +1414,15 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership, so train/test here is exactly the split the pipeline
     would train on."""
     d = load_table(spark, sf_dir, "documents")
+    # fan the CPU-heavy per-gram hashing out of the single input split,
+    # and materialize the gram rows once — the train-distinct and
+    # test-probe branches below would otherwise each re-run the explode
+    # on one task (same rationale as minhash_signatures' fan-out)
     base = d.select(
         "doc_id",
         _hash_u(F.col("doc_id"), "").alias("u"),
         tx.tokens(F.col("text")).alias("w"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
     grams = base.select(
         "doc_id",
         "u",
@@ -1429,7 +1433,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("g"),
-    )
+    ).localCheckpoint(eager=False)
     train_g = grams.where(F.col("u") < SPLIT_TRAIN).select("g").distinct()
     test_g = grams.where(F.col("u") >= SPLIT_VAL).select("doc_id", "g")
     n_grams = test_g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
@@ -1962,6 +1966,18 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+    # stage barrier: the branches below (train grams, test grams, gram
+    # counts, final audit) would each re-run dedup+quality+tokenize —
+    # materialize the surviving corpus once (the composed-pipeline
+    # analog of writing the filtered corpus to a table between stages;
+    # lazy, so it computes on first use). The repartition also fans the
+    # CPU-heavy per-gram hashing out of the single input split
+    # (documents arrives as one file → one task; same fan-out
+    # rationale as minhash_signatures).
+    sc = spark.sparkContext
+    sp = sp.repartition(sc.defaultParallelism, "doc_id").localCheckpoint(
+        eager=False
+    )
     # 4. decontamination: drop test docs sharing ≥ DECON_FLAG of their
     # distinct word 3-grams with the (surviving) train split
     grams = sp.select(
@@ -1975,7 +1991,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("g"),
-    )
+    ).localCheckpoint(eager=False)
     train_g = grams.filter(F.col("split") == "train").select("g").distinct()
     test_g = grams.filter(F.col("split") == "test")
     contaminated = (
