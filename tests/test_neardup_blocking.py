@@ -71,3 +71,29 @@ def test_block_key_is_equijoin(spark, sf_dir):
     plan = q_embedding_neardup(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_passages_are_a_lossless_partition(spark, sf_dir):
+    """Reassembling each doc's passages in pidx order must reproduce
+    the original text exactly — the invariant that makes passage-level
+    dedup decisions traceable back to exact document spans."""
+    from zcode_iceberg_spark.operators.text import passages
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p = passages(docs, "doc_id", "text", width=8)
+    rebuilt = (
+        p.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pidx", "ptext"))),
+                    lambda s: s.ptext,
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    joined = docs.join(rebuilt, "doc_id")
+    n_total = joined.count()
+    n_match = joined.filter(F.col("text") == F.col("rebuilt")).count()
+    assert n_total == n_match > 0
