@@ -1886,7 +1886,11 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "pidx",
         F.md5("ptext").alias("phash"),
-        (F.col("doc_id") * 1_000_000 + F.col("pidx")).alias("pkey"),
+        # bigint cast up front: immune to the id column drifting to a
+        # narrower physical type (ANSI would error on int32 overflow)
+        (F.col("doc_id").cast("bigint") * 1_000_000 + F.col("pidx")).alias(
+            "pkey"
+        ),
     )
     first_seen = p.groupBy("phash").agg(F.min("pkey").alias("first_key"))
     marked = p.join(first_seen, "phash").select(
