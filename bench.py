@@ -96,14 +96,19 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
         print(f"## {name} {times[name]:.3f}s", file=sys.stderr, flush=True)
 
+    total = round(sum(times.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "suite_total_runtime",
-                "value": round(sum(times.values()), 3),
+                "value": total,
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # the suite GROWS round over round — normalize so totals
+                # stay comparable against earlier, smaller suites
+                "n_queries": len(times),
+                "sec_per_query": round(total / max(len(times), 1), 3),
             }
         )
     )
