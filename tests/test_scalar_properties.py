@@ -92,3 +92,21 @@ def test_mc_sampled_converges_to_closed_form(spark, sf_dir):
     assert rows
     worst = max(r["mc_abs_err"] for r in rows)
     assert worst <= 6 * 0.5 / (4096 ** 0.5), worst
+
+
+def test_approx_percentiles_track_exact(spark, sf_dir):
+    """The t-digest scale path must stay within sketch tolerance of the
+    exact interpolated percentiles it substitutes for at 100 TB."""
+    from zcode_iceberg_spark.suite.relational import (
+        q_price_percentiles,
+        q_price_percentiles_approx,
+    )
+
+    ex = {r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
+          for r in q_price_percentiles(spark, sf_dir).collect()}
+    ap = {r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
+          for r in q_price_percentiles_approx(spark, sf_dir).collect()}
+    assert set(ex) == set(ap) and ex
+    for k in ex:
+        for a, b in zip(ap[k], ex[k]):
+            assert abs(a - b) / b < 0.01, (k, a, b)

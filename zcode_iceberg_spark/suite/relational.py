@@ -384,6 +384,24 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path `q_price_percentiles` documents,
+    implemented live: `approx_percentile` builds a mergeable sketch in
+    one partial-agg pass — no per-group sort, no row buffering — at
+    accuracy 1/10000. Sketch estimates are engine-specific, so this is
+    a rows-only entry; the exact twin IS its accuracy oracle
+    (tests/test_oracle_suite.py covers the exact one; this one's
+    estimates land within sketch tolerance of it by construction)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = F.lit(10000)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.approx_percentile("l_extendedprice", F.lit(0.25), acc), 6).alias("p25"),
+        F.round(F.approx_percentile("l_extendedprice", F.lit(0.5), acc), 6).alias("p50"),
+        F.round(F.approx_percentile("l_extendedprice", F.lit(0.75), acc), 6).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_cube_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregate — all four grouping combinations of
     (lang, source) over the document corpus in ONE pass (per-group,
@@ -509,6 +527,9 @@ WITH agg AS (
 QUERIES = {
     "pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY),
     "price_percentiles": Query(q_price_percentiles, SQL_PRICE_PERCENTILES),
+    # sketch estimates are engine-specific: rows-only by design; the
+    # exact twin above is the accuracy reference
+    "price_percentiles_approx": Query(q_price_percentiles_approx, None),
     "star_revenue": Query(q_star_revenue, SQL_STAR_REVENUE),
     "top_customers_per_nation": Query(
         q_top_customers_per_nation, SQL_TOP_CUSTOMERS_PER_NATION
