@@ -44,7 +44,7 @@ PRIORITY = [
     "position_ledger", "ledger_daily_summary", "ledger_exit_stats",
     "media_features", "media_frames",
     # new or fixed this round: need a fresh green row
-    "passage_dedup", "corpus_pipeline",
+    "passage_dedup", "corpus_pipeline", "boilerplate_strip",
     "delta_zscore", "cvd", "volume_factor", "liquidity_velocity",
     "daily_order_summary", "pivot_priority_segment",
     # high-coverage keepers (each pins SURVEY §2 IDs nothing else covers)
@@ -52,7 +52,6 @@ PRIORITY = [
     "hurst", "bos_1h", "ema", "sequence_labels", "trend_classifier",
     "book_topk", "best_quotes", "imbalance", "wall_strength",
     "asof_trade_quote", "range_join_flow", "signal_scores", "trade_params",
-    "cumulative_customer_value",
 ]
 
 

@@ -2091,9 +2091,89 @@ GROUP BY split
 """
 
 
+BOILERPLATE_DF = 2  # passages in >= this many docs are boilerplate
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal at passage granularity: any 8-word passage
+    appearing in >= {BOILERPLATE_DF} distinct documents is treated as
+    boilerplate (shared header/footer/template text) and stripped; the
+    document is reassembled from its surviving passages in order.
+
+    Scale shape: passage DF is a partial-agg count-distinct on the
+    uniform md5 key; the mark-join is a hash equi-join on that key; the
+    rebuild groups by doc_id — three hash-partitioned stages, no
+    corpus-wide window. tests/test_neardup_blocking.py proves passage
+    reassembly is lossless, so what survives is exactly the original
+    text minus the stripped spans.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    p = tx.passages(d, "doc_id", "text", width=PASSAGE_W).withColumn(
+        "phash", F.md5("ptext")
+    )
+    df_count = p.groupBy("phash").agg(
+        F.countDistinct("doc_id").alias("pdf")
+    )
+    marked = p.join(df_count, "phash")
+    kept = marked.filter(F.col("pdf") < BOILERPLATE_DF)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pidx", "ptext"))),
+                lambda s: s.ptext,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = p.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_total",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_total") - F.coalesce("n_kept", F.lit(0))).alias("n_stripped"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+SQL_BOILERPLATE_STRIP = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+p AS (
+  SELECT doc_id, i.g AS pidx,
+         array_to_string(w[(i.g*{PASSAGE_W}+1):((i.g+1)*{PASSAGE_W})], ' ') AS ptext
+  FROM base,
+       unnest(generate_series(0, CAST(ceil(len(w) / {PASSAGE_W}.0) AS INT) - 1)) AS i(g)
+  WHERE len(w) > 0
+),
+dfc AS (
+  SELECT md5(ptext) AS phash, count(DISTINCT doc_id) AS pdf
+  FROM p GROUP BY md5(ptext)
+),
+kept AS (
+  SELECT p.doc_id, p.pidx, p.ptext
+  FROM p JOIN dfc ON md5(p.ptext) = dfc.phash
+  WHERE dfc.pdf < {BOILERPLATE_DF}
+),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(ptext, ' ' ORDER BY pidx) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_total FROM p GROUP BY doc_id)
+SELECT t.doc_id, t.n_total,
+       coalesce(r.n_kept, 0) AS n_kept,
+       t.n_total - coalesce(r.n_kept, 0) AS n_stripped,
+       coalesce(r.clean_text, '') AS clean_text
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
     "passage_dedup": Query(q_passage_dedup, SQL_PASSAGE_DEDUP),
+    "boilerplate_strip": Query(q_boilerplate_strip, SQL_BOILERPLATE_STRIP),
     "corpus_pipeline": Query(q_corpus_pipeline, SQL_CORPUS_PIPELINE),
     "minhash_signatures": Query(q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "lsh_candidates": Query(q_lsh_candidates, SQL_LSH_CANDIDATES),
