@@ -396,7 +396,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DOC_REPETITION = f"""
 WITH {TOKS_CTE},
 uni AS (
-  SELECT doc_id, sum(n) AS n_tokens, max(n) AS top_tok,
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens, max(n) AS top_tok,
          count(*) AS n_distinct
   FROM (SELECT doc_id, t.g, count(*) AS n
         FROM toks, unnest(w) AS t(g) GROUP BY doc_id, t.g)
@@ -964,10 +964,11 @@ WITH m AS (
   FROM documents
 )
 SELECT source, count(*) AS n_docs,
-       sum(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS docs_with_email,
-       sum(CASE WHEN u > 0 THEN 1 ELSE 0 END) AS docs_with_url,
-       sum(e) AS total_emails, sum(u) AS total_urls,
-       sum(i) AS total_idish
+       CAST(sum(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+       CAST(sum(CASE WHEN u > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_url,
+       CAST(sum(e) AS BIGINT) AS total_emails,
+       CAST(sum(u) AS BIGINT) AS total_urls,
+       CAST(sum(i) AS BIGINT) AS total_idish
 FROM m GROUP BY source
 """
 
