@@ -227,24 +227,62 @@ def position_fsm(
     return _fanout(decisions, key).groupBy(key).applyInPandas(fold, LEDGER_SCHEMA)
 
 
+# --- exact micro-unit ledger arithmetic -----------------------------------
+#
+# Ledger rollups sum path-dependent doubles; with the dyadic prices the
+# generator emits, those sums routinely land EXACTLY on a 6th-decimal
+# half boundary, where double summation order (Spark partial aggs vs a
+# sequential oracle) decides the rounded digit. So the rollups quantize
+# each value to integer micro-units FIRST — `round(x * 1e6)` rounds the
+# identical IEEE double with identical half-away-from-zero tie handling
+# in Spark and DuckDB, giving bit-identical BIGINTs — and every sum,
+# extreme, and mean downstream is exact integer arithmetic, independent
+# of partitioning. Means use round-half-away integer division (the
+# truncating DIV is applied to non-negative numerators only, where it
+# equals floor on every engine).
+
+
+def _micro(col: str) -> str:
+    return f"sum(CAST(round({col} * 1e6) AS BIGINT))"
+
+
+def sum_micro_exact(col: str, pred: str = "true") -> F.Column:
+    """Exact micro-quantized sum of ``col`` over rows passing ``pred``,
+    back in units (aggregate expression)."""
+    guarded = f"CASE WHEN {pred} THEN {col} ELSE 0.0 END"
+    return F.expr(_micro(guarded)) / F.lit(1e6)
+
+
+def avg_micro_exact(col: str) -> F.Column:
+    """Exact micro-quantized mean of ``col`` in units, rounded
+    half-away-from-zero at the 6th decimal (aggregate expression)."""
+    s, n = _micro(col), "count(1)"
+    return (
+        F.expr(
+            f"CASE WHEN {s} >= 0 THEN (2 * {s} + {n}) DIV (2 * {n}) "
+            f"ELSE -((2 * -({s}) + {n}) DIV (2 * {n})) END"
+        )
+        / F.lit(1e6)
+    )
+
+
 def ledger_daily_summary(ledger: DataFrame) -> DataFrame:
     """E13 over the FSM ledger: per-day win/loss stats, profit factor,
-    average hold (reference zscore_excel_logger.py:345-407)."""
+    average hold (reference zscore_excel_logger.py:345-407). All money
+    and duration aggregates are computed in exact micro-units (see
+    module note above) so the 6-decimal outputs are deterministic."""
     day = F.date_format("exit_ts", "yyyy-MM-dd").alias("day")
+    micro_round = F.expr("CAST(round(pnl * 1e6) AS BIGINT)") / F.lit(1e6)
     g = ledger.groupBy(day).agg(
         F.count(F.lit(1)).alias("n_trades"),
         F.sum(F.when(F.col("pnl") > 0, 1).otherwise(0)).alias("n_wins"),
         F.sum(F.when(F.col("pnl") <= 0, 1).otherwise(0)).alias("n_losses"),
-        F.round(F.sum("pnl"), 6).alias("total_pnl"),
-        F.round(F.max("pnl"), 6).alias("max_win"),
-        F.round(F.min("pnl"), 6).alias("max_loss"),
-        F.round(F.sum(F.when(F.col("pnl") > 0, F.col("pnl")).otherwise(0.0)), 6).alias(
-            "gross_profit"
-        ),
-        F.round(
-            F.abs(F.sum(F.when(F.col("pnl") < 0, F.col("pnl")).otherwise(0.0))), 6
-        ).alias("gross_loss"),
-        F.round(F.avg("hold_secs"), 6).alias("avg_hold_secs"),
+        sum_micro_exact("pnl").alias("total_pnl"),
+        F.max(micro_round).alias("max_win"),
+        F.min(micro_round).alias("max_loss"),
+        sum_micro_exact("pnl", "pnl > 0").alias("gross_profit"),
+        F.abs(sum_micro_exact("pnl", "pnl < 0")).alias("gross_loss"),
+        avg_micro_exact("hold_secs").alias("avg_hold_secs"),
     )
     return g.withColumns(
         {

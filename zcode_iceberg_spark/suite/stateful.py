@@ -5,9 +5,20 @@ The hysteresis fold runs as ``applyInPandas`` yet still gets a full
 SQL oracle: k-confirmation hysteresis is equivalent to gaps-and-islands
 — a label is "confirmed" at the k-th row of a consecutive run, and the
 active label at any row is the most recent confirmation event (proof
-sketch in the oracle SQL comments). The FSM ledger is price-path
-dependent (genuinely non-SQL) → rows-only driver check + property
-tests in tests/test_stateful.py.
+sketch in the oracle SQL comments).
+
+The position-FSM ledger is price-path dependent (next entry depends on
+the previous exit), so no windowed SQL rewrite exists — but DuckDB's
+``WITH RECURSIVE`` can walk the exact transition function one row per
+key per iteration (depth = max decision rows per key; bounded per the
+same per-key assumption the fold itself makes). The walk carries
+(qty, seq, side, entry_ts, entry_price) and emits closed trades as
+columns on the closing row; EOD closes come from the final state. The
+daily-summary and exit-stats oracles are plain aggregations over the
+same walk. Precedents: dedup_cc's recursive-CTE oracle and the
+gaps-and-islands hysteresis oracle below. Python's ``round`` (banker's)
+is mirrored by DuckDB ``round_even`` for the qty sizing — verified on
+every distinct price at sf0.01.
 """
 
 from __future__ import annotations
@@ -129,10 +140,207 @@ FROM conf
 """
 
 
+# ---------------------------------------------------------------------------
+# Position-FSM oracles: a recursive CTE walks the exact fold.
+#
+# State per (user_id, rn): qty (sized once from the first observed
+# price, banker's-rounded to 6 — round_even mirrors Python round),
+# seq (closed-trade counter), side/entry_ts/entry_price (open position
+# or NULLs). Row rn+1 is processed by the recursive term: flat + |z| >=
+# z_entry opens; open + TP/SL/TIME closes (emitting the trade on that
+# row) and goes flat — an exit row never re-enters and an entry row
+# never exits, exactly like the fold in operators/stateful.py. The
+# still-open position at max(rn) closes at the last price as EOD.
+
+_FSM_Z_ENTRY, _FSM_TP, _FSM_SL = 1.5, 0.01, 0.01
+_FSM_MAX_HOLD, _FSM_MARGIN, _FSM_LEV = 86400.0, 50.0, 25.0
+
+# exit reason for the open position in walk-state `w` hit by row `r`
+# (NULL while flat or while no trigger fires; TP > SL > TIME priority
+# matches the kernel's elif chain)
+_REASON = f"""CASE
+  WHEN w.side IS NULL THEN NULL
+  WHEN (r.price - w.entry_price) / w.entry_price
+       * (CASE WHEN w.side = 'LONG' THEN 1.0 ELSE -1.0 END) >= {_FSM_TP}
+    THEN 'TP'
+  WHEN (r.price - w.entry_price) / w.entry_price
+       * (CASE WHEN w.side = 'LONG' THEN 1.0 ELSE -1.0 END) <= -{_FSM_SL}
+    THEN 'SL'
+  WHEN (epoch_us(r.ts) - epoch_us(w.entry_ts)) / 1000000.0 >= {_FSM_MAX_HOLD}
+    THEN 'TIME'
+  END"""
+
+# Shared prefix: ticks -> delta -> z (identical to the hysteresis
+# oracle, plus price carried through) -> decision rows numbered per key
+# -> the recursive walk -> `closed` (one row per closed trade, raw
+# unrounded values exactly as position_fsm emits them).
+_FSM_CLOSED_CTE = f"""WITH RECURSIVE ticks AS ({EVENTS_TICKS_SQL}),
+d AS (
+  SELECT event_id, user_id, ts, price,
+         SUM(CASE WHEN is_buy THEN qty ELSE 0.0 END) OVER w
+           - SUM(CASE WHEN NOT is_buy THEN qty ELSE 0.0 END) OVER w AS delta
+  FROM ticks
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+),
+p AS (
+  SELECT event_id, user_id, ts, price, delta,
+         avg(delta) OVER wp AS mu,
+         stddev_pop(delta) OVER wp AS sigma,
+         count(delta) OVER wp AS n
+  FROM d
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+),
+dec AS (
+  SELECT user_id, ts, event_id, price,
+         CASE WHEN n >= 30 AND sigma > 0 THEN (delta - mu) / sigma
+              ELSE 0.0 END AS z,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM p
+),
+walk AS (
+  SELECT user_id,
+         CAST(0 AS BIGINT) AS rn,
+         CAST(NULL AS DOUBLE) AS qty,
+         CAST(0 AS INTEGER) AS seq,
+         CAST(NULL AS VARCHAR) AS side,
+         CAST(NULL AS TIMESTAMP) AS entry_ts,
+         CAST(NULL AS DOUBLE) AS entry_price,
+         CAST(NULL AS VARCHAR) AS emit_reason,
+         CAST(NULL AS VARCHAR) AS emit_side,
+         CAST(NULL AS TIMESTAMP) AS emit_entry_ts,
+         CAST(NULL AS DOUBLE) AS emit_entry_price,
+         CAST(NULL AS TIMESTAMP) AS emit_exit_ts,
+         CAST(NULL AS DOUBLE) AS emit_exit_price,
+         CAST(NULL AS DOUBLE) AS emit_held
+  FROM (SELECT DISTINCT user_id FROM dec)
+  UNION ALL
+  SELECT w.user_id, r.rn,
+         coalesce(w.qty,
+                  round_even({_FSM_MARGIN} * {_FSM_LEV}
+                             / greatest(r.price, 1e-9), 6)) AS qty,
+         CAST(w.seq + CASE WHEN ({_REASON}) IS NOT NULL
+                           THEN 1 ELSE 0 END AS INTEGER) AS seq,
+         CASE WHEN w.side IS NULL
+              THEN CASE WHEN abs(r.z) >= {_FSM_Z_ENTRY}
+                        THEN CASE WHEN r.z > 0 THEN 'LONG' ELSE 'SHORT' END
+                   END
+              WHEN ({_REASON}) IS NOT NULL THEN NULL
+              ELSE w.side END AS side,
+         CASE WHEN w.side IS NULL
+              THEN CASE WHEN abs(r.z) >= {_FSM_Z_ENTRY} THEN r.ts END
+              WHEN ({_REASON}) IS NOT NULL THEN NULL
+              ELSE w.entry_ts END AS entry_ts,
+         CASE WHEN w.side IS NULL
+              THEN CASE WHEN abs(r.z) >= {_FSM_Z_ENTRY} THEN r.price END
+              WHEN ({_REASON}) IS NOT NULL THEN NULL
+              ELSE w.entry_price END AS entry_price,
+         ({_REASON}) AS emit_reason,
+         CASE WHEN ({_REASON}) IS NOT NULL THEN w.side END AS emit_side,
+         CASE WHEN ({_REASON}) IS NOT NULL THEN w.entry_ts END AS emit_entry_ts,
+         CASE WHEN ({_REASON}) IS NOT NULL THEN w.entry_price END
+           AS emit_entry_price,
+         CASE WHEN ({_REASON}) IS NOT NULL THEN r.ts END AS emit_exit_ts,
+         CASE WHEN ({_REASON}) IS NOT NULL THEN r.price END AS emit_exit_price,
+         CASE WHEN ({_REASON}) IS NOT NULL
+              THEN (epoch_us(r.ts) - epoch_us(w.entry_ts)) / 1000000.0 END
+           AS emit_held
+  FROM walk w
+  JOIN dec r ON r.user_id = w.user_id AND r.rn = w.rn + 1
+),
+closed AS (
+  SELECT user_id, seq AS trade_seq, emit_side AS side,
+         emit_entry_ts AS entry_ts, emit_exit_ts AS exit_ts,
+         emit_entry_price AS entry_price, emit_exit_price AS exit_price,
+         qty,
+         (emit_exit_price - emit_entry_price)
+           * (CASE WHEN emit_side = 'LONG' THEN 1.0 ELSE -1.0 END)
+           * qty AS pnl,
+         emit_reason AS exit_reason, emit_held AS hold_secs
+  FROM walk WHERE emit_reason IS NOT NULL
+  UNION ALL
+  SELECT f.user_id, CAST(f.seq + 1 AS INTEGER) AS trade_seq, f.side,
+         f.entry_ts, l.ts, f.entry_price, l.price, f.qty,
+         (l.price - f.entry_price)
+           * (CASE WHEN f.side = 'LONG' THEN 1.0 ELSE -1.0 END)
+           * f.qty AS pnl,
+         'EOD' AS exit_reason,
+         (epoch_us(l.ts) - epoch_us(f.entry_ts)) / 1000000.0 AS hold_secs
+  FROM walk f
+  JOIN (SELECT user_id, max(rn) AS mrn FROM dec GROUP BY user_id) m
+    ON m.user_id = f.user_id AND f.rn = m.mrn
+  JOIN dec l ON l.user_id = f.user_id AND l.rn = m.mrn
+  WHERE f.side IS NOT NULL
+)"""
+
+SQL_POSITION_LEDGER = f"""{_FSM_CLOSED_CTE}
+SELECT user_id, trade_seq,
+       printf('ZS%04d', trade_seq) AS trade_id,
+       side,
+       strftime(entry_ts, '%Y-%m-%d %H:%M:%S') AS entry_ts,
+       strftime(exit_ts, '%Y-%m-%d %H:%M:%S') AS exit_ts,
+       round(entry_price, 6) AS entry_price,
+       round(exit_price, 6) AS exit_price,
+       round(qty, 6) AS qty,
+       round(pnl, 6) AS pnl,
+       round(pnl / {_FSM_MARGIN}, 6) AS roi,
+       exit_reason,
+       round(hold_secs, 6) AS hold_secs
+FROM closed
+"""
+
+SQL_LEDGER_DAILY_SUMMARY = f"""{_FSM_CLOSED_CTE},
+g AS (
+  SELECT strftime(exit_ts, '%Y-%m-%d') AS day,
+         count(*) AS n_trades,
+         CAST(sum(CASE WHEN pnl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_wins,
+         CAST(sum(CASE WHEN pnl <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_losses,
+         sum(CAST(round(pnl * 1e6) AS BIGINT)) / 1000000.0 AS total_pnl,
+         max(CAST(round(pnl * 1e6) AS BIGINT) / 1000000.0) AS max_win,
+         min(CAST(round(pnl * 1e6) AS BIGINT) / 1000000.0) AS max_loss,
+         sum(CAST(round((CASE WHEN pnl > 0 THEN pnl ELSE 0.0 END) * 1e6)
+                  AS BIGINT)) / 1000000.0 AS gross_profit,
+         abs(sum(CAST(round((CASE WHEN pnl < 0 THEN pnl ELSE 0.0 END) * 1e6)
+                      AS BIGINT))) / 1000000.0 AS gross_loss,
+         ((2 * sum(CAST(round(hold_secs * 1e6) AS BIGINT)) + count(*))
+          // (2 * count(*))) / 1000000.0 AS avg_hold_secs
+  FROM closed GROUP BY 1
+)
+SELECT day, n_trades, n_wins, n_losses, total_pnl, max_win, max_loss,
+       gross_profit, gross_loss, avg_hold_secs,
+       round(n_wins * 1.0 / n_trades, 6) AS win_rate,
+       round(CASE WHEN gross_loss > 0
+                  THEN gross_profit / gross_loss END, 6) AS profit_factor
+FROM g
+"""
+
+SQL_LEDGER_EXIT_STATS = f"""{_FSM_CLOSED_CTE},
+g AS (
+  SELECT exit_reason,
+         count(*) AS n,
+         (CASE WHEN sum(CAST(round(pnl * 1e6) AS BIGINT)) >= 0
+               THEN (2 * sum(CAST(round(pnl * 1e6) AS BIGINT)) + count(*))
+                    // (2 * count(*))
+               ELSE -((2 * -sum(CAST(round(pnl * 1e6) AS BIGINT)) + count(*))
+                      // (2 * count(*)))
+          END) / 1000000.0 AS avg_pnl,
+         ((2 * sum(CAST(round(hold_secs * 1e6) AS BIGINT)) + count(*))
+          // (2 * count(*))) / 1000000.0 AS avg_hold_secs,
+         round(count(CASE WHEN pnl > 0 THEN 1 END) * 1.0 / count(*), 6)
+           AS win_rate
+  FROM closed GROUP BY 1
+)
+SELECT exit_reason, n, avg_pnl, avg_hold_secs, win_rate,
+       round(n * 1.0 / (SELECT count(*) FROM closed), 6) AS share
+FROM g
+"""
+
+
 def q_position_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H6: position lifecycle FSM → closed-trade ledger. Price-path
-    dependent ordered fold — no SQL oracle (driver rows-only check;
-    invariants in tests/test_stateful.py)."""
+    dependent ordered fold; oracled by the recursive-CTE walk above
+    (invariants additionally in tests/test_stateful.py)."""
     led = st.position_fsm(_decisions(spark, sf_dir))
     return led.select(
         "user_id",
@@ -153,7 +361,7 @@ def q_position_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ledger_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E13 over the FSM ledger: daily win/loss/profit-factor rollup
-    (rows-only: input is the non-SQL FSM output)."""
+    (oracle: plain aggregation over the recursive-CTE walk)."""
     led = st.position_fsm(_decisions(spark, sf_dir))
     return st.ledger_daily_summary(led)
 
@@ -161,13 +369,13 @@ def q_ledger_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ledger_exit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E16: outcome-rate stats per exit reason over the FSM ledger
     (reference order_manager.py:444-466 success-rate counters) —
-    rows-only check, FSM input is non-SQL."""
+    oracle: plain aggregation over the recursive-CTE walk."""
     led = st.position_fsm(_decisions(spark, sf_dir))
     n_total = F.sum("n").over(Window.partitionBy())
     g = led.groupBy("exit_reason").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("pnl"), 6).alias("avg_pnl"),
-        F.round(F.avg("hold_secs"), 6).alias("avg_hold_secs"),
+        st.avg_micro_exact("pnl").alias("avg_pnl"),
+        st.avg_micro_exact("hold_secs").alias("avg_hold_secs"),
         F.round(
             F.sum(F.when(F.col("pnl") > 0, 1).otherwise(0)) / F.count(F.lit(1)), 6
         ).alias("win_rate"),
@@ -177,7 +385,7 @@ def q_ledger_exit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "trend_hysteresis": Query(q_trend_hysteresis, SQL_TREND_HYSTERESIS),
-    "position_ledger": Query(q_position_ledger, None),
-    "ledger_daily_summary": Query(q_ledger_daily_summary, None),
-    "ledger_exit_stats": Query(q_ledger_exit_stats, None),
+    "position_ledger": Query(q_position_ledger, SQL_POSITION_LEDGER),
+    "ledger_daily_summary": Query(q_ledger_daily_summary, SQL_LEDGER_DAILY_SUMMARY),
+    "ledger_exit_stats": Query(q_ledger_exit_stats, SQL_LEDGER_EXIT_STATS),
 }
