@@ -30,3 +30,14 @@ def test_all_queries_return_rows(spark, sf_dir):
         df = q.fn(spark, sf_dir)
         assert df.count() >= 0, name
         assert len(df.columns) > 0, name
+
+
+def test_priority_window_contract():
+    """The driver checks exactly the first WINDOW registry entries;
+    PRIORITY must be WINDOW unique registered names (a duplicate would
+    silently shift a different query into the checked window)."""
+    from zcode_iceberg_spark.suite import PRIORITY, WINDOW
+
+    assert len(PRIORITY) == WINDOW
+    assert len(set(PRIORITY)) == WINDOW
+    assert list(REG)[:WINDOW] == PRIORITY

@@ -29,29 +29,40 @@ class Query:
 
 
 # The driver's correctness gate checks the FIRST 50 registry entries, so
-# ordering is part of the verification contract. Front-load (a) queries
-# that have never received a driver CORRECTNESS row (the llm/stateful/
-# media block) and (b) queries whose results changed this round; then a
-# coverage-maximizing spread of the remaining suite. Queries pushed past
-# the window all hold green rows in CORRECTNESS_r01/r02 and stay covered
-# by tests/test_oracle_suite.py at sf0.001.
+# ordering is part of the verification contract. Rotation policy (see
+# SCALE.md "Verification-window rotation"): front-load (a) queries whose
+# results or oracles changed this round and (b) the queries longest
+# without a driver row; fill the rest with a coverage-maximizing keeper
+# spread. Queries pushed past the window all hold green driver rows from
+# an earlier round and stay covered by tests/test_oracle_suite.py at
+# sf0.001. WINDOW pins the driver's cap; registry() asserts PRIORITY is
+# duplicate-free and exactly WINDOW long so the rotation can't drift
+# silently (a dup would dedupe via the dict and shift a different query
+# into the checked window).
+WINDOW = 50
+
 PRIORITY = [
-    # never driver-checked (past the 50-row window in r1/r2)
-    "dedup_cc", "dedup_incremental", "ann_lsh", "ann_ivf", "embedding_topk",
-    "embedding_neardup", "kmeans", "tf_idf", "vocab_topk", "doc_split",
-    "pii_scan", "doc_repetition", "domain_mix", "decontaminate",
-    "seq_packing", "doc_chunks", "stratified_sample", "trend_hysteresis",
+    # fixed this round: HUGEINT->BIGINT oracle dtype casts
+    "pii_scan", "doc_repetition",
+    # newly oracled this round: recursive-CTE FSM walk
     "position_ledger", "ledger_daily_summary", "ledger_exit_stats",
-    "media_features", "media_frames",
-    # new or fixed this round: need a fresh green row
-    "passage_dedup", "corpus_pipeline", "boilerplate_strip",
-    "delta_zscore", "cvd", "volume_factor", "liquidity_velocity",
-    "daily_order_summary", "pivot_priority_segment",
-    # high-coverage keepers (each pins SURVEY §2 IDs nothing else covers)
-    "ticks_normalize", "sessionize", "rolling_corr", "ohlc_1h", "atr_1h",
-    "hurst", "bos_1h", "ema", "sequence_labels", "trend_classifier",
-    "book_topk", "best_quotes", "imbalance", "wall_strength",
+    # past-cap in r3 (driver rows last seen r2; mc_win_prob and
+    # price_percentiles_approx never driver-checked)
+    "realized_vol", "pricing_summary", "price_percentiles",
+    "price_percentiles_approx", "star_revenue", "top_customers_per_nation",
+    "priority_with_discounted", "customers_without_orders", "rollup_sales",
+    "cumulative_customer_value", "distinct_parts_per_supplier",
+    "approx_distinct_parts", "segment_share", "cube_corpus",
+    "above_customer_avg", "unpivot_lineitem_stats", "mc_win_prob",
+    "dedup_exact", "minhash_signatures", "lsh_candidates", "dedup_near",
+    "dedup_crosscheck", "simhash", "ngram_jaccard", "doc_fingerprint",
+    "lang_id", "text_quality", "token_counts",
+    # high-coverage keepers (r3-green; each pins SURVEY §2 IDs the rows
+    # above don't cover)
+    "ticks_normalize", "delta_zscore", "cvd", "sessionize", "ohlc_1h",
+    "ema", "book_topk", "best_quotes", "imbalance", "wall_strength",
     "asof_trade_quote", "range_join_flow", "signal_scores", "trade_params",
+    "trend_hysteresis", "passage_dedup", "corpus_pipeline",
 ]
 
 
@@ -76,6 +87,11 @@ def registry() -> dict[str, Query]:
     missing = [n for n in PRIORITY if n not in out]
     if missing:
         raise ValueError(f"PRIORITY names not in registry: {missing}")
+    if len(PRIORITY) != len(set(PRIORITY)) or len(PRIORITY) != WINDOW:
+        raise ValueError(
+            f"PRIORITY must be {WINDOW} unique names, got {len(PRIORITY)} "
+            f"({len(PRIORITY) - len(set(PRIORITY))} duplicate(s))"
+        )
     ordered = {n: out[n] for n in PRIORITY}
     ordered.update({n: q for n, q in out.items() if n not in ordered})
     return ordered
