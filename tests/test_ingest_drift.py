@@ -25,6 +25,11 @@ TS_UTC = [
     dt.datetime(2026, 1, 1, 0, 0, 0),
     dt.datetime(2026, 1, 1, 0, 0, 1, 500000),
     dt.datetime(2026, 6, 30, 23, 59, 59, 999999),
+    # adversarial: this instant's int64-nanos form exceeds the 53-bit
+    # double mantissa in a way that truncates one microsecond under a
+    # float `/ 1000` (int(float(us*1000)/1000) == us - 1) — pins the
+    # integer-DIV requirement in normalize_ts's nanos branch
+    dt.datetime(2026, 6, 30, 23, 59, 58, 16),
 ]
 EPOCH_US = [int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) for t in TS_UTC]
 
@@ -32,7 +37,7 @@ EPOCH_US = [int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) for t
 @pytest.fixture(scope="module")
 def layouts_dir():
     d = Path(tempfile.mkdtemp(prefix="zspark_drift_"))
-    ids = pa.array([1, 2, 3], pa.int64())
+    ids = pa.array(range(1, len(TS_UTC) + 1), pa.int64())
     # layout A: int64 nanoseconds (old driver layout)
     pq.write_table(
         pa.table({"event_id": ids, "ts": pa.array([u * 1000 for u in EPOCH_US], pa.int64())}),
@@ -72,4 +77,20 @@ def test_us_helper_accepts_ntz(spark, layouts_dir, module):
     raw = spark.read.parquet(str(layouts_dir / "ntz.parquet"))
     assert dict(raw.dtypes)["ts"] == "timestamp_ntz"
     got = [r["us"] for r in raw.select(ops._us("ts").alias("us")).collect()]
-    assert sorted(got) == EPOCH_US
+    assert sorted(got) == sorted(EPOCH_US)
+
+
+@pytest.mark.parametrize("module", ["flow", "timeseries"])
+def test_us_helper_rejects_raw_nanos_long(spark, layouts_dir, module):
+    """A raw int64-nanos column that bypassed normalize_ts must fail
+    analysis loudly — a plain timestamp cast would silently read it as
+    epoch SECONDS (far-future values, wrong windows)."""
+    import importlib
+
+    from pyspark.errors import AnalysisException
+
+    ops = importlib.import_module(f"zcode_iceberg_spark.operators.{module}")
+    raw = spark.read.parquet(str(layouts_dir / "nanos.parquet"))
+    assert dict(raw.dtypes)["ts"] in ("bigint", "long")
+    with pytest.raises(AnalysisException):
+        raw.select(ops._us("ts")).collect()

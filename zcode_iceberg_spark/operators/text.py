@@ -292,3 +292,21 @@ def passages(df: DataFrame, id_col: str, text_col: str, width: int = 8) -> DataF
             F.when(F.size(w) > 0, parr).otherwise(F.array().cast("array<string>"))
         ).alias("pidx", "ptext"),
     )
+
+
+def passage_hashes(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", width: int = 8
+) -> DataFrame:
+    """(doc_id, pidx, phash, pkey) passage-hash rows — THE shared
+    kernel for batch passage dedup (suite/llm.py:q_passage_dedup) and
+    its streaming twin (streaming/pipeline.py:passage_dedup_stream):
+    both mark a passage duplicate iff an equal-hash passage exists
+    with a smaller pkey. The bigint cast keeps the pkey arithmetic
+    immune to the id column drifting to a narrower physical type
+    (ANSI would error on int32 overflow)."""
+    return passages(df, id_col, text_col, width=width).select(
+        id_col,
+        "pidx",
+        F.md5("ptext").alias("phash"),
+        (F.col(id_col).cast("bigint") * 1_000_000 + F.col("pidx")).alias("pkey"),
+    )

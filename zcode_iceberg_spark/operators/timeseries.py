@@ -34,8 +34,10 @@ KEY = "user_id"
 
 
 def _us(col: str = "ts") -> Column:
-    # cast tolerates TIMESTAMP_NTZ inputs (session tz is UTC → lossless)
-    return F.unix_micros(F.col(col).cast("timestamp"))
+    # NTZ-hop tolerates TIMESTAMP_NTZ (session tz UTC → lossless) but
+    # still rejects an un-normalized int64-nanos long at analysis time
+    # (a direct timestamp cast would read it as epoch seconds)
+    return F.unix_micros(F.col(col).cast("timestamp_ntz").cast("timestamp"))
 
 
 def ohlc_bars(ticks: DataFrame, minutes: int = 60) -> DataFrame:

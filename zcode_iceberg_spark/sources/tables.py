@@ -53,7 +53,12 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """
     dtype = dict(df.dtypes).get(col)
     if dtype in ("bigint", "long"):
-        return df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+        # integer DIV, not `/ 1000`: double division promotes the int64
+        # nanosecond value past the 53-bit mantissa, so ~2026-era values
+        # would truncate to a microsecond off exact floor(ns/1000)
+        return df.withColumn(
+            col, F.timestamp_micros(F.expr(f"CAST({col} DIV 1000 AS BIGINT)"))
+        )
     if dtype == "timestamp_ntz":
         return df.withColumn(col, F.col(col).cast("timestamp"))
     return df

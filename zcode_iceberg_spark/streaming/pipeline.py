@@ -29,6 +29,8 @@ from collections.abc import Iterator
 
 import pandas as pd
 
+from pyspark.errors import AnalysisException
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -65,7 +67,13 @@ def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
     data_manager.py:272-285)."""
     try:
         schema = spark.read.parquet(src_dir).schema
-    except Exception:  # empty dir at setup time: fall back to the known layout
+    except AnalysisException:
+        # Empty dir at stream-definition time: fall back to the CURRENT
+        # driver layout (NTZ). This fallback pins that one layout — if
+        # the first files then land as int64-nanos, the NTZ read schema
+        # misreads them; re-create the stream once files exist to
+        # re-sniff. Only the no-files AnalysisException is absorbed so
+        # real read failures still surface.
         schema = EVENT_SCHEMA
     raw = (
         spark.readStream.schema(schema)

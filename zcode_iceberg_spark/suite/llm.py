@@ -1883,16 +1883,7 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the way, no window over the corpus, no skew key (md5 is uniform).
     """
     d = load_table(spark, sf_dir, "documents")
-    p = tx.passages(d, "doc_id", "text", width=PASSAGE_W).select(
-        "doc_id",
-        "pidx",
-        F.md5("ptext").alias("phash"),
-        # bigint cast up front: immune to the id column drifting to a
-        # narrower physical type (ANSI would error on int32 overflow)
-        (F.col("doc_id").cast("bigint") * 1_000_000 + F.col("pidx")).alias(
-            "pkey"
-        ),
-    )
+    p = tx.passage_hashes(d, "doc_id", "text", width=PASSAGE_W)
     first_seen = p.groupBy("phash").agg(F.min("pkey").alias("first_key"))
     marked = p.join(first_seen, "phash").select(
         "doc_id", (F.col("pkey") != F.col("first_key")).alias("is_dup")

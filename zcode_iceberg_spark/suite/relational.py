@@ -305,17 +305,42 @@ FROM lineitem GROUP BY l_suppkey
 """
 
 
+APPROX_DISTINCT_RTOL = 0.05  # 5× the sketch's 1% rsd
+
+
 def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the scale path for
     distinct counts (no shuffle of distinct values, fixed-size
-    sketches). No SQL oracle: DuckDB's approx sketch differs — the
-    driver applies its rows-only check; exactness is covered by
-    `distinct_parts_per_supplier`."""
+    mergeable sketches) — audited hash-checkably: the sketch estimate
+    is engine-specific, so the output carries the exact count plus an
+    `approx_ok` flag asserting the live HLL++ estimate landed within
+    5× its configured 1% rsd of exact. The flag forces the sketch to
+    run and be accurate under the driver's session while the value
+    hash stays deterministic; the exact side doubles as the audit
+    yardstick (pure scale-path usage drops the exact column —
+    `distinct_parts_per_supplier` keeps the exact form)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    g = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("n_parts"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+    rel_err = F.abs(F.col("approx_parts") - F.col("n_parts")) / F.col("n_parts")
+    return g.select(
+        "l_returnflag",
+        "n_parts",
+        "n_lines",
+        (rel_err <= APPROX_DISTINCT_RTOL).alias("approx_ok"),
+    )
+
+
+SQL_APPROX_DISTINCT_PARTS = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(*) AS n_lines,
+       TRUE AS approx_ok
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def q_segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,22 +409,56 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+PCT_RANK_TOL = 0.01  # 100× the sketch's 1/10000 rank-error guarantee
+
+
 def q_price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB percentile path `q_price_percentiles` documents,
     implemented live: `approx_percentile` builds a mergeable sketch in
     one partial-agg pass — no per-group sort, no row buffering — at
-    accuracy 1/10000. Sketch estimates are engine-specific, so this is
-    a rows-only entry; the exact twin IS its accuracy oracle
-    (tests/test_oracle_suite.py covers the exact one; this one's
-    estimates land within sketch tolerance of it by construction)."""
+    accuracy 1/10000. Sketch estimates are engine-specific (merge-order
+    dependent), so the hash-checked output is the RANK-TOLERANCE audit:
+    for each quantile q the flag asserts
+    count(price < approx)/n ≤ q+tol AND count(price ≤ approx)/n ≥ q−tol
+    (the two-sided form is duplicate-value-safe), with tol = 100× the
+    sketch's rank-error guarantee — deterministically TRUE however the
+    merge ordered, while still requiring the sketch to run and be
+    accurate under the driver's session. The audit's second scan +
+    broadcast join-back is audit-only cost; pure scale-path usage is
+    the bare agg. Exact values stay in `price_percentiles`."""
     li = load_table(spark, sf_dir, "lineitem")
     acc = F.lit(10000)
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.approx_percentile("l_extendedprice", F.lit(0.25), acc), 6).alias("p25"),
-        F.round(F.approx_percentile("l_extendedprice", F.lit(0.5), acc), 6).alias("p50"),
-        F.round(F.approx_percentile("l_extendedprice", F.lit(0.75), acc), 6).alias("p75"),
-        F.count(F.lit(1)).alias("n"),
+    appx = li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.25), acc).alias("a25"),
+        F.approx_percentile("l_extendedprice", F.lit(0.5), acc).alias("a50"),
+        F.approx_percentile("l_extendedprice", F.lit(0.75), acc).alias("a75"),
     )
+    j = li.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(appx), "l_returnflag"
+    )
+    price = F.col("l_extendedprice")
+
+    def rank_ok(q: float, approx_col: str) -> F.Column:
+        below = F.sum((price < F.col(approx_col)).cast("bigint"))
+        at_or_below = F.sum((price <= F.col(approx_col)).cast("bigint"))
+        n = F.count(F.lit(1))
+        return (below / n <= q + PCT_RANK_TOL) & (
+            at_or_below / n >= q - PCT_RANK_TOL
+        )
+
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        rank_ok(0.25, "a25").alias("ok25"),
+        rank_ok(0.5, "a50").alias("ok50"),
+        rank_ok(0.75, "a75").alias("ok75"),
+    )
+
+
+SQL_PRICE_PERCENTILES_APPROX = """
+SELECT l_returnflag, count(*) AS n,
+       TRUE AS ok25, TRUE AS ok50, TRUE AS ok75
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def q_cube_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,7 +588,9 @@ QUERIES = {
     "price_percentiles": Query(q_price_percentiles, SQL_PRICE_PERCENTILES),
     # sketch estimates are engine-specific: rows-only by design; the
     # exact twin above is the accuracy reference
-    "price_percentiles_approx": Query(q_price_percentiles_approx, None),
+    "price_percentiles_approx": Query(
+        q_price_percentiles_approx, SQL_PRICE_PERCENTILES_APPROX
+    ),
     "star_revenue": Query(q_star_revenue, SQL_STAR_REVENUE),
     "top_customers_per_nation": Query(
         q_top_customers_per_nation, SQL_TOP_CUSTOMERS_PER_NATION
@@ -548,7 +609,9 @@ QUERIES = {
     "distinct_parts_per_supplier": Query(
         q_distinct_parts_per_supplier, SQL_DISTINCT_PARTS_PER_SUPPLIER
     ),
-    "approx_distinct_parts": Query(q_approx_distinct_parts, None),
+    "approx_distinct_parts": Query(
+        q_approx_distinct_parts, SQL_APPROX_DISTINCT_PARTS
+    ),
     "segment_share": Query(q_segment_share, SQL_SEGMENT_SHARE),
     "cube_corpus": Query(q_cube_corpus, SQL_CUBE_CORPUS),
     "above_customer_avg": Query(q_above_customer_avg, SQL_ABOVE_CUSTOMER_AVG),
