@@ -291,6 +291,31 @@ def test_dedup_stream_agreement(spark, sf_dir, raw_docs_dir, tmp):
     assert got_hashes == want_hashes
 
 
+def test_passage_dedup_stream_agreement(spark, sf_dir, raw_docs_dir, tmp):
+    """Incremental passage dedup over an appended corpus must equal
+    the one-shot batch query: raw_docs_dir replays documents as two
+    id-ordered files (pkey order == arrival order, the append-ingest
+    contract), so the stream's ledger-anti-join first-seen rule and
+    the batch global min-pkey rule pick identical keepers."""
+    from zcode_iceberg_spark.streaming.pipeline import passage_dedup_stream
+    from zcode_iceberg_spark.suite.llm import q_passage_dedup
+
+    out = f"{tmp}/pd_out"
+    q = passage_dedup_stream(
+        spark, raw_docs_dir, f"{tmp}/pd_ledger", out, f"{tmp}/pd_ck"
+    )
+    q.awaitTermination()
+    got = {
+        r["doc_id"]: (r["n_passages"], r["n_dup"], r["uniq_ratio"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_passages"], r["n_dup"], r["uniq_ratio"])
+        for r in q_passage_dedup(spark, sf_dir).collect()
+    }
+    assert got == want and got
+
+
 def test_range_join_stream_agreement(spark, sf_dir, raw_events_dir, tmp):
     """D2 twin: the stream-stream interval join must produce exactly
     the batch inner-join pairs — inner matches emit eagerly (no

@@ -228,6 +228,86 @@ def dedup_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     ).dropDuplicates(["content_hash"])
 
 
+def passage_dedup_stream(
+    spark: SparkSession,
+    src_dir: str,
+    ledger_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    width: int = 8,
+):
+    """Streaming twin of the batch passage-level dedup
+    (suite/llm.py:q_passage_dedup), in the incremental append-batch
+    shape of ``dedup_incremental``: per micro-batch, the arriving
+    docs' passage hashes (shared kernel:
+    operators/text.py:passage_hashes) anti-join a persistent
+    passage-hash LEDGER (first-seen set from all prior batches) plus a
+    within-batch first-seen groupBy; per-doc rollups append to
+    ``out_dir`` and the batch's novel hashes append to the ledger.
+
+    Semantics: a passage is dup iff an equal hash was seen in an
+    earlier batch OR at a smaller pkey within its own batch — equal to
+    the batch query's global min-pkey rule whenever files arrive in
+    pkey order (the append-ingest contract; agreement-tested in
+    tests/test_streaming.py).
+
+    Scale shape: everything keys on the 16-byte phash — the ledger is
+    a compacted hash table (never text), the anti-join and first-seen
+    groupBy hash-partition uniformly, and per-doc rollups are partial
+    aggs. foreachBatch is exactly-once per epoch under the checkpoint;
+    the ledger append is idempotent-enough for replay because a
+    re-appended hash only adds another copy of an already-seen key
+    (dup verdicts are unchanged; the ledger is a SET by meaning).
+    Returns the started StreamingQuery."""
+    from zcode_iceberg_spark.operators.text import passage_hashes
+
+    raw = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        p = passage_hashes(batch_df, "doc_id", "text", width=width)
+        try:
+            seen = s.read.parquet(ledger_dir).select("phash").distinct()
+        except AnalysisException:  # first batch: empty ledger
+            seen = s.createDataFrame([], "phash string")
+        first_in_batch = p.groupBy("phash").agg(F.min("pkey").alias("first_key"))
+        marked = (
+            p.join(first_in_batch, "phash")
+            .join(seen.withColumn("prior", F.lit(True)), "phash", "left")
+            .select(
+                "doc_id",
+                (
+                    F.col("prior").isNotNull()
+                    | (F.col("pkey") != F.col("first_key"))
+                ).alias("is_dup"),
+            )
+        )
+        stats = marked.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup"),
+            F.round(
+                1.0
+                - F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("uniq_ratio"),
+        )
+        stats.write.mode("append").parquet(out_dir)
+        novel = first_in_batch.join(seen, "phash", "left_anti").select("phash")
+        novel.write.mode("append").parquet(ledger_dir)
+
+    return (
+        raw.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_stream_bounded(spark: SparkSession, src_dir: str) -> DataFrame:
     """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
     keeps the first-seen row per event_id and EVICTS each key's state
