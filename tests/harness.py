@@ -51,6 +51,15 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "") 
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: rowcount {len(got)} != {len(want)}"
+    # The driver's value hash is dtype-KIND-sensitive: a DuckDB HUGEINT
+    # sum widened to float64 hash-mismatches a Spark int64 even when
+    # every value is equal (the round-3 pii_scan failure), while plain
+    # integer-width differences (Spark int32 rank vs DuckDB int64) have
+    # always hashed green. Enforce kind equality locally so an
+    # int-vs-float drift is caught before the driver sees it.
+    gk = {c: got[c].dtype.kind.replace("u", "i") for c in got.columns}
+    wk = {c: want[c].dtype.kind.replace("u", "i") for c in want.columns}
+    assert gk == wk, f"{name}: dtype kinds differ: spark={gk} oracle={wk}"
     for c in got.columns:
         g, w = got[c], want[c]
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):

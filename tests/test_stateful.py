@@ -200,3 +200,96 @@ def test_streaming_windowed_agg_matches_batch(spark, sf_dir):
         assert ((merged["delta_s"] - merged["delta_b"]).abs() < 1e-6).all()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_fsm_oracle_walk_covers_every_branch(spark):
+    """Kernel ↔ recursive-CTE-oracle equivalence on crafted decision
+    paths exercising branches the fixtures never hit: TIME stops, the
+    TP-over-TIME precedence, re-entry after exit, the |z| >= 1.5 entry
+    boundary, qty sized from a pre-entry first tick, a same-row
+    EOD close, and a never-entering key."""
+    import datetime as dt
+
+    import duckdb
+
+    from zcode_iceberg_spark.operators import stateful as st
+    from zcode_iceberg_spark.suite.stateful import fsm_closed_cte
+
+    t0 = dt.datetime(2026, 1, 2, 0, 0, 0)
+
+    def row(uid, secs, eid, price, z):
+        return (uid, t0 + dt.timedelta(seconds=secs), eid, price, z)
+
+    rows = [
+        # u1 LONG: TP, then re-entry -> SL
+        row(1, 0, 1, 100.0, 2.0),
+        row(1, 60, 2, 101.5, 0.0),        # +1.5% -> TP
+        row(1, 120, 3, 100.0, 2.0),       # re-enter
+        row(1, 180, 4, 98.9, 0.0),        # -1.1% -> SL
+        # u2 SHORT: TP, then boundary-entry (z = -1.5) -> SL
+        row(2, 0, 5, 200.0, -2.0),
+        row(2, 60, 6, 197.0, 0.0),        # short +1.5% -> TP
+        row(2, 120, 7, 200.0, -1.5),      # boundary entry, SHORT
+        row(2, 180, 8, 202.5, 0.0),       # short -1.25% -> SL
+        # u3: TP wins over a simultaneous TIME trigger; then a real TIME
+        row(3, 0, 9, 50.0, 1.6),
+        row(3, 43200, 10, 50.1, 0.0),                  # in band, holds
+        row(3, 90000, 11, 50.9, 0.0),                  # >24h AND +1.8% -> TP
+        row(3, 90060, 12, 51.0, 1.7),                  # re-enter
+        row(3, 93660, 13, 51.1, 0.0),                  # in band
+        row(3, 180000, 14, 51.2, 0.0),                 # >24h in band -> TIME
+        # u4: qty sized from pre-entry first tick (80), EOD at last
+        row(4, 0, 15, 80.0, 0.0),
+        row(4, 60, 16, 75.0, 1.5),
+        row(4, 120, 17, 75.1, 0.0),                    # in band -> EOD
+        # u5: never enters
+        row(5, 0, 18, 10.0, 1.49),
+        row(5, 60, 19, 10.0, -1.49),
+        # u6: enters on its only row -> zero-hold EOD
+        row(6, 0, 20, 40.0, 2.0),
+        # u7: dyadic first price (1250/10.24 is a banker's-rounding tie)
+        row(7, 0, 21, 10.24, 2.0),
+        row(7, 60, 22, 10.40, 0.0),                    # +1.56% -> TP
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "ts", "event_id", "price", "z"]
+    )
+    dec = spark.createDataFrame(pdf)
+    got = (
+        st.position_fsm(dec)
+        .toPandas()
+        .sort_values(["user_id", "trade_seq"])
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    con.register("fsm_dec_test", pdf)
+    sql = fsm_closed_cte(
+        "dec AS (SELECT user_id, ts, event_id, price, z,"
+        " row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        " AS rn FROM fsm_dec_test)"
+    ) + (
+        "\nSELECT user_id, trade_seq, side, entry_ts, exit_ts, entry_price,"
+        " exit_price, qty, pnl, exit_reason, hold_secs FROM closed"
+        " ORDER BY user_id, trade_seq"
+    )
+    want = con.execute(sql).df().reset_index(drop=True)
+
+    assert len(got) == len(want) == 9
+    assert list(got["exit_reason"]) == list(want["exit_reason"])
+    # every branch appears; u5 never trades; u3's first exit is TP not TIME
+    assert set(got["exit_reason"]) == {"TP", "SL", "TIME", "EOD"}
+    assert 5 not in set(got["user_id"])
+    u3 = got[got["user_id"] == 3].sort_values("trade_seq")
+    assert list(u3["exit_reason"]) == ["TP", "TIME"]
+    for c in ("user_id", "trade_seq", "side"):
+        assert list(got[c]) == list(want[c]), c
+    for c in ("entry_price", "exit_price", "qty", "pnl", "hold_secs"):
+        assert (got[c] - want[c]).abs().max() == 0.0, c
+    # u4 sized from its pre-entry first tick (1250/80), not entry price
+    assert got.loc[got["user_id"] == 4, "qty"].iloc[0] == round(1250 / 80.0, 6)
+    # u7 banker's tie: Python round == DuckDB round_even
+    assert got.loc[got["user_id"] == 7, "qty"].iloc[0] == 122.070312
+    # u6 zero-hold EOD
+    u6 = got[got["user_id"] == 6]
+    assert u6["hold_secs"].iloc[0] == 0.0 and u6["pnl"].iloc[0] == 0.0

@@ -254,10 +254,10 @@ def passage_dedup_stream(
     Scale shape: everything keys on the 16-byte phash — the ledger is
     a compacted hash table (never text), the anti-join and first-seen
     groupBy hash-partition uniformly, and per-doc rollups are partial
-    aggs. foreachBatch is exactly-once per epoch under the checkpoint;
-    the ledger append is idempotent-enough for replay because a
-    re-appended hash only adds another copy of an already-seen key
-    (dup verdicts are unchanged; the ledger is a SET by meaning).
+    aggs. foreachBatch is at-least-once on crash replay, so both sinks
+    write per-epoch subdirectories with overwrite — a replayed epoch
+    rewrites its own partition instead of appending duplicates, making
+    the pipeline effectively exactly-once under the checkpoint.
     Returns the started StreamingQuery."""
     from zcode_iceberg_spark.operators.text import passage_hashes
 
@@ -296,9 +296,9 @@ def passage_dedup_stream(
                 6,
             ).alias("uniq_ratio"),
         )
-        stats.write.mode("append").parquet(out_dir)
+        stats.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
         novel = first_in_batch.join(seen, "phash", "left_anti").select("phash")
-        novel.write.mode("append").parquet(ledger_dir)
+        novel.write.mode("overwrite").parquet(f"{ledger_dir}/epoch={epoch_id}")
 
     return (
         raw.writeStream.foreachBatch(step)

@@ -170,11 +170,12 @@ _REASON = f"""CASE
     THEN 'TIME'
   END"""
 
-# Shared prefix: ticks -> delta -> z (identical to the hysteresis
-# oracle, plus price carried through) -> decision rows numbered per key
-# -> the recursive walk -> `closed` (one row per closed trade, raw
-# unrounded values exactly as position_fsm emits them).
-_FSM_CLOSED_CTE = f"""WITH RECURSIVE ticks AS ({EVENTS_TICKS_SQL}),
+# Production decision source: ticks -> delta -> z (identical to the
+# hysteresis oracle, plus price carried through) -> decision rows
+# numbered per key. The walk itself is factored over any `dec` block
+# (fsm_closed_cte) so tests can inject crafted decision paths that
+# exercise branches the fixtures never hit (e.g. TIME exits).
+_FSM_DEC_PROD = f"""ticks AS ({EVENTS_TICKS_SQL}),
 d AS (
   SELECT event_id, user_id, ts, price,
          SUM(CASE WHEN is_buy THEN qty ELSE 0.0 END) OVER w
@@ -198,8 +199,9 @@ dec AS (
               ELSE 0.0 END AS z,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM p
-),
-walk AS (
+)"""
+
+_FSM_WALK_SQL = f"""walk AS (
   SELECT user_id,
          CAST(0 AS BIGINT) AS rn,
          CAST(NULL AS DOUBLE) AS qty,
@@ -274,7 +276,19 @@ closed AS (
   WHERE f.side IS NOT NULL
 )"""
 
-SQL_POSITION_LEDGER = f"""{_FSM_CLOSED_CTE}
+
+def fsm_closed_cte(dec_block: str) -> str:
+    """The recursive FSM walk + closed-trades CTE chain over any
+    ``dec`` block exposing (user_id, ts, event_id, price, z, rn) —
+    production oracles pass the ticks→z chain; tests inject crafted
+    decision paths (tests/test_stateful.py exercises every exit
+    branch, including the fixtures' never-firing TIME stop)."""
+    return f"WITH RECURSIVE {dec_block},\n{_FSM_WALK_SQL}"
+
+
+_FSM_CLOSED_CTE = fsm_closed_cte(_FSM_DEC_PROD)
+
+_FSM_LEDGER_SELECT = f"""
 SELECT user_id, trade_seq,
        printf('ZS%04d', trade_seq) AS trade_id,
        side,
@@ -289,6 +303,8 @@ SELECT user_id, trade_seq,
        round(hold_secs, 6) AS hold_secs
 FROM closed
 """
+
+SQL_POSITION_LEDGER = _FSM_CLOSED_CTE + _FSM_LEDGER_SELECT
 
 SQL_LEDGER_DAILY_SUMMARY = f"""{_FSM_CLOSED_CTE},
 g AS (
