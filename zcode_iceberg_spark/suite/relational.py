@@ -320,10 +320,18 @@ def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     yardstick (pure scale-path usage drops the exact column —
     `distinct_parts_per_supplier` keeps the exact form)."""
     li = load_table(spark, sf_dir, "lineitem")
-    g = li.groupBy("l_returnflag").agg(
+    # two-level agg instead of countDistinct+approx in one agg: the
+    # latter EXPANDs every row (measured 4.9 s vs ~1 s at sf0.1). HLL
+    # is multiplicity-invariant, so sketching the pre-deduped pairs
+    # yields the identical estimate with one scan and two cheap
+    # partial-agg shuffles.
+    pairs = li.groupBy("l_returnflag", "l_partkey").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    g = pairs.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("c").alias("n_lines"),
     )
     rel_err = F.abs(F.col("approx_parts") - F.col("n_parts")) / F.col("n_parts")
     return g.select(
