@@ -1797,8 +1797,17 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id order — left-to-right double folds are bit-identical on
     both engines, so nearest-centroid argmins agree exactly; floats
     are only rounded at the output edge."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+        )
+        # materialize the parsed vectors ONCE: every Lloyd round (and
+        # the final assignment) re-reads this frame, and re-scanning
+        # parquet + re-casting per round costs more than the one
+        # executor-local write (the standard iterative-ML input cache;
+        # measured 7.0 -> 3.4 s cold at sf0.1)
+        .localCheckpoint()
     )
     seeds = sorted(
         emb.orderBy("vec_id").limit(KM_K).collect(), key=lambda r: r["vec_id"]
