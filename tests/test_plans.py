@@ -197,3 +197,14 @@ def test_neardup_blocking_join_on_block_key(spark, sf_dir):
     p = plan(spark, sf_dir, "embedding_neardup")
     assert "BroadcastHashJoin" in p  # counts broadcast back
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_approx_distinct_two_level_no_expand(spark, sf_dir):
+    """approx_distinct_parts must stay the two-level aggregate:
+    sketching the pre-deduped pairs, never an Expand of every input
+    row (countDistinct+approx in one agg costs 4.9 s vs 1.3 s at
+    sf0.1), with both levels partially aggregated below their
+    shuffles."""
+    p = plan(spark, sf_dir, "approx_distinct_parts")
+    assert "Expand" not in p
+    assert "partial_count" in p or "partial_approx_count_distinct" in p
