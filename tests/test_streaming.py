@@ -562,3 +562,29 @@ def test_fsm_checkpoint_kill_and_resume(spark, sf_dir, tmp):
     assert len(gm) == len(got)  # no duplicate (user, seq) across restart
     assert len(gm) == len(wm) > 0
     assert gm == wm
+
+
+def test_passage_dedup_epoch_replay_idempotent(spark, sf_dir, raw_docs_dir, tmp):
+    """foreachBatch is at-least-once on crash: replaying an epoch must
+    leave the stats and ledger byte-identical (per-epoch overwrite
+    partitions; a replayed epoch must also not see its own first
+    attempt's ledger hashes as prior)."""
+    from zcode_iceberg_spark.streaming.pipeline import passage_dedup_step
+    from zcode_iceberg_spark.suite.llm import q_passage_dedup
+
+    files = sorted(Path(raw_docs_dir).glob("*.parquet"))
+    assert len(files) == 2
+    out, led = f"{tmp}/rp_out", f"{tmp}/rp_ledger"
+    for i, f in enumerate(files):
+        passage_dedup_step(spark.read.parquet(str(f)), i, led, out)
+    # crash-replay the LAST epoch: identical inputs, same epoch id
+    passage_dedup_step(spark.read.parquet(str(files[1])), 1, led, out)
+    got = {
+        r["doc_id"]: (r["n_passages"], r["n_dup"], r["uniq_ratio"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_passages"], r["n_dup"], r["uniq_ratio"])
+        for r in q_passage_dedup(spark, sf_dir).collect()
+    }
+    assert got == want and got

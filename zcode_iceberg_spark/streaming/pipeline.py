@@ -259,8 +259,6 @@ def passage_dedup_stream(
     rewrites its own partition instead of appending duplicates, making
     the pipeline effectively exactly-once under the checkpoint.
     Returns the started StreamingQuery."""
-    from zcode_iceberg_spark.operators.text import passage_hashes
-
     raw = (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -268,37 +266,7 @@ def passage_dedup_stream(
     )
 
     def step(batch_df: DataFrame, epoch_id: int) -> None:
-        s = batch_df.sparkSession
-        p = passage_hashes(batch_df, "doc_id", "text", width=width)
-        try:
-            seen = s.read.parquet(ledger_dir).select("phash").distinct()
-        except AnalysisException:  # first batch: empty ledger
-            seen = s.createDataFrame([], "phash string")
-        first_in_batch = p.groupBy("phash").agg(F.min("pkey").alias("first_key"))
-        marked = (
-            p.join(first_in_batch, "phash")
-            .join(seen.withColumn("prior", F.lit(True)), "phash", "left")
-            .select(
-                "doc_id",
-                (
-                    F.col("prior").isNotNull()
-                    | (F.col("pkey") != F.col("first_key"))
-                ).alias("is_dup"),
-            )
-        )
-        stats = marked.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("n_passages"),
-            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup"),
-            F.round(
-                1.0
-                - F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
-                / F.count(F.lit(1)),
-                6,
-            ).alias("uniq_ratio"),
-        )
-        stats.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
-        novel = first_in_batch.join(seen, "phash", "left_anti").select("phash")
-        novel.write.mode("overwrite").parquet(f"{ledger_dir}/epoch={epoch_id}")
+        passage_dedup_step(batch_df, epoch_id, ledger_dir, out_dir, width)
 
     return (
         raw.writeStream.foreachBatch(step)
@@ -306,6 +274,58 @@ def passage_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def passage_dedup_step(
+    batch_df: DataFrame,
+    epoch_id: int,
+    ledger_dir: str,
+    out_dir: str,
+    width: int = 8,
+) -> None:
+    """One ``passage_dedup_stream`` epoch (module-level so tests can
+    replay an epoch directly and pin the overwrite-idempotence claim).
+    Only ledger partitions from EARLIER epochs count as prior — a
+    replayed epoch must not see its own crashed first attempt's
+    hashes, or every passage it introduced would flip to duplicate."""
+    from zcode_iceberg_spark.operators.text import passage_hashes
+
+    s = batch_df.sparkSession
+    p = passage_hashes(batch_df, "doc_id", "text", width=width)
+    try:
+        seen = (
+            s.read.parquet(ledger_dir)
+            .filter(F.col("epoch") < epoch_id)
+            .select("phash")
+            .distinct()
+        )
+    except AnalysisException:  # first batch: empty ledger
+        seen = s.createDataFrame([], "phash string")
+    first_in_batch = p.groupBy("phash").agg(F.min("pkey").alias("first_key"))
+    marked = (
+        p.join(first_in_batch, "phash")
+        .join(seen.withColumn("prior", F.lit(True)), "phash", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("prior").isNotNull()
+                | (F.col("pkey") != F.col("first_key"))
+            ).alias("is_dup"),
+        )
+    )
+    stats = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup"),
+        F.round(
+            1.0
+            - F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("uniq_ratio"),
+    )
+    stats.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+    novel = first_in_batch.join(seen, "phash", "left_anti").select("phash")
+    novel.write.mode("overwrite").parquet(f"{ledger_dir}/epoch={epoch_id}")
 
 
 def dedup_stream_bounded(spark: SparkSession, src_dir: str) -> DataFrame:
