@@ -1,0 +1,96 @@
+"""JSONL (newline-delimited JSON) ingest/egress — the interchange
+format LLM corpora actually ship in (one document object per line,
+gzip-sharded). Reference analog: the feed layer's defensive JSON
+normalization (data_manager.py:272-285 parses every inbound payload
+defensively); here the same stance is applied to corpus files.
+
+Scale stance:
+- **Reads take an explicit schema, never inference.** Schema inference
+  is a full extra pass over the data — a non-starter at 100 TB — and
+  silently widens/narrows types between shards. The schema IS the
+  contract; Spark's JSON reader prunes to it (only the listed fields
+  are parsed, the rest of each line is skipped).
+- **Corrupt lines are quarantined, not fatal and not silently
+  dropped.** PERMISSIVE mode routes unparseable lines to
+  ``_corrupt_record``; `read_jsonl` splits them into a separate frame
+  so a pipeline can count/inspect them (a 100 TB crawl WILL contain
+  truncated shards). ``strict=True`` switches to FAILFAST for
+  pipelines that prefer loud death.
+- **Writes shard by partition count** (one file per task, standard
+  Spark contract) with optional gzip — line-splittable formats plus
+  per-file compression is the layout downstream tokenizer jobs expect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# the documents-table contract, as a JSONL schema; the quarantine
+# column is appended by read_jsonl itself
+DOC_JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+_CORRUPT = "_corrupt_record"
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOC_JSONL_SCHEMA,
+    strict: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Read a JSONL directory/file → (valid_rows, corrupt_lines).
+
+    ``valid_rows`` carries exactly ``schema``'s columns;
+    ``corrupt_lines`` carries the raw offending line (one string
+    column). With ``strict=True`` the read is FAILFAST and
+    ``corrupt_lines`` is empty by construction.
+    """
+    read_schema = T.StructType(
+        [*schema.fields, T.StructField(_CORRUPT, T.StringType())]
+    )
+    df = (
+        spark.read.schema(read_schema)
+        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .json(path)
+        # Spark requires caching/materializing the raw frame before the
+        # corrupt-record column can be filtered on (SPARK-38676 rule:
+        # a query over only the corrupt column is disallowed; selecting
+        # alongside real columns from a materialized frame is fine)
+        .localCheckpoint(eager=False)
+    )
+    valid = df.filter(F.col(_CORRUPT).isNull()).select(
+        *[f.name for f in schema.fields]
+    )
+    corrupt = df.filter(F.col(_CORRUPT).isNotNull()).select(
+        F.col(_CORRUPT).alias("raw_line")
+    )
+    return valid, corrupt
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    n_shards: int | None = None,
+    compress: bool = False,
+) -> None:
+    """Write a frame as JSONL shards (one object per line, one file
+    per task; ``n_shards`` repartitions first, round-robin for even
+    shard sizes). ``compress=True`` gzips each shard — JSONL stays
+    line-splittable per file, which is what sharded tokenizer /
+    dataloader jobs consume."""
+    out = df.repartition(n_shards) if n_shards else df
+    writer = out.write.mode("overwrite")
+    if compress:
+        writer = writer.option("compression", "gzip")
+    writer.json(path)
