@@ -89,3 +89,22 @@ def test_jsonl_feeds_the_pipeline(spark, sf_dir, tmp):
     want = docs.select(F.md5("text").alias("h")).distinct().count()
     got = valid.select(F.md5("text").alias("h")).distinct().count()
     assert got == want > 0
+
+
+def test_jsonl_stream_matches_batch(spark, sf_dir, tmp):
+    """Duality: streaming the JSONL shards yields exactly the batch
+    read's rows, corrupt lines included as quarantine rows."""
+    from zcode_iceberg_spark.sources.jsonl import stream_jsonl
+    from zcode_iceberg_spark.streaming.pipeline import run_available_now
+
+    docs = load_table(spark, sf_dir, "documents")
+    write_jsonl(docs, str(tmp / "st"), n_shards=3)
+    with open(tmp / "st" / "part-bad.json", "w") as f:
+        f.write("broken {\n")
+    st = stream_jsonl(spark, str(tmp / "st"))
+    run_available_now(st, str(tmp / "st_out"), str(tmp / "st_ck"))
+    out = spark.read.parquet(str(tmp / "st_out"))
+    valid = out.filter(F.col("_corrupt_record").isNull())
+    corrupt = out.filter(F.col("_corrupt_record").isNotNull())
+    assert corrupt.count() == 1
+    assert _doc_map(valid) == _doc_map(docs)

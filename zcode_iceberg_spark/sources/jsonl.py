@@ -94,3 +94,28 @@ def write_jsonl(
     if compress:
         writer = writer.option("compression", "gzip")
     writer.json(path)
+
+
+def stream_jsonl(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType = DOC_JSONL_SCHEMA,
+) -> DataFrame:
+    """Streaming twin of ``read_jsonl`` (the engine's warmup/stream
+    duality applied to the corpus source): a file-source stream over
+    arriving JSONL shards with the SAME explicit schema and the same
+    quarantine column — valid rows flow on, corrupt lines survive as
+    ``_corrupt_record`` rows for a routing sink to split (a stream
+    can't return two frames; routing is the sink's job). Composes
+    directly with the document streams (dedup_stream,
+    passage_dedup_stream) by selecting the valid columns."""
+    read_schema = T.StructType(
+        [*schema.fields, T.StructField(_CORRUPT, T.StringType())]
+    )
+    return (
+        spark.readStream.schema(read_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .option("maxFilesPerTrigger", 1)
+        .json(src_dir)
+    )
