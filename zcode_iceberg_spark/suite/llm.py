@@ -1944,6 +1944,89 @@ GROUP BY p.doc_id
 """
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-SPAN extraction below passage granularity: contiguous
+    runs of duplicate {PASSAGE_W}-word passages per doc, as
+    (doc_id, span_idx, start/end passage + word offsets, length) — the
+    RefinedWeb-style "cut the copied span, keep the rest" unit, one
+    step finer than q_passage_dedup's per-doc ratios.
+
+    Shape: the shared passage-hash kernel + the same first-seen
+    groupBy/join, then gaps-and-islands per doc (pidx − row_number
+    island key). Both windows partition by doc_id — per-doc bounded,
+    never corpus-wide — so the plan is the passage-dedup plan plus two
+    cheap per-doc windows."""
+    d = load_table(spark, sf_dir, "documents")
+    p = tx.passage_hashes(d, "doc_id", "text", width=PASSAGE_W)
+    first_seen = p.groupBy("phash").agg(F.min("pkey").alias("first_key"))
+    dup = (
+        p.join(first_seen, "phash")
+        .filter(F.col("pkey") != F.col("first_key"))
+        .select("doc_id", "pidx")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pidx")
+    grp = (F.col("pidx") - F.row_number().over(wdoc)).alias("grp")
+    spans = (
+        dup.select("doc_id", "pidx", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pidx").alias("start_pidx"),
+            F.max("pidx").alias("end_pidx"),
+            F.count(F.lit(1)).alias("n_dup_passages"),
+        )
+    )
+    wspan = Window.partitionBy("doc_id").orderBy("start_pidx")
+    return spans.select(
+        "doc_id",
+        F.row_number().over(wspan).alias("span_idx"),
+        "start_pidx",
+        "end_pidx",
+        "n_dup_passages",
+        (F.col("start_pidx") * PASSAGE_W).alias("start_word"),
+        ((F.col("end_pidx") + 1) * PASSAGE_W).alias("end_word_bound"),
+    )
+
+
+SQL_DUP_SPANS = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+p AS (
+  SELECT doc_id, i.g AS pidx,
+         md5(array_to_string(w[(i.g*{PASSAGE_W}+1):((i.g+1)*{PASSAGE_W})], ' ')) AS phash,
+         doc_id * 1000000 + i.g AS pkey
+  FROM base,
+       unnest(generate_series(0, CAST(ceil(len(w) / {PASSAGE_W}.0) AS INT) - 1)) AS i(g)
+  WHERE len(w) > 0
+),
+first_seen AS (
+  SELECT phash, min(pkey) AS first_key FROM p GROUP BY phash
+),
+dup AS (
+  SELECT p.doc_id, p.pidx
+  FROM p JOIN first_seen f ON p.phash = f.phash
+  WHERE p.pkey <> f.first_key
+),
+islands AS (
+  SELECT doc_id, pidx,
+         pidx - row_number() OVER (PARTITION BY doc_id ORDER BY pidx) AS grp
+  FROM dup
+),
+spans AS (
+  SELECT doc_id, grp, min(pidx) AS start_pidx, max(pidx) AS end_pidx,
+         count(*) AS n_dup_passages
+  FROM islands GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_pidx)
+            AS BIGINT) AS span_idx,
+       start_pidx, end_pidx, n_dup_passages,
+       start_pidx * {PASSAGE_W} AS start_word,
+       (end_pidx + 1) * {PASSAGE_W} AS end_word_bound
+FROM spans
+"""
+
+
 PIPE_MIN_QUALITY = 0.8
 
 
@@ -2184,6 +2267,7 @@ FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 QUERIES = {
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
     "passage_dedup": Query(q_passage_dedup, SQL_PASSAGE_DEDUP),
+    "dup_spans": Query(q_dup_spans, SQL_DUP_SPANS),
     "boilerplate_strip": Query(q_boilerplate_strip, SQL_BOILERPLATE_STRIP),
     "corpus_pipeline": Query(q_corpus_pipeline, SQL_CORPUS_PIPELINE),
     "minhash_signatures": Query(q_minhash_signatures, SQL_MINHASH_SIGNATURES),
