@@ -62,7 +62,9 @@ PRIORITY = [
     "ticks_normalize", "delta_zscore", "cvd", "sessionize", "ohlc_1h",
     "ema", "book_topk", "best_quotes", "imbalance", "wall_strength",
     "asof_trade_quote", "range_join_flow", "signal_scores", "trade_params",
-    "trend_hysteresis", "passage_dedup", "corpus_pipeline",
+    # dup_spans (new, never driver-checked) takes passage_dedup's slot:
+    # same shared kernel, strictly finer output, r3-green rotates out
+    "trend_hysteresis", "dup_spans", "corpus_pipeline",
 ]
 
 
