@@ -94,3 +94,22 @@ def test_us_helper_rejects_raw_nanos_long(spark, layouts_dir, module):
     assert dict(raw.dtypes)["ts"] in ("bigint", "long")
     with pytest.raises(AnalysisException):
         raw.select(ops._us("ts")).collect()
+
+
+def test_normalize_ts_nanos_floor_for_negatives(spark, tmp_path):
+    """floor(ns/1000), not truncation toward zero: pre-1970 nanos with
+    sub-microsecond remainders must round DOWN (-1500 ns -> -2 us)."""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "ts": pa.array([-1500, -999, 999, 1500], pa.int64()),
+            }
+        ),
+        tmp_path / "neg.parquet",
+    )
+    df = normalize_ts(spark.read.parquet(str(tmp_path / "neg.parquet")))
+    got = {r["event_id"]: r["us"] for r in df.select(
+        "event_id", F.unix_micros("ts").alias("us")
+    ).collect()}
+    assert got == {1: -2, 2: -1, 3: 0, 4: 1}

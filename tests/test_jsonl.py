@@ -76,7 +76,7 @@ def test_jsonl_strict_mode_fails_loudly(spark, sf_dir, tmp):
     with open(tmp / "s" / "part-garbage.json", "w") as f:
         f.write("garbage line\n")
     valid, _ = read_jsonl(spark, str(tmp / "s"), strict=True)
-    with pytest.raises(Exception):
+    with pytest.raises(Exception, match="FAILFAST|Malformed|MALFORMED"):
         valid.count()
 
 

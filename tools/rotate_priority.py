@@ -44,8 +44,6 @@ def load_history(paths: list[str]) -> dict[str, dict[int, bool]]:
 def suggest(
     names: list[str], hist: dict[str, dict[int, bool]], window: int
 ) -> tuple[list[str], list[tuple[str, str]]]:
-    latest = max((r for h in hist.values() for r in h), default=0)
-
     def freshness(name: str) -> tuple[int, int, str]:
         """Sort key: (0=red-last-row, 1=never-checked, 2=green) then
         last-green round ascending (stalest first)."""

@@ -11,11 +11,11 @@ Scale stance:
   contract; Spark's JSON reader prunes to it (only the listed fields
   are parsed, the rest of each line is skipped).
 - **Corrupt lines are quarantined, not fatal and not silently
-  dropped.** PERMISSIVE mode routes unparseable lines to
-  ``_corrupt_record``; `read_jsonl` splits them into a separate frame
-  so a pipeline can count/inspect them (a 100 TB crawl WILL contain
-  truncated shards). ``strict=True`` switches to FAILFAST for
-  pipelines that prefer loud death.
+  dropped.** `read_jsonl` returns unparseable lines as a separate
+  frame so a pipeline can count/inspect them (a 100 TB crawl WILL
+  contain truncated shards); the streaming twin carries them as
+  ``_corrupt_record`` rows for a routing sink. ``strict=True``
+  switches to FAILFAST for pipelines that prefer loud death.
 - **Writes shard by partition count** (one file per task, standard
   Spark contract) with optional gzip — line-splittable formats plus
   per-file compression is the layout downstream tokenizer jobs expect.
@@ -54,27 +54,39 @@ def read_jsonl(
     ``corrupt_lines`` carries the raw offending line (one string
     column). With ``strict=True`` the read is FAILFAST and
     ``corrupt_lines`` is empty by construction.
+
+    Both frames derive from a text scan + ``from_json`` rather than
+    the reader's ``_corrupt_record`` machinery: Spark's analyzer
+    rejects any query that prunes down to only the corrupt column
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN — even ``valid.count()`` does,
+    since the quarantine filter is then the only column reference),
+    and the documented cache workaround would materialize a full copy
+    of the corpus on the hot path. ``from_json`` with its own
+    corrupt-record option marks unparseable lines in a plain struct
+    field — same quarantine set, ordinary prunable expressions, no
+    caching anywhere.
     """
+    if strict:
+        df = spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+        return df, spark.createDataFrame([], "raw_line string")
     read_schema = T.StructType(
         [*schema.fields, T.StructField(_CORRUPT, T.StringType())]
     )
-    df = (
-        spark.read.schema(read_schema)
-        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", _CORRUPT)
-        .json(path)
-        # Spark requires caching/materializing the raw frame before the
-        # corrupt-record column can be filtered on (SPARK-38676 rule:
-        # a query over only the corrupt column is disallowed; selecting
-        # alongside real columns from a materialized frame is fine)
-        .localCheckpoint(eager=False)
+    parsed = (
+        spark.read.text(path)
+        .filter(F.trim("value") != "")
+        .select(
+            "value",
+            F.from_json(
+                "value", read_schema, {"columnNameOfCorruptRecord": _CORRUPT}
+            ).alias("r"),
+        )
     )
-    valid = df.filter(F.col(_CORRUPT).isNull()).select(
-        *[f.name for f in schema.fields]
+    bad = F.col("r").isNull() | F.col("r")[_CORRUPT].isNotNull()
+    valid = parsed.filter(~bad).select(
+        *[F.col("r")[f.name].alias(f.name) for f in schema.fields]
     )
-    corrupt = df.filter(F.col(_CORRUPT).isNotNull()).select(
-        F.col(_CORRUPT).alias("raw_line")
-    )
+    corrupt = parsed.filter(bad).select(F.col("value").alias("raw_line"))
     return valid, corrupt
 
 

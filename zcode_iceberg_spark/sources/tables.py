@@ -53,11 +53,16 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """
     dtype = dict(df.dtypes).get(col)
     if dtype in ("bigint", "long"):
-        # integer DIV, not `/ 1000`: double division promotes the int64
-        # nanosecond value past the 53-bit mantissa, so ~2026-era values
-        # would truncate to a microsecond off exact floor(ns/1000)
+        # exact floor(ns/1000) in integer arithmetic: double division
+        # promotes the int64 nanosecond value past the 53-bit mantissa
+        # (2026-era values truncate 1us off), and bare DIV truncates
+        # toward zero, which is not floor for pre-1970 negatives — the
+        # pmod subtraction makes the numerator an exact multiple first
         return df.withColumn(
-            col, F.timestamp_micros(F.expr(f"CAST({col} DIV 1000 AS BIGINT)"))
+            col,
+            F.timestamp_micros(
+                F.expr(f"CAST(({col} - pmod({col}, 1000)) DIV 1000 AS BIGINT)")
+            ),
         )
     if dtype == "timestamp_ntz":
         return df.withColumn(col, F.col(col).cast("timestamp"))

@@ -474,6 +474,12 @@ def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.min("nbr_label").alias("nbr_min"))
         )
+        # deliberately NOT checkpointed: both sides of the compression
+        # join consume `stepped`, so its subtree evaluates twice per
+        # round (no subplan CSE) — but ReuseExchange still dedups the
+        # shuffles below it, and a measured A/B showed materializing
+        # here is a net LOSS at bench scale (7.5 s vs 5.3 s warm; the
+        # subtree recompute is cheaper than the extra RDD write+sync)
         stepped = labels.join(nbr_min, "doc_id", "left").select(
             "doc_id",
             F.least(
@@ -1919,8 +1925,11 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_PASSAGE_DEDUP = f"""
-WITH base AS (
+# Shared oracle twin of operators/text.py:passage_hashes — interpolated
+# into every passage-family oracle so the SQL side has ONE definition of
+# passage construction, mirroring the shared Spark kernel (a change to
+# width/pkey semantics edits exactly one string on each side).
+PASSAGE_P_CTE = f"""base AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ),
 p AS (
@@ -1933,7 +1942,10 @@ p AS (
 ),
 first_seen AS (
   SELECT phash, min(pkey) AS first_key FROM p GROUP BY phash
-)
+)"""
+
+SQL_PASSAGE_DEDUP = f"""
+WITH {PASSAGE_P_CTE}
 SELECT p.doc_id,
        count(*) AS n_passages,
        CAST(sum(CASE WHEN p.pkey <> f.first_key THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
@@ -1988,20 +2000,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DUP_SPANS = f"""
-WITH base AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-),
-p AS (
-  SELECT doc_id, i.g AS pidx,
-         md5(array_to_string(w[(i.g*{PASSAGE_W}+1):((i.g+1)*{PASSAGE_W})], ' ')) AS phash,
-         doc_id * 1000000 + i.g AS pkey
-  FROM base,
-       unnest(generate_series(0, CAST(ceil(len(w) / {PASSAGE_W}.0) AS INT) - 1)) AS i(g)
-  WHERE len(w) > 0
-),
-first_seen AS (
-  SELECT phash, min(pkey) AS first_key FROM p GROUP BY phash
-),
+WITH {PASSAGE_P_CTE},
 dup AS (
   SELECT p.doc_id, p.pidx
   FROM p JOIN first_seen f ON p.phash = f.phash
