@@ -869,6 +869,52 @@ FROM toks
 """
 
 
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution in log2 buckets — the planning
+    statistic behind sequence packing and context-length choice (how
+    many docs fit a 2^k window; what share of tokens sit in the tail).
+    One projection + one tiny groupBy: the histogram a 100 TB corpus
+    profile pass produces map-side for near-free."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(tx.tokens(F.col("text"))).cast("bigint")
+    bucket = F.floor(F.log2(F.greatest(n, F.lit(1)))).cast("bigint")
+    g = d.select(bucket.alias("log2_bucket"), n.alias("n")).groupBy(
+        "log2_bucket"
+    )
+    out = g.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.min("n").alias("min_tokens"),
+        F.max("n").alias("max_tokens"),
+    )
+    total = F.sum("total_tokens").over(Window.partitionBy())
+    return out.withColumn(
+        "token_share", F.round(F.col("total_tokens") / total, 6)
+    )
+
+
+SQL_TOKEN_HISTOGRAM = f"""
+WITH {TOKS_CTE},
+n AS (
+  SELECT CAST(floor(log2(greatest(len(w), 1))) AS BIGINT) AS log2_bucket,
+         CAST(len(w) AS BIGINT) AS n
+  FROM toks
+),
+g AS (
+  SELECT log2_bucket,
+         count(*) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS total_tokens,
+         min(n) AS min_tokens,
+         max(n) AS max_tokens
+  FROM n GROUP BY log2_bucket
+)
+SELECT log2_bucket, n_docs, total_tokens, min_tokens, max_tokens,
+       round(total_tokens / CAST(sum(total_tokens) OVER () AS DOUBLE), 6)
+         AS token_share
+FROM g
+"""
+
+
 VOCAB_K = 100
 
 
@@ -2279,6 +2325,7 @@ QUERIES = {
     "lang_id": Query(q_lang_id, SQL_LANG_ID),
     "text_quality": Query(q_text_quality, SQL_TEXT_QUALITY),
     "token_counts": Query(q_token_counts, SQL_TOKEN_COUNTS),
+    "token_histogram": Query(q_token_histogram, SQL_TOKEN_HISTOGRAM),
     "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),
     "doc_split": Query(q_doc_split, SQL_DOC_SPLIT),
     "pii_scan": Query(q_pii_scan, SQL_PII_SCAN),
