@@ -293,3 +293,49 @@ def test_fsm_oracle_walk_covers_every_branch(spark):
     # u6 zero-hold EOD
     u6 = got[got["user_id"] == 6]
     assert u6["hold_secs"].iloc[0] == 0.0 and u6["pnl"].iloc[0] == 0.0
+
+
+def test_avg_micro_exact_formula_is_exact_half_away_mean():
+    """The integer formula behind avg_micro_exact — sign-split
+    (2s+n) DIV (2n) on micro-units — must equal round-half-away-from-
+    zero of the EXACT rational mean at 6 decimals, for any inputs.
+    Verified against Fraction arithmetic over randomized micro-unit
+    samples including exact .5 ties."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings, strategies as st
+
+    def formula(us: list) -> float:
+        s, n = sum(us), len(us)
+        if s >= 0:
+            q = (2 * s + n) // (2 * n)
+        else:
+            q = -((2 * -s + n) // (2 * n))
+        return q / 1e6
+
+    def exact(us: list) -> float:
+        mean = Fraction(sum(us), len(us))  # already micro-units
+        sign = -1 if mean < 0 else 1
+        m = abs(mean)
+        floor_m = m.numerator // m.denominator
+        frac = m - floor_m
+        q = floor_m + (1 if frac >= Fraction(1, 2) else 0)
+        return sign * q / 1e6
+
+    @given(
+        st.lists(
+            st.integers(min_value=-(10**12), max_value=10**12),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(us):
+        assert formula(us) == exact(us)
+
+    check()
+    # hand-picked exact ties: mean = ±x.5 micro-units
+    assert formula([1, 2]) == 2 / 1e6          # 1.5 -> 2 (away)
+    assert formula([-1, -2]) == -2 / 1e6       # -1.5 -> -2 (away)
+    assert formula([0, 1]) == 1 / 1e6          # 0.5 -> 1
+    assert formula([0, -1]) == -1 / 1e6        # -0.5 -> -1
