@@ -1834,15 +1834,14 @@ def _km_assign(emb: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFram
     return scored.withColumn("rk", rk).where(F.col("rk") == 1)
 
 
-def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means clustering of the embedding corpus ({KM_K} clusters,
-    {KM_ITERS} Lloyd iterations, deterministic init = the {KM_K}
-    lowest vec_ids) — the coarse-quantizer trainer behind an IVF ANN
-    index, and the canonical iterative algorithm on Spark: per round
-    one broadcast-join scan + one partial-aggregated groupBy; k×dim
-    doubles return to the driver and go back out as the next round's
-    broadcast. Nothing but the k-row centroid table ever leaves the
-    executors, so the shape is unchanged at 100 TB.
+def _km_fit_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means fit + final assignment, shared by ``q_kmeans``
+    and ``q_semantic_dedup``: per round one broadcast-join scan + one
+    partial-aggregated groupBy; k×dim doubles return to the driver and
+    go back out as the next round's broadcast. Nothing but the k-row
+    centroid table ever leaves the executors, so the shape is
+    unchanged at 100 TB. Returns (vec_id, e, cid, dist) with ``e``
+    kept so downstream consumers can reuse the parsed vectors.
 
     Determinism (for the DuckDB oracle, which unrolls the same
     iterations as CTEs): centroid updates fold member vectors in
@@ -1883,7 +1882,16 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = members.select("cid", new_c.alias("c")).collect()
         cents = sorted((r["cid"], list(r["c"])) for r in rows)
-    return _km_assign(emb, cents).select(
+    return _km_assign(emb, cents).select("vec_id", "e", "cid", "dist")
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering of the embedding corpus ({KM_K} clusters,
+    {KM_ITERS} Lloyd iterations, deterministic init = the {KM_K}
+    lowest vec_ids) — the coarse-quantizer trainer behind an IVF ANN
+    index, and the canonical iterative algorithm on Spark (see
+    `_km_fit_assign` for the per-round shape and determinism notes)."""
+    return _km_fit_assign(spark, sf_dir).select(
         "vec_id",
         F.col("cid").alias("cluster"),
         F.round("dist", 6).alias("dist"),
@@ -1914,7 +1922,10 @@ def _km_cent_cte(n: int, prev_a: str) -> str:
         FROM {prev_a} WHERE rk = 1 GROUP BY cid))"""
 
 
-def _km_sql() -> str:
+def _km_ctes() -> list[str]:
+    """The unrolled-Lloyd CTE prefix shared by the kmeans and
+    semantic-dedup oracles; final assignment lives in
+    ``a{KM_ITERS + 1}`` (filter ``rk = 1``)."""
     parts = [
         """emb AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1927,15 +1938,128 @@ def _km_sql() -> str:
         parts.append(_km_assign_cte(it + 1, f"cent{it}"))
         parts.append(_km_cent_cte(it + 1, f"a{it + 1}"))
     parts.append(_km_assign_cte(KM_ITERS + 1, f"cent{KM_ITERS}"))
+    return parts
+
+
+SQL_KMEANS = (
+    "WITH "
+    + ",\n".join(_km_ctes())
+    + f"\nSELECT vec_id, cid AS cluster, round(dist, 6) AS dist"
+    f" FROM a{KM_ITERS + 1} WHERE rk = 1"
+)
+
+
+# ------------------------------------------------- semantic dedup (SemDeDup)
+
+# calibrated against the synthetic corpus: within-cluster cosine p99 is
+# ~0.33 and the max ~0.51 (both SFs), so 0.35 flags the true top tail
+# without degenerating to all-false or all-true
+SEMDEDUP_MIN_COS = 0.35
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding corpus with k-means, then
+    search for cosine near-duplicates ONLY within each cluster — the
+    cluster assignment is the blocking key that turns an O(n²) corpus
+    scan into bounded per-cluster blocks. Per the paper's keep rule,
+    when two cluster-mates exceed the similarity threshold the vector
+    FARTHER from the centroid is kept (it preserves diversity) and the
+    closer one is marked duplicate; ties break on vec_id.
+
+    Scale shape: k-means is the broadcast-per-round Lloyd loop
+    (`_km_fit_assign`); at web scale k grows with n (SemDeDup uses
+    ~100k clusters) so expected cluster size stays constant, and any
+    straggler cluster above NEARDUP_MAX_BLOCK rows is additionally
+    split into 2^NEARDUP_SLICE_BITS hyperplane-LSH slices — the same
+    bounded-block guarantee `q_embedding_neardup` proves
+    (tests/test_neardup_blocking.py). The pair search stays a pure
+    equi-join on (cluster, sub): shuffle-partitioned, skew-capped,
+    no cross join.
+    """
+    asgn = _km_fit_assign(spark, sf_dir)
+    counts = asgn.groupBy("cid").agg(F.count(F.lit(1)).alias("cn"))
+    blocked = (
+        asgn.join(F.broadcast(counts), "cid")
+        .withColumn(
+            "sub",
+            F.when(
+                F.col("cn") > NEARDUP_MAX_BLOCK,
+                sim_ops.lsh_bucket(F.col("e"), EMB_DIM, NEARDUP_SLICE_BITS) + 1,
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("nrm", sim_ops.norm(F.col("e")))
+        .select("vec_id", "cid", "sub", "dist", "e", "nrm")
+    )
+    b = blocked.alias("b")
+    p = blocked.alias("p")
+    # "p precedes b" = p is kept over b: farther from centroid first,
+    # vec_id as the deterministic tiebreak (raw dists compare exactly —
+    # both engines produce bit-identical fold results)
+    dups = (
+        b.join(
+            p,
+            (F.col("b.cid") == F.col("p.cid"))
+            & (F.col("b.sub") == F.col("p.sub"))
+            & (
+                (F.col("p.dist") > F.col("b.dist"))
+                | (
+                    (F.col("p.dist") == F.col("b.dist"))
+                    & (F.col("p.vec_id") < F.col("b.vec_id"))
+                )
+            ),
+        )
+        .where(
+            F.round(
+                sim_ops.cosine_with_norms(
+                    F.col("b.e"), F.col("p.e"), F.col("b.nrm"), F.col("p.nrm")
+                ),
+                6,
+            )
+            >= SEMDEDUP_MIN_COS
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
     return (
-        "WITH "
-        + ",\n".join(parts)
-        + f"\nSELECT vec_id, cid AS cluster, round(dist, 6) AS dist"
-        f" FROM a{KM_ITERS + 1} WHERE rk = 1"
+        asgn.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster"),
+            F.round("dist", 6).alias("dist"),
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
     )
 
 
-SQL_KMEANS = _km_sql()
+SQL_SEMANTIC_DEDUP = (
+    "WITH "
+    + ",\n".join(_km_ctes())
+    + f""",
+asgn AS (
+  SELECT vec_id, e, cid, dist FROM a{KM_ITERS + 1} WHERE rk = 1
+),
+counts AS (SELECT cid, count(*) AS cn FROM asgn GROUP BY cid),
+blocked AS (
+  SELECT a.vec_id, a.e, a.cid, a.dist,
+         CASE WHEN c.cn > {NEARDUP_MAX_BLOCK}
+              THEN {_bucket_sql('a.e', NEARDUP_SLICE_BITS)} + 1
+              ELSE 0 END AS sub
+  FROM asgn a JOIN counts c ON a.cid = c.cid
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM blocked b JOIN blocked p
+    ON b.cid = p.cid AND b.sub = p.sub
+   AND (p.dist > b.dist OR (p.dist = b.dist AND p.vec_id < b.vec_id))
+  WHERE round({_cos_sql('b.e', 'p.e')}, 6) >= {SEMDEDUP_MIN_COS}
+)
+SELECT a.vec_id, a.cid AS cluster, round(a.dist, 6) AS dist,
+       (d.vec_id IS NOT NULL) AS is_dup
+FROM asgn a LEFT JOIN dups d ON a.vec_id = d.vec_id
+"""
+)
 
 
 PASSAGE_W = 8  # words per passage window
@@ -2335,6 +2459,7 @@ QUERIES = {
     "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),
     "seq_packing": Query(q_seq_packing, SQL_SEQ_PACKING),
     "kmeans": Query(q_kmeans, SQL_KMEANS),
+    "semantic_dedup": Query(q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "doc_chunks": Query(q_doc_chunks, SQL_DOC_CHUNKS),
     "tf_idf": Query(q_tf_idf, SQL_TF_IDF),
     "stratified_sample": Query(q_stratified_sample, SQL_STRATIFIED_SAMPLE),
