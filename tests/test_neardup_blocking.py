@@ -73,6 +73,31 @@ def test_block_key_is_equijoin(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semantic_dedup_hot_clusters_are_subsliced(spark, sf_dir):
+    """semantic_dedup reuses the same bounded-block guarantee over
+    k-means clusters: any cluster above NEARDUP_MAX_BLOCK rows must be
+    split across LSH sub-slices so no block pairs quadratically."""
+    from zcode_iceberg_spark.suite.llm import _km_fit_assign
+
+    asgn = _km_fit_assign(spark, sf_dir)
+    counts = asgn.groupBy("cid").agg(F.count(F.lit(1)).alias("cn"))
+    blocked = asgn.join(F.broadcast(counts), "cid").withColumn(
+        "sub",
+        F.when(
+            F.col("cn") > NEARDUP_MAX_BLOCK,
+            sim_ops.lsh_bucket(F.col("e"), EMB_DIM, NEARDUP_SLICE_BITS) + 1,
+        ).otherwise(F.lit(0)),
+    )
+    sizes = blocked.groupBy("cid", "sub").agg(
+        F.count(F.lit(1)).alias("block_n"), F.max("cn").alias("cn")
+    ).collect()
+    hot = [r for r in sizes if r["cn"] > NEARDUP_MAX_BLOCK]
+    assert hot, "fixture regression: no hot cluster left to exercise the split"
+    assert all(r["sub"] > 0 for r in hot)
+    for r in hot:
+        assert r["block_n"] < r["cn"]
+
+
 def test_passages_are_a_lossless_partition(spark, sf_dir):
     """Reassembling each doc's passages in pidx order must reproduce
     the original text exactly — the invariant that makes passage-level

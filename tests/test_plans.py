@@ -145,6 +145,20 @@ def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
 
 
+def test_semantic_dedup_pair_search_is_equijoin(spark, sf_dir):
+    """The within-cluster pair search must stay a hash equi-join on the
+    (cluster, sub) block key — the cluster-count feedback arrives via
+    BroadcastExchange, and nothing degenerates into a cartesian scan."""
+    p = plan(spark, sf_dir, "semantic_dedup")
+    # the only nested-loop joins allowed are the deliberate k-row
+    # broadcast-centroid crosses inside _km_assign (same shape the
+    # kmeans plan test pins); the n-row pair search itself must be a
+    # shuffled equi-join, never an unbounded cartesian scan
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin Inner" in p or "ShuffledHashJoin Inner" in p
+
+
 def test_correlated_subquery_decorrelates(spark, sf_dir):
     """The per-row correlated average must be rewritten into one
     per-customer aggregate joined back on the key — never a re-scan
