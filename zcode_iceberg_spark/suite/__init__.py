@@ -57,14 +57,15 @@ PRIORITY = [
     "dedup_exact", "minhash_signatures", "lsh_candidates", "dedup_near",
     "dedup_crosscheck", "simhash", "ngram_jaccard", "doc_fingerprint",
     "lang_id", "text_quality", "token_counts",
-    # semantic_dedup (new, never driver-checked) takes cvd's keeper
-    # slot: cvd's E6 math stays exercised in-window via signal_scores'
-    # feature frame and locally by tests/test_oracle_suite.py
-    "semantic_dedup",
+    # new queries (never driver-checked) take keeper slots: cvd's E6
+    # math stays exercised in-window via signal_scores' feature frame,
+    # best_quotes' C3 top-1 via book_topk's C1/C2 window; both remain
+    # locally oracle-checked by tests/test_oracle_suite.py
+    "semantic_dedup", "corpus_shuffle",
     # high-coverage keepers (r3-green; each pins SURVEY §2 IDs the rows
     # above don't cover)
     "ticks_normalize", "delta_zscore", "sessionize", "ohlc_1h",
-    "ema", "book_topk", "best_quotes", "imbalance", "wall_strength",
+    "ema", "book_topk", "imbalance", "wall_strength",
     "asof_trade_quote", "range_join_flow", "signal_scores", "trade_params",
     # dup_spans (new, never driver-checked) takes passage_dedup's slot:
     # same shared kernel, strictly finer output, r3-green rotates out

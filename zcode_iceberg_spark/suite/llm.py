@@ -2062,6 +2062,58 @@ FROM asgn a LEFT JOIN dups d ON a.vec_id = d.vec_id
 )
 
 
+# ------------------------------------------------- corpus shuffle / sharding
+
+N_SHARDS = 8
+SHUFFLE_SALT = "epoch0"
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle + sharding — the
+    between-epochs reshuffle every training-data pipeline needs: each
+    doc gets a pseudorandom 60-bit key md5(salt ‖ doc_id), its shard is
+    key mod N_SHARDS, and its position is the rank of (key, doc_id)
+    within the shard. Changing SHUFFLE_SALT (e.g. per epoch) yields an
+    independent permutation; the same salt reproduces it exactly on any
+    engine or rerun — no RNG state to checkpoint.
+
+    Scale shape: one narrow projection, one hash exchange on shard,
+    one per-shard sort for the rank. No global sort and no driver
+    state; at 100 TB the shard count grows with the corpus (target
+    shard bytes held constant) so the per-shard sorts stay bounded and
+    embarrassingly parallel — this is exactly the layout a sharded
+    tfrecord/parquet training export wants to write."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("-", F.lit(SHUFFLE_SALT), F.col("doc_id"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    shuf = d.select("doc_id", key.alias("skey"))
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        shuf.withColumn("shard", (F.col("skey") % N_SHARDS).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+SQL_CORPUS_SHUFFLE = f"""
+WITH shuf AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('{SHUFFLE_SALT}', '-',
+                CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS skey
+  FROM documents
+)
+SELECT doc_id, CAST(skey % {N_SHARDS} AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY skey % {N_SHARDS}
+                               ORDER BY skey, doc_id) AS INTEGER) AS pos
+FROM shuf
+"""
+
+
 PASSAGE_W = 8  # words per passage window
 
 
@@ -2460,6 +2512,7 @@ QUERIES = {
     "seq_packing": Query(q_seq_packing, SQL_SEQ_PACKING),
     "kmeans": Query(q_kmeans, SQL_KMEANS),
     "semantic_dedup": Query(q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "corpus_shuffle": Query(q_corpus_shuffle, SQL_CORPUS_SHUFFLE),
     "doc_chunks": Query(q_doc_chunks, SQL_DOC_CHUNKS),
     "tf_idf": Query(q_tf_idf, SQL_TF_IDF),
     "stratified_sample": Query(q_stratified_sample, SQL_STRATIFIED_SAMPLE),
