@@ -62,10 +62,14 @@ PRIORITY = [
     # best_quotes' C3 top-1 via book_topk's C1/C2 window; both remain
     # locally oracle-checked by tests/test_oracle_suite.py
     "semantic_dedup", "corpus_shuffle",
+    # ledger_drawdown (new) rides the FSM block already in-window;
+    # imbalance's E1 math stays pinned via wall_strength (which
+    # consumes the same depth totals) and signal_scores
+    "ledger_drawdown",
     # high-coverage keepers (r3-green; each pins SURVEY §2 IDs the rows
     # above don't cover)
     "ticks_normalize", "delta_zscore", "sessionize", "ohlc_1h",
-    "ema", "book_topk", "imbalance", "wall_strength",
+    "ema", "book_topk", "wall_strength",
     "asof_trade_quote", "range_join_flow", "signal_scores", "trade_params",
     # dup_spans (new, never driver-checked) takes passage_dedup's slot:
     # same shared kernel, strictly finer output, r3-green rotates out

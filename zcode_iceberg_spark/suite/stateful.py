@@ -399,9 +399,71 @@ def q_ledger_exit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.withColumn("share", F.round(F.col("n") / n_total, 6))
 
 
+SQL_LEDGER_DRAWDOWN = f"""{_FSM_CLOSED_CTE},
+m AS (
+  SELECT user_id, trade_seq, exit_ts,
+         CAST(round(pnl * 1e6) AS BIGINT) AS pnl_u
+  FROM closed
+),
+c AS (
+  SELECT user_id, trade_seq,
+         sum(pnl_u) OVER (PARTITION BY user_id ORDER BY exit_ts, trade_seq
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS eq_u
+  FROM m
+)
+SELECT user_id, trade_seq,
+       eq_u / 1000000.0 AS equity,
+       peak_u / 1000000.0 AS peak,
+       (peak_u - eq_u) / 1000000.0 AS drawdown
+FROM (
+  SELECT user_id, trade_seq, eq_u,
+         max(eq_u) OVER (PARTITION BY user_id ORDER BY trade_seq
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS peak_u
+  FROM c
+)
+"""
+
+
+def q_ledger_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14 extension into risk accounting: the per-user equity curve
+    (running P&L in close order, the reference's cumulative-P&L column
+    zscore_excel_logger.py:330-343) plus its running peak and drawdown
+    — the risk number a daily-loss guard like risk_manager.py's
+    daily_pnl limit actually needs. All sums run in exact integer
+    micro-units (see operators/stateful.py) so the running values are
+    partition-independent; the two same-spec window passes share one
+    sort and one exchange."""
+    led = st.position_fsm(_decisions(spark, sf_dir))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("exit_ts", "trade_seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wseq = (
+        Window.partitionBy("user_id")
+        .orderBy("trade_seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    eq = led.select(
+        "user_id",
+        "trade_seq",
+        F.sum(F.expr("CAST(round(pnl * 1e6) AS BIGINT)")).over(w).alias("eq_u"),
+    ).withColumn("peak_u", F.max("eq_u").over(wseq))
+    return eq.select(
+        "user_id",
+        "trade_seq",
+        (F.col("eq_u") / 1e6).alias("equity"),
+        (F.col("peak_u") / 1e6).alias("peak"),
+        ((F.col("peak_u") - F.col("eq_u")) / 1e6).alias("drawdown"),
+    )
+
+
 QUERIES = {
     "trend_hysteresis": Query(q_trend_hysteresis, SQL_TREND_HYSTERESIS),
     "position_ledger": Query(q_position_ledger, SQL_POSITION_LEDGER),
+    "ledger_drawdown": Query(q_ledger_drawdown, SQL_LEDGER_DRAWDOWN),
     "ledger_daily_summary": Query(q_ledger_daily_summary, SQL_LEDGER_DAILY_SUMMARY),
     "ledger_exit_stats": Query(q_ledger_exit_stats, SQL_LEDGER_EXIT_STATS),
 }
