@@ -66,9 +66,13 @@ PRIORITY = [
     # imbalance's E1 math stays pinned via wall_strength (which
     # consumes the same depth totals) and signal_scores
     "ledger_drawdown",
+    # wp_calibration (new) closes the predicted-vs-realized loop; it
+    # takes delta_zscore's slot — the z chain (E3/E4) is the `dec` CTE
+    # that trend_hysteresis + the three ledger oracles all hash-verify
+    "wp_calibration",
     # high-coverage keepers (r3-green; each pins SURVEY §2 IDs the rows
     # above don't cover)
-    "ticks_normalize", "delta_zscore", "sessionize", "ohlc_1h",
+    "ticks_normalize", "sessionize", "ohlc_1h",
     "ema", "book_topk", "wall_strength",
     "asof_trade_quote", "range_join_flow", "signal_scores", "trade_params",
     # dup_spans (new, never driver-checked) takes passage_dedup's slot:

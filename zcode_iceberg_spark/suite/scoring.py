@@ -146,10 +146,10 @@ bars AS (
 ),
 tr_calc AS (
   SELECT user_id, bar_ts, close,
-         CASE WHEN lag(close) OVER w IS NULL THEN high - low
-              ELSE greatest(high - low, abs(high - lag(close) OVER w),
-                            abs(low - lag(close) OVER w)) END AS tr
-  FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY bar_ts)
+         CASE WHEN lag(close) OVER wtr IS NULL THEN high - low
+              ELSE greatest(high - low, abs(high - lag(close) OVER wtr),
+                            abs(low - lag(close) OVER wtr)) END AS tr
+  FROM bars WINDOW wtr AS (PARTITION BY user_id ORDER BY bar_ts)
 ),
 atr_last AS (
   SELECT user_id, atr_pct FROM (

@@ -460,10 +460,74 @@ def q_ledger_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wp_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation capstone: calibration of the predicted win
+    probability (G7 overlay, suite/scoring.py) against REALIZED trade
+    outcomes from the position-FSM ledger — the check a live system
+    needs before trusting its entry gate (the reference tracks the
+    realized side as win-rate stats, strategy.py:1144-1158, but never
+    closes the loop against its predictions).
+
+    Each user's win_prob lands in a decile bucket; per bucket we report
+    trade/user counts, the wp range, and the realized win rate. Scale
+    shape: the scores side is k rows (one per key) and BROADCAST into
+    the ledger join; the rollup is a 10-group partial agg. Counts and
+    ratios are exact integer arithmetic; the wp range uses min/max
+    (order-independent), never a float mean."""
+    from zcode_iceberg_spark.suite.scoring import q_signal_scores
+
+    scores = q_signal_scores(spark, sf_dir).select("user_id", "win_prob")
+    led = st.position_fsm(_decisions(spark, sf_dir))
+    joined = led.join(F.broadcast(scores), "user_id")
+    decile = F.least(
+        F.greatest(F.floor(F.col("win_prob") * 10), F.lit(0)), F.lit(9)
+    ).cast("int")
+    return (
+        joined.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.min("win_prob"), 6).alias("min_wp"),
+            F.round(F.max("win_prob"), 6).alias("max_wp"),
+            F.round(
+                F.sum(F.when(F.col("pnl") > 0, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("realized_win_rate"),
+        )
+    )
+
+
+def _wp_calibration_sql() -> str:
+    # composed lazily so the scoring module's CTE constants are only
+    # touched at registry build, keeping import order irrelevant
+    from zcode_iceberg_spark.suite.scoring import FEATURES_CTE, _WP
+
+    return f"""{_FSM_CLOSED_CTE},
+{FEATURES_CTE},
+scores AS (SELECT user_id, round({_WP}, 6) AS win_prob FROM features),
+tr AS (
+  SELECT c.user_id, s.win_prob,
+         CAST(least(greatest(floor(s.win_prob * 10), 0), 9) AS INTEGER)
+           AS decile,
+         c.pnl
+  FROM closed c JOIN scores s ON c.user_id = s.user_id
+)
+SELECT decile, count(*) AS n_trades, count(DISTINCT user_id) AS n_users,
+       round(min(win_prob), 6) AS min_wp,
+       round(max(win_prob), 6) AS max_wp,
+       round(sum(CASE WHEN pnl > 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS realized_win_rate
+FROM tr GROUP BY decile
+"""
+
+
 QUERIES = {
     "trend_hysteresis": Query(q_trend_hysteresis, SQL_TREND_HYSTERESIS),
     "position_ledger": Query(q_position_ledger, SQL_POSITION_LEDGER),
     "ledger_drawdown": Query(q_ledger_drawdown, SQL_LEDGER_DRAWDOWN),
+    "wp_calibration": Query(q_wp_calibration, _wp_calibration_sql()),
     "ledger_daily_summary": Query(q_ledger_daily_summary, SQL_LEDGER_DAILY_SUMMARY),
     "ledger_exit_stats": Query(q_ledger_exit_stats, SQL_LEDGER_EXIT_STATS),
 }
