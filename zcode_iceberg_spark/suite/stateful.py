@@ -436,12 +436,11 @@ def q_ledger_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-independent; the two same-spec window passes share one
     sort and one exchange."""
     led = st.position_fsm(_decisions(spark, sf_dir))
+    # trade_seq IS close order per user (the FSM holds one position at
+    # a time), so ordering both windows on it alone lets them share one
+    # sort under the single user_id exchange (plan-verified: one Sort,
+    # two Window passes)
     w = (
-        Window.partitionBy("user_id")
-        .orderBy("exit_ts", "trade_seq")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wseq = (
         Window.partitionBy("user_id")
         .orderBy("trade_seq")
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -450,7 +449,7 @@ def q_ledger_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "trade_seq",
         F.sum(F.expr("CAST(round(pnl * 1e6) AS BIGINT)")).over(w).alias("eq_u"),
-    ).withColumn("peak_u", F.max("eq_u").over(wseq))
+    ).withColumn("peak_u", F.max("eq_u").over(w))
     return eq.select(
         "user_id",
         "trade_seq",
