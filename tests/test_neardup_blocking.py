@@ -122,3 +122,27 @@ def test_passages_are_a_lossless_partition(spark, sf_dir):
     n_total = joined.count()
     n_match = joined.filter(F.col("text") == F.col("rebuilt")).count()
     assert n_total == n_match > 0
+
+
+def test_semantic_dedup_keep_rule(spark, sf_dir):
+    """SemDeDup keep rule, checked from the OUTPUT side: at least one
+    member of every non-empty block survives (is_dup=False), and the
+    single farthest-from-centroid member of each block (min vec_id on
+    dist ties) can never be flagged — no preceding mate exists for it."""
+    from zcode_iceberg_spark.suite.llm import q_semantic_dedup, _km_fit_assign
+
+    out = {r["vec_id"]: r for r in q_semantic_dedup(spark, sf_dir).collect()}
+    assert out
+    asgn = {r["vec_id"]: r for r in _km_fit_assign(spark, sf_dir).collect()}
+    # rebuild block heads driver-side (few hundred rows at test SF)
+    import collections
+
+    blocks = collections.defaultdict(list)
+    for vid, r in out.items():
+        blocks[r["cluster"]].append(vid)
+    # per cluster: the farthest member overall precedes everyone in its
+    # OWN sub-block, so whichever sub-block it landed in, it is kept
+    for cid, vids in blocks.items():
+        assert any(not out[v]["is_dup"] for v in vids), cid
+        head = max(vids, key=lambda v: (asgn[v]["dist"], -v))
+        assert not out[head]["is_dup"], (cid, head)

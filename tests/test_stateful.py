@@ -339,3 +339,38 @@ def test_avg_micro_exact_formula_is_exact_half_away_mean():
     assert formula([-1, -2]) == -2 / 1e6       # -1.5 -> -2 (away)
     assert formula([0, 1]) == 1 / 1e6          # 0.5 -> 1
     assert formula([0, -1]) == -1 / 1e6        # -0.5 -> -1
+
+
+def test_drawdown_invariants(spark, sf_dir):
+    """Drawdown algebra: peak is the running max of equity (so
+    peak >= equity everywhere), drawdown = peak - equity >= 0, and the
+    final equity equals the user's total ledger P&L (micro-rounded) —
+    ties the windowed curve back to the plain aggregate."""
+    from zcode_iceberg_spark.suite.stateful import (
+        _decisions,
+        q_ledger_drawdown,
+    )
+    from zcode_iceberg_spark.operators import stateful as st_ops
+
+    rows = q_ledger_drawdown(spark, sf_dir).collect()
+    assert rows
+    last_eq: dict = {}
+    for r in rows:
+        assert r["peak"] >= r["equity"] - 1e-9
+        assert abs(r["drawdown"] - (r["peak"] - r["equity"])) < 1e-9
+        cur = last_eq.get(r["user_id"])
+        if cur is None or r["trade_seq"] > cur[0]:
+            last_eq[r["user_id"]] = (r["trade_seq"], r["equity"])
+    led = st_ops.position_fsm(_decisions(spark, sf_dir))
+    totals = {
+        r["user_id"]: r["t"]
+        for r in led.groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.expr("CAST(round(pnl * 1e6) AS BIGINT)")) / 1e6
+            ).alias("t")
+        )
+        .collect()
+    }
+    for uid, (_, eq) in last_eq.items():
+        assert abs(eq - totals[uid]) < 1e-9, uid
