@@ -22,15 +22,12 @@ from zcode_iceberg_spark.suite.llm import (
 
 
 def _block_sizes(spark, sf_dir):
-    """Recompute the query's block key and return per-block row counts."""
+    """Recompute the query's block key (via the SAME shared helper the
+    queries use) and return per-block row counts."""
     base = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    counts = base.groupBy("label").agg(F.count(F.lit(1)).alias("label_n"))
-    blocked = base.join(F.broadcast(counts), "label").withColumn(
-        "sub",
-        F.when(
-            F.col("label_n") > NEARDUP_MAX_BLOCK,
-            sim_ops.lsh_bucket(F.col("embedding"), EMB_DIM, NEARDUP_SLICE_BITS) + 1,
-        ).otherwise(F.lit(0)),
+    blocked = sim_ops.hot_block_slice(
+        base, "label", "embedding", EMB_DIM,
+        NEARDUP_MAX_BLOCK, NEARDUP_SLICE_BITS, count_col="label_n",
     )
     return blocked.groupBy("label", "sub").agg(
         F.count(F.lit(1)).alias("block_n"), F.max("label_n").alias("label_n")
@@ -80,13 +77,9 @@ def test_semantic_dedup_hot_clusters_are_subsliced(spark, sf_dir):
     from zcode_iceberg_spark.suite.llm import _km_fit_assign
 
     asgn = _km_fit_assign(spark, sf_dir)
-    counts = asgn.groupBy("cid").agg(F.count(F.lit(1)).alias("cn"))
-    blocked = asgn.join(F.broadcast(counts), "cid").withColumn(
-        "sub",
-        F.when(
-            F.col("cn") > NEARDUP_MAX_BLOCK,
-            sim_ops.lsh_bucket(F.col("e"), EMB_DIM, NEARDUP_SLICE_BITS) + 1,
-        ).otherwise(F.lit(0)),
+    blocked = sim_ops.hot_block_slice(
+        asgn, "cid", "e", EMB_DIM,
+        NEARDUP_MAX_BLOCK, NEARDUP_SLICE_BITS, count_col="cn",
     )
     sizes = blocked.groupBy("cid", "sub").agg(
         F.count(F.lit(1)).alias("block_n"), F.max("cn").alias("cn")

@@ -365,11 +365,7 @@ def test_drawdown_invariants(spark, sf_dir):
     totals = {
         r["user_id"]: r["t"]
         for r in led.groupBy("user_id")
-        .agg(
-            (
-                F.sum(F.expr("CAST(round(pnl * 1e6) AS BIGINT)")) / 1e6
-            ).alias("t")
-        )
+        .agg((F.sum(st_ops.micro("pnl")) / 1e6).alias("t"))
         .collect()
     }
     for uid, (_, eq) in last_eq.items():

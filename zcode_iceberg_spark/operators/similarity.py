@@ -102,6 +102,37 @@ def lsh_bucket(emb: Column, dim: int, n_planes: int = N_PLANES) -> Column:
     return out
 
 
+def hot_block_slice(
+    df: DataFrame,
+    key_col: str,
+    emb_col: str,
+    dim: int,
+    max_block: int,
+    slice_bits: int,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Append the bounded-block ``sub`` key: rows whose ``key_col``
+    group exceeds ``max_block`` get a ``slice_bits``-wide LSH sub-slice
+    + 1, everyone else 0 — so one hot group can never force an
+    unbounded n² pair block, and the pair join stays a pure equi-join
+    on (key, sub). Group sizes come from a partial-agg groupBy
+    BROADCAST back (never a count-over-window partitioned by the
+    skewed key). THE single spelling of the blocking rule shared by
+    embedding near-dup, semantic dedup, and their bounding tests;
+    pass ``count_col`` to keep the group size in the output."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__block_n"))
+    out = df.join(F.broadcast(counts), key_col).withColumn(
+        "sub",
+        F.when(
+            F.col("__block_n") > max_block,
+            lsh_bucket(F.col(emb_col), dim, slice_bits) + 1,
+        ).otherwise(F.lit(0)),
+    )
+    if count_col is None:
+        return out.drop("__block_n")
+    return out.withColumnRenamed("__block_n", count_col)
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,

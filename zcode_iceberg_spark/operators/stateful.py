@@ -246,6 +246,13 @@ def _micro(col: str) -> str:
     return f"sum(CAST(round({col} * 1e6) AS BIGINT))"
 
 
+def micro(col: str) -> F.Column:
+    """Column-level micro-unit quantization — the single spelling of
+    the rounding rule for row-wise use (e.g. windowed running sums);
+    the aggregate helpers below embed the same expression."""
+    return F.expr(f"CAST(round({col} * 1e6) AS BIGINT)")
+
+
 def sum_micro_exact(col: str, pred: str = "true") -> F.Column:
     """Exact micro-quantized sum of ``col`` over rows passing ``pred``,
     back in units (aggregate expression)."""

@@ -1179,23 +1179,9 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         sim_ops.norm(F.col("embedding")).alias("nrm"),
     )
-    # label cardinality via partial-agg groupBy + broadcast back — NOT a
-    # count-over-window partitioned by label, which would funnel every
-    # row of a hot label through one task (the exact skew this blocking
-    # exists to prevent)
-    counts = base.groupBy("label").agg(F.count(F.lit(1)).alias("label_n"))
-    e = (
-        base.join(F.broadcast(counts), "label")
-        .withColumn(
-            "sub",
-            F.when(
-                F.col("label_n") > NEARDUP_MAX_BLOCK,
-                sim_ops.lsh_bucket(
-                    F.col("embedding"), EMB_DIM, NEARDUP_SLICE_BITS
-                )
-                + 1,
-            ).otherwise(F.lit(0)),
-        )
+    # shared bounded-block rule (operators/similarity.py:hot_block_slice)
+    e = sim_ops.hot_block_slice(
+        base, "label", "embedding", EMB_DIM, NEARDUP_MAX_BLOCK, NEARDUP_SLICE_BITS
     )
     a = e.alias("a")
     b = e.alias("b")
@@ -1977,19 +1963,15 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on (cluster, sub): shuffle-partitioned, skew-capped,
     no cross join.
     """
-    asgn = _km_fit_assign(spark, sf_dir)
-    counts = asgn.groupBy("cid").agg(F.count(F.lit(1)).alias("cn"))
-    blocked = (
-        asgn.join(F.broadcast(counts), "cid")
-        .withColumn(
-            "sub",
-            F.when(
-                F.col("cn") > NEARDUP_MAX_BLOCK,
-                sim_ops.lsh_bucket(F.col("e"), EMB_DIM, NEARDUP_SLICE_BITS) + 1,
-            ).otherwise(F.lit(0)),
-        )
-        .withColumn("nrm", sim_ops.norm(F.col("e")))
-        .select("vec_id", "cid", "sub", "dist", "e", "nrm")
+    # the assignment subtree (broadcast-centroid cross + argmin window)
+    # is read by counts, BOTH self-join sides, and the final left join —
+    # checkpoint it once instead of recomputing it ~3x (same pattern as
+    # the parsed-embedding cache inside _km_fit_assign)
+    asgn = _km_fit_assign(spark, sf_dir).localCheckpoint()
+    blocked = sim_ops.hot_block_slice(
+        asgn, "cid", "e", EMB_DIM, NEARDUP_MAX_BLOCK, NEARDUP_SLICE_BITS
+    ).withColumn("nrm", sim_ops.norm(F.col("e"))).select(
+        "vec_id", "cid", "sub", "dist", "e", "nrm"
     )
     b = blocked.alias("b")
     p = blocked.alias("p")

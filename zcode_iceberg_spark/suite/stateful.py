@@ -406,8 +406,11 @@ m AS (
   FROM closed
 ),
 c AS (
+  -- trade_seq IS close order per user (one position at a time), so
+  -- BOTH windows here and the Spark side order by it alone — the
+  -- invariant is encoded once, not held implicitly across orderings
   SELECT user_id, trade_seq,
-         sum(pnl_u) OVER (PARTITION BY user_id ORDER BY exit_ts, trade_seq
+         sum(pnl_u) OVER (PARTITION BY user_id ORDER BY trade_seq
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS eq_u
   FROM m
@@ -448,7 +451,7 @@ def q_ledger_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     eq = led.select(
         "user_id",
         "trade_seq",
-        F.sum(F.expr("CAST(round(pnl * 1e6) AS BIGINT)")).over(w).alias("eq_u"),
+        F.sum(st.micro("pnl")).over(w).alias("eq_u"),
     ).withColumn("peak_u", F.max("eq_u").over(w))
     return eq.select(
         "user_id",
