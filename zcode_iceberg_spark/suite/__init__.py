@@ -70,9 +70,14 @@ PRIORITY = [
     # takes delta_zscore's slot — the z chain (E3/E4) is the `dec` CTE
     # that trend_hysteresis + the three ledger oracles all hash-verify
     "wp_calibration",
+    # training_export (new) composes survivors→packing→shuffle; it
+    # takes ohlc_1h's slot — the hourly-bar construction (E8) is
+    # hash-verified transitively inside wp_calibration's and
+    # mc_win_prob's ATR CTE chains, both in-window
+    "training_export",
     # high-coverage keepers (r3-green; each pins SURVEY §2 IDs the rows
     # above don't cover)
-    "ticks_normalize", "sessionize", "ohlc_1h",
+    "ticks_normalize", "sessionize",
     "ema", "book_topk", "wall_strength",
     "asof_trade_quote", "range_join_flow", "signal_scores", "trade_params",
     # dup_spans (new, never driver-checked) takes passage_dedup's slot:

@@ -1565,6 +1565,13 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("shard"),
         F.size(tx.tokens(F.col("text"))).cast("bigint").alias("tok"),
     )
+    return _pack_lanes(rows)
+
+
+def _pack_lanes(rows: DataFrame) -> DataFrame:
+    """The greedy per-lane packing fold over (doc_id, source, shard,
+    tok) rows — shared by ``q_seq_packing`` (whole corpus) and
+    ``q_training_export`` (surviving train split)."""
     lanes = rows.groupBy("source", "shard").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "tok"))).alias("xs")
     )
@@ -2233,6 +2240,34 @@ FROM spans
 PIPE_MIN_QUALITY = 0.8
 
 
+def _surviving_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 1-3 of the training pipeline, shared by
+    ``q_corpus_pipeline`` and ``q_training_export``: exact dedup
+    (min-doc_id keeper per content hash) → expression-only quality
+    gate → deterministic hash split. Returns
+    (doc_id, text, source, n_words, quality, split), fully lazy."""
+    d = load_table(spark, sf_dir, "documents")
+    keepers = d.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    docs = d.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    good = tx.quality_metrics(docs).filter(
+        F.col("quality") >= PIPE_MIN_QUALITY
+    )
+    u = _hash_u(F.col("doc_id"), "")
+    return good.select(
+        "doc_id",
+        "text",
+        "source",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        "quality",
+        F.when(u < SPLIT_TRAIN, "train")
+        .when(u < SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data pipeline as ONE composed DAG — the
     capstone query proving the stages compose: exact dedup → quality
@@ -2245,28 +2280,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline into one plan — filters from late stages push into early
     scans where legal, nothing materializes between stages.
     """
-    d = load_table(spark, sf_dir, "documents")
-    # 1. exact dedup: keep the min-doc_id row of each content group
-    keepers = d.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
-    )
-    docs = d.join(keepers.select("doc_id"), "doc_id", "left_semi")
-    # 2. quality gate (expression-only)
-    good = tx.quality_metrics(docs).filter(
-        F.col("quality") >= PIPE_MIN_QUALITY
-    )
-    # 3. deterministic split membership (hash of id, order-independent)
-    u = _hash_u(F.col("doc_id"), "")
-    sp = good.select(
-        "doc_id",
-        "text",
-        F.col("n_words").cast("bigint").alias("n_words"),
-        "quality",
-        F.when(u < SPLIT_TRAIN, "train")
-        .when(u < SPLIT_VAL, "val")
-        .otherwise("test")
-        .alias("split"),
-    )
+    sp = _surviving_split(spark, sf_dir).drop("source")
     # stage barrier: the branches below (train grams, test grams, gram
     # counts, final audit) would each re-run dedup+quality+tokenize —
     # materialize the surviving corpus once (the composed-pipeline
@@ -2319,8 +2333,9 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_CORPUS_PIPELINE = f"""
-WITH keepers AS (
+# shared dedup → quality → split CTE prefix (corpus_pipeline and
+# training_export both start from the same surviving corpus)
+_PIPE_SP_CTES = f"""keepers AS (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 ),
 docs AS (
@@ -2357,7 +2372,10 @@ sp AS (
               WHEN {_U_SQL} < {SPLIT_VAL} THEN 'val'
               ELSE 'test' END AS split
   FROM q WHERE quality >= {PIPE_MIN_QUALITY}
-),
+)"""
+
+SQL_CORPUS_PIPELINE = f"""
+WITH {_PIPE_SP_CTES},
 grams AS (
   SELECT doc_id, split,
          unnest(list_distinct(list_transform(
@@ -2385,6 +2403,119 @@ SELECT split,
 FROM sp
 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 GROUP BY split
+"""
+
+
+def q_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST mile of the training pipeline: surviving train-split
+    docs → greedy token-budget packing into sequences → deterministic
+    shuffle of the packed bins into output shards — i.e. exactly what
+    a sharded training-set writer materializes, with every stage
+    reusing its standalone operator (`_surviving_split`, `_pack_lanes`,
+    the corpus-shuffle key). One row per packed bin: its lane identity,
+    doc/token totals, and the (export_shard, pos) write position.
+
+    Scale shape: all stages compose lazily; the packing fold stays
+    bounded per (source, lane) and the bin shuffle is a pure hash —
+    the full export is dedup-shuffle + lane-fold + one 10-group-ish
+    rank per shard, no global sort, no driver state."""
+    train = _surviving_split(spark, sf_dir).filter(F.col("split") == "train")
+    rows = train.select(
+        "doc_id",
+        "source",
+        F.floor(_hash_u(F.col("doc_id"), "pack:") * PACK_SHARDS)
+        .cast("int")
+        .alias("shard"),
+        F.col("n_words").alias("tok"),
+    )
+    bins = (
+        _pack_lanes(rows)
+        .groupBy("source", "shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("bin_tokens"),
+        )
+    )
+    skey = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.lit(SHUFFLE_SALT),
+                    F.concat_ws("/", "source", "shard", "bin_id"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    keyed = bins.withColumn("skey", skey)
+    w = Window.partitionBy(F.col("skey") % N_SHARDS).orderBy(
+        "skey", "source", "shard", "bin_id"
+    )
+    return keyed.select(
+        "source",
+        F.col("shard").alias("lane"),
+        "bin_id",
+        "n_docs",
+        "bin_tokens",
+        (F.col("skey") % N_SHARDS).cast("int").alias("export_shard"),
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+SQL_TRAINING_EXPORT = f"""
+WITH RECURSIVE {_PIPE_SP_CTES},
+tl0 AS (
+  SELECT s.doc_id AS doc_id, d.source AS source,
+         CAST(s.n_words AS BIGINT) AS tok
+  FROM (SELECT doc_id, n_words FROM sp WHERE split = 'train') s
+  JOIN documents d ON s.doc_id = d.doc_id
+),
+tl AS (
+  SELECT doc_id, source,
+         CAST(floor(({_PACK_U_SQL}) * {PACK_SHARDS}) AS INTEGER) AS shard,
+         tok
+  FROM tl0
+),
+pseq AS (
+  SELECT *, row_number() OVER (PARTITION BY source, shard ORDER BY doc_id) AS rn
+  FROM tl
+),
+rec AS (
+  SELECT doc_id, source, shard, tok, rn,
+         tok AS acc, CAST(0 AS BIGINT) AS bin_id
+  FROM pseq WHERE rn = 1
+  UNION ALL
+  SELECT s.doc_id, s.source, s.shard, s.tok, s.rn,
+         CASE WHEN r.acc + s.tok > {PACK_BUDGET} AND r.acc > 0
+              THEN s.tok ELSE r.acc + s.tok END,
+         CASE WHEN r.acc + s.tok > {PACK_BUDGET} AND r.acc > 0
+              THEN r.bin_id + 1 ELSE r.bin_id END
+  FROM rec r
+  JOIN pseq s ON s.source = r.source AND s.shard = r.shard AND s.rn = r.rn + 1
+),
+bins AS (
+  SELECT source, shard, bin_id,
+         count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS bin_tokens
+  FROM rec GROUP BY 1, 2, 3
+),
+keyed AS (
+  SELECT *,
+         CAST(concat('0x', substr(md5(concat('{SHUFFLE_SALT}', '-',
+                concat_ws('/', source, CAST(shard AS VARCHAR),
+                          CAST(bin_id AS VARCHAR)))), 1, 15)) AS BIGINT)
+           AS skey
+  FROM bins
+)
+SELECT source, shard AS lane, bin_id, n_docs, bin_tokens,
+       CAST(skey % {N_SHARDS} AS INTEGER) AS export_shard,
+       CAST(row_number() OVER (PARTITION BY skey % {N_SHARDS}
+                               ORDER BY skey, source, shard, bin_id)
+            AS INTEGER) AS pos
+FROM keyed
 """
 
 
@@ -2473,6 +2604,7 @@ QUERIES = {
     "dup_spans": Query(q_dup_spans, SQL_DUP_SPANS),
     "boilerplate_strip": Query(q_boilerplate_strip, SQL_BOILERPLATE_STRIP),
     "corpus_pipeline": Query(q_corpus_pipeline, SQL_CORPUS_PIPELINE),
+    "training_export": Query(q_training_export, SQL_TRAINING_EXPORT),
     "minhash_signatures": Query(q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "lsh_candidates": Query(q_lsh_candidates, SQL_LSH_CANDIDATES),
     "dedup_near": Query(q_dedup_near, SQL_DEDUP_NEAR),
