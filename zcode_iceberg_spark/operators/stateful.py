@@ -250,7 +250,7 @@ def micro(col: str) -> F.Column:
     """Column-level micro-unit quantization — the single spelling of
     the rounding rule for row-wise use (e.g. windowed running sums);
     the aggregate helpers below embed the same expression."""
-    return F.expr(f"CAST(round({col} * 1e6) AS BIGINT)")
+    return F.expr(f"CAST(round(({col}) * 1e6) AS BIGINT)")
 
 
 def sum_micro_exact(col: str, pred: str = "true") -> F.Column:

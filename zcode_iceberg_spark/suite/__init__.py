@@ -75,9 +75,14 @@ PRIORITY = [
     # hash-verified transitively inside wp_calibration's and
     # mc_win_prob's ATR CTE chains, both in-window
     "training_export",
+    # iceberg_refill (new, the namesake detector) takes
+    # ticks_normalize's slot — the ingest normalization is the shared
+    # substrate of every ticks oracle in the window (EVENTS_TICKS_SQL /
+    # events_ticks), so a break there fails dozens of rows loudly
+    "iceberg_refill",
     # high-coverage keepers (r3-green; each pins SURVEY §2 IDs the rows
     # above don't cover)
-    "ticks_normalize", "sessionize",
+    "sessionize",
     "ema", "book_topk", "wall_strength",
     "asof_trade_quote", "range_join_flow", "signal_scores", "trade_params",
     # dup_spans (new, never driver-checked) takes passage_dedup's slot:

@@ -6,7 +6,7 @@ side from the taker flag, ``user_id`` = symbol key (FIXTURES.md).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zcode_iceberg_spark.operators import asof as asof_ops
@@ -259,7 +259,92 @@ GROUP BY d.event_id, d.user_id
 """
 
 
+def q_iceberg_refill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's namesake signal: hidden-("iceberg")-order detection
+    by the refill signature — a price level whose visible quantity
+    RISES again after trades ate it is being replenished from hidden
+    size (the liquidity walls the reference's ZScoreIcebergHunter
+    stalks via wall strength, strategy.py:966-998; this query makes
+    the detection itself a first-class relational operator).
+
+    Levels are bucketed to integer price (the stand-in for the
+    instrument tick grid at real scale); per (key, side, level) the
+    event sequence is lag-compared and refills (qty up-ticks) counted.
+    Plan shape: ONE exchange on the level key serves both the lag
+    window and the rollup (the groupBy keys are the window partition
+    keys), and refill quantity totals use exact micro-units so the
+    output is partition-independent."""
+    from zcode_iceberg_spark.operators.stateful import micro
+
+    t = events_ticks(spark, sf_dir)
+    lv = ops.book_levels(t).withColumn(
+        "lvl", F.floor("price").cast("bigint")
+    )
+    w = Window.partitionBy("user_id", "side", "lvl").orderBy("event_id")
+    seq = lv.withColumn("prev_qty", F.lag("qty").over(w))
+    delta = F.col("qty") - F.col("prev_qty")
+    g = (
+        seq.groupBy("user_id", "side", "lvl")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(delta > 0, 1).otherwise(0)).alias("n_refills"),
+            (
+                F.sum(
+                    F.when(delta > 0, micro("qty - prev_qty")).otherwise(
+                        F.lit(0).cast("bigint")
+                    )
+                )
+                / 1e6
+            ).alias("refill_qty"),
+            F.round(F.max("qty"), 6).alias("max_qty"),
+        )
+        .filter(F.col("n_events") >= 3)
+    )
+    return g.select(
+        "user_id",
+        "side",
+        "lvl",
+        "n_events",
+        "n_refills",
+        "refill_qty",
+        "max_qty",
+        (F.col("n_refills") >= 2).alias("iceberg"),
+    )
+
+
+SQL_ICEBERG_REFILL = f"""
+{TICKS_CTE},
+lv AS (
+  SELECT user_id,
+         CASE WHEN is_buy THEN 'bid' ELSE 'ask' END AS side,
+         CAST(floor(price) AS BIGINT) AS lvl,
+         qty, event_id
+  FROM ticks
+),
+seq AS (
+  SELECT *, lag(qty) OVER (PARTITION BY user_id, side, lvl
+                           ORDER BY event_id) AS prev_qty
+  FROM lv
+),
+g AS (
+  SELECT user_id, side, lvl,
+         count(*) AS n_events,
+         CAST(sum(CASE WHEN qty > prev_qty THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_refills,
+         sum(CASE WHEN qty > prev_qty
+                  THEN CAST(round((qty - prev_qty) * 1e6) AS BIGINT)
+                  ELSE 0 END) / 1000000.0 AS refill_qty,
+         round(max(qty), 6) AS max_qty
+  FROM seq GROUP BY 1, 2, 3
+)
+SELECT user_id, side, lvl, n_events, n_refills, refill_qty, max_qty,
+       (n_refills >= 2) AS iceberg
+FROM g WHERE n_events >= 3
+"""
+
+
 QUERIES = {
+    "iceberg_refill": Query(q_iceberg_refill, SQL_ICEBERG_REFILL),
     "book_topk": Query(q_book_topk, SQL_BOOK_TOPK),
     "best_quotes": Query(q_best_quotes, SQL_BEST_QUOTES),
     "imbalance": Query(q_imbalance, SQL_IMBALANCE),
