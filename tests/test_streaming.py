@@ -588,3 +588,63 @@ def test_passage_dedup_epoch_replay_idempotent(spark, sf_dir, raw_docs_dir, tmp)
         for r in q_passage_dedup(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_iceberg_refill_stream_matches_batch(spark, sf_dir):
+    """The namesake detector's streaming twin: availableNow drain over
+    the fixture equals the batch query on every level the batch
+    reports (n_events >= 3), and the per-level fold carries state
+    correctly across a batch split."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import pandas as pd
+
+    from zcode_iceberg_spark.streaming import (
+        iceberg_refill_step,
+        iceberg_refill_stream,
+        run_available_now,
+        stream_events,
+    )
+    from zcode_iceberg_spark.suite.orderbook import q_iceberg_refill
+
+    expected = (
+        q_iceberg_refill(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "side", "lvl"])
+        .reset_index(drop=True)
+    )
+
+    tmp = Path(tempfile.mkdtemp(prefix="zspark_ice_"))
+    try:
+        stream_src = tmp / "src"
+        stream_src.mkdir()
+        shutil.copy(
+            str(Path(sf_dir) / "events.parquet"), stream_src / "events.parquet"
+        )
+        out = iceberg_refill_stream(stream_events(spark, str(stream_src)))
+        run_available_now(out, str(tmp / "out"), str(tmp / "ckpt"))
+        got_all = spark.read.parquet(str(tmp / "out")).toPandas()
+        # latest emitted row per level (single batch here -> exactly one)
+        got = (
+            got_all[got_all["n_events"] >= 3]
+            .sort_values(["user_id", "side", "lvl"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(expected) > 0
+        for col in ("n_events", "n_refills", "iceberg"):
+            assert (got[col].values == expected[col].values).all(), col
+        for col in ("refill_qty", "max_qty"):
+            assert (abs(got[col].values - expected[col].values) < 1e-12).all(), col
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # state-carry: folding a level's rows in two chunks equals one chunk
+    rows = pd.DataFrame(
+        {"event_id": [1, 2, 3, 4], "qty": [5.0, 2.0, 6.5, 1.0]}
+    )
+    one, _ = iceberg_refill_step(("u", "bid", 100), [rows], None)
+    r1, st1 = iceberg_refill_step(("u", "bid", 100), [rows.iloc[:2]], None)
+    two, _ = iceberg_refill_step(("u", "bid", 100), [rows.iloc[2:]], st1)
+    assert one == two and one["n_refills"] == 1 and one["refill_qty"] == 4.5

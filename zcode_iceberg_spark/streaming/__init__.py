@@ -1,6 +1,8 @@
 from zcode_iceberg_spark.streaming.pipeline import (  # noqa: F401
     EVENT_SCHEMA,
     hysteresis_stream,
+    iceberg_refill_step,
+    iceberg_refill_stream,
     run_available_now,
     stream_events,
     tumbling_ohlc_stream,

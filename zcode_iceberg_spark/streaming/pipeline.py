@@ -195,6 +195,107 @@ def hysteresis_stream(
     )
 
 
+ICE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("prev_qty", T.DoubleType()),  # NaN sentinel = none yet
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_refills", T.LongType()),
+        T.StructField("refill_u", T.LongType()),  # exact micro-units
+        T.StructField("max_qty", T.DoubleType()),
+    ]
+)
+
+ICE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("side", T.StringType()),
+        T.StructField("lvl", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_refills", T.LongType()),
+        T.StructField("refill_qty", T.DoubleType()),
+        T.StructField("max_qty", T.DoubleType()),
+        T.StructField("iceberg", T.BooleanType()),
+    ]
+)
+
+
+def iceberg_refill_step(
+    key: tuple, pdfs, state_tuple: tuple | None
+) -> tuple[dict, tuple]:
+    """The per-(key, side, lvl) refill fold shared by the streaming twin
+    and its state-carry tests: consume batch rows in event order,
+    return (cumulative output row, new state). Micro-unit rounding uses
+    exact-binary Decimal HALF_UP — bit-identical to Spark/DuckDB
+    ``round(x * 1e6)`` on the same double."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if state_tuple is not None:
+        prev, n, nr, ru, mx = state_tuple
+        prev = None if math.isnan(prev) else prev
+    else:
+        prev, n, nr, ru, mx = None, 0, 0, 0, float("-inf")
+    for pdf in pdfs:
+        pdf = pdf.sort_values("event_id", kind="mergesort")
+        for q in pdf["qty"]:
+            q = float(q)
+            n += 1
+            if q > mx:
+                mx = q
+            if prev is not None and q > prev:
+                nr += 1
+                d = (q - prev) * 1e6
+                ru += int(Decimal(d).quantize(Decimal(1), ROUND_HALF_UP))
+            prev = q
+    mx6 = float(Decimal(mx).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+    row = {
+        "user_id": key[0],
+        "side": key[1],
+        "lvl": key[2],
+        "n_events": n,
+        "n_refills": nr,
+        "refill_qty": ru / 1e6,
+        "max_qty": mx6,
+        "iceberg": nr >= 2,
+    }
+    new_state = (prev if prev is not None else float("nan"), n, nr, ru, mx)
+    return row, new_state
+
+
+def iceberg_refill_stream(ticks: DataFrame) -> DataFrame:
+    """Streaming twin of ``q_iceberg_refill`` (the namesake hidden-order
+    detector): carried GroupState per (key, side, level) holds the last
+    seen quantity plus cumulative counters, and every micro-batch emits
+    the updated per-level row — the live view of which levels keep
+    replenishing. State is 5 scalars per touched level; at scale it is
+    bounded by the touched price grid per key (and a production feed
+    would expire idle levels via timeouts)."""
+    import pandas as pd
+
+    lv = ticks.select(
+        "user_id",
+        F.when(F.col("is_buy"), F.lit("bid")).otherwise(F.lit("ask")).alias("side"),
+        F.floor("price").cast("bigint").alias("lvl"),
+        "qty",
+        "event_id",
+    )
+
+    def fn(key, pdfs, state):
+        row, new_state = iceberg_refill_step(
+            key, pdfs, state.get if state.exists else None
+        )
+        state.update(new_state)
+        yield pd.DataFrame([row])
+
+    return lv.groupBy("user_id", "side", "lvl").applyInPandasWithState(
+        fn,
+        ICE_OUT_SCHEMA,
+        ICE_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 DOC_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
