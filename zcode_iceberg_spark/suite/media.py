@@ -6,10 +6,11 @@ Arrow/mapInPandas plumbing is what's actually under test.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zcode_iceberg_spark.operators import media as md
+from zcode_iceberg_spark.operators.text import word_hash as tx_word_hash
 from zcode_iceberg_spark.sources.tables import load_table
 from zcode_iceberg_spark.suite import Query
 
@@ -70,7 +71,112 @@ WHERE doc_id % 3 = 2
 """
 
 
+MIX_LANES = 4
+TEXT_PER_BATCH = 6
+IMG_PER_BATCH = 2
+
+
+def q_modality_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality-ratio-controlled batch assembly — the interleaving step
+    a multimodal training pipeline needs: every batch holds exactly
+    {TEXT_PER_BATCH} text samples and {IMG_PER_BATCH} image samples, in
+    a deterministic shuffled order. Samples are sharded into
+    {MIX_LANES} hash lanes FIRST (the seq_packing bounding move), then
+    ranked per (lane, modality) by a salted hash and chopped into
+    quota-sized batches; a lane keeps only batches both modalities can
+    fill. No global sort: each lane's two windows are independent, so
+    at 100 TB you grow lanes (per source × day × 2^k) and every rank
+    stays bounded.
+
+    Output: one row per placed sample with its (lane, batch, slot)
+    position — directly a batch-writer's layout."""
+    d = load_table(spark, sf_dir, "documents")
+    u_lane = (
+        tx_word_hash(F.concat(F.lit("mixlane:"), F.col("doc_id").cast("string")))
+        % 1000000
+    ) / 1000000.0
+    base = d.select(
+        "doc_id", F.floor(u_lane * MIX_LANES).cast("int").alias("lane")
+    )
+    text = base.withColumn("modality", F.lit("text"))
+    image = base.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "modality", F.lit("image")
+    )
+    samples = text.unionByName(image)
+    key = tx_word_hash(
+        F.concat(F.lit("mix:"), F.col("modality"), F.lit(":"),
+                 F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("lane", "modality").orderBy(key, "doc_id")
+    quota = F.when(F.col("modality") == "text", TEXT_PER_BATCH).otherwise(
+        IMG_PER_BATCH
+    )
+    ranked = samples.withColumn("rk", F.row_number().over(w) - 1).select(
+        "doc_id",
+        "lane",
+        "modality",
+        F.floor(F.col("rk") / quota).cast("bigint").alias("batch_id"),
+        (F.col("rk") % quota).cast("int").alias("slot"),
+    )
+    full = ranked.groupBy("lane", "batch_id").agg(
+        F.sum(F.when(F.col("modality") == "text", 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(F.col("modality") == "image", 1).otherwise(0)).alias("ni"),
+    ).filter(
+        (F.col("nt") == TEXT_PER_BATCH) & (F.col("ni") == IMG_PER_BATCH)
+    ).select("lane", "batch_id")
+    return ranked.join(full, ["lane", "batch_id"]).select(
+        "lane", "batch_id", "modality", "slot", "doc_id"
+    )
+
+
+_MIX_LANE_U = (
+    "((CAST(concat('0x', substr(md5(concat('mixlane:', CAST(doc_id AS VARCHAR))), 1, 15)) "
+    "AS BIGINT) % 2147483647) % 1000000) / 1000000.0"
+)
+_MIX_KEY = (
+    "(CAST(concat('0x', substr(md5(concat('mix:', modality, ':', "
+    "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 2147483647)"
+)
+
+SQL_MODALITY_INTERLEAVE = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(floor(({_MIX_LANE_U}) * {MIX_LANES}) AS INTEGER) AS lane
+  FROM documents
+),
+samples AS (
+  SELECT doc_id, lane, 'text' AS modality FROM base
+  UNION ALL
+  SELECT doc_id, lane, 'image' AS modality FROM base WHERE doc_id % 3 = 0
+),
+ranked AS (
+  SELECT doc_id, lane, modality,
+         CAST(floor((row_number() OVER (PARTITION BY lane, modality
+                                        ORDER BY {_MIX_KEY}, doc_id) - 1)
+              / (CASE WHEN modality = 'text' THEN {TEXT_PER_BATCH}
+                      ELSE {IMG_PER_BATCH} END)) AS BIGINT) AS batch_id,
+         CAST((row_number() OVER (PARTITION BY lane, modality
+                                  ORDER BY {_MIX_KEY}, doc_id) - 1)
+              % (CASE WHEN modality = 'text' THEN {TEXT_PER_BATCH}
+                      ELSE {IMG_PER_BATCH} END) AS INTEGER) AS slot
+  FROM samples
+),
+full_b AS (
+  SELECT lane, batch_id FROM ranked
+  GROUP BY lane, batch_id
+  HAVING sum(CASE WHEN modality = 'text' THEN 1 ELSE 0 END)
+           = {TEXT_PER_BATCH}
+     AND sum(CASE WHEN modality = 'image' THEN 1 ELSE 0 END)
+           = {IMG_PER_BATCH}
+)
+SELECT r.lane, r.batch_id, r.modality, r.slot, r.doc_id
+FROM ranked r JOIN full_b f
+  ON r.lane = f.lane AND r.batch_id = f.batch_id
+"""
+
+
 QUERIES = {
     "media_features": Query(q_media_features, SQL_MEDIA_FEATURES),
     "media_frames": Query(q_media_frames, SQL_MEDIA_FRAMES),
+    "modality_interleave": Query(q_modality_interleave, SQL_MODALITY_INTERLEAVE),
 }
