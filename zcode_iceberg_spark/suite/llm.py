@@ -1449,6 +1449,137 @@ DECON_N = 3  # word n-gram size
 DECON_FLAG = 0.6  # contamination fraction that flags a test doc
 
 
+MIX_TEMP = 2.0  # temperature for tau-scaled source shares
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-sampling
+    standard, mT5/XLM-R style): target share of source s is
+    p_s^(1/tau) / sum p^(1/tau) — tau > 1 flattens the distribution so
+    small sources are upsampled relative to their natural share.
+    Same two-pass shape as `q_domain_mix` (per-source totals →
+    broadcast rates → hash-membership keep); the keep rate is
+    quantized to 6 decimals BEFORE the membership comparison so the
+    decision grid is engine-exact. Sources whose target exceeds their
+    size report an epoch_factor > 1 (upsampling = repeat epochs, not a
+    filter's job).
+
+    Output = per-source audit: natural share, tau-scaled target share,
+    sampling rate, epoch factor, docs/tokens kept."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(tx.tokens(F.col("text"))).cast("bigint").alias("tok"),
+    )
+    per_src = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("tok_total")
+    )
+    totals = per_src.agg(F.sum("tok_total").alias("corpus_tok"))
+    scaled = per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "tok_total",
+        "corpus_tok",
+        F.pow(F.col("tok_total") / F.col("corpus_tok"), 1.0 / MIX_TEMP).alias(
+            "w"
+        ),
+    )
+    wsum = scaled.agg(F.sum("w").alias("wsum"))
+    rates = scaled.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        "n_docs",
+        "tok_total",
+        (F.col("tok_total") / F.col("corpus_tok")).alias("share"),
+        (F.col("w") / F.col("wsum")).alias("target_share"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("w") / F.col("wsum"))
+                * F.col("corpus_tok")
+                * MIX_BUDGET_FRAC
+                / F.col("tok_total"),
+            ),
+            6,
+        ).alias("rate"),
+        F.greatest(
+            F.lit(1.0),
+            (F.col("w") / F.col("wsum"))
+            * F.col("corpus_tok")
+            * MIX_BUDGET_FRAC
+            / F.col("tok_total"),
+        ).alias("epoch_factor"),
+    )
+    kept = (
+        toks.withColumn("u", _hash_u(F.col("doc_id"), "tmix:"))
+        .join(F.broadcast(rates.select("source", "rate")), "source")
+        .where(F.col("u") < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("tok").alias("kept_tokens"))
+    )
+    return rates.join(F.broadcast(kept), "source", "left").select(
+        "source",
+        "n_docs",
+        "tok_total",
+        F.round("share", 6).alias("share"),
+        F.round("target_share", 6).alias("target_share"),
+        "rate",
+        F.round("epoch_factor", 6).alias("epoch_factor"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+    )
+
+
+_TMIX_U_SQL = (
+    f"(({WORD_HASH_SQL.format(x=chr(39) + 'tmix:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')})"
+    " % 1000000) / 1000000.0"
+)
+
+SQL_TEMPERATURE_MIX = f"""
+WITH toks2 AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS tok
+  FROM documents
+),
+per_src AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tok_total
+  FROM toks2 GROUP BY source
+),
+tot AS (SELECT CAST(sum(tok_total) AS BIGINT) AS corpus_tok FROM per_src),
+scaled AS (
+  SELECT source, n_docs, tok_total, corpus_tok,
+         pow(CAST(tok_total AS DOUBLE) / corpus_tok, 1.0 / {MIX_TEMP}) AS w
+  FROM per_src, tot
+),
+ws AS (SELECT sum(w) AS wsum FROM scaled),
+rates AS (
+  SELECT source, n_docs, tok_total,
+         CAST(tok_total AS DOUBLE) / corpus_tok AS share,
+         w / wsum AS target_share,
+         round(least(1.0, (w / wsum) * corpus_tok * {MIX_BUDGET_FRAC}
+                           / tok_total), 6) AS rate,
+         greatest(1.0, (w / wsum) * corpus_tok * {MIX_BUDGET_FRAC}
+                        / tok_total) AS epoch_factor
+  FROM scaled, ws
+),
+kept AS (
+  SELECT t.source, count(*) AS n_kept,
+         CAST(sum(t.tok) AS BIGINT) AS kept_tokens
+  FROM toks2 t JOIN rates r ON t.source = r.source
+  WHERE {_TMIX_U_SQL} < r.rate
+  GROUP BY t.source
+)
+SELECT r.source, r.n_docs, r.tok_total,
+       round(r.share, 6) AS share,
+       round(r.target_share, 6) AS target_share,
+       r.rate,
+       round(r.epoch_factor, 6) AS epoch_factor,
+       coalesce(k.n_kept, 0) AS n_kept,
+       coalesce(k.kept_tokens, 0) AS kept_tokens
+FROM rates r LEFT JOIN kept k ON r.source = k.source
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: for every TEST-split document, the
     fraction of its distinct word {DECON_N}-grams that also appear
@@ -2622,6 +2753,7 @@ QUERIES = {
     "doc_repetition": Query(q_doc_repetition, SQL_DOC_REPETITION),
     "dedup_incremental": Query(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "domain_mix": Query(q_domain_mix, SQL_DOMAIN_MIX),
+    "temperature_mix": Query(q_temperature_mix, SQL_TEMPERATURE_MIX),
     "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),
     "seq_packing": Query(q_seq_packing, SQL_SEQ_PACKING),
     "kmeans": Query(q_kmeans, SQL_KMEANS),
