@@ -633,10 +633,17 @@ def test_iceberg_refill_stream_matches_batch(spark, sf_dir):
             .reset_index(drop=True)
         )
         assert len(got) == len(expected) > 0
+        merged = got.merge(
+            expected, on=["user_id", "side", "lvl"], suffixes=("_s", "_b")
+        )
+        # key sets must be identical, not merely equal-cardinality
+        assert len(merged) == len(expected)
         for col in ("n_events", "n_refills", "iceberg"):
-            assert (got[col].values == expected[col].values).all(), col
+            assert (merged[f"{col}_s"].values == merged[f"{col}_b"].values).all(), col
         for col in ("refill_qty", "max_qty"):
-            assert (abs(got[col].values - expected[col].values) < 1e-12).all(), col
+            assert (
+                abs(merged[f"{col}_s"].values - merged[f"{col}_b"].values) < 1e-12
+            ).all(), col
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -171,8 +171,14 @@ def hysteresis_stream(
             pending = pending_s or None
         else:
             confirmed, pending, count = "RANGE", None, 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        # concat BEFORE sorting: a group's rows can span multiple Arrow
+        # chunks, and per-chunk sorts would fold out of global event
+        # order (chunk 2 may hold earlier event_ids than chunk 1)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
             labs, _, (confirmed, pending, count) = _hysteresis_fold(
                 pdf["raw_label"], confirm_k, confirmed, pending, count
             )
@@ -224,20 +230,27 @@ def iceberg_refill_step(
 ) -> tuple[dict, tuple]:
     """The per-(key, side, lvl) refill fold shared by the streaming twin
     and its state-carry tests: consume batch rows in event order,
-    return (cumulative output row, new state). Micro-unit rounding uses
-    exact-binary Decimal HALF_UP — bit-identical to Spark/DuckDB
-    ``round(x * 1e6)`` on the same double."""
+    return (cumulative output row, new state). Micro-unit rounding goes
+    through Decimal(repr(x)) HALF_UP — the shortest-decimal route
+    Spark's ``round`` takes (BigDecimal.valueOf), so the stream agrees
+    with the batch query on every value."""
     import math
     from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
 
     if state_tuple is not None:
         prev, n, nr, ru, mx = state_tuple
         prev = None if math.isnan(prev) else prev
     else:
         prev, n, nr, ru, mx = None, 0, 0, 0, float("-inf")
-    for pdf in pdfs:
-        pdf = pdf.sort_values("event_id", kind="mergesort")
-        for q in pdf["qty"]:
+    # concat BEFORE sorting: a group's micro-batch rows can span
+    # multiple Arrow chunks, and per-chunk sorts would fold out of
+    # global event order (wrong lag comparisons, corrupted carry-state)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        allrows = pd.concat(chunks).sort_values("event_id", kind="mergesort")
+        for q in allrows["qty"]:
             q = float(q)
             n += 1
             if q > mx:
@@ -245,9 +258,13 @@ def iceberg_refill_step(
             if prev is not None and q > prev:
                 nr += 1
                 d = (q - prev) * 1e6
-                ru += int(Decimal(d).quantize(Decimal(1), ROUND_HALF_UP))
+                ru += int(Decimal(repr(d)).quantize(Decimal(1), ROUND_HALF_UP))
             prev = q
-    mx6 = float(Decimal(mx).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+    # Spark's round() on DOUBLE goes through the SHORTEST decimal repr
+    # (BigDecimal.valueOf ~ repr), not the exact binary expansion —
+    # mirror that, or qty=2.0000005 (binary ...49999...) rounds down
+    # here and up there
+    mx6 = float(Decimal(repr(mx)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
     row = {
         "user_id": key[0],
         "side": key[1],
@@ -512,8 +529,13 @@ def position_fsm_stream(
         else:
             st = {"uid": uid, "seq": 0, "qty": None, "pos": None}
         rows: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        # concat BEFORE sorting (chunk boundaries don't respect event
+        # order; see iceberg_refill_step)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
             rows.extend(_fsm_step(pdf, st, **params))
         yield pd.DataFrame(rows, columns=cols)
         pos = st["pos"]

@@ -80,11 +80,15 @@ PRIORITY = [
     # substrate of every ticks oracle in the window (EVENTS_TICKS_SQL /
     # events_ticks), so a break there fails dozens of rows loudly
     "iceberg_refill",
+    # temperature_mix + modality_interleave (new oracles) take the
+    # sessionize and range_join_flow slots: both displaced queries are
+    # r3-green AND carry batch<->stream agreement tests (their core
+    # semantics stay exercised end-to-end every pytest run)
+    "temperature_mix", "modality_interleave",
     # high-coverage keepers (r3-green; each pins SURVEY §2 IDs the rows
     # above don't cover)
-    "sessionize",
     "ema", "book_topk", "wall_strength",
-    "asof_trade_quote", "range_join_flow", "signal_scores", "trade_params",
+    "asof_trade_quote", "signal_scores", "trade_params",
     # dup_spans (new, never driver-checked) takes passage_dedup's slot:
     # same shared kernel, strictly finer output, r3-green rotates out
     "trend_hysteresis", "dup_spans", "corpus_pipeline",

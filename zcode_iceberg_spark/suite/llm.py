@@ -1349,6 +1349,29 @@ def _hash_u(col, salt: str):
     ) / 1000000.0
 
 
+def _source_tokens(d: DataFrame) -> DataFrame:
+    """(doc_id, source, tok) — the shared input frame of both mixing
+    audits (uniform-budget and temperature-scaled)."""
+    return d.select(
+        "doc_id",
+        "source",
+        F.size(tx.tokens(F.col("text"))).cast("bigint").alias("tok"),
+    )
+
+
+def _kept_by_rate(toks: DataFrame, rates: DataFrame, salt: str) -> DataFrame:
+    """Per-source (n_kept, kept_tokens) after the salted-hash keep
+    decision u < rate — the membership step shared by both mixing
+    audits; ``rates`` must expose (source, rate)."""
+    return (
+        toks.withColumn("u", _hash_u(F.col("doc_id"), salt))
+        .join(F.broadcast(rates.select("source", "rate")), "source")
+        .where(F.col("u") < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("tok").alias("kept_tokens"))
+    )
+
+
 def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling to a per-source token budget (the
     mixture-reweighting pass of an LLM data pipeline, à la Pile/DoReMi
@@ -1366,10 +1389,7 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output = per-source audit: docs/tokens before, sampling rate,
     docs/tokens kept."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "source", F.size(tx.tokens(F.col("text"))).cast("bigint").alias("tok")
-    )
+    toks = _source_tokens(load_table(spark, sf_dir, "documents"))
     per_src = toks.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("tok_total")
     )
@@ -1386,13 +1406,7 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("tok_total"),
         ).alias("rate"),
     )
-    kept = (
-        toks.withColumn("u", _hash_u(F.col("doc_id"), "mix:"))
-        .join(F.broadcast(rates.select("source", "rate")), "source")
-        .where(F.col("u") < F.col("rate"))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("tok").alias("kept_tokens"))
-    )
+    kept = _kept_by_rate(toks, rates, "mix:")
     # both sides are #sources-row aggregates; hint the build side so the
     # audit join never falls back to a sort-merge of two tiny relations
     return rates.join(F.broadcast(kept), "source", "left").select(
@@ -1466,12 +1480,7 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output = per-source audit: natural share, tau-scaled target share,
     sampling rate, epoch factor, docs/tokens kept."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        "source",
-        F.size(tx.tokens(F.col("text"))).cast("bigint").alias("tok"),
-    )
+    toks = _source_tokens(load_table(spark, sf_dir, "documents"))
     per_src = toks.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("tok_total")
     )
@@ -1510,13 +1519,7 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("tok_total"),
         ).alias("epoch_factor"),
     )
-    kept = (
-        toks.withColumn("u", _hash_u(F.col("doc_id"), "tmix:"))
-        .join(F.broadcast(rates.select("source", "rate")), "source")
-        .where(F.col("u") < F.col("rate"))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("tok").alias("kept_tokens"))
-    )
+    kept = _kept_by_rate(toks, rates, "tmix:")
     return rates.join(F.broadcast(kept), "source", "left").select(
         "source",
         "n_docs",
@@ -2473,11 +2476,11 @@ docs AS (
   SELECT d.* FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
 ),
 toks AS (
-  SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS w
+  SELECT doc_id, text, source, regexp_split_to_array(lower(text), '\\s+') AS w
   FROM docs
 ),
 m AS (
-  SELECT doc_id, text, w,
+  SELECT doc_id, text, source, w,
          length(text) AS n_chars,
          len(w) AS n_words,
          length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
@@ -2486,7 +2489,7 @@ m AS (
   FROM toks
 ),
 q AS (
-  SELECT doc_id, text, w, n_words,
+  SELECT doc_id, text, source, w, n_words,
          least(greatest(
            (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
            + (CASE WHEN n_words > 0 AND CAST(n_chars AS DOUBLE) / n_words
@@ -2498,7 +2501,7 @@ q AS (
   FROM m
 ),
 sp AS (
-  SELECT doc_id, w, n_words, quality,
+  SELECT doc_id, source, w, n_words, quality,
          CASE WHEN {_U_SQL} < {SPLIT_TRAIN} THEN 'train'
               WHEN {_U_SQL} < {SPLIT_VAL} THEN 'val'
               ELSE 'test' END AS split
@@ -2599,17 +2602,11 @@ def q_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TRAINING_EXPORT = f"""
 WITH RECURSIVE {_PIPE_SP_CTES},
-tl0 AS (
-  SELECT s.doc_id AS doc_id, d.source AS source,
-         CAST(s.n_words AS BIGINT) AS tok
-  FROM (SELECT doc_id, n_words FROM sp WHERE split = 'train') s
-  JOIN documents d ON s.doc_id = d.doc_id
-),
 tl AS (
   SELECT doc_id, source,
          CAST(floor(({_PACK_U_SQL}) * {PACK_SHARDS}) AS INTEGER) AS shard,
-         tok
-  FROM tl0
+         CAST(n_words AS BIGINT) AS tok
+  FROM sp WHERE split = 'train'
 ),
 pseq AS (
   SELECT *, row_number() OVER (PARTITION BY source, shard ORDER BY doc_id) AS rn
