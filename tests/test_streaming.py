@@ -655,3 +655,79 @@ def test_iceberg_refill_stream_matches_batch(spark, sf_dir):
     r1, st1 = iceberg_refill_step(("u", "bid", 100), [rows.iloc[:2]], None)
     two, _ = iceberg_refill_step(("u", "bid", 100), [rows.iloc[2:]], st1)
     assert one == two and one["n_refills"] == 1 and one["refill_qty"] == 4.5
+
+
+def test_iceberg_refill_step_chunk_order_invariance():
+    """The fold must concat a group's Arrow chunks BEFORE sorting:
+    chunk boundaries don't respect event order, so per-chunk folding
+    would corrupt the lag comparisons. Feeding the chunks reversed and
+    interleaved must equal the single-chunk result."""
+    import pandas as pd
+
+    from zcode_iceberg_spark.streaming import iceberg_refill_step
+
+    rows = pd.DataFrame(
+        {"event_id": [1, 2, 3, 4, 5, 6], "qty": [5.0, 2.0, 6.5, 1.0, 3.0, 0.5]}
+    )
+    want, _ = iceberg_refill_step(("u", "bid", 7), [rows], None)
+    # reversed chunk order: later event_ids arrive in the FIRST chunk
+    got_rev, _ = iceberg_refill_step(
+        ("u", "bid", 7), [rows.iloc[3:], rows.iloc[:3]], None
+    )
+    # interleaved: odd rows then even rows
+    got_mix, _ = iceberg_refill_step(
+        ("u", "bid", 7), [rows.iloc[1::2], rows.iloc[0::2]], None
+    )
+    assert want == got_rev == got_mix
+
+
+def test_iceberg_refill_stream_tiny_arrow_batches(spark, sf_dir):
+    """End-to-end chunk-spanning: force 16-row Arrow batches so real
+    groups span multiple chunks inside applyInPandasWithState, and
+    assert the stream still agrees with the batch query."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from zcode_iceberg_spark.streaming import (
+        iceberg_refill_stream,
+        run_available_now,
+        stream_events,
+    )
+    from zcode_iceberg_spark.suite.orderbook import q_iceberg_refill
+
+    expected = (
+        q_iceberg_refill(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "side", "lvl"])
+        .reset_index(drop=True)
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    tmp = Path(tempfile.mkdtemp(prefix="zspark_ice_tiny_"))
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+        stream_src = tmp / "src"
+        stream_src.mkdir()
+        shutil.copy(
+            str(Path(sf_dir) / "events.parquet"), stream_src / "events.parquet"
+        )
+        out = iceberg_refill_stream(stream_events(spark, str(stream_src)))
+        run_available_now(out, str(tmp / "out"), str(tmp / "ckpt"))
+        got_all = spark.read.parquet(str(tmp / "out")).toPandas()
+        got = (
+            got_all[got_all["n_events"] >= 3]
+            .sort_values(["user_id", "side", "lvl"])
+            .reset_index(drop=True)
+        )
+        merged = got.merge(
+            expected, on=["user_id", "side", "lvl"], suffixes=("_s", "_b")
+        )
+        assert len(merged) == len(expected) > 0
+        assert (merged["n_refills_s"].values == merged["n_refills_b"].values).all()
+        assert (
+            abs(merged["refill_qty_s"].values - merged["refill_qty_b"].values)
+            < 1e-12
+        ).all()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        shutil.rmtree(tmp, ignore_errors=True)
