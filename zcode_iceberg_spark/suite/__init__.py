@@ -90,8 +90,11 @@ PRIORITY = [
     "ema", "book_topk", "wall_strength",
     "asof_trade_quote", "signal_scores", "trade_params",
     # dup_spans (new, never driver-checked) takes passage_dedup's slot:
-    # same shared kernel, strictly finer output, r3-green rotates out
-    "trend_hysteresis", "dup_spans", "corpus_pipeline",
+    # same shared kernel, strictly finer output, r3-green rotates out;
+    # quality_sample (new oracle) takes corpus_pipeline's slot — the
+    # pipeline's dedup/quality/split prefix is in-window via
+    # training_export (shared _PIPE_SP_CTES), its decon stage r3-green
+    "trend_hysteresis", "dup_spans", "quality_sample",
 ]
 
 

@@ -1583,6 +1583,123 @@ FROM rates r LEFT JOIN kept k ON r.source = k.source
 """
 
 
+QW_FRAC = 0.5  # target keep fraction of the corpus
+
+
+def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOCUMENT quality-weighted sampling (the DCLM/quality-
+    upweighting move): keep probability ∝ quality² , normalized so the
+    expected keep fraction is QW_FRAC — high-quality docs survive at a
+    higher rate instead of a hard threshold. Complements the
+    per-source mixes: the weight here is a per-row function, the
+    normalizer a single broadcast scalar, so the whole decision is
+    map-side after one scalar aggregate. Rates are quantized to 6
+    decimals before the salted-hash membership comparison
+    (engine-exact grid).
+
+    Output = per-quality-bucket audit: docs, kept, realized keep
+    ratio, and the rate range applied in that bucket."""
+    d = load_table(spark, sf_dir, "documents")
+    q = tx.quality_metrics(d).select("doc_id", "quality")
+    # γ=2 lets the weight be an exact integer (squared micro-quality),
+    # so the corpus normalizer is an INTEGER sum — partition-order
+    # independent, unlike a float avg(pow(...)) whose low bits would
+    # vary with layout and sit under a rounded rate threshold
+    qu = F.expr("CAST(round(quality * 1e6) AS BIGINT)")
+    q2 = q.select("doc_id", "quality", (qu * qu).alias("w2"))
+    norm = q2.agg(
+        F.sum("w2").alias("s_w2"), F.count(F.lit(1)).alias("n_all")
+    )
+    rated = q2.crossJoin(F.broadcast(norm)).select(
+        "doc_id",
+        "quality",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                QW_FRAC * F.col("w2") * F.col("n_all") / F.col("s_w2"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    kept = rated.withColumn("u", _hash_u(F.col("doc_id"), "qmix:")).select(
+        "doc_id",
+        "quality",
+        "rate",
+        (F.col("u") < F.col("rate")).alias("keep"),
+    )
+    bucket = F.floor(F.col("quality") * 10).cast("int")
+    return (
+        kept.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.round(
+                F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("keep_ratio"),
+            F.min("rate").alias("min_rate"),
+            F.max("rate").alias("max_rate"),
+        )
+    )
+
+
+_QMIX_U_SQL = (
+    f"(({WORD_HASH_SQL.format(x=chr(39) + 'qmix:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')})"
+    " % 1000000) / 1000000.0"
+)
+
+SQL_QUALITY_SAMPLE = f"""
+WITH toksq AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+           AS n_punct,
+         text
+  FROM documents
+),
+qm AS (
+  SELECT doc_id,
+         least(greatest(
+           (CASE WHEN len(w) BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN len(w) > 0 AND CAST(n_chars AS DOUBLE) / len(w)
+                    BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END)
+           + (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE) / n_chars
+                    <= 0.1 THEN 0.2 ELSE 0.0 END)
+           + (CASE WHEN len(w) > 0 AND
+                    CAST(len(list_filter(w, t -> t IN ({_EN_STOPS})))
+                         AS DOUBLE) / len(w)
+                    >= 0.01 THEN 0.2 ELSE 0.0 END), 0.0), 1.0) AS quality
+  FROM toksq
+),
+qm2 AS (
+  SELECT doc_id, quality,
+         CAST(round(quality * 1e6) AS BIGINT)
+           * CAST(round(quality * 1e6) AS BIGINT) AS w2
+  FROM qm
+),
+nq AS (SELECT CAST(sum(w2) AS BIGINT) AS s_w2, count(*) AS n_all FROM qm2),
+rated AS (
+  SELECT doc_id, quality,
+         round(least(1.0, {QW_FRAC} * w2 * n_all / s_w2), 6) AS rate
+  FROM qm2, nq
+),
+keptq AS (
+  SELECT doc_id, quality, rate,
+         ({_QMIX_U_SQL}) < rate AS keep
+  FROM rated
+)
+SELECT CAST(floor(quality * 10) AS INTEGER) AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS keep_ratio,
+       min(rate) AS min_rate,
+       max(rate) AS max_rate
+FROM keptq GROUP BY 1
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: for every TEST-split document, the
     fraction of its distinct word {DECON_N}-grams that also appear
@@ -2751,6 +2868,7 @@ QUERIES = {
     "dedup_incremental": Query(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "domain_mix": Query(q_domain_mix, SQL_DOMAIN_MIX),
     "temperature_mix": Query(q_temperature_mix, SQL_TEMPERATURE_MIX),
+    "quality_sample": Query(q_quality_sample, SQL_QUALITY_SAMPLE),
     "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),
     "seq_packing": Query(q_seq_packing, SQL_SEQ_PACKING),
     "kmeans": Query(q_kmeans, SQL_KMEANS),
