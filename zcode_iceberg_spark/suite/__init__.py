@@ -51,7 +51,10 @@ PRIORITY = [
     "realized_vol", "pricing_summary", "price_percentiles",
     "price_percentiles_approx", "star_revenue", "top_customers_per_nation",
     "priority_with_discounted", "customers_without_orders", "rollup_sales",
-    "cumulative_customer_value", "distinct_parts_per_supplier",
+    # token_histogram (early-r4, never driver-checked) outranks the
+    # r1-stale cumulative_customer_value, whose running-sum window
+    # shape is in-window via ledger_drawdown's equity curve
+    "token_histogram", "distinct_parts_per_supplier",
     "approx_distinct_parts", "segment_share", "cube_corpus",
     "above_customer_avg", "unpivot_lineitem_stats", "mc_win_prob",
     "dedup_exact", "minhash_signatures", "lsh_candidates", "dedup_near",
