@@ -525,11 +525,94 @@ FROM tr GROUP BY decile
 """
 
 
+# reference daily risk guards (risk_manager.py:66-70, config.py:44-45:
+# MAX_DAILY_TRADES=100, MAX_DAILY_LOSS=$2000) — scaled to the synthetic
+# fixture's trade counts and P&L magnitudes so the guards actually
+# trigger (same scaling precedent as trade_params' regime thresholds)
+RISK_MAX_DAILY_TRADES = 3
+RISK_MAX_DAILY_LOSS = 5.0
+
+
+def q_risk_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11/E16 risk accounting: the daily-limit guard audit —
+    `can_trade` in the reference checks trades-per-day and daily loss
+    BEFORE each entry (risk_manager.py:61-70) and resets at UTC
+    midnight (:211-217). This query replays that check over the FSM
+    ledger: per (user, day), each trade's PRIOR same-day count and
+    running P&L decide whether the guard would have blocked it.
+
+    Per-day output: trades, exact daily P&L, how many trades the guard
+    would have blocked, and the first blocked seq. Running state is a
+    cumulative window in close order (micro-unit ints), the rollup a
+    hash agg on the same keys — one exchange total."""
+    led = st.position_fsm(_decisions(spark, sf_dir))
+    day = F.date_format("exit_ts", "yyyy-MM-dd")
+    w = (
+        Window.partitionBy("user_id", "day")
+        .orderBy("trade_seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rows = led.select(
+        "user_id", "trade_seq", day.alias("day"), st.micro("pnl").alias("pnl_u")
+    ).select(
+        "user_id",
+        "day",
+        "trade_seq",
+        (F.count(F.lit(1)).over(w) - 1).alias("prior_trades"),
+        (F.sum("pnl_u").over(w) - F.col("pnl_u")).alias("prior_pnl_u"),
+        "pnl_u",
+    )
+    blocked = (F.col("prior_trades") >= RISK_MAX_DAILY_TRADES) | (
+        F.col("prior_pnl_u") <= F.lit(int(-RISK_MAX_DAILY_LOSS * 1e6))
+    )
+    return (
+        rows.withColumn("blocked", blocked)
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
+            (F.sum("pnl_u") / 1e6).alias("daily_pnl"),
+            F.sum(F.when(F.col("blocked"), 1).otherwise(0)).alias("n_blocked"),
+            F.min(F.when(F.col("blocked"), F.col("trade_seq"))).alias(
+                "first_blocked_seq"
+            ),
+        )
+    )
+
+
+SQL_RISK_LIMITS = f"""{_FSM_CLOSED_CTE},
+r AS (
+  SELECT user_id, trade_seq, strftime(exit_ts, '%Y-%m-%d') AS day,
+         CAST(round(pnl * 1e6) AS BIGINT) AS pnl_u
+  FROM closed
+),
+g AS (
+  SELECT user_id, day, trade_seq, pnl_u,
+         count(*) OVER wrl - 1 AS prior_trades,
+         sum(pnl_u) OVER wrl - pnl_u AS prior_pnl_u
+  FROM r
+  WINDOW wrl AS (PARTITION BY user_id, day ORDER BY trade_seq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+b AS (
+  SELECT *,
+         (prior_trades >= {RISK_MAX_DAILY_TRADES}
+          OR prior_pnl_u <= {int(-RISK_MAX_DAILY_LOSS * 1e6)}) AS blocked
+  FROM g
+)
+SELECT user_id, day, count(*) AS n_trades,
+       CAST(sum(pnl_u) AS BIGINT) / 1000000.0 AS daily_pnl,
+       CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       min(CASE WHEN blocked THEN trade_seq END) AS first_blocked_seq
+FROM b GROUP BY user_id, day
+"""
+
+
 QUERIES = {
     "trend_hysteresis": Query(q_trend_hysteresis, SQL_TREND_HYSTERESIS),
     "position_ledger": Query(q_position_ledger, SQL_POSITION_LEDGER),
     "ledger_drawdown": Query(q_ledger_drawdown, SQL_LEDGER_DRAWDOWN),
     "wp_calibration": Query(q_wp_calibration, _wp_calibration_sql()),
+    "risk_limits": Query(q_risk_limits, SQL_RISK_LIMITS),
     "ledger_daily_summary": Query(q_ledger_daily_summary, SQL_LEDGER_DAILY_SUMMARY),
     "ledger_exit_stats": Query(q_ledger_exit_stats, SQL_LEDGER_EXIT_STATS),
 }
