@@ -40,7 +40,10 @@ Z_UP, Z_DN = 1.0, -1.0
 
 def _decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decision stream: delta z-score per tick (flow ops) + raw trend
-    label from z thresholds."""
+    label from z thresholds. (A shared-repartition variant mirroring
+    `_features`' subtree was A/B'd for wp_calibration: 4.4-4.9 s warm
+    both ways — the FSM fold and scoring expressions dominate, not the
+    tick shuffle — so the simpler shape stays.)"""
     t = events_ticks(spark, sf_dir)
     z = flow_ops.delta_zscore(t, window_sec=600, pop_rows=50, min_pop=30)
     return z.select(
