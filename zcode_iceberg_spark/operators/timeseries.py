@@ -92,6 +92,49 @@ def atr(bars: DataFrame, n: int = 14) -> DataFrame:
     )
 
 
+def gap_fill(bars: DataFrame, minutes: int = 60) -> DataFrame:
+    """E8 extension: dense calendar spine + forward fill over sparse
+    bars (the `time_bucket_gapfill`/`locf` shape every chart and
+    bar-indexed indicator consumer needs — the reference's resampled
+    klines implicitly assume a continuous series, data_manager.py:
+    788-801, but thin hours produce holes).
+
+    Shape: per-key (min, max) bar range is a tiny aggregate; the spine
+    is a per-key ``F.sequence`` explode bounded by that key's active
+    range (rows = keys × buckets, generated map-side after the small
+    agg — no driver-side calendar). The left join back onto bars is an
+    equi-join on (key, bucket); the forward fill is one
+    ``last(ignorenulls)`` window pass, the same single sort the bar
+    indicators already pay. At 100 TB the spine is dwarfed by the tick
+    table the bars collapsed from.
+
+    Output: every (key, bucket) in the key's range with
+    ``close_ff`` (last observed close), ``is_gap`` flag, zeroed
+    volume/n_ticks for synthesized rows.
+    """
+    step = F.expr(f"interval {minutes} minutes")
+    rng = bars.groupBy(KEY).agg(
+        F.min("bar_ts").alias("t0"), F.max("bar_ts").alias("t1")
+    )
+    spine = rng.select(
+        KEY, F.explode(F.sequence("t0", "t1", step)).alias("bar_ts")
+    )
+    j = spine.join(bars, [KEY, "bar_ts"], "left")
+    w = (
+        Window.partitionBy(KEY)
+        .orderBy("bar_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        KEY,
+        "bar_ts",
+        F.last("close", ignorenulls=True).over(w).alias("close_ff"),
+        F.col("close").isNull().alias("is_gap"),
+        F.coalesce("volume", F.lit(0.0)).alias("volume"),
+        F.coalesce("n_ticks", F.lit(0)).cast("bigint").alias("n_ticks"),
+    )
+
+
 def realized_vol(ticks: DataFrame, scale_ticks: int = 60) -> DataFrame:
     """E10: realized volatility of tick returns per key.
 

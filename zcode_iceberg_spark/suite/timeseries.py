@@ -73,6 +73,50 @@ FROM bars
 """
 
 
+def q_gap_fill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 extension: gap-filled hourly bars — dense per-key calendar
+    spine with forward-filled close (`locf`) and explicit gap flags
+    (see operators/timeseries.py:gap_fill for the scale shape)."""
+    g = ops.gap_fill(_bars(spark, sf_dir), minutes=60)
+    return g.select(
+        "user_id",
+        F.date_format("bar_ts", "yyyy-MM-dd HH:mm:ss").alias("bar_ts"),
+        F.round("close_ff", 6).alias("close_ff"),
+        "is_gap",
+        F.round("volume", 6).alias("volume"),
+        "n_ticks",
+    )
+
+
+SQL_GAP_FILL_1H = f"""
+{TICKS_CTE},
+{BARS_CTE},
+rng AS (
+  SELECT user_id, min(bar_ts) AS t0, max(bar_ts) AS t1
+  FROM bars GROUP BY user_id
+),
+spine AS (
+  SELECT user_id,
+         unnest(generate_series(t0, t1, INTERVAL 60 MINUTE)) AS bar_ts
+  FROM rng
+),
+j AS (
+  SELECT s.user_id, s.bar_ts, b.close, b.volume, b.n_ticks
+  FROM spine s LEFT JOIN bars b USING (user_id, bar_ts)
+)
+SELECT user_id,
+       strftime(bar_ts, '%Y-%m-%d %H:%M:%S') AS bar_ts,
+       round(last_value(close IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY bar_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS close_ff,
+       close IS NULL AS is_gap,
+       round(coalesce(volume, 0.0), 6) AS volume,
+       CAST(coalesce(n_ticks, 0) AS BIGINT) AS n_ticks
+FROM j
+"""
+
+
 def q_atr_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E9: ATR(14) over hourly bars — lag + greatest + trailing mean."""
     a = ops.atr(_bars(spark, sf_dir), n=14)
@@ -385,6 +429,7 @@ FROM full_seqs
 
 QUERIES = {
     "ohlc_1h": Query(q_ohlc_1h, SQL_OHLC_1H),
+    "gap_fill_1h": Query(q_gap_fill_1h, SQL_GAP_FILL_1H),
     "sequence_labels": Query(q_sequence_labels, SQL_SEQUENCE_LABELS),
     "trend_classifier": Query(q_trend_classifier, SQL_TREND_CLASSIFIER),
     "atr_1h": Query(q_atr_1h, SQL_ATR_1H),
