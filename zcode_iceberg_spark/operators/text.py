@@ -310,3 +310,94 @@ def passage_hashes(
         F.md5("ptext").alias("phash"),
         (F.col(id_col).cast("bigint") * 1_000_000 + F.col("pidx")).alias("pkey"),
     )
+
+
+def chars(word: Column) -> Column:
+    """Word → per-character symbol array via positional substr slices
+    (identical construction to DuckDB `list_transform(generate_series
+    (1, length(w)), i -> substr(w, i, 1))`, so fold oracles see the
+    same initial segmentation)."""
+    n = F.length(word)
+    return F.transform(F.sequence(F.lit(1), n), lambda i: word.substr(i, F.lit(1)))
+
+
+def apply_merge(syms: Column, left: str, right: str) -> Column:
+    """One BPE merge (left, right) → left-to-right greedy replacement
+    over a symbol array, as an `F.aggregate` expression fold (pure JVM,
+    no UDF): walk the symbols, and whenever the accumulator's last
+    symbol is `left` and the incoming one is `right`, replace the pair
+    with the merged symbol — exactly the greedy left-to-right pass of a
+    BPE tokenizer (overlaps resolve leftmost: 'aaa' under (a,a) →
+    ['aa','a']). Single-symbol arrays skip the fold untouched."""
+    merged = F.lit(left + right)
+    first = F.slice(syms, 1, 1)
+    rest = F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0)))
+    fold = F.aggregate(
+        rest,
+        first,
+        lambda acc, x: F.when(
+            (F.element_at(acc, -1) == F.lit(left)) & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return F.when(F.size(syms) < 2, syms).otherwise(fold)
+
+
+def bpe_learn(
+    words: DataFrame, n_merges: int, word_col: str = "word", freq_col: str = "freq"
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Distributed BPE merge learning over a (word, freq) vocabulary —
+    the tokenizer-training pass of an LLM data pipeline, structured the
+    way it scales: the corpus collapses to DISTINCT words first (the
+    classic Sennrich et al. 2016 setup), so every round touches the
+    vocabulary relation, never raw text.
+
+    Per round: adjacent symbol pairs explode map-side (bounded by word
+    length), pair counts are a freq-weighted partial aggregate, and the
+    argmax is a 1-row `TakeOrderedAndProject` — the only driver-side
+    data movement is ONE (left, right, count) row per round (same
+    collect discipline as the k-means centroid loop). The chosen merge
+    is applied as an expression fold (`apply_merge`) and lineage is
+    truncated per round with a lazy localCheckpoint (see SCALE.md on
+    the cluster-deployment swap to reliable checkpoints).
+
+    Returns (merge_table, final_segmentation): the learned merges as
+    [(round, left, right, pair_count)] and the vocabulary DataFrame
+    with a `syms` column holding each word's segmentation after all
+    merges. Stops early when no adjacent pair remains.
+    """
+    cur = words.select(
+        F.col(word_col).alias("word"),
+        F.col(freq_col).cast("bigint").alias("freq"),
+        chars(F.col(word_col)).alias("syms"),
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, n_merges + 1):
+        pair = F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i).alias("l"),
+                    F.element_at(F.col("syms"), i + 1).alias("r"),
+                ),
+            )
+        ).alias("pr")
+        best = (
+            cur.where(F.size("syms") >= 2)
+            .select("freq", pair)
+            .select("freq", "pr.l", "pr.r")
+            .groupBy("l", "r")
+            .agg(F.sum("freq").cast("bigint").alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((rnd, l, r, c))
+        cur = cur.withColumn("syms", apply_merge(F.col("syms"), l, r))
+        cur = cur.localCheckpoint(eager=False)
+    return merges, cur

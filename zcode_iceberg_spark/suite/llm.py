@@ -915,6 +915,161 @@ FROM g
 """
 
 
+HH_SUPPORT = 0.01  # freqItems single-pass support threshold
+HH_MIN_FRAC = 0.02  # report tokens above 2× the support (guarantee margin)
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens via a one-pass frequent-items sketch
+    (Karp/Misra-Gries family, `df.stat.freqItems`), audited against
+    exact counts — the fixed-memory profile pass that finds dominant
+    tokens/boilerplate markers without a full vocabulary aggregate.
+
+    Scale shape: the sketch keeps O(1/support) counters PER PARTITION
+    and merges them — one scan, no shuffle of token counts, state
+    independent of vocabulary size (the 100 TB path when the exact
+    vocab groupBy would itself be huge). The exact side here is the
+    audit yardstick: the algorithm guarantees NO false negatives for
+    items with frequency > support·N, so every reported token (at
+    {HH_MIN_FRAC} ≥ 2× support) must appear among the sketch's
+    candidates — `sketch_ok` pins that guarantee under the driver's
+    session while the value hash stays deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tx.tokens(F.col("text"))).alias("token"))
+    # sketch pass: bounded candidate superset (≤ 1/support items)
+    cand = set(toks.stat.freqItems(["token"], HH_SUPPORT).first()[0])
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    hot = counts.crossJoin(F.broadcast(tot)).where(
+        F.col("n") >= F.lit(HH_MIN_FRAC) * F.col("total")
+    )
+    return hot.select(
+        "token",
+        "n",
+        F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        F.col("token").isin(list(cand)).alias("sketch_ok"),
+    )
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH {TOKS_CTE},
+tk AS (SELECT unnest(w) AS token FROM toks),
+c AS (SELECT token, count(*) AS n FROM tk GROUP BY token),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+SELECT token, n,
+       round(n / CAST(total AS DOUBLE), 6) AS share,
+       TRUE AS sketch_ok
+FROM c, t WHERE n >= {HH_MIN_FRAC} * total
+"""
+
+
+# --------------------------------------------------------- BPE merge learning
+
+BPE_N_MERGES = 6
+
+
+def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tx.tokens(F.col("text"))).alias("word"))
+        .where(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training: the first {BPE_N_MERGES} learned BPE merges
+    over the corpus vocabulary (Sennrich et al. 2016) — iterative
+    freq-weighted pair counting with a 1-row argmax collect per round
+    (see operators/text.py:bpe_learn for the scale shape). Oracle:
+    the same rounds unrolled as DuckDB CTEs, each round's fold
+    replayed with `list_reduce`."""
+    merges, _ = tx.bpe_learn(_bpe_words(spark, sf_dir), BPE_N_MERGES)
+    return spark.createDataFrame(
+        merges, "merge_round int, left_sym string, right_sym string, pair_count bigint"
+    )
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application: every vocabulary word segmented by the
+    {BPE_N_MERGES} learned merges (the `apply_merge` expression folds,
+    distributed over the vocabulary — raw text is never re-touched)."""
+    _, seg = tx.bpe_learn(_bpe_words(spark, sf_dir), BPE_N_MERGES)
+    return seg.select(
+        "word",
+        "freq",
+        F.size("syms").cast("bigint").alias("n_syms"),
+        F.array_join("syms", " ").alias("syms_str"),
+    )
+
+
+_BPE_WORDS_CTES = f"""{TOKS_CTE},
+words AS (
+  SELECT token AS word, count(*) AS freq
+  FROM (SELECT unnest(w) AS token FROM toks)
+  WHERE regexp_matches(token, '^[a-z]+$')
+  GROUP BY token
+),
+s0 AS (
+  SELECT word, freq,
+         list_transform(generate_series(1, length(word)),
+                        i -> substr(word, i, 1)) AS syms
+  FROM words
+)"""
+
+
+def _bpe_round_ctes(k: int) -> str:
+    """Round k of the unrolled BPE oracle: pair counts over s{k-1},
+    deterministic argmax b{k}, fold-applied segmentation s{k}. The
+    LEFT JOIN ON TRUE + null guard keeps the chain total when a round
+    finds no pair (mirrors bpe_learn's early stop)."""
+    return f"""p{k} AS (
+  SELECT z.pr.l AS l, z.pr.r AS r, CAST(sum(z.freq) AS BIGINT) AS c
+  FROM (SELECT freq,
+               unnest(list_transform(generate_series(1, len(syms) - 1),
+                      i -> {{'l': syms[i], 'r': syms[i + 1]}})) AS pr
+        FROM s{k - 1} WHERE len(syms) >= 2) z
+  GROUP BY 1, 2
+),
+b{k} AS (SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
+s{k} AS (
+  SELECT s.word, s.freq,
+         CASE WHEN b.l IS NULL OR len(s.syms) < 2 THEN s.syms
+              ELSE list_reduce(list_transform(s.syms, x -> [x]),
+                   (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
+                               THEN list_concat(acc[1:length(acc) - 1],
+                                                [b.l || b.r])
+                               ELSE list_concat(acc, x) END)
+         END AS syms
+  FROM s{k - 1} s LEFT JOIN b{k} b ON TRUE
+)"""
+
+
+def _bpe_oracle_merges() -> str:
+    ctes = ",\n".join(_bpe_round_ctes(k) for k in range(1, BPE_N_MERGES + 1))
+    rounds = "\n  UNION ALL\n  ".join(
+        f"SELECT {k} AS merge_round, l AS left_sym, r AS right_sym,"
+        f" c AS pair_count FROM b{k}"
+        for k in range(1, BPE_N_MERGES + 1)
+    )
+    return f"WITH {_BPE_WORDS_CTES},\n{ctes}\nSELECT * FROM (\n  {rounds}\n)"
+
+
+def _bpe_oracle_segment() -> str:
+    ctes = ",\n".join(_bpe_round_ctes(k) for k in range(1, BPE_N_MERGES + 1))
+    return f"""WITH {_BPE_WORDS_CTES},
+{ctes}
+SELECT word, freq, CAST(len(syms) AS BIGINT) AS n_syms,
+       array_to_string(syms, ' ') AS syms_str
+FROM s{BPE_N_MERGES}
+"""
+
+
+SQL_BPE_MERGES = _bpe_oracle_merges()
+SQL_BPE_SEGMENT = _bpe_oracle_segment()
+
+
 VOCAB_K = 100
 
 
@@ -1782,6 +1937,110 @@ SELECT ng.doc_id, ng.n_grams, coalesce(hit.n_hit, 0) AS n_hit,
        round(coalesce(hit.n_hit, 0) / ng.n_grams, 6) AS contamination,
        (coalesce(hit.n_hit, 0) / ng.n_grams) >= {DECON_FLAG} AS flagged
 FROM ng LEFT JOIN hit USING (doc_id)
+"""
+
+
+HLL_RTOL = 0.15  # ≥ 5× the rsd of the default lgConfigK=12 HLL++ sketch
+
+
+def q_decon_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test n-gram overlap ESTIMATED by mergeable HLL sketches
+    (inclusion–exclusion: |A∩B| = est(A) + est(B) − est(A∪B) with
+    `hll_union` of the two per-side sketches) — the corpus-level
+    contamination RATE a 100 TB pipeline can compute in one pass with
+    O(2^lgK) state and NO join, complementing `decontaminate`'s exact
+    per-document semi-join.
+
+    Scale shape: gram hashing is map-side (same hashed-{DECON_N}-gram
+    stream as decontaminate); the sketch side is a single partial-agg
+    to ONE row — no shuffle proportional to data. The exact side (one
+    groupBy on gram hash) is the audit yardstick: `hll_*_ok` flags pin
+    that each live estimate landed within {HLL_RTOL:.0%} of exact
+    (the sketch's rsd at lgK=12 is ~1.6%, so the margin absorbs the
+    compounding in the inclusion–exclusion subtraction), keeping the
+    value hash deterministic while forcing the sketches to actually
+    run under the driver's session."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        _hash_u(F.col("doc_id"), "").alias("u"),
+        tx.tokens(F.col("text")).alias("w"),
+    )
+    grams = base.select(
+        "u",
+        F.explode(
+            F.transform(
+                tx.shingles(F.col("w"), DECON_N), lambda s: tx.word_hash(s)
+            )
+        ).alias("g"),
+    )
+    is_tr = F.col("u") < SPLIT_TRAIN
+    is_te = F.col("u") >= SPLIT_VAL
+    sk = grams.agg(
+        F.hll_sketch_agg(F.when(is_tr, F.col("g"))).alias("sk_tr"),
+        F.hll_sketch_agg(F.when(is_te, F.col("g"))).alias("sk_te"),
+    )
+    est = sk.select(
+        F.hll_sketch_estimate("sk_tr").alias("est_train"),
+        F.hll_sketch_estimate("sk_te").alias("est_test"),
+        F.hll_sketch_estimate(F.hll_union("sk_tr", "sk_te")).alias("est_union"),
+    )
+    memb = (
+        grams.groupBy("g")
+        .agg(
+            F.max(F.when(is_tr, 1).otherwise(0)).alias("tr"),
+            F.max(F.when(is_te, 1).otherwise(0)).alias("te"),
+        )
+    )
+    exact = memb.agg(
+        F.sum("tr").alias("n_train"),
+        F.sum("te").alias("n_test"),
+        F.sum(F.col("tr") * F.col("te")).alias("n_both"),
+    )
+    j = exact.crossJoin(F.broadcast(est))
+    n_union = F.col("n_train") + F.col("n_test") - F.col("n_both")
+    ov_est = F.col("est_train") + F.col("est_test") - F.col("est_union")
+    tol = F.lit(HLL_RTOL)
+    return j.select(
+        "n_train",
+        "n_test",
+        "n_both",
+        F.round(F.col("n_both") / F.col("n_test"), 6).alias("test_containment"),
+        (F.abs(F.col("est_train") - F.col("n_train")) <= tol * F.col("n_train"))
+        .alias("hll_train_ok"),
+        (F.abs(F.col("est_test") - F.col("n_test")) <= tol * F.col("n_test"))
+        .alias("hll_test_ok"),
+        (F.abs(ov_est - F.col("n_both")) <= tol * n_union).alias("hll_overlap_ok"),
+    )
+
+
+SQL_DECON_OVERLAP_HLL = f"""
+WITH {TOKS_CTE},
+tu AS (
+  SELECT {_U_SQL} AS u, w FROM toks
+),
+grams AS (
+  SELECT u,
+         unnest(list_transform(
+           CASE WHEN len(w) >= {DECON_N}
+                THEN generate_series(1, len(w) - {DECON_N - 1})
+                ELSE [] END,
+           i -> {_GRAM_HASH_SQL})) AS g
+  FROM tu
+),
+memb AS (
+  SELECT g,
+         max(CASE WHEN u < {SPLIT_TRAIN} THEN 1 ELSE 0 END) AS tr,
+         max(CASE WHEN u >= {SPLIT_VAL} THEN 1 ELSE 0 END) AS te
+  FROM grams GROUP BY g
+)
+SELECT CAST(sum(tr) AS BIGINT) AS n_train,
+       CAST(sum(te) AS BIGINT) AS n_test,
+       CAST(sum(tr * te) AS BIGINT) AS n_both,
+       round(sum(tr * te) / CAST(sum(te) AS DOUBLE), 6) AS test_containment,
+       TRUE AS hll_train_ok,
+       TRUE AS hll_test_ok,
+       TRUE AS hll_overlap_ok
+FROM memb
 """
 
 
@@ -2861,6 +3120,9 @@ QUERIES = {
     "text_quality": Query(q_text_quality, SQL_TEXT_QUALITY),
     "token_counts": Query(q_token_counts, SQL_TOKEN_COUNTS),
     "token_histogram": Query(q_token_histogram, SQL_TOKEN_HISTOGRAM),
+    "heavy_hitters": Query(q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "bpe_merges": Query(q_bpe_merges, SQL_BPE_MERGES),
+    "bpe_segment": Query(q_bpe_segment, SQL_BPE_SEGMENT),
     "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),
     "doc_split": Query(q_doc_split, SQL_DOC_SPLIT),
     "pii_scan": Query(q_pii_scan, SQL_PII_SCAN),
@@ -2870,6 +3132,7 @@ QUERIES = {
     "temperature_mix": Query(q_temperature_mix, SQL_TEMPERATURE_MIX),
     "quality_sample": Query(q_quality_sample, SQL_QUALITY_SAMPLE),
     "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),
+    "decon_overlap_hll": Query(q_decon_overlap_hll, SQL_DECON_OVERLAP_HLL),
     "seq_packing": Query(q_seq_packing, SQL_SEQ_PACKING),
     "kmeans": Query(q_kmeans, SQL_KMEANS),
     "semantic_dedup": Query(q_semantic_dedup, SQL_SEMANTIC_DEDUP),
