@@ -90,14 +90,30 @@ PRIORITY = [
     "temperature_mix", "modality_interleave",
     # high-coverage keepers (r3-green; each pins SURVEY §2 IDs the rows
     # above don't cover)
-    "ema", "book_topk", "wall_strength",
-    "asof_trade_quote", "signal_scores", "trade_params",
+    "wall_strength", "trade_params",
+    # late-r4 additions (never driver-checked) take five keeper slots,
+    # each displacing an r3-green query whose semantics stay
+    # hash-verified transitively or by every-pytest agreement tests:
+    # gap_fill_1h ← ema (the F.aggregate fold family stays in-window
+    # via bpe_segment's apply_merge folds; ema r3-green + oracle-tested
+    # at sf0.001 every pytest); heavy_hitters ← book_topk (C1/C2
+    # top-k window plan asserted in test_plans; wall_strength consumes
+    # the same depth totals in-window); decon_overlap_hll ←
+    # signal_scores (its FEATURES_CTE + _WP expression is embedded and
+    # hash-verified inside wp_calibration, in-window); bpe_merges ←
+    # trend_hysteresis (r3-green, gaps-and-islands oracle + batch↔
+    # stream agreement every pytest; its z-label `dec` chain is
+    # in-window via the three ledger oracles); bpe_segment ←
+    # asof_trade_quote (r3-green, union+last kernel exercised by the
+    # stream-twin agreement tests every pytest)
+    "gap_fill_1h", "heavy_hitters", "decon_overlap_hll",
+    "bpe_merges", "bpe_segment",
     # dup_spans (new, never driver-checked) takes passage_dedup's slot:
     # same shared kernel, strictly finer output, r3-green rotates out;
     # quality_sample (new oracle) takes corpus_pipeline's slot — the
     # pipeline's dedup/quality/split prefix is in-window via
     # training_export (shared _PIPE_SP_CTES), its decon stage r3-green
-    "trend_hysteresis", "dup_spans", "quality_sample",
+    "dup_spans", "quality_sample",
 ]
 
 
