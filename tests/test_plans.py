@@ -222,3 +222,31 @@ def test_approx_distinct_two_level_no_expand(spark, sf_dir):
     p = plan(spark, sf_dir, "approx_distinct_parts")
     assert "Expand" not in p
     assert "partial_count" in p or "partial_approx_count_distinct" in p
+
+
+def test_gap_fill_single_window_sort(spark, sf_dir):
+    """Gap fill = spine equi-join + ONE window pass (the forward fill);
+    no nested-loop join sneaks in via the sequence explode."""
+    p = plan(spark, sf_dir, "gap_fill_1h")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert p.count("Window") >= 1
+    assert "Generate" in p  # the per-key sequence explode is map-side
+
+
+def test_heavy_hitters_partial_agg(spark, sf_dir):
+    """The exact audit side partial-aggregates map-side; the sketch
+    pass happens at build time (freqItems), so the returned plan is a
+    plain count aggregate with a broadcast of the 1-row total."""
+    p = plan(spark, sf_dir, "heavy_hitters")
+    assert "partial_count" in p or "partial_sum" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_decon_overlap_sketch_is_single_row_agg(spark, sf_dir):
+    """The HLL side collapses to ONE row via partial hll_sketch_agg
+    (no join in the sketch subtree); the exact audit side is one
+    gram-hash aggregate. No shuffle proportional to candidate pairs."""
+    p = plan(spark, sf_dir, "decon_overlap_hll")
+    assert "hll_sketch_agg" in p
+    assert "partial" in p  # map-side partials on both agg chains
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
