@@ -272,8 +272,186 @@ FROM sums
 """
 
 
+# ------------------------------------------------- event-sequence analytics
+
+FUNNEL_STAGES = ["view", "click", "purchase"]
+FUNNEL_WINDOW_HOURS = 6  # stage-k event must land within this of stage k-1
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the raw event stream: a user converts at
+    stage k only with an event of that type strictly AFTER their
+    first stage-(k-1) event AND within {FUNNEL_WINDOW_HOURS} h of it
+    (view → click → purchase; the window is what makes the funnel
+    discriminating — unbounded, any active user eventually emits
+    every type). The session/
+    engagement analytics shape a product events table always needs,
+    and the event-sequencing twin of the reference's entry→fill→exit
+    ordering checks (strategy.py:575-700 gates each transition on the
+    prior one's timestamp).
+
+    Scale shape: each stage is a per-user MIN aggregate (map-side
+    partials) joined to the previous stage's SURVIVORS — the relation
+    shrinks monotonically down the funnel, and every join is an
+    equi-join on user_id, so the whole chain is one shuffle family.
+    The 3-row summary then carries window-derived conversion rates."""
+    from zcode_iceberg_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    prev: DataFrame | None = None
+    stage_counts = []
+    for idx, stage in enumerate(FUNNEL_STAGES, start=1):
+        cur = ev.where(F.col("event_type") == stage)
+        if prev is not None:
+            cur = cur.join(prev, "user_id").where(
+                (F.col("ts") > F.col("t_prev"))
+                & (
+                    F.col("ts")
+                    <= F.col("t_prev")
+                    + F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+                )
+            )
+        s = cur.groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+        stage_counts.append(
+            s.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(idx).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                "n_users",
+            )
+        )
+        prev = s
+    u = stage_counts[0]
+    for s in stage_counts[1:]:
+        u = u.unionByName(s)
+    w = Window.orderBy("stage_idx").rowsBetween(Window.unboundedPreceding, 0)
+    return u.select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.round(F.col("n_users") / F.first("n_users").over(w), 6).alias(
+            "conv_from_first"
+        ),
+        F.round(
+            F.col("n_users")
+            / F.coalesce(F.lag("n_users", 1).over(Window.orderBy("stage_idx")),
+                         F.col("n_users")),
+            6,
+        ).alias("conv_from_prev"),
+    )
+
+
+SQL_FUNNEL_CONVERSION = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+  GROUP BY e.user_id
+),
+u AS (
+  SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', count(*) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', count(*) FROM s3
+)
+SELECT stage_idx, stage, n_users,
+       round(n_users / CAST(first_value(n_users) OVER (ORDER BY stage_idx)
+                            AS DOUBLE), 6) AS conv_from_first,
+       round(n_users / CAST(coalesce(lag(n_users) OVER (ORDER BY stage_idx),
+                                     n_users) AS DOUBLE), 6) AS conv_from_prev
+FROM u
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, then
+    per (cohort_day, day_offset) the distinct users active that day
+    and the retention rate vs the cohort's size — the standard
+    engagement rollup over any event table.
+
+    Scale shape: first-seen is a window MIN under ONE user_id
+    exchange (no self-join); the activity matrix distincts
+    (user, cohort, offset) on the same pass's output, then aggregates
+    — partial aggs everywhere; cohort sizes come from the offset-0
+    rows themselves (every user is active on their first day) and
+    broadcast back onto the tiny matrix."""
+    from zcode_iceberg_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    w = Window.partitionBy("user_id")
+    act = (
+        ev.withColumn("cohort_d", F.min("d").over(w))
+        .select(
+            "user_id",
+            "cohort_d",
+            F.datediff("d", "cohort_d").alias("day_offset"),
+        )
+        .distinct()
+    )
+    g = act.groupBy("cohort_d", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    sizes = g.where(F.col("day_offset") == 0).select(
+        "cohort_d", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        g.join(F.broadcast(sizes), "cohort_d")
+        .select(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset").cast("bigint").alias("day_offset"),
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS d FROM events
+),
+act AS (
+  SELECT DISTINCT user_id,
+         min(d) OVER (PARTITION BY user_id) AS cohort_d,
+         date_diff('day', min(d) OVER (PARTITION BY user_id), d)
+           AS day_offset
+  FROM ev
+),
+g AS (
+  SELECT cohort_d, day_offset, count(*) AS n_active
+  FROM act GROUP BY cohort_d, day_offset
+),
+sizes AS (
+  SELECT cohort_d, n_active AS cohort_size FROM g WHERE day_offset = 0
+)
+SELECT strftime(g.cohort_d, '%Y-%m-%d') AS cohort_day,
+       CAST(g.day_offset AS BIGINT) AS day_offset,
+       g.n_active, s.cohort_size,
+       round(g.n_active / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+FROM g JOIN sizes s USING (cohort_d)
+"""
+
+
 QUERIES = {
     "ticks_normalize": Query(q_ticks_normalize, SQL_TICKS_NORMALIZE),
+    "funnel_conversion": Query(q_funnel_conversion, SQL_FUNNEL_CONVERSION),
+    "cohort_retention": Query(q_cohort_retention, SQL_COHORT_RETENTION),
     "sessionize": Query(q_sessionize, SQL_SESSIONIZE),
     "delta_zscore": Query(q_delta_zscore, SQL_DELTA_ZSCORE),
     "cvd": Query(q_cvd, SQL_CVD),
