@@ -1004,6 +1004,52 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application at corpus scale: per-source token budget
+    under the learned BPE merges — whitespace words, BPE symbols, and
+    the fertility ratio (symbols per word) every context-length /
+    cost plan needs.
+
+    Scale shape: the learned segmentation lives on the VOCABULARY
+    (distinct words), which joins back onto the corpus token stream as
+    a BROADCAST — the corpus side never shuffles; the rollup is a
+    #sources-row partial agg. This is the standard trick that makes
+    tokenizer application free at 100 TB: encode the vocab once, map
+    the corpus through it."""
+    _, seg = tx.bpe_learn(_bpe_words(spark, sf_dir), BPE_N_MERGES)
+    vocab = seg.select("word", F.size("syms").cast("bigint").alias("n_syms"))
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(tx.tokens(F.col("text"))).alias("word")
+    ).where(F.col("word").rlike("^[a-z]+$"))
+    enc = toks.join(F.broadcast(vocab), "word")
+    return enc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_syms").alias("n_bpe_tokens"),
+        F.round(F.sum("n_syms") / F.count(F.lit(1)), 6).alias("syms_per_word"),
+    )
+
+
+def _bpe_oracle_encode() -> str:
+    ctes = ",\n".join(_bpe_round_ctes(k) for k in range(1, BPE_N_MERGES + 1))
+    return f"""WITH {_BPE_WORDS_CTES},
+{ctes},
+v AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_syms
+      FROM s{BPE_N_MERGES}),
+tw AS (
+  SELECT source, unnest(w) AS word FROM toks
+),
+tf AS (
+  SELECT source, word FROM tw WHERE regexp_matches(word, '^[a-z]+$')
+)
+SELECT source, count(*) AS n_words,
+       CAST(sum(v.n_syms) AS BIGINT) AS n_bpe_tokens,
+       round(sum(v.n_syms) / CAST(count(*) AS DOUBLE), 6) AS syms_per_word
+FROM tf JOIN v USING (word)
+GROUP BY source
+"""
+
+
 _BPE_WORDS_CTES = f"""{TOKS_CTE},
 words AS (
   SELECT token AS word, count(*) AS freq
@@ -1068,6 +1114,7 @@ FROM s{BPE_N_MERGES}
 
 SQL_BPE_MERGES = _bpe_oracle_merges()
 SQL_BPE_SEGMENT = _bpe_oracle_segment()
+SQL_BPE_ENCODE = _bpe_oracle_encode()
 
 
 VOCAB_K = 100
@@ -3123,6 +3170,7 @@ QUERIES = {
     "heavy_hitters": Query(q_heavy_hitters, SQL_HEAVY_HITTERS),
     "bpe_merges": Query(q_bpe_merges, SQL_BPE_MERGES),
     "bpe_segment": Query(q_bpe_segment, SQL_BPE_SEGMENT),
+    "bpe_encode": Query(q_bpe_encode, SQL_BPE_ENCODE),
     "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),
     "doc_split": Query(q_doc_split, SQL_DOC_SPLIT),
     "pii_scan": Query(q_pii_scan, SQL_PII_SCAN),
