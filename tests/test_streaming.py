@@ -731,3 +731,54 @@ def test_iceberg_refill_stream_tiny_arrow_batches(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_funnel_stream_agreement(spark, sf_dir, raw_events_dir, tmp):
+    """The per-user funnel fold over the 3-file time-ordered replay
+    must land every user at the same stage as the batch funnel: the
+    per-stage user counts equal q_funnel_conversion's n_users, across
+    micro-batch boundaries where GroupState carried partial stage
+    timestamps."""
+    from zcode_iceberg_spark.streaming import funnel_stream, stream_events_raw
+    from zcode_iceberg_spark.suite.flow import q_funnel_conversion
+
+    got_all = _drain(
+        spark, funnel_stream(stream_events_raw(spark, raw_events_dir)), tmp, "funnel"
+    ).toPandas()
+    # one row per (user, touching batch); stage timestamps are monotone
+    # so the final snapshot is the row with the largest n_seen
+    final = got_all.sort_values("n_seen").groupby("user_id").tail(1)
+    got_counts = {
+        k: int((final["stage_reached"] >= k).sum()) for k in (1, 2, 3)
+    }
+    want = {
+        r["stage_idx"]: r["n_users"]
+        for r in q_funnel_conversion(spark, sf_dir).collect()
+    }
+    assert got_counts == want and want[1] > want[3]
+
+
+def test_funnel_step_state_carry():
+    """Folding a user's events in two chunks equals one chunk, and a
+    stage-2 event outside the window never qualifies."""
+    import pandas as pd
+
+    from zcode_iceberg_spark.streaming import funnel_step
+
+    H = 3600 * 1_000_000
+    rows = pd.DataFrame(
+        {
+            "event_type": ["view", "click", "purchase", "click", "purchase"],
+            "ts_us": [0, 2 * H, 3 * H, 7 * H, 8 * H],
+            "event_id": [1, 2, 3, 4, 5],
+        }
+    )
+    one, _ = funnel_step((7,), [rows], None, window_us=6 * H)
+    r1, st1 = funnel_step((7,), [rows.iloc[:2]], None, window_us=6 * H)
+    two, _ = funnel_step((7,), [rows.iloc[2:]], st1, window_us=6 * H)
+    assert two == one
+    assert one["stage_reached"] == 3 and one["t2_us"] == 2 * H
+    # same path with a 1h window: the click at +2h is out of window,
+    # so nothing past stage 1 ever qualifies
+    narrow, _ = funnel_step((7,), [rows], None, window_us=H)
+    assert narrow["stage_reached"] == 1 and narrow["t2_us"] == -1

@@ -607,3 +607,134 @@ def enriched_stream(spark: SparkSession, src_dir: str, sf_dir: str) -> DataFrame
         F.col("c_nationkey").alias("nationkey"),
     )
     return ticks.join(F.broadcast(dim), "user_id", "left")
+
+
+# ------------------------------------------------------ streaming funnel
+
+def stream_events_raw(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream of RAW event rows (all event types, no
+    validity filter) — the input the funnel needs: `purchase`/`error`
+    rows carry no qty payload but ARE funnel stages. Same footer-sniff
+    schema handling and ts normalization as ``stream_events``."""
+    try:
+        schema = spark.read.parquet(src_dir).schema
+    except AnalysisException:
+        schema = EVENT_SCHEMA
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return (
+        normalize_ts(raw)
+        .select("event_id", "ts", "user_id", "event_type")
+        .withWatermark("ts", WATERMARK)
+    )
+
+
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("t1_us", T.LongType()),  # -1 sentinel = not reached
+        T.StructField("t2_us", T.LongType()),
+        T.StructField("t3_us", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+FUNNEL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("stage_reached", T.LongType()),
+        T.StructField("t1_us", T.LongType()),
+        T.StructField("t2_us", T.LongType()),
+        T.StructField("t3_us", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def funnel_step(
+    key: tuple,
+    pdfs,
+    state_tuple: tuple | None,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    window_us: int = 6 * 3600 * 1_000_000,
+) -> tuple[dict, tuple]:
+    """Per-user funnel fold shared by the streaming twin and its
+    state-carry tests: in event order, capture the FIRST stage-1
+    event, then the first stage-2 event strictly after it within the
+    window, then stage-3 likewise (exactly the batch
+    `q_funnel_conversion` chain, suite/flow.py). Stage timestamps are
+    monotone — once set they never move — so the fold is
+    batch-boundary-invariant by construction."""
+    import pandas as pd
+
+    t1, t2, t3, n = state_tuple if state_tuple is not None else (-1, -1, -1, 0)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        # concat BEFORE sorting (rows span Arrow chunks; see
+        # hysteresis_stream)
+        allrows = pd.concat(chunks).sort_values(
+            ["ts_us", "event_id"], kind="mergesort"
+        )
+        for typ, us in zip(allrows["event_type"], allrows["ts_us"]):
+            us = int(us)
+            n += 1
+            if typ == stages[0]:
+                if t1 < 0:
+                    t1 = us
+            elif typ == stages[1]:
+                if t1 >= 0 and t2 < 0 and t1 < us <= t1 + window_us:
+                    t2 = us
+            elif typ == stages[2]:
+                if t2 >= 0 and t3 < 0 and t2 < us <= t2 + window_us:
+                    t3 = us
+    stage = 3 if t3 >= 0 else 2 if t2 >= 0 else 1 if t1 >= 0 else 0
+    row = {
+        "user_id": key[0],
+        "stage_reached": stage,
+        "t1_us": t1,
+        "t2_us": t2,
+        "t3_us": t3,
+        "n_seen": n,
+    }
+    return row, (t1, t2, t3, n)
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """H-group streaming twin of `q_funnel_conversion`: carried
+    GroupState per user holds the three stage timestamps; every
+    micro-batch emits the user's current funnel position — the live
+    conversion dashboard view. State is 4 longs per user, O(users)
+    regardless of stream length (a production feed would expire
+    long-idle users via a timeout)."""
+    import pandas as pd
+
+    # single source of truth for the conversion window: the batch query
+    from zcode_iceberg_spark.suite.flow import FUNNEL_WINDOW_HOURS
+
+    window_us = FUNNEL_WINDOW_HOURS * 3600 * 1_000_000
+
+    ev = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp_ntz").cast("timestamp")).alias(
+            "ts_us"
+        ),
+    )
+
+    def fn(key, pdfs, state):
+        row, new_state = funnel_step(
+            key, pdfs, state.get if state.exists else None, window_us=window_us
+        )
+        state.update(new_state)
+        yield pd.DataFrame([row])
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        FUNNEL_OUT_SCHEMA,
+        FUNNEL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
