@@ -448,10 +448,139 @@ FROM g JOIN sizes s USING (cohort_d)
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: P(next type | type), the behavioral model behind path
+    analysis and anomaly scoring on any event stream.
+
+    Scale shape: `lead` under ONE user_id window exchange builds the
+    (from, to) pairs; the matrix itself is a #types² hash aggregate
+    with map-side partials, and the row-normalizing total is a window
+    over that tiny matrix — nothing bigger than |types|² ever
+    shuffles twice."""
+    from zcode_iceberg_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    g = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    row_total = F.sum("n").over(Window.partitionBy("from_type"))
+    return g.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / row_total, 6).alias("p"),
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+g AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+FROM g
+"""
+
+
+MAD_K = 3.0  # flag beyond 3 robust sigmas
+MAD_SCALE = 1.4826  # MAD → sigma under normality
+
+
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-key outlier profile: median / MAD (the
+    mean/stddev-free dispersion pair that one fat-fingered print
+    can't poison — the robustness the reference's z-gate lacks,
+    strategy.py:1022-1043) and the count of prices beyond
+    {MAD_K}·{MAD_SCALE}·MAD.
+
+    Scale shape: two grouped exact percentiles (partial-agg shuffles
+    on user_id) with the tiny per-key medians BROADCAST back between
+    passes; the flag pass is map-side. At 100 TB swap `percentile`
+    for `approx_percentile` (t-digest) — same plan shape, no sort
+    (the swap precedent is price_percentiles_approx)."""
+    t = events_ticks(spark, sf_dir)
+    med = t.groupBy("user_id").agg(
+        F.percentile("price", F.lit(0.5)).alias("med")
+    )
+    dev = t.join(F.broadcast(med), "user_id").select(
+        "user_id", "price", "med", F.abs(F.col("price") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.first("med").alias("med"),
+        F.percentile("adev", F.lit(0.5)).alias("mad"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    flagged = dev.join(
+        F.broadcast(mad.select("user_id", F.col("mad").alias("mad_b"))), "user_id"
+    ).groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("adev") > MAD_K * MAD_SCALE * F.col("mad_b"), 1
+            ).otherwise(0)
+        ).alias("n_outliers")
+    )
+    return mad.join(flagged, "user_id").select(
+        "user_id",
+        "n",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        F.col("n_outliers").cast("bigint").alias("n_outliers"),
+        F.round(F.col("n_outliers") / F.col("n"), 6).alias("outlier_rate"),
+    )
+
+
+SQL_ROBUST_OUTLIERS = f"""
+{TICKS_CTE},
+med AS (
+  SELECT user_id, quantile_cont(price, 0.5) AS med
+  FROM ticks GROUP BY user_id
+),
+dev AS (
+  SELECT t.user_id, t.price, m.med, abs(t.price - m.med) AS adev
+  FROM ticks t JOIN med m USING (user_id)
+),
+mad AS (
+  SELECT user_id, any_value(med) AS med,
+         quantile_cont(adev, 0.5) AS mad,
+         count(*) AS n
+  FROM dev GROUP BY user_id
+),
+fl AS (
+  SELECT d.user_id,
+         CAST(sum(CASE WHEN d.adev > {MAD_K} * {MAD_SCALE} * m.mad
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+  FROM dev d JOIN mad m USING (user_id)
+  GROUP BY d.user_id
+)
+SELECT m.user_id, m.n,
+       round(m.med, 6) AS med,
+       round(m.mad, 6) AS mad,
+       f.n_outliers,
+       round(f.n_outliers / CAST(m.n AS DOUBLE), 6) AS outlier_rate
+FROM mad m JOIN fl f USING (user_id)
+"""
+
+
 QUERIES = {
     "ticks_normalize": Query(q_ticks_normalize, SQL_TICKS_NORMALIZE),
     "funnel_conversion": Query(q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "cohort_retention": Query(q_cohort_retention, SQL_COHORT_RETENTION),
+    "event_transitions": Query(q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "robust_outliers": Query(q_robust_outliers, SQL_ROBUST_OUTLIERS),
     "sessionize": Query(q_sessionize, SQL_SESSIONIZE),
     "delta_zscore": Query(q_delta_zscore, SQL_DELTA_ZSCORE),
     "cvd": Query(q_cvd, SQL_CVD),
