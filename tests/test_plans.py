@@ -250,3 +250,18 @@ def test_decon_overlap_sketch_is_single_row_agg(spark, sf_dir):
     assert "hll_sketch_agg" in p
     assert "partial" in p  # map-side partials on both agg chains
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_event_analytics_plan_shapes(spark, sf_dir):
+    """Funnel = shrinking equi-join chain (no nested loop); cohort =
+    window MIN + broadcast of offset-0 sizes; transitions = one key
+    exchange + tiny matrix agg; robust outliers = grouped percentiles
+    with broadcast medians handed back."""
+    for name in ("funnel_conversion", "cohort_retention",
+                 "event_transitions", "robust_outliers"):
+        p = plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+    assert "BroadcastHashJoin" in plan(spark, sf_dir, "cohort_retention")
+    assert "BroadcastHashJoin" in plan(spark, sf_dir, "robust_outliers")
+    assert "partial_count" in plan(spark, sf_dir, "event_transitions")
