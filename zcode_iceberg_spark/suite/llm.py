@@ -553,6 +553,122 @@ FROM reach GROUP BY doc_id
 """
 
 
+PR_ITERS = 3
+PR_DAMP = 0.85
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank over the near-dup candidate graph — the
+    centrality pass a corpus-curation pipeline runs to find template
+    hubs (documents near-duplicating MANY others score high; the
+    quality-signal complement of dedup, cf. Common Crawl's
+    harmonic-centrality ranking).
+
+    Scale shape: the classic Spark PageRank loop — per iteration ONE
+    equi-join of the edge list with the rank state and one partial-agg
+    groupBy of contributions; degree rides the rank state so no
+    second join; lineage truncated per round (see SCALE.md). Vertices
+    = candidate-graph members only (isolated docs score the floor by
+    definition and never enter an iteration — same subgraph discipline
+    as dedup_cc). {PR_ITERS} fixed iterations keep the oracle an
+    unrolled-CTE replay, the kmeans precedent."""
+    pairs = q_lsh_candidates(spark, sf_dir).filter(
+        F.col("est_jaccard") >= NEARDUP_EST_MIN
+    )
+    edges = (
+        pairs.select(F.col("doc1").alias("doc_id"), F.col("doc2").alias("nbr"))
+        .union(pairs.select(F.col("doc2").alias("doc_id"), F.col("doc1").alias("nbr")))
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("doc_id").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()  # driver scalar, same discipline as CC's fixpoint sum
+    ranks = deg.withColumn("r", F.lit(1.0 / n))
+    for _ in range(PR_ITERS):
+        # contributions are quantized to exact 1e-12 integer units
+        # (floor) and summed as BIGINTs: a float sum's value depends on
+        # partial-agg accumulation order, and one boundary-sitting
+        # vertex WILL flip its 6dp rounding under a different partition
+        # layout (observed at sf0.001 under the driver's plain
+        # session). floor of identical IEEE doubles is deterministic,
+        # integer addition is order-free, and the 1e-12 grid is 6
+        # orders below the output rounding.
+        contrib = (
+            edges.join(ranks, "doc_id")
+            .select(
+                F.col("nbr").alias("doc_id"),
+                F.floor((F.col("r") / F.col("deg")) * F.lit(1e12)).alias("cu"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("cu").alias("su"))
+        )
+        ranks = (
+            deg.join(contrib, "doc_id")
+            .select(
+                "doc_id",
+                "deg",
+                (
+                    F.lit((1.0 - PR_DAMP) / n)
+                    + F.lit(PR_DAMP) * (F.col("su") / F.lit(1e12))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    # normalize to mean 1 (relative centrality) for a scale-free output
+    return ranks.select(
+        "doc_id",
+        "deg",
+        F.round(F.col("r") * n, 6).alias("centrality"),
+    )
+
+
+def _pagerank_oracle() -> str:
+    iters = []
+    for k in range(1, PR_ITERS + 1):
+        iters.append(f"""c{k} AS (
+  SELECT e.nbr AS doc_id,
+         CAST(sum(CAST(floor(s.r / s.deg * 1e12) AS BIGINT)) AS BIGINT) AS su
+  FROM edges e JOIN p{k - 1} s USING (doc_id)
+  GROUP BY e.nbr
+),
+p{k} AS (
+  SELECT d.doc_id, d.deg,
+         (1.0 - {PR_DAMP}) / nv.n + {PR_DAMP} * (c{k}.su / 1e12) AS r
+  FROM deg d JOIN c{k} USING (doc_id), nv
+)""")
+    chain = ",\n".join(iters)
+    return f"""
+WITH {CHSH_CTE},
+{HASHES_CTE},
+{SIG_CTE},
+{BANDS_CTE},
+cand AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.bucket_key = b.bucket_key
+              AND a.doc_id < b.doc_id
+  JOIN sig sa ON sa.doc_id = a.doc_id
+  JOIN sig sb ON sb.doc_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING round(max({_EST_JACCARD_SQL.replace('a.s', 'sa.s').replace('b.s', 'sb.s')}), 6)
+         >= {NEARDUP_EST_MIN}
+),
+edges AS (
+  SELECT doc1 AS doc_id, doc2 AS nbr FROM cand
+  UNION ALL
+  SELECT doc2 AS doc_id, doc1 AS nbr FROM cand
+),
+deg AS (SELECT doc_id, count(*) AS deg FROM edges GROUP BY doc_id),
+nv AS (SELECT count(*) AS n FROM deg),
+p0 AS (SELECT doc_id, deg, 1.0 / nv.n AS r FROM deg, nv),
+{chain}
+SELECT p.doc_id, p.deg, round(p.r * nv.n, 6) AS centrality
+FROM p{PR_ITERS} p, nv
+"""
+
+
+SQL_PAGERANK = _pagerank_oracle()
+
+
 CROSSCHECK_COS = 0.9
 
 
@@ -3189,6 +3305,7 @@ QUERIES = {
     "tf_idf": Query(q_tf_idf, SQL_TF_IDF),
     "stratified_sample": Query(q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "dedup_cc": Query(q_dedup_cc, SQL_DEDUP_CC),
+    "pagerank": Query(q_pagerank, SQL_PAGERANK),
     "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
     "ann_lsh": Query(q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf": Query(q_ann_ivf, SQL_ANN_IVF),
