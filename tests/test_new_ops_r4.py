@@ -114,3 +114,18 @@ def test_hll_overlap_flags(spark, sf_dir):
     r = q_decon_overlap_hll(spark, sf_dir).first()
     assert r["hll_train_ok"] and r["hll_test_ok"] and r["hll_overlap_ok"]
     assert 0 <= r["n_both"] <= min(r["n_train"], r["n_test"])
+
+
+def test_pagerank_mass_conservation(spark, sf_dir):
+    """With a symmetric (dangling-free) graph, total rank mass stays 1
+    per iteration (up to the 1e-12 contribution quantization), so mean
+    centrality is 1; every vertex holds at least the damping floor."""
+    from zcode_iceberg_spark.suite.llm import q_pagerank
+
+    rows = q_pagerank(spark, sf_dir).collect()
+    assert rows
+    n = len(rows)
+    mean_c = sum(r["centrality"] for r in rows) / n
+    assert abs(mean_c - 1.0) < 1e-4
+    assert all(r["centrality"] >= 0.15 - 1e-6 for r in rows)  # (1-d) floor
+    assert all(r["deg"] >= 1 for r in rows)

@@ -575,12 +575,108 @@ FROM mad m JOIN fl f USING (user_id)
 """
 
 
+PATH_GAP_MIN = 30  # session gap, matches sessionize
+PATH_MAX_EVENTS = 5  # path prefix length
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top navigation paths: the ordered event-type prefix (first
+    {PATH_MAX_EVENTS} events) of every {PATH_GAP_MIN}-minute-gap
+    session, rolled up to (path, frequency) — the path-analysis rollup
+    behind every "common user journeys" view.
+
+    Scale shape: sessions come from gaps-and-islands (lag + running
+    sum) under ONE user_id sort — the same technique `sessionize`'s
+    oracle uses; the path string is built from a bounded
+    (≤{PATH_MAX_EVENTS}-element) sorted collect per session, and the
+    rollup is a hash agg on the path string with map-side partials.
+    Nothing collects more than the capped prefix per session."""
+    from zcode_iceberg_spark.sources.tables import load_table
+
+    gap_us = PATH_GAP_MIN * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp_ntz").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = F.when(
+        (us - F.lag(us).over(w)).isNull() | ((us - F.lag(us).over(w)) > gap_us),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("sid", F.sum(new_s).over(w)).withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+        )
+    )
+    paths = (
+        sess.where(F.col("rn") <= PATH_MAX_EVENTS)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+            F.max("rn").alias("plen"),
+        )
+    )
+    total = F.sum("n_sessions").over(Window.partitionBy())
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg("plen"), 6).alias("avg_prefix_len"),
+        )
+        .withColumn("share", F.round(F.col("n_sessions") / total, 6))
+    )
+
+
+SQL_SESSION_PATHS = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > {PATH_GAP_MIN * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM ev
+),
+rn AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS rn
+  FROM sess
+),
+paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY rn) AS path,
+         max(rn) AS plen
+  FROM rn WHERE rn <= {PATH_MAX_EVENTS}
+  GROUP BY user_id, sid
+)
+SELECT path, count(*) AS n_sessions,
+       round(avg(plen), 6) AS avg_prefix_len,
+       round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
+FROM paths GROUP BY path
+"""
+
+
 QUERIES = {
     "ticks_normalize": Query(q_ticks_normalize, SQL_TICKS_NORMALIZE),
     "funnel_conversion": Query(q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "cohort_retention": Query(q_cohort_retention, SQL_COHORT_RETENTION),
     "event_transitions": Query(q_event_transitions, SQL_EVENT_TRANSITIONS),
     "robust_outliers": Query(q_robust_outliers, SQL_ROBUST_OUTLIERS),
+    "session_paths": Query(q_session_paths, SQL_SESSION_PATHS),
     "sessionize": Query(q_sessionize, SQL_SESSIONIZE),
     "delta_zscore": Query(q_delta_zscore, SQL_DELTA_ZSCORE),
     "cvd": Query(q_cvd, SQL_CVD),
