@@ -782,3 +782,50 @@ def test_funnel_step_state_carry():
     # so nothing past stage 1 ever qualifies
     narrow, _ = funnel_step((7,), [rows], None, window_us=H)
     assert narrow["stage_reached"] == 1 and narrow["t2_us"] == -1
+
+
+def test_transitions_stream_agreement(spark, sf_dir, raw_events_dir, tmp):
+    """The streamed (from, to) pair stream, aggregated, equals the
+    batch Markov matrix counts — across micro-batch boundaries where
+    GroupState carried the last event type."""
+    from zcode_iceberg_spark.streaming import stream_events_raw, transitions_stream
+    from zcode_iceberg_spark.suite.flow import q_event_transitions
+
+    got_pairs = _drain(
+        spark,
+        transitions_stream(stream_events_raw(spark, raw_events_dir)),
+        tmp,
+        "trans",
+    )
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in got_pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in q_event_transitions(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 5
+
+
+def test_transitions_step_state_carry():
+    """Two chunks equal one chunk; the cross-batch pair uses the
+    carried last type."""
+    import pandas as pd
+
+    from zcode_iceberg_spark.streaming import transitions_step
+
+    rows = pd.DataFrame(
+        {
+            "event_type": ["view", "click", "purchase"],
+            "ts_us": [1, 2, 3],
+            "event_id": [1, 2, 3],
+        }
+    )
+    one, st_one = transitions_step((7,), [rows], None)
+    r1, st1 = transitions_step((7,), [rows.iloc[:1]], None)
+    r2, st2 = transitions_step((7,), [rows.iloc[1:]], st1)
+    assert r1 + r2 == one and st2 == st_one
+    assert one[0]["from_type"] == "view" and one[0]["to_type"] == "click"

@@ -738,3 +738,85 @@ def funnel_stream(events: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------- streaming event transitions
+
+TRANS_STATE_SCHEMA = T.StructType(
+    [T.StructField("last_type", T.StringType())]  # "" sentinel = none yet
+)
+
+TRANS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("from_type", T.StringType()),
+        T.StructField("to_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),  # the 'to' event
+    ]
+)
+
+
+def transitions_step(
+    key: tuple, pdfs, state_tuple: tuple | None
+) -> tuple[list[dict], tuple]:
+    """Per-user transition fold shared by the streaming twin and its
+    state-carry tests: in event order, emit one (from, to) pair per
+    consecutive event, carrying the last seen type across batches —
+    the streaming construction of exactly the pairs `lead` builds in
+    batch (q_event_transitions)."""
+    import pandas as pd
+
+    last = state_tuple[0] if state_tuple is not None else ""
+    out: list[dict] = []
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        allrows = pd.concat(chunks).sort_values(
+            ["ts_us", "event_id"], kind="mergesort"
+        )
+        for typ, eid in zip(allrows["event_type"], allrows["event_id"]):
+            if last:
+                out.append(
+                    {
+                        "user_id": key[0],
+                        "from_type": last,
+                        "to_type": typ,
+                        "event_id": int(eid),
+                    }
+                )
+            last = typ
+    return out, (last,)
+
+
+def transitions_stream(events: DataFrame) -> DataFrame:
+    """H-group streaming twin of `q_event_transitions`: GroupState per
+    user carries only the last event type (one string — minimal
+    state); each micro-batch appends the new transition pairs, and the
+    live matrix is a downstream aggregation of the pair stream. The
+    expensive part (the per-user ordering) stays exactly as cheap as
+    the batch `lead` window."""
+    import pandas as pd
+
+    ev = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp_ntz").cast("timestamp")).alias(
+            "ts_us"
+        ),
+    )
+
+    def fn(key, pdfs, state):
+        rows, new_state = transitions_step(
+            key, pdfs, state.get if state.exists else None
+        )
+        state.update(new_state)
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        TRANS_OUT_SCHEMA,
+        TRANS_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
