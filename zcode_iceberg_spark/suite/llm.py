@@ -553,6 +553,148 @@ FROM reach GROUP BY doc_id
 """
 
 
+WRS_K = 10  # weighted-reservoir sample size per language
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling without replacement (Efraimidis-
+    Spirakis A-ES), k docs per language stratum with probability ∝
+    token count — the exact-k companion to `quality_sample`'s
+    Bernoulli thinning (exact-k is what a fixed eval-set budget
+    needs).
+
+    Scale shape: the exponential key r = -ln(u)/w is a pure
+    map-side expression of a salted doc_id hash (reproducible under
+    any partitioning/re-run — no RNG state), and per-stratum top-k
+    plans as WindowGroupLimit: per-partition heaps, no global sort.
+    One pass, one k-row-per-stratum result."""
+    d = load_table(spark, sf_dir, "documents")
+    w_tok = F.size(tx.tokens(F.col("text"))).cast("double")
+    u = (
+        tx.word_hash(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string")))
+        % 999999
+        + 1
+    ) / 1000000.0
+    r = -F.log(u) / F.greatest(w_tok, F.lit(1.0))
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        w_tok.cast("bigint").alias("w_tokens"),
+        F.round(r, 9).alias("r"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.col("r").asc(), F.col("doc_id"))
+        ),
+    )
+    return (
+        ranked.where(F.col("rk") <= WRS_K)
+        .select(
+            "lang",
+            F.col("rk").cast("bigint").alias("rk"),
+            "doc_id",
+            "w_tokens",
+            F.round("r", 6).alias("key"),
+        )
+    )
+
+
+_WRS_U_SQL = (
+    f"(({WORD_HASH_SQL.format(x=chr(39) + 'wrs:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')})"
+    " % 999999 + 1) / 1000000.0"
+)
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH {TOKS_CTE},
+keyed AS (
+  SELECT doc_id, lang,
+         CAST(len(w) AS BIGINT) AS w_tokens,
+         round(-ln({_WRS_U_SQL}) / greatest(CAST(len(w) AS DOUBLE), 1.0), 9) AS r
+  FROM toks
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY r, doc_id) AS rk
+  FROM keyed
+)
+SELECT lang, rk, doc_id, w_tokens, round(r, 6) AS key
+FROM ranked WHERE rk <= {WRS_K}
+"""
+
+
+PSI_EPS = 1e-6  # smoothing for empty buckets
+PSI_SPLIT = 0.5  # first half of doc_ids = reference snapshot
+
+
+def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: Population Stability Index of the
+    token-length log2 histogram between the corpus's reference half
+    (doc_id below the median cut) and current half — the check a
+    continuously-ingesting pipeline runs per batch to catch a feed
+    change before it poisons training mixes.
+
+    Scale shape: one map-side projection into (half, bucket), one
+    tiny two-level aggregate, shares and PSI contributions computed
+    on the |buckets|-row result — the 100 TB cost is one scan."""
+    d = load_table(spark, sf_dir, "documents")
+    cut = d.agg(
+        F.floor(F.lit(PSI_SPLIT) * (F.max("doc_id") + 1)).cast("bigint").alias("c")
+    )
+    n = F.size(tx.tokens(F.col("text"))).cast("bigint")
+    bucket = F.floor(F.log2(F.greatest(n, F.lit(1)))).cast("bigint")
+    halves = d.crossJoin(F.broadcast(cut)).select(
+        F.when(F.col("doc_id") < F.col("c"), "ref").otherwise("cur").alias("half"),
+        bucket.alias("log2_bucket"),
+    )
+    g = (
+        halves.groupBy("log2_bucket")
+        .agg(
+            F.sum(F.when(F.col("half") == "ref", 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("half") == "cur", 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    tot = Window.partitionBy()
+    p_ref = F.col("n_ref") / F.sum("n_ref").over(tot) + PSI_EPS
+    p_cur = F.col("n_cur") / F.sum("n_cur").over(tot) + PSI_EPS
+    contrib = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return g.select(
+        "log2_bucket",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round(contrib, 6).alias("psi_contrib"),
+    )
+
+
+SQL_CORPUS_DRIFT_PSI = f"""
+WITH {TOKS_CTE},
+cut AS (
+  SELECT CAST(floor({PSI_SPLIT} * (max(doc_id) + 1)) AS BIGINT) AS c
+  FROM documents
+),
+halves AS (
+  SELECT CASE WHEN doc_id < cut.c THEN 'ref' ELSE 'cur' END AS half,
+         CAST(floor(log2(greatest(len(w), 1))) AS BIGINT) AS log2_bucket
+  FROM toks, cut
+),
+g AS (
+  SELECT log2_bucket,
+         CAST(sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM halves GROUP BY log2_bucket
+)
+SELECT log2_bucket, n_ref, n_cur,
+       round(n_ref / CAST(sum(n_ref) OVER () AS DOUBLE) + {PSI_EPS}, 6) AS p_ref,
+       round(n_cur / CAST(sum(n_cur) OVER () AS DOUBLE) + {PSI_EPS}, 6) AS p_cur,
+       round((n_cur / CAST(sum(n_cur) OVER () AS DOUBLE) + {PSI_EPS}
+              - (n_ref / CAST(sum(n_ref) OVER () AS DOUBLE) + {PSI_EPS}))
+             * ln((n_cur / CAST(sum(n_cur) OVER () AS DOUBLE) + {PSI_EPS})
+                  / (n_ref / CAST(sum(n_ref) OVER () AS DOUBLE) + {PSI_EPS})), 6)
+         AS psi_contrib
+FROM g
+"""
+
+
 PR_ITERS = 3
 PR_DAMP = 0.85
 
@@ -3306,6 +3448,8 @@ QUERIES = {
     "stratified_sample": Query(q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "dedup_cc": Query(q_dedup_cc, SQL_DEDUP_CC),
     "pagerank": Query(q_pagerank, SQL_PAGERANK),
+    "weighted_sample": Query(q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "corpus_drift_psi": Query(q_corpus_drift_psi, SQL_CORPUS_DRIFT_PSI),
     "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
     "ann_lsh": Query(q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf": Query(q_ann_ivf, SQL_ANN_IVF),
