@@ -829,3 +829,66 @@ def test_transitions_step_state_carry():
     r2, st2 = transitions_step((7,), [rows.iloc[1:]], st1)
     assert r1 + r2 == one and st2 == st_one
     assert one[0]["from_type"] == "view" and one[0]["to_type"] == "click"
+
+
+def test_staleness_stream_event_time_timeout(spark, tmp):
+    """A key that stops sending events gets a `stale` alert once the
+    WATERMARK (driven by other keys' progress) passes its armed
+    event-time deadline — output driven by ABSENCE of input, the
+    behavior only timers can express. User 1 keeps emitting across
+    all three files; user 2 stops after file 1 and must time out."""
+    import datetime as dt
+    import os
+    import time as time_mod
+
+    from zcode_iceberg_spark.streaming import staleness_stream, stream_events_raw
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (i, t0 + dt.timedelta(seconds=s), u, "view", 1.0, '{"k":"1"}')
+                for i, (u, s) in enumerate(rows)
+            ],
+            "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+            "value double, props string",
+        )
+
+    src = tmp / "stale_src"
+    src.mkdir()
+    batches = [
+        # both users live
+        [(1, 0), (1, 10), (2, 5)],
+        # only user 1; event time advances 20 min -> watermark (minus
+        # the 120 s slack) passes user 2's 5-min deadline
+        [(1, 1200), (1, 1210)],
+        # more progress so the fired timer's batch definitely runs
+        [(1, 2400)],
+    ]
+    for i, rows in enumerate(batches):
+        sub = tmp / f"spart{i}"
+        mk(rows).coalesce(1).write.parquet(str(sub))
+        f = next(sub.glob("*.parquet"))
+        dst = src / f"{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (time_mod.time() + i, time_mod.time() + i))
+
+    out = _drain(
+        spark,
+        staleness_stream(stream_events_raw(spark, str(src)), max_silence_sec=300),
+        tmp,
+        "stale",
+    )
+    rows = out.collect()
+    stale = [r for r in rows if r["kind"] == "stale"]
+    live = [r for r in rows if r["kind"] == "live"]
+    assert [r["user_id"] for r in stale] == [2]
+    # the alert carries user 2's final observed state
+    assert stale[0]["n_events"] == 1
+    assert stale[0]["last_us"] == int(
+        (t0 + dt.timedelta(seconds=5)).timestamp() * 1_000_000
+    )  # ts is tz-naive UTC; unix_micros after the NTZ hop
+    # user 1 stayed live through every batch, never timed out
+    assert {r["user_id"] for r in live} >= {1}
+    assert not [r for r in stale if r["user_id"] == 1]

@@ -820,3 +820,82 @@ def transitions_stream(events: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# -------------------------------------------- event-time staleness monitor
+
+STALE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+STALE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # 'live' | 'stale'
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def staleness_stream(events: DataFrame, max_silence_sec: int = 300) -> DataFrame:
+    """Stream-health watchdog on EVENT-TIME TIMERS (H9 made a real
+    operator): every key carries (last event time, count) in
+    GroupState and arms an event-time timeout {max_silence_sec}s past
+    its newest event; when the WATERMARK passes that deadline with no
+    new data, the state times out and the operator emits a `stale`
+    alert row for the key — the reference's feed-staleness restart
+    check (main.py:44, 20 s idle → resubscribe) as a first-class
+    streaming query instead of driver-side plumbing.
+
+    This is the one operator family that needs timers, not just
+    carried state: output is DRIVEN BY ABSENCE of input. State is two
+    longs per key; a fired timeout clears it (re-keyed on the next
+    event), so state is O(currently-live keys)."""
+    import pandas as pd
+
+    # keep the watermarked `ts` attribute in the projection — event-time
+    # timeout requires the watermark column to survive to the stateful
+    # operator (the fold itself reads only ts_us)
+    ev = events.select(
+        "user_id",
+        "ts",
+        F.unix_micros(F.col("ts").cast("timestamp_ntz").cast("timestamp")).alias(
+            "ts_us"
+        ),
+    )
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"user_id": key[0], "kind": "stale", "last_us": last_us,
+                  "n_events": n}]
+            )
+            return
+        last_us, n = state.get if state.exists else (-1, 0)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allrows = pd.concat(chunks)
+            n += len(allrows)
+            last_us = max(last_us, int(allrows["ts_us"].max()))
+        state.update((last_us, n))
+        # arm the event-time deadline: watermark passing this with no
+        # newer data for the key fires hasTimedOut above
+        state.setTimeoutTimestamp(last_us // 1000 + max_silence_sec * 1000)
+        yield pd.DataFrame(
+            [{"user_id": key[0], "kind": "live", "last_us": last_us,
+              "n_events": n}]
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        STALE_OUT_SCHEMA,
+        STALE_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
