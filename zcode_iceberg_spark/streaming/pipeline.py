@@ -885,8 +885,16 @@ def staleness_stream(events: DataFrame, max_silence_sec: int = 300) -> DataFrame
             last_us = max(last_us, int(allrows["ts_us"].max()))
         state.update((last_us, n))
         # arm the event-time deadline: watermark passing this with no
-        # newer data for the key fires hasTimedOut above
-        state.setTimeoutTimestamp(last_us // 1000 + max_silence_sec * 1000)
+        # newer data for the key fires hasTimedOut above. A key whose
+        # newest event already trails the watermark by more than the
+        # silence budget would compute a deadline in the past — Spark
+        # rejects that, so clamp to just past the current watermark
+        # (the key is then immediately stale on the next batch, which
+        # is the right semantics for a late straggler).
+        deadline_ms = last_us // 1000 + max_silence_sec * 1000
+        state.setTimeoutTimestamp(
+            max(deadline_ms, state.getCurrentWatermarkMs() + 1)
+        )
         yield pd.DataFrame(
             [{"user_id": key[0], "kind": "live", "last_us": last_us,
               "n_events": n}]
