@@ -56,15 +56,10 @@ EVENT_SCHEMA = T.StructType(
 WATERMARK = "120 seconds"
 
 
-def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
-    """File-source stream of event rows, normalized exactly like the
-    batch loader (sources/tables.py:normalize_ts): any on-disk ts layout
-    → TIMESTAMP, JSON qty, validity filter — one schema for batch and
-    stream. The file source needs an explicit schema; reading it from
-    the directory's parquet footers (a metadata-only batch read) keeps
-    the stream robust to the driver regenerating the fixtures with a
-    different physical ts type (reference analog: defensive feed ingest,
-    data_manager.py:272-285)."""
+def _sniffed_parquet_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """readStream with the schema sniffed from the directory's parquet
+    footers (a metadata-only batch read) — shared by every event
+    stream so layout-drift handling lives in ONE place."""
     try:
         schema = spark.read.parquet(src_dir).schema
     except AnalysisException:
@@ -75,11 +70,20 @@ def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
         # re-sniff. Only the no-files AnalysisException is absorbed so
         # real read failures still surface.
         schema = EVENT_SCHEMA
-    raw = (
+    return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
+
+
+def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream of event rows, normalized exactly like the
+    batch loader (sources/tables.py:normalize_ts): any on-disk ts layout
+    → TIMESTAMP, JSON qty, validity filter — one schema for batch and
+    stream (schema sniffing: see _sniffed_parquet_stream; reference
+    analog: defensive feed ingest, data_manager.py:272-285)."""
+    raw = _sniffed_parquet_stream(spark, src_dir)
     return (
         normalize_ts(raw)
         .select(
@@ -615,16 +619,9 @@ def stream_events_raw(spark: SparkSession, src_dir: str) -> DataFrame:
     """File-source stream of RAW event rows (all event types, no
     validity filter) — the input the funnel needs: `purchase`/`error`
     rows carry no qty payload but ARE funnel stages. Same footer-sniff
-    schema handling and ts normalization as ``stream_events``."""
-    try:
-        schema = spark.read.parquet(src_dir).schema
-    except AnalysisException:
-        schema = EVENT_SCHEMA
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
+    schema handling (_sniffed_parquet_stream) and ts normalization as
+    ``stream_events``."""
+    raw = _sniffed_parquet_stream(spark, src_dir)
     return (
         normalize_ts(raw)
         .select("event_id", "ts", "user_id", "event_type")
@@ -666,7 +663,13 @@ def funnel_step(
     window, then stage-3 likewise (exactly the batch
     `q_funnel_conversion` chain, suite/flow.py). Stage timestamps are
     monotone — once set they never move — so the fold is
-    batch-boundary-invariant by construction."""
+    batch-boundary-invariant UNDER EVENT-TIME-ORDERED DELIVERY (the
+    replay contract the agreement tests enforce). A cross-batch late
+    arrival — legal inside the 120 s watermark — processes in arrival
+    order and can miss a qualification the batch `lead` would count;
+    that is the same at-arrival semantics the reference's live feed
+    has, and the monotone stages bound the divergence to the one late
+    transition."""
     import pandas as pd
 
     t1, t2, t3, n = state_tuple if state_tuple is not None else (-1, -1, -1, 0)
@@ -710,9 +713,10 @@ def funnel_stream(events: DataFrame) -> DataFrame:
     long-idle users via a timeout)."""
     import pandas as pd
 
-    # single source of truth for the conversion window: the batch query
-    from zcode_iceberg_spark.suite.flow import FUNNEL_WINDOW_HOURS
+    # single source of truth for stages and window: the batch query
+    from zcode_iceberg_spark.suite.flow import FUNNEL_STAGES, FUNNEL_WINDOW_HOURS
 
+    stages = tuple(FUNNEL_STAGES)
     window_us = FUNNEL_WINDOW_HOURS * 3600 * 1_000_000
 
     ev = events.select(
@@ -726,7 +730,8 @@ def funnel_stream(events: DataFrame) -> DataFrame:
 
     def fn(key, pdfs, state):
         row, new_state = funnel_step(
-            key, pdfs, state.get if state.exists else None, window_us=window_us
+            key, pdfs, state.get if state.exists else None,
+            stages=stages, window_us=window_us,
         )
         state.update(new_state)
         yield pd.DataFrame([row])
@@ -762,8 +767,11 @@ def transitions_step(
     """Per-user transition fold shared by the streaming twin and its
     state-carry tests: in event order, emit one (from, to) pair per
     consecutive event, carrying the last seen type across batches —
-    the streaming construction of exactly the pairs `lead` builds in
-    batch (q_event_transitions)."""
+    the streaming construction of the pairs `lead` builds in batch
+    (q_event_transitions) — exactly equal under event-time-ordered
+    delivery (the agreement tests' replay contract); cross-batch late
+    arrivals inside the watermark pair up in arrival order instead
+    (the reference's own live-feed semantics)."""
     import pandas as pd
 
     last = state_tuple[0] if state_tuple is not None else ""
