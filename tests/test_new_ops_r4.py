@@ -129,3 +129,79 @@ def test_pagerank_mass_conservation(spark, sf_dir):
     assert abs(mean_c - 1.0) < 1e-4
     assert all(r["centrality"] >= 0.15 - 1e-6 for r in rows)  # (1-d) floor
     assert all(r["deg"] >= 1 for r in rows)
+
+
+def _py_greedy_merge(syms, l, r):
+    out = []
+    for x in syms:
+        if out and out[-1] == l and x == r:
+            out[-1] = l + r
+        else:
+            out.append(x)
+    return out
+
+
+def test_apply_merge_randomized_against_reference(spark):
+    """200 random symbol arrays: the Spark expression fold equals a
+    plain-Python greedy merge on every case (one vectorized round
+    trip, fixed seed)."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = ["a", "b", "c", "ab"]
+    cases = [
+        [rng.choice(alphabet) for _ in range(rng.randint(0, 12))]
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               "i: long, syms: array<string>")
+    got = {
+        r["i"]: r["m"]
+        for r in df.select("i", tx.apply_merge(F.col("syms"), "a", "b").alias("m"))
+        .collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == _py_greedy_merge(c, "a", "b"), (i, c)
+
+
+def test_funnel_step_randomized_against_reference():
+    """300 random event sequences: the streaming fold lands every user
+    at the same stage as a brute-force scan of the same ordered
+    sequence, for any chunking of the input."""
+    import random
+
+    import pandas as pd
+
+    from zcode_iceberg_spark.streaming import funnel_step
+
+    rng = random.Random(7)
+    W = 100
+    types = ["view", "click", "purchase", "error"]
+    for case in range(300):
+        n = rng.randint(0, 15)
+        evs = sorted(
+            (rng.randint(0, 400), i, rng.choice(types)) for i, _ in enumerate(range(n))
+        )
+        # brute force: first view; first click strictly after within W;
+        # first purchase strictly after that within W
+        t1 = t2 = t3 = -1
+        for us, _, typ in evs:
+            if typ == "view" and t1 < 0:
+                t1 = us
+            elif typ == "click" and t1 >= 0 and t2 < 0 and t1 < us <= t1 + W:
+                t2 = us
+            elif typ == "purchase" and t2 >= 0 and t3 < 0 and t2 < us <= t2 + W:
+                t3 = us
+        want = 3 if t3 >= 0 else 2 if t2 >= 0 else 1 if t1 >= 0 else 0
+
+        pdf = pd.DataFrame(
+            {
+                "event_type": [t for _, _, t in evs],
+                "ts_us": [u for u, _, _ in evs],
+                "event_id": [i for _, i, _ in evs],
+            }
+        )
+        cut = rng.randint(0, len(pdf)) if len(pdf) else 0
+        r1, st = funnel_step((1,), [pdf.iloc[:cut]], None, window_us=W)
+        r2, _ = funnel_step((1,), [pdf.iloc[cut:]], st, window_us=W)
+        assert r2["stage_reached"] == want, (case, evs, r2, want)
