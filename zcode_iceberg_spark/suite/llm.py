@@ -226,6 +226,252 @@ GROUP BY a.doc_id, b.doc_id
 """
 
 
+JACC_TRUE_MIN = 0.4  # exact char-4-gram Jaccard that counts as a true near-dup
+RECALL_PANEL = 128  # fixed audit-panel size (hash-selected docs)
+
+
+def _doc_gram_sets(d: DataFrame) -> DataFrame:
+    """(doc_id, h: distinct hashed char-4-gram set, n: |set|) — the
+    exact-Jaccard ground truth the LSH audits compare against (same
+    hashing as the MinHash input, HASHES_CTE)."""
+    lowered = d.select("doc_id", F.lower("text").alias("lt")).repartition(
+        d.sparkSession.sparkContext.defaultParallelism
+    )
+    h = F.array_distinct(
+        F.transform(
+            tx.char_shingles(F.col("lt"), 4, prelowered=True),
+            lambda s: tx.word_hash(s),
+        )
+    )
+    return lowered.select("doc_id", h.alias("h")).withColumn("n", F.size("h"))
+
+
+_HD_CTE = """hd AS (
+  SELECT doc_id, list_distinct(h) AS h, len(list_distinct(h)) AS n FROM hs
+)"""
+
+
+def _exact_jacc(a_h, a_n, b_h, b_n):
+    ni = F.size(F.array_intersect(a_h, b_h))
+    return ni / (a_n + b_n - ni)
+
+
+_EXACT_JACC_SQL = (
+    "len(list_intersect({a}.h, {b}.h)) * 1.0 / "
+    "({a}.n + {b}.n - len(list_intersect({a}.h, {b}.h)))"
+)
+
+
+def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality audit, precision side: every banded candidate pair
+    re-scored with its EXACT char-4-gram Jaccard, rolled up per
+    estimated-Jaccard decile — the monitoring view that tells a
+    production dedup whether its banding threshold is paying for
+    itself (what fraction of candidates at each signature-agreement
+    level are real near-dups at {JACC_TRUE_MIN}).
+
+    Scale shape: candidates are already bounded by the banding
+    equi-join; the exact re-score joins the per-doc gram SETS onto
+    those pairs only (O(candidates), the same stage-2 cost model as
+    dedup_crosscheck), and the rollup is a 10-row aggregate. Mean
+    exact Jaccard aggregates in integer micro-units (order-free)."""
+    d = load_table(spark, sf_dir, "documents")
+    cand = q_lsh_candidates(spark, sf_dir)
+    hd = _doc_gram_sets(d)
+    a = hd.alias("ha")
+    b = hd.alias("hb")
+    scored = (
+        cand.join(a, F.col("doc1") == F.col("ha.doc_id"))
+        .join(b, F.col("doc2") == F.col("hb.doc_id"))
+        .select(
+            "est_jaccard",
+            _exact_jacc(
+                F.col("ha.h"), F.col("ha.n"), F.col("hb.h"), F.col("hb.n")
+            ).alias("exact_j"),
+        )
+    )
+    bucket = F.least(F.floor(F.col("est_jaccard") * 10), F.lit(9)).cast("bigint")
+    ju = F.round(F.col("exact_j") * 1e6).cast("bigint")
+    return (
+        scored.select(bucket.alias("est_decile"), ju.alias("ju"))
+        .groupBy("est_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("ju") / F.count(F.lit(1)) / 1e6, 6).alias("mean_exact_j"),
+            F.sum(
+                F.when(F.col("ju") >= int(JACC_TRUE_MIN * 1e6), 1).otherwise(0)
+            ).alias("n_true"),
+            F.round(
+                F.sum(
+                    F.when(F.col("ju") >= int(JACC_TRUE_MIN * 1e6), 1).otherwise(0)
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("precision"),
+        )
+    )
+
+
+SQL_LSH_PRECISION = f"""
+WITH {CHSH_CTE},
+{HASHES_CTE},
+{SIG_CTE},
+{BANDS_CTE},
+{_HD_CTE},
+cand AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         round(max({_EST_JACCARD_SQL.replace('a.s', 'sa.s').replace('b.s', 'sb.s')}), 6)
+           AS est_jaccard
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.bucket_key = b.bucket_key
+              AND a.doc_id < b.doc_id
+  JOIN sig sa ON sa.doc_id = a.doc_id
+  JOIN sig sb ON sb.doc_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT least(CAST(floor(c.est_jaccard * 10) AS BIGINT), 9) AS est_decile,
+         CAST(round({_EXACT_JACC_SQL.format(a='ha', b='hb')} * 1e6) AS BIGINT)
+           AS ju
+  FROM cand c
+  JOIN hd ha ON ha.doc_id = c.doc1
+  JOIN hd hb ON hb.doc_id = c.doc2
+)
+SELECT est_decile, count(*) AS n_pairs,
+       round(CAST(sum(ju) AS BIGINT) / count(*) / 1e6, 6) AS mean_exact_j,
+       CAST(sum(CASE WHEN ju >= {int(JACC_TRUE_MIN * 1e6)} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_true,
+       round(sum(CASE WHEN ju >= {int(JACC_TRUE_MIN * 1e6)} THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS precision
+FROM scored GROUP BY est_decile
+"""
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality audit, recall side: a FIXED {RECALL_PANEL}-doc panel
+    (hash-selected — deterministic under any partitioning) is scored
+    all-pairs with exact Jaccard; a true near-dup pair counts as
+    CAPTURED iff some LSH band agrees (the banding's own capture
+    event, computed from the signatures — no join to the candidate
+    table needed). One summary row: panel truth vs capture.
+
+    Scale shape: the quadratic part is confined to the fixed-size
+    panel (the standard sampled-recall monitor for a production LSH
+    layer — panel size is a knob, not a function of corpus size);
+    signature band-key equality is an expression over the panel
+    pairs.
+
+    Reading the number: with {tx.N_PERM} perms in {tx.BANDS} bands ×
+    {tx.ROWS_PER_BAND} rows, the banding S-curve crosses 50% capture
+    at j ≈ (1/b)^(1/r) ≈ 0.71 — so the measured recall at the
+    {JACC_TRUE_MIN} truth bar is EXPECTED to be low (the fixtures'
+    moderate-similarity pairs sit below the curve) while the ≥0.8
+    deciles capture near-perfectly (see q_lsh_precision). This audit
+    is exactly how a production pipeline discovers it should re-band
+    (e.g. 8×2 → threshold ≈ 0.35) when its duplication target moves
+    down the similarity range."""
+    d = load_table(spark, sf_dir, "documents")
+    pick = Window.orderBy(
+        tx.word_hash(F.concat(F.lit("panel:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    panel_ids = (
+        d.select("doc_id")
+        .withColumn("pk", F.row_number().over(pick))
+        .where(F.col("pk") <= RECALL_PANEL)
+        .select("doc_id")
+    )
+    sig = tx.minhash_signatures(d, "doc_id", "text").join(
+        F.broadcast(panel_ids), "doc_id"
+    )
+    hd = _doc_gram_sets(d).join(F.broadcast(panel_ids), "doc_id")
+    left = hd.join(sig, "doc_id").select(
+        F.col("doc_id").alias("d1"),
+        F.col("h").alias("h1"),
+        F.col("n").alias("n1"),
+        F.col("sig").alias("s1"),
+    )
+    right = hd.join(sig, "doc_id").select(
+        F.col("doc_id").alias("d2"),
+        F.col("h").alias("h2"),
+        F.col("n").alias("n2"),
+        F.col("sig").alias("s2"),
+    )
+    pairs = left.join(right, F.col("d1") < F.col("d2"))
+    rpb = tx.ROWS_PER_BAND
+    captured = None
+    for band in range(tx.BANDS):
+        eq = F.slice("s1", band * rpb + 1, rpb) == F.slice("s2", band * rpb + 1, rpb)
+        captured = eq if captured is None else (captured | eq)
+    ju = F.round(
+        _exact_jacc(F.col("h1"), F.col("n1"), F.col("h2"), F.col("n2")) * 1e6
+    ).cast("bigint")
+    scored = pairs.select(
+        ju.alias("ju"), captured.alias("captured")
+    )
+    is_true = F.col("ju") >= int(JACC_TRUE_MIN * 1e6)
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(is_true, 1).otherwise(0)).alias("n_true"),
+        F.sum(F.when(is_true & F.col("captured"), 1).otherwise(0)).alias(
+            "n_true_captured"
+        ),
+        F.round(
+            F.sum(F.when(is_true & F.col("captured"), 1).otherwise(0))
+            / F.greatest(F.sum(F.when(is_true, 1).otherwise(0)), F.lit(1)),
+            6,
+        ).alias("recall"),
+        F.sum(F.when(~is_true & F.col("captured"), 1).otherwise(0)).alias(
+            "n_false_alarm"
+        ),
+    )
+
+
+def _band_eq_sql(band: int) -> str:
+    return (
+        "(" + _band_key_sql("sa", band) + ") = (" + _band_key_sql("sb", band) + ")"
+    )
+
+
+SQL_LSH_RECALL = f"""
+WITH {CHSH_CTE},
+{HASHES_CTE},
+{SIG_CTE},
+{_HD_CTE},
+panel AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY {WORD_HASH_SQL.format(x=chr(39) + 'panel:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')},
+                      doc_id) AS pk
+    FROM documents
+  ) WHERE pk <= {RECALL_PANEL}
+),
+scored AS (
+  SELECT CAST(round({_EXACT_JACC_SQL.format(a='ha', b='hb')} * 1e6) AS BIGINT)
+           AS ju,
+         ({" OR ".join(_band_eq_sql(b) for b in range(tx.BANDS))}) AS captured
+  FROM hd ha JOIN hd hb ON ha.doc_id < hb.doc_id
+  JOIN panel p1 ON p1.doc_id = ha.doc_id
+  JOIN panel p2 ON p2.doc_id = hb.doc_id
+  JOIN sig sa ON sa.doc_id = ha.doc_id
+  JOIN sig sb ON sb.doc_id = hb.doc_id
+)
+SELECT count(*) AS n_pairs,
+       CAST(sum(CASE WHEN ju >= {int(JACC_TRUE_MIN * 1e6)} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN ju >= {int(JACC_TRUE_MIN * 1e6)} AND captured
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_true_captured,
+       round(sum(CASE WHEN ju >= {int(JACC_TRUE_MIN * 1e6)} AND captured
+                      THEN 1 ELSE 0 END) * 1.0
+             / greatest(sum(CASE WHEN ju >= {int(JACC_TRUE_MIN * 1e6)}
+                                 THEN 1 ELSE 0 END), 1), 6) AS recall,
+       CAST(sum(CASE WHEN ju < {int(JACC_TRUE_MIN * 1e6)} AND captured
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_false_alarm
+FROM scored
+"""
+
+
 NEARDUP_EST_MIN = 0.5  # signature-agreement threshold for merging
 
 
@@ -3435,6 +3681,8 @@ QUERIES = {
     "training_export": Query(q_training_export, SQL_TRAINING_EXPORT),
     "minhash_signatures": Query(q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "lsh_candidates": Query(q_lsh_candidates, SQL_LSH_CANDIDATES),
+    "lsh_precision": Query(q_lsh_precision, SQL_LSH_PRECISION),
+    "lsh_recall": Query(q_lsh_recall, SQL_LSH_RECALL),
     "dedup_near": Query(q_dedup_near, SQL_DEDUP_NEAR),
     "dedup_crosscheck": Query(q_dedup_crosscheck, SQL_DEDUP_CROSSCHECK),
     "simhash": Query(q_simhash, SQL_SIMHASH),
