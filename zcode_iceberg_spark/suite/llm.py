@@ -347,7 +347,24 @@ FROM scored GROUP BY est_decile
 """
 
 
-def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _band_capture(bands: int, rpb: int):
+    """OR over bands of per-band signature-slice equality between the
+    paired docs' `s1`/`s2` signature arrays — the banding's own
+    capture event for an arbitrary (bands × rows) layout over the
+    same {tx.N_PERM} permutations."""
+    captured = None
+    for band in range(bands):
+        eq = F.slice("s1", band * rpb + 1, rpb) == F.slice("s2", band * rpb + 1, rpb)
+        captured = eq if captured is None else (captured | eq)
+    return captured
+
+
+def q_lsh_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    bands: int = tx.BANDS,
+    rpb: int = tx.ROWS_PER_BAND,
+) -> DataFrame:
     """LSH quality audit, recall side: a FIXED {RECALL_PANEL}-doc panel
     (hash-selected — deterministic under any partitioning) is scored
     all-pairs with exact Jaccard; a true near-dup pair counts as
@@ -398,11 +415,7 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sig").alias("s2"),
     )
     pairs = left.join(right, F.col("d1") < F.col("d2"))
-    rpb = tx.ROWS_PER_BAND
-    captured = None
-    for band in range(tx.BANDS):
-        eq = F.slice("s1", band * rpb + 1, rpb) == F.slice("s2", band * rpb + 1, rpb)
-        captured = eq if captured is None else (captured | eq)
+    captured = _band_capture(bands, rpb)
     ju = F.round(
         _exact_jacc(F.col("h1"), F.col("n1"), F.col("h2"), F.col("n2")) * 1e6
     ).cast("bigint")
@@ -427,13 +440,13 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _band_eq_sql(band: int) -> str:
-    return (
-        "(" + _band_key_sql("sa", band) + ") = (" + _band_key_sql("sb", band) + ")"
-    )
+def _band_eq_sql(band: int, rpb: int = tx.ROWS_PER_BAND) -> str:
+    slots = range(band * rpb, band * rpb + rpb)
+    return "(" + " AND ".join(f"sa.s{j} = sb.s{j}" for j in slots) + ")"
 
 
-SQL_LSH_RECALL = f"""
+def _lsh_recall_sql(bands: int, rpb: int) -> str:
+    return f"""
 WITH {CHSH_CTE},
 {HASHES_CTE},
 {SIG_CTE},
@@ -450,7 +463,7 @@ panel AS (
 scored AS (
   SELECT CAST(round({_EXACT_JACC_SQL.format(a='ha', b='hb')} * 1e6) AS BIGINT)
            AS ju,
-         ({" OR ".join(_band_eq_sql(b) for b in range(tx.BANDS))}) AS captured
+         ({" OR ".join(_band_eq_sql(b, rpb) for b in range(bands))}) AS captured
   FROM hd ha JOIN hd hb ON ha.doc_id < hb.doc_id
   JOIN panel p1 ON p1.doc_id = ha.doc_id
   JOIN panel p2 ON p2.doc_id = hb.doc_id
@@ -470,6 +483,22 @@ SELECT count(*) AS n_pairs,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_false_alarm
 FROM scored
 """
+
+
+SQL_LSH_RECALL = _lsh_recall_sql(tx.BANDS, tx.ROWS_PER_BAND)
+SQL_LSH_RECALL_REBANDED = _lsh_recall_sql(8, 2)
+
+
+def q_lsh_recall_rebanded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The action the recall audit recommends, measured: the SAME 16
+    permutations re-banded 8×2 moves the S-curve's 50%-capture point
+    from j ≈ (1/4)^(1/4) ≈ 0.71 down to (1/8)^(1/2) ≈ 0.35 — below
+    the {JACC_TRUE_MIN} truth bar — so panel recall should jump while
+    false alarms rise (the classic precision/recall trade a re-banding
+    buys). Same fixed panel, same truth, only the capture event
+    changes; comparing this row with q_lsh_recall's IS the tuning
+    decision."""
+    return q_lsh_recall(spark, sf_dir, bands=8, rpb=2)
 
 
 NEARDUP_EST_MIN = 0.5  # signature-agreement threshold for merging
@@ -3683,6 +3712,7 @@ QUERIES = {
     "lsh_candidates": Query(q_lsh_candidates, SQL_LSH_CANDIDATES),
     "lsh_precision": Query(q_lsh_precision, SQL_LSH_PRECISION),
     "lsh_recall": Query(q_lsh_recall, SQL_LSH_RECALL),
+    "lsh_recall_rebanded": Query(q_lsh_recall_rebanded, SQL_LSH_RECALL_REBANDED),
     "dedup_near": Query(q_dedup_near, SQL_DEDUP_NEAR),
     "dedup_crosscheck": Query(q_dedup_crosscheck, SQL_DEDUP_CROSSCHECK),
     "simhash": Query(q_simhash, SQL_SIMHASH),
