@@ -277,7 +277,10 @@ def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard aggregates in integer micro-units (order-free)."""
     d = load_table(spark, sf_dir, "documents")
     cand = q_lsh_candidates(spark, sf_dir)
-    hd = _doc_gram_sets(d)
+    # both pair sides consume the gram sets — materialize the 10M-md5
+    # hashing pass ONCE (lazy checkpoint; same stage-barrier rationale
+    # as decontaminate's gram explode)
+    hd = _doc_gram_sets(d).localCheckpoint(eager=False)
     a = hd.alias("ha")
     b = hd.alias("hb")
     scored = (
