@@ -591,8 +591,84 @@ WITH agg AS (
 """
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer, Recency (days from the
+    corpus's last order date), Frequency (order count), Monetary
+    (DECIMAL-exact total spend) → ntile(5) quintiles on each axis
+    (deterministic tie-break by custkey) → one row per (r, f, m)
+    segment cell with size and exact average spend.
+
+    Scale shape: one per-customer aggregate (map-side partials), the
+    1-row max-date broadcast back, three ntile windows that share ONE
+    global ordering problem each over the CUSTOMER relation (orders
+    already collapsed — windows run on the small side), and a final
+    125-cell hash agg. The classic CRM rollup every events/orders
+    warehouse serves."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    maxd = per_cust.agg(F.max("last_order").alias("d0"))
+    rfm = per_cust.crossJoin(F.broadcast(maxd)).select(
+        "o_custkey",
+        F.datediff("d0", "last_order").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    # recency quintile 1 = most recent; frequency/monetary 5 = best
+    r_q = F.ntile(5).over(Window.orderBy(F.col("recency_days").asc(), "o_custkey"))
+    f_q = F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+    m_q = F.ntile(5).over(
+        Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "monetary",
+        r_q.alias("r_q"),
+        f_q.alias("f_q"),
+        m_q.alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            (F.sum("monetary") / F.count(F.lit(1))).cast("double"), 6
+        ).alias("avg_monetary"),
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+rfm AS (
+  SELECT o_custkey,
+         date_diff('day', last_order, (SELECT max(last_order) FROM per_cust))
+           AS recency_days,
+         frequency, monetary
+  FROM per_cust
+),
+scored AS (
+  SELECT o_custkey, monetary,
+         ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_q,
+         ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+         ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+  FROM rfm
+)
+SELECT r_q, f_q, m_q, count(*) AS n_customers,
+       round(CAST(sum(monetary) / count(*) AS DOUBLE), 6) AS avg_monetary
+FROM scored GROUP BY r_q, f_q, m_q
+"""
+
+
 QUERIES = {
     "pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY),
+    "rfm_segments": Query(q_rfm_segments, SQL_RFM_SEGMENTS),
     "price_percentiles": Query(q_price_percentiles, SQL_PRICE_PERCENTILES),
     # sketch estimates are engine-specific: rows-only by design; the
     # exact twin above is the accuracy reference
