@@ -892,3 +892,87 @@ def test_staleness_stream_event_time_timeout(spark, tmp):
     # user 1 stayed live through every batch, never timed out
     assert {r["user_id"] for r in live} >= {1}
     assert not [r for r in stale if r["user_id"] == 1]
+
+
+def test_gap_fill_stream_agreement(spark, sf_dir, raw_events_dir, tmp):
+    """Every (key, bucket) the batch gap fill produces whose bucket end
+    the final watermark passed must appear in the streamed gap-fill
+    output with identical close_ff/is_gap/volume/n_ticks — across
+    micro-batch boundaries AND timer firings."""
+    from zcode_iceberg_spark.operators.timeseries import gap_fill, ohlc_bars
+    from zcode_iceberg_spark.streaming import gap_fill_stream
+
+    got = {
+        (r["user_id"], r["bucket_us"]): (
+            r["close_ff"], r["is_gap"], r["volume"], r["n_ticks"]
+        )
+        for r in _drain(
+            spark, gap_fill_stream(stream_events(spark, raw_events_dir)), tmp, "gf"
+        ).collect()
+    }
+    ticks = events_ticks(spark, sf_dir)
+    batch = gap_fill(ohlc_bars(ticks, minutes=60), minutes=60)
+    hi, slack = _finalized_cutoff(ticks)
+    wm_us = int(hi.timestamp() * 1_000_000) - slack * 1_000_000
+    want = {
+        (r["user_id"], int(r["bar_ts"].timestamp() * 1_000_000)): (
+            r["close_ff"], r["is_gap"], r["volume"], r["n_ticks"]
+        )
+        for r in batch.collect()
+    }
+    checked = 0
+    for (u, b), (c, g, v, n) in want.items():
+        if b + 3600 * 1_000_000 >= wm_us:
+            continue  # bucket not yet finalized by the watermark
+        assert (u, b) in got, (u, b)
+        gc, gg, gv, gn = got[(u, b)]
+        assert gg == g and gn == n, (u, b, got[(u, b)], (c, g, v, n))
+        assert abs(gc - c) < 1e-9 and abs(gv - v) < 1e-9, (u, b)
+        checked += 1
+    assert checked > 100
+
+
+def test_gap_fill_step_kernel():
+    """Back-fill, two-chunk carry, timer flush with trailing
+    heartbeats, and late-row dropping."""
+    import pandas as pd
+
+    from zcode_iceberg_spark.streaming import gap_fill_step
+
+    B = 100  # tiny bucket for readability
+    def rows(*evs):
+        return pd.DataFrame(
+            {
+                "ts_us": [e[0] for e in evs],
+                "price": [e[1] for e in evs],
+                "qty": [1.0] * len(evs),
+                "event_id": list(range(len(evs))),
+            }
+        )
+
+    # bucket 0 (close 11), silence through buckets 1-2, bucket 3 pending
+    one, st = gap_fill_step(
+        (7,), [rows((10, 10.0), (20, 11.0), (350, 12.0))], None, bucket_us=B
+    )
+    assert [(r["bucket_us"], r["close_ff"], r["is_gap"]) for r in one] == [
+        (0, 11.0, False), (100, 11.0, True), (200, 11.0, True)
+    ]
+    # identical result when the same rows arrive in two chunks
+    r1, s1 = gap_fill_step((7,), [rows((10, 10.0), (20, 11.0))], None, bucket_us=B)
+    r2, s2 = gap_fill_step((7,), [rows((350, 12.0))], s1, bucket_us=B)
+    assert r1 + r2 == one and s2 == st
+    # timer: watermark at 600us finalizes pending bucket 3 and
+    # heartbeats buckets 4-5 (6 not yet fully elapsed at wm=600? 600//100=6 -> 4,5)
+    flushed, st2 = gap_fill_step(
+        (7,), [], st, bucket_us=B, timed_out=True, watermark_ms=0
+    )
+    # watermark_ms=0 -> no heartbeat range; pending still finalizes
+    assert [(r["bucket_us"], r["is_gap"]) for r in flushed] == [(300, False)]
+    # a late row into finalized bucket 2 is dropped; bucket 5 opens
+    late, st3 = gap_fill_step(
+        (7,), [rows((250, 99.0), (510, 13.0))], st2, bucket_us=B
+    )
+    assert [(r["bucket_us"], r["close_ff"], r["is_gap"]) for r in late] == [
+        (400, 12.0, True)
+    ]
+    assert st3[0] == 5 and st3[1] == 13.0

@@ -915,3 +915,179 @@ def staleness_stream(events: DataFrame, max_silence_sec: int = 300) -> DataFrame
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --------------------------------------------- streaming gap-filled bars
+
+GAPFILL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("pending_bucket", T.LongType()),  # -1 = none
+        T.StructField("pending_close", T.DoubleType()),
+        T.StructField("pending_vol", T.DoubleType()),
+        T.StructField("pending_n", T.LongType()),
+        T.StructField("last_close", T.DoubleType()),
+        T.StructField("emitted_through", T.LongType()),  # -1 = nothing yet
+    ]
+)
+
+GAPFILL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("bucket_us", T.LongType()),
+        T.StructField("close_ff", T.DoubleType()),
+        T.StructField("is_gap", T.BooleanType()),
+        T.StructField("volume", T.DoubleType()),
+        T.StructField("n_ticks", T.LongType()),
+    ]
+)
+
+GAPFILL_BUCKET_US = 3600 * 1_000_000
+
+
+def gap_fill_step(
+    key: tuple,
+    pdfs,
+    state_tuple: tuple | None,
+    bucket_us: int = GAPFILL_BUCKET_US,
+    timed_out: bool = False,
+    watermark_ms: int = -1,
+) -> tuple[list[dict], tuple]:
+    """Per-key continuous gap-fill fold shared by the streaming twin
+    and its tests. Two finalization paths:
+
+    - DATA-driven: an event in a LATER bucket finalizes the pending
+      bucket (emit the real bar) and back-fills every silent bucket
+      between as a gap row carrying the forward-filled close — under
+      event-time-ordered delivery this reproduces exactly the batch
+      `gap_fill` rows for every bucket up to the key's newest data.
+    - TIMER-driven: when the event-time timeout fires (watermark passed
+      the armed deadline with no data), the pending bucket finalizes
+      and trailing gap heartbeats are emitted for every whole bucket
+      the watermark has passed — the liveness half batch mode cannot
+      express (output from ABSENCE of data).
+
+    A late event into an already-finalized bucket is dropped (the
+    at-arrival semantics of the other stateful twins)."""
+    import pandas as pd
+
+    if state_tuple is not None:
+        pb, pc, pv, pn, last_close, thru = state_tuple
+    else:
+        pb, pc, pv, pn, last_close, thru = -1, 0.0, 0.0, 0, float("nan"), -1
+    out: list[dict] = []
+
+    def emit(bucket, close, gap, vol, n):
+        out.append(
+            {
+                "user_id": key[0],
+                "bucket_us": int(bucket * bucket_us),
+                "close_ff": float(close),
+                "is_gap": bool(gap),
+                "volume": float(vol),
+                "n_ticks": int(n),
+            }
+        )
+
+    def finalize_pending():
+        nonlocal pb, pc, pv, pn, last_close, thru
+        emit(pb, pc, False, pv, pn)
+        last_close, thru = pc, pb
+        pb, pc, pv, pn = -1, 0.0, 0.0, 0
+
+    if timed_out:
+        if pb >= 0:
+            finalize_pending()
+        if watermark_ms >= 0 and thru >= 0:
+            wm_bucket = (watermark_ms * 1000) // bucket_us
+            # heartbeat every fully-elapsed silent bucket
+            for b in range(thru + 1, wm_bucket):
+                emit(b, last_close, True, 0.0, 0)
+                thru = b
+        return out, (pb, pc, pv, pn, last_close, thru)
+
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        allrows = pd.concat(chunks).sort_values(
+            ["ts_us", "event_id"], kind="mergesort"
+        )
+        for us, price, qty in zip(
+            allrows["ts_us"], allrows["price"], allrows["qty"]
+        ):
+            b = int(us) // bucket_us
+            if pb == -1:
+                if b <= thru:
+                    continue  # late row into a finalized bucket: drop
+                # back-fill silence between the last finalized bucket
+                # and this one (the timer already emitted some of it)
+                for hole in range(thru + 1, b):
+                    emit(hole, last_close, True, 0.0, 0)
+                    thru = hole
+                pb, pc, pv, pn = b, float(price), float(qty), 1
+            elif b == pb:
+                pc, pv, pn = float(price), pv + float(qty), pn + 1
+            elif b > pb:
+                finalize_pending()
+                for hole in range(thru + 1, b):
+                    emit(hole, last_close, True, 0.0, 0)
+                    thru = hole
+                pb, pc, pv, pn = b, float(price), float(qty), 1
+            # b < pb impossible under sorted input
+    return out, (pb, pc, pv, pn, last_close, thru)
+
+
+def gap_fill_stream(
+    ticks: DataFrame, bucket_us: int = GAPFILL_BUCKET_US
+) -> DataFrame:
+    """E8+/H streaming twin of `operators/timeseries.gap_fill`: the
+    continuous gap-filled bar stream (see gap_fill_step). State is six
+    scalars per key; timers re-arm one bucket past the newest data, so
+    a silent key keeps heart-beating gap bars as the watermark (driven
+    by the rest of the stream) advances — the continuous-aggregate
+    liveness a chart consumer needs."""
+    import pandas as pd
+
+    ev = ticks.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "price",
+        "qty",
+        F.unix_micros(F.col("ts").cast("timestamp_ntz").cast("timestamp")).alias(
+            "ts_us"
+        ),
+    )
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            rows, new_state = gap_fill_step(
+                key,
+                [],
+                state.get,
+                bucket_us=bucket_us,
+                timed_out=True,
+                watermark_ms=state.getCurrentWatermarkMs(),
+            )
+            state.update(new_state)
+        else:
+            rows, new_state = gap_fill_step(
+                key, pdfs, state.get if state.exists else None, bucket_us=bucket_us
+            )
+            state.update(new_state)
+        # deadline: one bucket past the newest pending/finalized bucket
+        pb, _, _, _, _, thru = new_state
+        ref = max(pb, thru)
+        if ref >= 0:
+            deadline_ms = ((ref + 1) * bucket_us) // 1000
+            state.setTimeoutTimestamp(
+                max(deadline_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        GAPFILL_OUT_SCHEMA,
+        GAPFILL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
