@@ -2545,6 +2545,70 @@ FROM ng LEFT JOIN hit USING (doc_id)
 HLL_RTOL = 0.15  # ≥ 5× the rsd of the default lgConfigK=12 HLL++ sketch
 
 
+def q_daily_uniques_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch RE-AGGREGATION — the property that makes sketches the
+    100 TB answer: per-day HLL sketches of distinct active users are
+    built once (the shape a daily ETL materializes next to its
+    aggregates), then the MONTLY distinct-user count comes from
+    `hll_union_agg` over the stored sketches — no second pass over
+    raw events, impossible with a plain count(distinct) which cannot
+    be re-aggregated from daily results.
+
+    Audit form (hash-deterministic): per month, the exact distinct
+    count plus a flag that the sketch-merged estimate landed within
+    {HLL_RTOL:.0%}; the naive sum of daily counts is included to show
+    WHY re-aggregation needs sketches (it overcounts repeat users)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    month = F.date_format("ts", "yyyy-MM")
+    daily = ev.select(month.alias("m"), day.alias("d"), "user_id").groupBy(
+        "m", "d"
+    ).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("daily_users"),
+    )
+    monthly = daily.groupBy("m").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.sum("daily_users").alias("sum_daily_users"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = ev.select(month.alias("m"), "user_id").groupBy("m").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    j = exact.join(monthly, "m")
+    return j.select(
+        F.col("m").alias("month"),
+        "n_days",
+        "n_users",
+        "sum_daily_users",
+        (
+            F.abs(F.col("est_users") - F.col("n_users"))
+            <= F.lit(HLL_RTOL) * F.col("n_users")
+        ).alias("hll_ok"),
+    )
+
+
+SQL_DAILY_UNIQUES_ROLLUP = """
+WITH monthly AS (
+  SELECT strftime(ts, '%Y-%m') AS month,
+         count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
+         count(DISTINCT user_id) AS n_users
+  FROM events GROUP BY strftime(ts, '%Y-%m')
+),
+daily AS (
+  SELECT strftime(ts, '%Y-%m') AS month, strftime(ts, '%Y-%m-%d') AS d,
+         count(DISTINCT user_id) AS daily_users
+  FROM events GROUP BY 1, 2
+),
+sums AS (
+  SELECT month, CAST(sum(daily_users) AS BIGINT) AS sum_daily_users
+  FROM daily GROUP BY month
+)
+SELECT m.month, m.n_days, m.n_users, s.sum_daily_users, TRUE AS hll_ok
+FROM monthly m JOIN sums s USING (month)
+"""
+
+
 def q_decon_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test n-gram overlap ESTIMATED by mergeable HLL sketches
     (inclusion–exclusion: |A∩B| = est(A) + est(B) − est(A∪B) with
@@ -3739,6 +3803,7 @@ QUERIES = {
     "quality_sample": Query(q_quality_sample, SQL_QUALITY_SAMPLE),
     "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),
     "decon_overlap_hll": Query(q_decon_overlap_hll, SQL_DECON_OVERLAP_HLL),
+    "daily_uniques_rollup": Query(q_daily_uniques_rollup, SQL_DAILY_UNIQUES_ROLLUP),
     "seq_packing": Query(q_seq_packing, SQL_SEQ_PACKING),
     "kmeans": Query(q_kmeans, SQL_KMEANS),
     "semantic_dedup": Query(q_semantic_dedup, SQL_SEMANTIC_DEDUP),
