@@ -910,16 +910,30 @@ def test_gap_fill_stream_agreement(spark, sf_dir, raw_events_dir, tmp):
             spark, gap_fill_stream(stream_events(spark, raw_events_dir)), tmp, "gf"
         ).collect()
     }
+    import datetime as dt
+
+    def utc_us(d):  # tz-naive fixture datetimes are UTC by session contract
+        return int(d.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
     ticks = events_ticks(spark, sf_dir)
     batch = gap_fill(ohlc_bars(ticks, minutes=60), minutes=60)
     hi, slack = _finalized_cutoff(ticks)
-    wm_us = int(hi.timestamp() * 1_000_000) - slack * 1_000_000
+    wm_us = utc_us(hi) - slack * 1_000_000
     want = {
-        (r["user_id"], int(r["bar_ts"].timestamp() * 1_000_000)): (
+        (r["user_id"], utc_us(r["bar_ts"])): (
             r["close_ff"], r["is_gap"], r["volume"], r["n_ticks"]
         )
         for r in batch.collect()
     }
+    # no spurious back-fill: per key, the stream's first bucket is the
+    # batch spine's first bucket (regression: epoch back-fill flood)
+    got_min = {}
+    for (u, b) in got:
+        got_min[u] = min(got_min.get(u, b), b)
+    want_min = {}
+    for (u, b) in want:
+        want_min[u] = min(want_min.get(u, b), b)
+    assert got_min == want_min
     checked = 0
     for (u, b), (c, g, v, n) in want.items():
         if b + 3600 * 1_000_000 >= wm_us:
@@ -976,3 +990,7 @@ def test_gap_fill_step_kernel():
         (400, 12.0, True)
     ]
     assert st3[0] == 5 and st3[1] == 13.0
+    # virgin key whose first event lands far from the epoch: nothing
+    # is back-filled before it (regression: 1970 back-fill flood)
+    first, stv = gap_fill_step((9,), [rows((5 * B + 3, 42.0))], None, bucket_us=B)
+    assert first == [] and stv[0] == 5 and stv[5] == 4

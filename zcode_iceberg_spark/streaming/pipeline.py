@@ -1015,6 +1015,11 @@ def gap_fill_step(
         ):
             b = int(us) // bucket_us
             if pb == -1:
+                if thru == -1:
+                    # first event ever for this key: the series STARTS
+                    # here (batch spine starts at the key's min bar) —
+                    # never back-fill toward the epoch
+                    thru = b - 1
                 if b <= thru:
                     continue  # late row into a finalized bucket: drop
                 # back-fill silence between the last finalized bucket
@@ -1073,10 +1078,13 @@ def gap_fill_stream(
                 key, pdfs, state.get if state.exists else None, bucket_us=bucket_us
             )
             state.update(new_state)
-        # deadline: one bucket past the newest pending/finalized bucket
+        # deadline: the pending bucket's end while one is open, else
+        # the end of the NEXT whole bucket (so an idle key's timer
+        # fires exactly once per elapsed heartbeat bucket, not on
+        # every micro-batch)
         pb, _, _, _, _, thru = new_state
-        ref = max(pb, thru)
-        if ref >= 0:
+        ref = max(pb, thru + 1)
+        if ref >= 0 and (pb >= 0 or thru >= 0):
             deadline_ms = ((ref + 1) * bucket_us) // 1000
             state.setTimeoutTimestamp(
                 max(deadline_ms, state.getCurrentWatermarkMs() + 1)

@@ -401,10 +401,17 @@ def q_lsh_recall(
         .where(F.col("pk") <= RECALL_PANEL)
         .select("doc_id")
     )
-    sig = tx.minhash_signatures(d, "doc_id", "text").join(
-        F.broadcast(panel_ids), "doc_id"
+    # filter to the panel BEFORE the O(corpus) hashing passes: panel
+    # membership is a pure function of doc_id, and per-doc signatures /
+    # gram sets don't depend on other docs, so stage-1 cost really is
+    # confined to the fixed-size panel; checkpoint both lazily since
+    # each feeds two join sides (and the rebanded twin reuses the
+    # query shape)
+    panel_docs = d.join(F.broadcast(panel_ids), "doc_id")
+    sig = tx.minhash_signatures(panel_docs, "doc_id", "text").localCheckpoint(
+        eager=False
     )
-    hd = _doc_gram_sets(d).join(F.broadcast(panel_ids), "doc_id")
+    hd = _doc_gram_sets(panel_docs).localCheckpoint(eager=False)
     left = hd.join(sig, "doc_id").select(
         F.col("doc_id").alias("d1"),
         F.col("h").alias("h1"),
