@@ -49,4 +49,4 @@ def test_readme_oracle_figures():
     deterministic audit views)."""
     total = len(REG)
     with_oracle = sum(1 for q in REG.values() if q.oracle)
-    assert total == 109 and with_oracle == 109, (total, with_oracle)
+    assert total == 110 and with_oracle == 110, (total, with_oracle)

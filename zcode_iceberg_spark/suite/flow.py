@@ -575,6 +575,110 @@ FROM mad m JOIN fl f USING (user_id)
 """
 
 
+CUSUM_K = 0.5  # slack, in per-user sigma units (standard choice)
+CUSUM_H = 5.0  # alarm threshold, sigma units
+
+
+def q_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection: two-sided CUSUM over standardized tick
+    returns — the quality-control monitor that flags a persistent
+    drift the z-gate's pointwise test misses (Page's statistic). Uses
+    the CLOSED FORM S⁺_t = U_t − min_{i≤t} U_i with U = Σ(x − k)
+    (and the mirrored S⁻), so the "recursive" statistic is two
+    cumulative windows — no fold, no UDF, exact.
+
+    Scale shape: one per-key variance aggregate broadcast back (the
+    standardization pass), then all four cumulative windows share ONE
+    key-partitioned sort. σ is rounded to 9dp before use so the
+    standardized stream is identical regardless of the variance
+    aggregate's partial-merge order (the pagerank order-independence
+    lesson applied at the source)."""
+    t = events_ticks(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("price").over(w)
+    ret = F.when(prev > 0, (F.col("price") - prev) / prev)
+    r = t.select("user_id", "ts", "event_id", ret.alias("ret")).where(
+        F.col("ret").isNotNull()
+    )
+    sig = r.groupBy("user_id").agg(
+        F.round(F.stddev_pop("ret"), 9).alias("sigma")
+    )
+    x = r.join(F.broadcast(sig), "user_id").where(F.col("sigma") > 0).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("ret") / F.col("sigma")).alias("x"),
+    )
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # two window passes (windows can't nest): the cumulative walks U,
+    # then their running extrema — all four share the ONE key sort
+    u = x.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.col("x") - CUSUM_K).over(cum).alias("u_up"),
+        F.sum(F.col("x") + CUSUM_K).over(cum).alias("u_dn"),
+    )
+    scored = u.select(
+        "user_id",
+        "event_id",
+        (F.col("u_up") - F.min("u_up").over(cum)).alias("s_up"),
+        (F.max("u_dn").over(cum) - F.col("u_dn")).alias("s_dn"),
+    )
+    return scored.select(
+        "user_id",
+        "event_id",
+        F.round("s_up", 6).alias("s_up"),
+        F.round("s_dn", 6).alias("s_dn"),
+        (F.col("s_up") > CUSUM_H).alias("alarm_up"),
+        (F.col("s_dn") > CUSUM_H).alias("alarm_dn"),
+    )
+
+
+SQL_CUSUM_ALARM = f"""
+{TICKS_CTE},
+r AS (
+  SELECT user_id, ts, event_id,
+         (price - lag(price) OVER w) / lag(price) OVER w AS ret
+  FROM ticks
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+rr AS (SELECT * FROM r WHERE ret IS NOT NULL),
+sig AS (
+  SELECT user_id, round(stddev_pop(ret), 9) AS sigma
+  FROM rr GROUP BY user_id
+),
+x AS (
+  SELECT rr.user_id, rr.ts, rr.event_id, rr.ret / s.sigma AS x
+  FROM rr JOIN sig s USING (user_id) WHERE s.sigma > 0
+),
+u AS (
+  SELECT user_id, ts, event_id,
+         sum(x - {CUSUM_K}) OVER cw AS u_up,
+         sum(x + {CUSUM_K}) OVER cw AS u_dn
+  FROM x
+  WINDOW cw AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+c AS (
+  SELECT user_id, event_id,
+         u_up - min(u_up) OVER cw AS s_up,
+         max(u_dn) OVER cw - u_dn AS s_dn
+  FROM u
+  WINDOW cw AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+       round(s_up, 6) AS s_up, round(s_dn, 6) AS s_dn,
+       s_up > {CUSUM_H} AS alarm_up, s_dn > {CUSUM_H} AS alarm_dn
+FROM c
+"""
+
+
 PATH_GAP_MIN = 30  # session gap, matches sessionize
 PATH_MAX_EVENTS = 5  # path prefix length
 
@@ -676,6 +780,7 @@ QUERIES = {
     "cohort_retention": Query(q_cohort_retention, SQL_COHORT_RETENTION),
     "event_transitions": Query(q_event_transitions, SQL_EVENT_TRANSITIONS),
     "robust_outliers": Query(q_robust_outliers, SQL_ROBUST_OUTLIERS),
+    "cusum_alarm": Query(q_cusum_alarm, SQL_CUSUM_ALARM),
     "session_paths": Query(q_session_paths, SQL_SESSION_PATHS),
     "sessionize": Query(q_sessionize, SQL_SESSIONIZE),
     "delta_zscore": Query(q_delta_zscore, SQL_DELTA_ZSCORE),
