@@ -994,3 +994,85 @@ def test_gap_fill_step_kernel():
     # is back-filled before it (regression: 1970 back-fill flood)
     first, stv = gap_fill_step((9,), [rows((5 * B + 3, 42.0))], None, bucket_us=B)
     assert first == [] and stv[0] == 5 and stv[5] == 4
+
+
+def test_cusum_stream_agreement(spark, sf_dir, tmp):
+    """The streamed CUSUM over a 3-file time-ordered replay of the
+    standardized-return stream equals the batch q_cusum_alarm on every
+    row — carried (ΣU, extrema) state across micro-batches."""
+    import os
+    import time as time_mod
+
+    from pyspark.sql import types as T
+
+    from zcode_iceberg_spark.streaming import cusum_stream
+    from zcode_iceberg_spark.suite.flow import (
+        CUSUM_H, CUSUM_K, q_cusum_alarm,
+    )
+
+    # standardized-return stream, built exactly like the batch query's
+    # first two stages (the warmup-computed sigma seam)
+    from pyspark.sql import Window
+
+    t = events_ticks(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("price").over(w)
+    ret = F.when(prev > 0, (F.col("price") - prev) / prev)
+    r = t.select("user_id", "ts", "event_id", ret.alias("ret")).where(
+        F.col("ret").isNotNull()
+    )
+    sig = r.groupBy("user_id").agg(F.round(F.stddev_pop("ret"), 9).alias("sigma"))
+    xs = r.join(F.broadcast(sig), "user_id").where(F.col("sigma") > 0).select(
+        "user_id", "ts", "event_id", (F.col("ret") / F.col("sigma")).alias("x")
+    )
+
+    src = tmp / "cusum_src"
+    src.mkdir()
+    qs = xs.approxQuantile("event_id", [0.33, 0.66], 0.0)
+    b0, b1 = int(qs[0]), int(qs[1])
+    parts = [
+        xs.filter(F.col("event_id") <= b0),
+        xs.filter((F.col("event_id") > b0) & (F.col("event_id") <= b1)),
+        xs.filter(F.col("event_id") > b1),
+    ]
+    for i, p in enumerate(parts):
+        sub = tmp / f"cpart{i}"
+        p.coalesce(1).write.parquet(str(sub))
+        f = next(sub.glob("*.parquet"))
+        dst = src / f"{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (time_mod.time() + i, time_mod.time() + i))
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("x", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", WATERMARK)
+    )
+    got = {
+        (r["user_id"], r["event_id"]): (
+            r["s_up"], r["s_dn"], r["alarm_up"], r["alarm_dn"]
+        )
+        for r in _drain(
+            spark, cusum_stream(stream, k=CUSUM_K, h=CUSUM_H), tmp, "cusum"
+        ).collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"]): (
+            r["s_up"], r["s_dn"], r["alarm_up"], r["alarm_dn"]
+        )
+        for r in q_cusum_alarm(spark, sf_dir).collect()
+    }
+    assert len(got) == len(want) > 0
+    for kk, (su, sd, au, ad) in want.items():
+        gsu, gsd, gau, gad = got[kk]
+        assert (gau, gad) == (au, ad), kk
+        assert abs(gsu - su) < 2e-6 and abs(gsd - sd) < 2e-6, kk

@@ -1099,3 +1099,111 @@ def gap_fill_stream(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------- streaming CUSUM
+
+CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("u_up", T.DoubleType()),
+        T.StructField("u_up_min", T.DoubleType()),
+        T.StructField("u_dn", T.DoubleType()),
+        T.StructField("u_dn_max", T.DoubleType()),
+    ]
+)
+
+CUSUM_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("s_up", T.DoubleType()),
+        T.StructField("s_dn", T.DoubleType()),
+        T.StructField("alarm_up", T.BooleanType()),
+        T.StructField("alarm_dn", T.BooleanType()),
+    ]
+)
+
+
+def cusum_step(
+    key: tuple,
+    pdfs,
+    state_tuple: tuple | None,
+    k: float = 0.5,
+    h: float = 5.0,
+) -> tuple[list[dict], tuple]:
+    """Per-key CUSUM fold shared by the streaming twin and its tests:
+    carries (ΣU⁺, min ΣU⁺, ΣU⁻, max ΣU⁻) — the four scalars the
+    closed form S⁺ = U − min U needs — and emits one scored row per
+    standardized return, identical to the batch `q_cusum_alarm`
+    windows under event-time-ordered delivery."""
+    import pandas as pd
+
+    if state_tuple is not None:
+        u_up, u_up_min, u_dn, u_dn_max = state_tuple
+    else:
+        u_up, u_up_min, u_dn, u_dn_max = 0.0, float("inf"), 0.0, float("-inf")
+    out: list[dict] = []
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        allrows = pd.concat(chunks).sort_values(
+            ["ts_us", "event_id"], kind="mergesort"
+        )
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def r6(v):  # Spark round() = HALF_UP on the shortest repr
+            return float(Decimal(repr(v)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+        for x, eid in zip(allrows["x"], allrows["event_id"]):
+            u_up += float(x) - k
+            u_dn += float(x) + k
+            u_up_min = min(u_up_min, u_up)
+            u_dn_max = max(u_dn_max, u_dn)
+            s_up = u_up - u_up_min
+            s_dn = u_dn_max - u_dn
+            out.append(
+                {
+                    "user_id": key[0],
+                    "event_id": int(eid),
+                    "s_up": r6(s_up),
+                    "s_dn": r6(s_dn),
+                    "alarm_up": s_up > h,
+                    "alarm_dn": s_dn > h,
+                }
+            )
+    return out, (u_up, u_up_min, u_dn, u_dn_max)
+
+
+def cusum_stream(
+    xs: DataFrame, k: float = 0.5, h: float = 5.0
+) -> DataFrame:
+    """Streaming twin of `q_cusum_alarm`'s scoring stage: input is the
+    standardized-return stream (user_id, ts, event_id, x) — in
+    production σ comes from the warmup batch exactly like the
+    trained-model weights seam (H10); state is four floats per key."""
+    import pandas as pd
+
+    ev = xs.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "x",
+        F.unix_micros(F.col("ts").cast("timestamp_ntz").cast("timestamp")).alias(
+            "ts_us"
+        ),
+    )
+
+    def fn(key, pdfs, state):
+        rows, new_state = cusum_step(
+            key, pdfs, state.get if state.exists else None, k=k, h=h
+        )
+        state.update(new_state)
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        CUSUM_OUT_SCHEMA,
+        CUSUM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
