@@ -575,6 +575,48 @@ FROM mad m JOIN fl f USING (user_id)
 """
 
 
+def q_volume_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-structure concentration: the daily Herfindahl–Hirschman
+    index of traded volume across keys (Σ share², 1/n = perfectly
+    even, 1 = single participant) plus the top participant's share —
+    the concentration monitor a venue-health dashboard runs (the
+    reference's imbalance gate is the per-book analog; this is the
+    cross-participant one).
+
+    Scale shape: one (day, key) partial-agg collapse of the tick
+    stream, then per-day shares/HHI computed over that tiny relation
+    under a single day-partitioned window — nothing bigger than
+    days × keys shuffles twice."""
+    t = events_ticks(spark, sf_dir)
+    g = t.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    ).agg(F.sum("qty").alias("vol"))
+    wd = Window.partitionBy("day")
+    share = F.col("vol") / F.sum("vol").over(wd)
+    s = g.select("day", share.alias("share"))
+    return s.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_participants"),
+        F.round(F.sum(F.col("share") * F.col("share")), 6).alias("hhi"),
+        F.round(F.max("share"), 6).alias("top_share"),
+    )
+
+
+SQL_VOLUME_HHI = f"""
+{{TICKS_CTE}},
+g AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, user_id, sum(qty) AS vol
+  FROM ticks GROUP BY 1, 2
+),
+s AS (
+  SELECT day, vol / sum(vol) OVER (PARTITION BY day) AS share FROM g
+)
+SELECT day, count(*) AS n_participants,
+       round(sum(share * share), 6) AS hhi,
+       round(max(share), 6) AS top_share
+FROM s GROUP BY day
+""".format(TICKS_CTE=TICKS_CTE)
+
+
 CUSUM_K = 0.5  # slack, in per-user sigma units (standard choice)
 CUSUM_H = 5.0  # alarm threshold, sigma units
 
@@ -781,6 +823,7 @@ QUERIES = {
     "event_transitions": Query(q_event_transitions, SQL_EVENT_TRANSITIONS),
     "robust_outliers": Query(q_robust_outliers, SQL_ROBUST_OUTLIERS),
     "cusum_alarm": Query(q_cusum_alarm, SQL_CUSUM_ALARM),
+    "volume_hhi": Query(q_volume_hhi, SQL_VOLUME_HHI),
     "session_paths": Query(q_session_paths, SQL_SESSION_PATHS),
     "sessionize": Query(q_sessionize, SQL_SESSIONIZE),
     "delta_zscore": Query(q_delta_zscore, SQL_DELTA_ZSCORE),
