@@ -56,6 +56,18 @@ EVENT_SCHEMA = T.StructType(
 WATERMARK = "120 seconds"
 
 
+def spark_round(v: float, quantum: str = "1e-6") -> float:
+    """Mirror Spark's round() on DOUBLE: HALF_UP on the SHORTEST
+    decimal repr (BigDecimal.valueOf ~ repr), not the exact binary
+    expansion — without this, a value like 2.0000005 (binary
+    ...49999...) rounds down in plain Python and up in Spark. Shared
+    by every stateful kernel that must emit Spark-identical rounded
+    values (refill, CUSUM).."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(v)).quantize(Decimal(quantum), ROUND_HALF_UP))
+
+
 def _sniffed_parquet_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """readStream with the schema sniffed from the directory's parquet
     footers (a metadata-only batch read) — shared by every event
@@ -239,7 +251,6 @@ def iceberg_refill_step(
     Spark's ``round`` takes (BigDecimal.valueOf), so the stream agrees
     with the batch query on every value."""
     import math
-    from decimal import ROUND_HALF_UP, Decimal
 
     import pandas as pd
 
@@ -261,14 +272,9 @@ def iceberg_refill_step(
                 mx = q
             if prev is not None and q > prev:
                 nr += 1
-                d = (q - prev) * 1e6
-                ru += int(Decimal(repr(d)).quantize(Decimal(1), ROUND_HALF_UP))
+                ru += int(spark_round((q - prev) * 1e6, "1"))
             prev = q
-    # Spark's round() on DOUBLE goes through the SHORTEST decimal repr
-    # (BigDecimal.valueOf ~ repr), not the exact binary expansion —
-    # mirror that, or qty=2.0000005 (binary ...49999...) rounds down
-    # here and up there
-    mx6 = float(Decimal(repr(mx)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+    mx6 = spark_round(mx)
     row = {
         "user_id": key[0],
         "side": key[1],
@@ -1128,8 +1134,8 @@ def cusum_step(
     key: tuple,
     pdfs,
     state_tuple: tuple | None,
-    k: float = 0.5,
-    h: float = 5.0,
+    k: float | None = None,
+    h: float | None = None,
 ) -> tuple[list[dict], tuple]:
     """Per-key CUSUM fold shared by the streaming twin and its tests:
     carries (ΣU⁺, min ΣU⁺, ΣU⁻, max ΣU⁻) — the four scalars the
@@ -1138,21 +1144,23 @@ def cusum_step(
     windows under event-time-ordered delivery."""
     import pandas as pd
 
+    if k is None or h is None:
+        # single source of truth for the thresholds: the batch query
+        from zcode_iceberg_spark.suite.flow import CUSUM_H, CUSUM_K
+
+        k = CUSUM_K if k is None else k
+        h = CUSUM_H if h is None else h
     if state_tuple is not None:
         u_up, u_up_min, u_dn, u_dn_max = state_tuple
     else:
-        u_up, u_up_min, u_dn, u_dn_max = 0.0, float("inf"), 0.0, float("-inf")
+        # Page's anchor: the extrema include U_0 = 0
+        u_up, u_up_min, u_dn, u_dn_max = 0.0, 0.0, 0.0, 0.0
     out: list[dict] = []
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if chunks:
         allrows = pd.concat(chunks).sort_values(
             ["ts_us", "event_id"], kind="mergesort"
         )
-        from decimal import ROUND_HALF_UP, Decimal
-
-        def r6(v):  # Spark round() = HALF_UP on the shortest repr
-            return float(Decimal(repr(v)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
-
         for x, eid in zip(allrows["x"], allrows["event_id"]):
             u_up += float(x) - k
             u_dn += float(x) + k
@@ -1164,8 +1172,8 @@ def cusum_step(
                 {
                     "user_id": key[0],
                     "event_id": int(eid),
-                    "s_up": r6(s_up),
-                    "s_dn": r6(s_dn),
+                    "s_up": spark_round(s_up),
+                    "s_dn": spark_round(s_dn),
                     "alarm_up": s_up > h,
                     "alarm_dn": s_dn > h,
                 }
@@ -1174,7 +1182,7 @@ def cusum_step(
 
 
 def cusum_stream(
-    xs: DataFrame, k: float = 0.5, h: float = 5.0
+    xs: DataFrame, k: float | None = None, h: float | None = None
 ) -> DataFrame:
     """Streaming twin of `q_cusum_alarm`'s scoring stage: input is the
     standardized-return stream (user_id, ts, event_id, x) — in

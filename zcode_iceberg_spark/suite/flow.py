@@ -588,33 +588,51 @@ def q_volume_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     under a single day-partitioned window — nothing bigger than
     days × keys shuffles twice."""
     t = events_ticks(spark, sf_dir)
+    # volumes in exact integer micro-units so every sum is order-free
+    # (the repo's micro-unit rule); HHI collapses algebraically to
+    # Σvol² / (Σvol)², so ONE per-day aggregate does it all — the
+    # squared sums ride DECIMAL(38,0) (vol_u² brushes the BIGINT edge)
+    vol_u = F.round(F.col("qty") * 1e6).cast("long")
     g = t.groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
-    ).agg(F.sum("qty").alias("vol"))
-    wd = Window.partitionBy("day")
-    share = F.col("vol") / F.sum("vol").over(wd)
-    s = g.select("day", share.alias("share"))
-    return s.groupBy("day").agg(
+    ).agg(F.sum(vol_u).alias("vol_u"))
+    vu = F.col("vol_u").cast("decimal(38,0)")
+    agg = g.groupBy("day").agg(
         F.count(F.lit(1)).alias("n_participants"),
-        F.round(F.sum(F.col("share") * F.col("share")), 6).alias("hhi"),
-        F.round(F.max("share"), 6).alias("top_share"),
+        F.sum(vu).alias("tot"),
+        F.sum(vu * vu).alias("tot_sq"),
+        F.max("vol_u").alias("max_u"),
+    )
+    return agg.select(
+        "day",
+        "n_participants",
+        F.round(
+            (F.col("tot_sq") / (F.col("tot") * F.col("tot"))).cast("double"), 6
+        ).alias("hhi"),
+        F.round(
+            (F.col("max_u").cast("decimal(38,0)") / F.col("tot")).cast("double"),
+            6,
+        ).alias("top_share"),
     )
 
 
 SQL_VOLUME_HHI = f"""
-{{TICKS_CTE}},
+{TICKS_CTE},
 g AS (
-  SELECT strftime(ts, '%Y-%m-%d') AS day, user_id, sum(qty) AS vol
+  SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
+         sum(CAST(round(qty * 1e6) AS BIGINT)) AS vol_u
   FROM ticks GROUP BY 1, 2
-),
-s AS (
-  SELECT day, vol / sum(vol) OVER (PARTITION BY day) AS share FROM g
 )
 SELECT day, count(*) AS n_participants,
-       round(sum(share * share), 6) AS hhi,
-       round(max(share), 6) AS top_share
-FROM s GROUP BY day
-""".format(TICKS_CTE=TICKS_CTE)
+       round(CAST(sum(CAST(vol_u AS DECIMAL(38,0)) * vol_u)
+                  / (sum(CAST(vol_u AS DECIMAL(38,0)))
+                     * sum(CAST(vol_u AS DECIMAL(38,0)))) AS DOUBLE), 6)
+         AS hhi,
+       round(CAST(CAST(max(vol_u) AS DECIMAL(38,0))
+                  / sum(CAST(vol_u AS DECIMAL(38,0))) AS DOUBLE), 6)
+         AS top_share
+FROM g GROUP BY day
+"""
 
 
 CUSUM_K = 0.5  # slack, in per-user sigma units (standard choice)
@@ -665,11 +683,19 @@ def q_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") - CUSUM_K).over(cum).alias("u_up"),
         F.sum(F.col("x") + CUSUM_K).over(cum).alias("u_dn"),
     )
+    # Page's statistic anchors the extrema at U_0 = 0 (S+_t =
+    # U_t - min_{0<=i<=t} U_i): without the 0 anchor a drift present
+    # from the very first observation never alarms (the running min
+    # rides along with U)
     scored = u.select(
         "user_id",
         "event_id",
-        (F.col("u_up") - F.min("u_up").over(cum)).alias("s_up"),
-        (F.max("u_dn").over(cum) - F.col("u_dn")).alias("s_dn"),
+        (F.col("u_up") - F.least(F.lit(0.0), F.min("u_up").over(cum))).alias(
+            "s_up"
+        ),
+        (F.greatest(F.lit(0.0), F.max("u_dn").over(cum)) - F.col("u_dn")).alias(
+            "s_dn"
+        ),
     )
     return scored.select(
         "user_id",
@@ -708,8 +734,8 @@ u AS (
 ),
 c AS (
   SELECT user_id, event_id,
-         u_up - min(u_up) OVER cw AS s_up,
-         max(u_dn) OVER cw - u_dn AS s_dn
+         u_up - least(0.0, min(u_up) OVER cw) AS s_up,
+         greatest(0.0, max(u_dn) OVER cw) - u_dn AS s_dn
   FROM u
   WINDOW cw AS (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
