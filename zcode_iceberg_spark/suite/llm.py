@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 
 from zcode_iceberg_spark.operators import similarity as sim_ops
 from zcode_iceberg_spark.operators import text as tx
-from zcode_iceberg_spark.sources.tables import load_table
+from zcode_iceberg_spark.sources.tables import (
+    EVENTS_TICKS_SQL,
+    events_ticks,
+    load_table,
+)
 from zcode_iceberg_spark.suite import Query
 
 P = tx.HASH_P
@@ -2552,6 +2556,71 @@ FROM ng LEFT JOIN hit USING (doc_id)
 HLL_RTOL = 0.15  # ≥ 5× the rsd of the default lgConfigK=12 HLL++ sketch
 
 
+KLL_RTOL = 0.10  # value-space tolerance for the merged-sketch estimates
+
+
+def q_daily_quantiles_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch RE-AGGREGATION (the KLL companion to
+    `daily_uniques_rollup`): per-day KLL sketches of the traded price
+    are materialized once, then MONTHLY p50/p95 come from folding the
+    daily sketches with the binary `kll_sketch_merge_double` — the
+    re-aggregation plain exact percentiles cannot do (a month's p95 is
+    not a function of daily p95s). The fold runs over a per-month
+    collect bounded by days-in-month (≤31 sketch blobs), the same
+    bounded-collect budget as the sequence windows.
+
+    Audit form: exact monthly percentiles plus flags that the merged
+    estimates landed within {KLL_RTOL:.0%} of exact."""
+    ev = events_ticks(spark, sf_dir)
+    month = F.date_format("ts", "yyyy-MM")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    daily = ev.select(month.alias("m"), day.alias("d"), "price").groupBy(
+        "m", "d"
+    ).agg(F.kll_sketch_agg_double("price").alias("sk"))
+    merged = daily.groupBy("m").agg(
+        F.collect_list("sk").alias("sks"), F.count(F.lit(1)).alias("n_days")
+    )
+    fold = F.aggregate(
+        F.slice("sks", 2, F.greatest(F.size("sks") - 1, F.lit(0))),
+        F.element_at("sks", 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    est = merged.select(
+        "m",
+        "n_days",
+        F.kll_sketch_get_quantile_double(fold, F.lit(0.5)).alias("est_p50"),
+        F.kll_sketch_get_quantile_double(fold, F.lit(0.95)).alias("est_p95"),
+    )
+    exact = ev.select(month.alias("m"), "price").groupBy("m").agg(
+        F.percentile("price", F.lit(0.5)).alias("p50"),
+        F.percentile("price", F.lit(0.95)).alias("p95"),
+    )
+    j = exact.join(est, "m")
+    ok = lambda e, x: F.abs(F.col(e) - F.col(x)) <= F.lit(KLL_RTOL) * F.abs(
+        F.col(x)
+    )
+    return j.select(
+        F.col("m").alias("month"),
+        "n_days",
+        F.round("p50", 6).alias("p50"),
+        F.round("p95", 6).alias("p95"),
+        ok("est_p50", "p50").alias("kll_p50_ok"),
+        ok("est_p95", "p95").alias("kll_p95_ok"),
+    )
+
+
+SQL_DAILY_QUANTILES_ROLLUP = f"""
+WITH ticks AS ({EVENTS_TICKS_SQL})
+SELECT strftime(ts, '%Y-%m') AS month,
+       count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
+       round(quantile_cont(price, 0.5), 6) AS p50,
+       round(quantile_cont(price, 0.95), 6) AS p95,
+       TRUE AS kll_p50_ok,
+       TRUE AS kll_p95_ok
+FROM ticks GROUP BY strftime(ts, '%Y-%m')
+"""
+
+
 def q_daily_uniques_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch RE-AGGREGATION — the property that makes sketches the
     100 TB answer: per-day HLL sketches of distinct active users are
@@ -3811,6 +3880,9 @@ QUERIES = {
     "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),
     "decon_overlap_hll": Query(q_decon_overlap_hll, SQL_DECON_OVERLAP_HLL),
     "daily_uniques_rollup": Query(q_daily_uniques_rollup, SQL_DAILY_UNIQUES_ROLLUP),
+    "daily_quantiles_rollup": Query(
+        q_daily_quantiles_rollup, SQL_DAILY_QUANTILES_ROLLUP
+    ),
     "seq_packing": Query(q_seq_packing, SQL_SEQ_PACKING),
     "kmeans": Query(q_kmeans, SQL_KMEANS),
     "semantic_dedup": Query(q_semantic_dedup, SQL_SEMANTIC_DEDUP),
