@@ -49,4 +49,4 @@ def test_readme_oracle_figures():
     deterministic audit views)."""
     total = len(REG)
     with_oracle = sum(1 for q in REG.values() if q.oracle)
-    assert total == 112 and with_oracle == 112, (total, with_oracle)
+    assert total == 113 and with_oracle == 113, (total, with_oracle)

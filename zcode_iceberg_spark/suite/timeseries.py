@@ -117,6 +117,58 @@ FROM j
 """
 
 
+def q_bar_dod_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal SELF-join: each hourly bar against the same key's bar
+    exactly 24 h earlier (day-over-day close change and volume ratio —
+    the seasonality-aware comparison `lag(24)` can NOT express when
+    hours are missing, which the gap-fill query proves they are).
+
+    Scale shape: an equi self-join on (key, bar_ts − 24h) — both sides
+    hash-partition on the same key family, no range explosion; the bar
+    relation is already collapsed from ticks, so the join is small no
+    matter the raw volume. Inner join = only hours with a true
+    yesterday-counterpart report."""
+    b = _bars(spark, sf_dir)
+    cur = b.select(
+        "user_id", "bar_ts", F.col("close").alias("close_now"),
+        F.col("volume").alias("vol_now"),
+    )
+    prev = b.select(
+        "user_id",
+        (F.col("bar_ts") + F.expr("INTERVAL 24 HOURS")).alias("bar_ts"),
+        F.col("close").alias("close_prev"),
+        F.col("volume").alias("vol_prev"),
+    )
+    j = cur.join(prev, ["user_id", "bar_ts"])
+    return j.select(
+        "user_id",
+        F.date_format("bar_ts", "yyyy-MM-dd HH:mm:ss").alias("bar_ts"),
+        F.round("close_now", 6).alias("close_now"),
+        F.round("close_prev", 6).alias("close_prev"),
+        F.round(
+            (F.col("close_now") - F.col("close_prev")) / F.col("close_prev"), 6
+        ).alias("dod_ret"),
+        F.round(
+            F.col("vol_now") / F.greatest(F.col("vol_prev"), F.lit(1e-9)), 6
+        ).alias("vol_ratio"),
+    )
+
+
+SQL_BAR_DOD_CHANGE = f"""
+{TICKS_CTE},
+{BARS_CTE}
+SELECT c.user_id,
+       strftime(c.bar_ts, '%Y-%m-%d %H:%M:%S') AS bar_ts,
+       round(c.close, 6) AS close_now,
+       round(p.close, 6) AS close_prev,
+       round((c.close - p.close) / p.close, 6) AS dod_ret,
+       round(c.volume / greatest(p.volume, 1e-9), 6) AS vol_ratio
+FROM bars c
+JOIN bars p ON p.user_id = c.user_id
+           AND p.bar_ts + INTERVAL 24 HOUR = c.bar_ts
+"""
+
+
 def q_atr_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E9: ATR(14) over hourly bars — lag + greatest + trailing mean."""
     a = ops.atr(_bars(spark, sf_dir), n=14)
@@ -430,6 +482,7 @@ FROM full_seqs
 QUERIES = {
     "ohlc_1h": Query(q_ohlc_1h, SQL_OHLC_1H),
     "gap_fill_1h": Query(q_gap_fill_1h, SQL_GAP_FILL_1H),
+    "bar_dod_change": Query(q_bar_dod_change, SQL_BAR_DOD_CHANGE),
     "sequence_labels": Query(q_sequence_labels, SQL_SEQUENCE_LABELS),
     "trend_classifier": Query(q_trend_classifier, SQL_TREND_CLASSIFIER),
     "atr_1h": Query(q_atr_1h, SQL_ATR_1H),
