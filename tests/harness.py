@@ -9,6 +9,7 @@ CORRECTNESS_r{N}.json applies at sf0.01.
 from __future__ import annotations
 
 import math
+import struct
 
 import duckdb
 import pandas as pd
@@ -44,6 +45,18 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _float_bits(s: pd.Series) -> pd.Series:
+    """IEEE-754 bit view of a float column with NaN canonicalized.
+
+    float64 via the raw int64 bit pattern — so -0.0 (0x8000...) and
+    +0.0 (0x0000...) differ, as they do in the driver's hash. All NaNs
+    collapse to the one canonical quiet-NaN so NaN matches NaN.
+    """
+    a = pd.to_numeric(s, errors="coerce").astype("float64").to_numpy(copy=True)
+    a[pd.isna(a)] = float("nan")  # one canonical NaN payload
+    return pd.Series(a.view("int64"))
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "") -> None:
     got = _canon(spark_df.toPandas())
     want = _canon(con.execute(sql).df())
@@ -63,16 +76,18 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "") 
     for c in got.columns:
         g, w = got[c], want[c]
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
-            ga = pd.to_numeric(g, errors="coerce")
-            wa = pd.to_numeric(w, errors="coerce")
-            both_nan = ga.isna() & wa.isna()
-            close = both_nan | (
-                (ga - wa).abs() <= 1e-9 + 1e-9 * wa.abs().fillna(0)
-            )
-            bad = (~close).to_numpy().nonzero()[0]
+            # BIT-EXACT, like the driver's value hash: -0.0 vs +0.0 (or
+            # any last-ulp drift) must FAIL here, not only at the driver
+            # — a 1e-9 tolerance is how position_ledger stayed locally
+            # "green" and driver-red for four straight rounds. NaNs are
+            # canonicalized to one payload so NaN == NaN; everything
+            # else compares as raw IEEE-754 bits.
+            gb = _float_bits(g)
+            wb = _float_bits(w)
+            bad = (gb != wb).to_numpy().nonzero()[0]
             assert len(bad) == 0, (
-                f"{name}: column {c} mismatches at rows {bad[:5]}: "
-                f"got {ga.iloc[bad[:5]].tolist()} want {wa.iloc[bad[:5]].tolist()}"
+                f"{name}: column {c} bit-mismatches at rows {bad[:5]}: "
+                f"got {g.iloc[bad[:5]].tolist()} want {w.iloc[bad[:5]].tolist()}"
             )
         else:
             eq = (g == w) | (g.isna() & w.isna())
@@ -95,7 +110,9 @@ def exact_hash_match(spark_df, con, sql: str) -> bool:
             if isinstance(a, float) and isinstance(b, float):
                 if math.isnan(a) and math.isnan(b):
                     continue
-                if a != b:
+                # bit-level: -0.0 vs +0.0 must mismatch (Python ==
+                # says they're equal; the driver's hash does not)
+                if struct.pack("<d", a) != struct.pack("<d", b):
                     return False
             elif a != b and not (pd.isna(a) and pd.isna(b)):
                 return False

@@ -235,11 +235,13 @@ def test_gap_fill_single_window_sort(spark, sf_dir):
 
 def test_heavy_hitters_partial_agg(spark, sf_dir):
     """The exact audit side partial-aggregates map-side; the sketch
-    pass happens at build time (freqItems), so the returned plan is a
-    plain count aggregate with a broadcast of the 1-row total."""
+    pass (freqItems → collect_frequent_items) stays LAZY inside the
+    plan as a broadcast 1-row aggregate — no eager job at query
+    construction time."""
     p = plan(spark, sf_dir, "heavy_hitters")
     assert "partial_count" in p or "partial_sum" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "frequent_items" in p  # sketch deferred into the plan
 
 
 def test_decon_overlap_sketch_is_single_row_agg(spark, sf_dir):
@@ -265,3 +267,23 @@ def test_event_analytics_plan_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan(spark, sf_dir, "cohort_retention")
     assert "BroadcastHashJoin" in plan(spark, sf_dir, "robust_outliers")
     assert "partial_count" in plan(spark, sf_dir, "event_transitions")
+
+
+def test_lsh_recall_panel_pick_is_take_ordered(spark, sf_dir):
+    """The fixed audit panel is a global top-K by salted hash — it must
+    plan as TakeOrderedAndProject (per-partition heaps of K), never as a
+    single-partition row_number Window that funnels every doc_id through
+    one task. Covers lsh_recall AND lsh_recall_rebanded (shared helper).
+    """
+    from zcode_iceberg_spark.sources.tables import load_table
+    from zcode_iceberg_spark.suite.llm import _recall_panel_ids
+
+    # the panel subtree sits beneath a lazy localCheckpoint in the full
+    # query plan, so pin its shape directly
+    panel = _recall_panel_ids(load_table(spark, sf_dir, "documents"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        panel.explain("formatted")
+    p = buf.getvalue()
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p  # no single-partition global window

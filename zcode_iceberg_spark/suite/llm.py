@@ -366,6 +366,27 @@ def _band_capture(bands: int, rpb: int):
     return captured
 
 
+def _recall_panel_ids(d: DataFrame) -> DataFrame:
+    """Fixed audit panel = global top-{RECALL_PANEL} doc_ids by a salted
+    hash (deterministic under any partitioning). orderBy + limit plans
+    as TakeOrderedAndProject — per-partition heaps of K merged on the
+    driver — NOT a single-partition row_number window, which would pull
+    every doc_id through one task at corpus scale
+    (tests/test_plans.py::test_lsh_recall_panel_pick_is_take_ordered).
+    """
+    return (
+        d.select(
+            "doc_id",
+            tx.word_hash(
+                F.concat(F.lit("panel:"), F.col("doc_id").cast("string"))
+            ).alias("pk_hash"),
+        )
+        .orderBy("pk_hash", "doc_id")
+        .limit(RECALL_PANEL)
+        .select("doc_id")
+    )
+
+
 def q_lsh_recall(
     spark: SparkSession,
     sf_dir: str,
@@ -395,16 +416,7 @@ def q_lsh_recall(
     (e.g. 8×2 → threshold ≈ 0.35) when its duplication target moves
     down the similarity range."""
     d = load_table(spark, sf_dir, "documents")
-    pick = Window.orderBy(
-        tx.word_hash(F.concat(F.lit("panel:"), F.col("doc_id").cast("string"))),
-        "doc_id",
-    )
-    panel_ids = (
-        d.select("doc_id")
-        .withColumn("pk", F.row_number().over(pick))
-        .where(F.col("pk") <= RECALL_PANEL)
-        .select("doc_id")
-    )
+    panel_ids = _recall_panel_ids(d)
     # filter to the panel BEFORE the O(corpus) hashing passes: panel
     # membership is a pure function of doc_id, and per-doc signatures /
     # gram sets don't depend on other docs, so stage-1 cost really is
@@ -1487,18 +1499,24 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     session while the value hash stays deterministic."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(tx.tokens(F.col("text"))).alias("token"))
-    # sketch pass: bounded candidate superset (≤ 1/support items)
-    cand = set(toks.stat.freqItems(["token"], HH_SUPPORT).first()[0])
+    # sketch pass: bounded candidate superset (≤ 1/support items) —
+    # freqItems is a LAZY 1-row aggregate (collect_frequent_items), so
+    # it stays inside the returned plan as a broadcast instead of an
+    # eager job at construction time (every q_* builder is lazy; the
+    # bench attributes cost to execution, not construction)
+    cand = toks.stat.freqItems(["token"], HH_SUPPORT)
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     tot = counts.agg(F.sum("n").alias("total"))
     hot = counts.crossJoin(F.broadcast(tot)).where(
         F.col("n") >= F.lit(HH_MIN_FRAC) * F.col("total")
     )
-    return hot.select(
+    return hot.crossJoin(F.broadcast(cand)).select(
         "token",
         "n",
         F.round(F.col("n") / F.col("total"), 6).alias("share"),
-        F.col("token").isin(list(cand)).alias("sketch_ok"),
+        F.array_contains(F.col("token_freqItems"), F.col("token")).alias(
+            "sketch_ok"
+        ),
     )
 
 
@@ -1533,12 +1551,14 @@ def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (session, fixture) so a full suite run pays the iterative learn ONCE
 # instead of three times (~2.5 s each at sf0.1); the cached
 # segmentation frame is localCheckpoint-backed, so reuse is a cheap
-# re-read, not a recompute
-_BPE_CACHE: dict[tuple[int, str], tuple] = {}
+# re-read, not a recompute. Keyed by applicationId — stable for the
+# session's lifetime and never recycled the way id(spark) can be after
+# a stop + GC (which would hand out DataFrames bound to a dead session).
+_BPE_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 def _bpe_learned(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BPE_CACHE:
         _BPE_CACHE[key] = tx.bpe_learn(_bpe_words(spark, sf_dir), BPE_N_MERGES)
     return _BPE_CACHE[key]
@@ -2577,8 +2597,16 @@ def q_daily_quantiles_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.select(month.alias("m"), day.alias("d"), "price").groupBy(
         "m", "d"
     ).agg(F.kll_sketch_agg_double("price").alias("sk"))
+    # collect (day, sketch) and sort by day before folding: collect_list
+    # order is partition-dependent and KLL merge is order-sensitive, so
+    # an unsorted fold could flip est_p50/p95 across runs near the
+    # tolerance boundary — the sort makes the merged estimate a pure
+    # function of the data under any partitioning
     merged = daily.groupBy("m").agg(
-        F.collect_list("sk").alias("sks"), F.count(F.lit(1)).alias("n_days")
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "sk"))), lambda s: s["sk"]
+        ).alias("sks"),
+        F.count(F.lit(1)).alias("n_days"),
     )
     fold = F.aggregate(
         F.slice("sks", 2, F.greatest(F.size("sks") - 1, F.lit(0))),

@@ -630,10 +630,17 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_q.alias("f_q"),
         m_q.alias("m_q"),
     )
+    # exact integer cents end-to-end: Spark's DECIMAL division rounds
+    # HALF_UP at its own scale while DuckDB widens sum(DECIMAL)/count to
+    # DOUBLE — a 6dp half-boundary ratio rounds differently between the
+    # engines at some scale. Same half-away integer-division convention
+    # as operators/stateful.avg_micro_exact (monetary ≥ 0, so the
+    # non-negative branch suffices).
     return scored.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(
-            (F.sum("monetary") / F.count(F.lit(1))).cast("double"), 6
+        F.expr(
+            "((2 * sum(CAST(monetary * 100 AS BIGINT)) * 10000 + count(1))"
+            " DIV (2 * count(1))) / 1e6"
         ).alias("avg_monetary"),
     )
 
@@ -661,7 +668,8 @@ scored AS (
   FROM rfm
 )
 SELECT r_q, f_q, m_q, count(*) AS n_customers,
-       round(CAST(sum(monetary) / count(*) AS DOUBLE), 6) AS avg_monetary
+       ((2 * sum(CAST(monetary * 100 AS BIGINT)) * 10000 + count(*))
+        // (2 * count(*))) / 1000000.0 AS avg_monetary
 FROM scored GROUP BY r_q, f_q, m_q
 """
 

@@ -300,8 +300,8 @@ SELECT user_id, trade_seq,
        round(entry_price, 6) AS entry_price,
        round(exit_price, 6) AS exit_price,
        round(qty, 6) AS qty,
-       round(pnl, 6) AS pnl,
-       round(pnl / {_FSM_MARGIN}, 6) AS roi,
+       CAST(round(pnl * 1e6) AS BIGINT) / 1000000.0 AS pnl,
+       CAST(round((pnl / {_FSM_MARGIN}) * 1e6) AS BIGINT) / 1000000.0 AS roi,
        exit_reason,
        round(hold_secs, 6) AS hold_secs
 FROM closed
@@ -371,8 +371,15 @@ def q_position_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("entry_price", 6).alias("entry_price"),
         F.round("exit_price", 6).alias("exit_price"),
         F.round("qty", 6).alias("qty"),
-        F.round("pnl", 6).alias("pnl"),
-        F.round("roi", 6).alias("roi"),
+        # micro-unit quantization (NOT F.round): a trade that closes at
+        # exactly-zero P&L yields IEEE -0.0 on the DuckDB side under
+        # round(pnl, 6) while Spark's BigDecimal route emits +0.0 —
+        # numerically equal, bit-different, and the driver hash is
+        # bit-sensitive (the r1-r4 position_ledger red row). The integer
+        # round-trip collapses the sign on both engines, exactly like the
+        # ledger's five green sibling oracles.
+        (st.micro("pnl") / F.lit(1e6)).alias("pnl"),
+        (st.micro("roi") / F.lit(1e6)).alias("roi"),
         "exit_reason",
         F.round("hold_secs", 6).alias("hold_secs"),
     )
