@@ -287,3 +287,26 @@ def test_lsh_recall_panel_pick_is_take_ordered(spark, sf_dir):
     p = buf.getvalue()
     assert "TakeOrderedAndProject" in p
     assert "Window" not in p  # no single-partition global window
+
+
+def test_tpch_archetypes_plan_shapes(spark, sf_dir):
+    """The five TPC-H-archetype additions: no nested-loop/cartesian
+    anywhere, dimension chains broadcast, the Q8 region constant pushed
+    into the parquet scan, and the Q13/Q2 shapes aggregate BEFORE their
+    joins (partial aggs collapse the fact side first)."""
+    for name in (
+        "order_count_distribution",
+        "large_orders",
+        "nation_trade_volume",
+        "market_share",
+        "cheapest_supplier_per_part",
+    ):
+        p = plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "partial_count" in p or "partial_sum" in p or "partial_min" in p, name
+    # Q8: the region filter reaches the region scan, not a post-join filter
+    assert "EqualTo(r_name,ASIA)" in plan(spark, sf_dir, "market_share")
+    # Q7/Q8: every dimension hop is a broadcast join
+    assert plan(spark, sf_dir, "nation_trade_volume").count("BroadcastHashJoin") >= 4
+    assert plan(spark, sf_dir, "market_share").count("BroadcastHashJoin") >= 5

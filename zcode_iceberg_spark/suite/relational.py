@@ -674,6 +674,272 @@ FROM scored GROUP BY r_q, f_q, m_q
 """
 
 
+# --------------------------------------------------- TPC-H archetype widening
+#
+# Five classic decision-support shapes the block didn't yet exercise:
+# outer-join histogram (Q13), HAVING join-back (Q18), bilateral
+# double-star (Q7), market-share ratio (Q8), and groupBy-min join-back
+# argmin (Q2's correlated subquery, de-correlated). Each is the
+# Spark-idiomatic de-correlated form: aggregate first so the shuffle
+# moves collapsed rows, broadcast every dimension, and keep money sums
+# in exact DECIMAL / integer micro-units per the repo determinism rules.
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed k orders, INCLUDING
+    k = 0 — the outer-join histogram. Aggregate orders per customer
+    first (map-side partials collapse the fact table to ≤ |customer|
+    rows), then LEFT join customer onto the counts so order-less
+    customers surface as 0; a second tiny agg builds the distribution.
+    At 100 TB both sides of the custkey join are large → shuffle
+    equi-join on the key both tables are naturally clustered by; the
+    histogram agg output is O(max orders per customer) rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cnt = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    per = c.join(cnt, c.c_custkey == cnt.o_custkey, "left").select(
+        F.coalesce(F.col("n"), F.lit(0)).alias("c_count")
+    )
+    return per.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+SQL_ORDER_COUNT_DISTRIBUTION = """
+WITH cnt AS (
+  SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+),
+per AS (
+  SELECT coalesce(n, 0) AS c_count
+  FROM customer LEFT JOIN cnt ON c_custkey = o_custkey
+)
+SELECT c_count, count(*) AS n_customers FROM per GROUP BY c_count
+"""
+
+
+LARGE_ORDER_QTY = 300  # Q18's canonical large-volume threshold
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds
+    {LARGE_ORDER_QTY} — aggregate-HAVING first, then join the surviving
+    keys back to orders⋈customer. The HAVING filter runs on the
+    partial-aggregated fact side, so only the rare large keys reach the
+    join (AQE typically broadcasts them); quantities are integral
+    doubles, summed exactly and emitted as BIGINT."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+        .where(F.col("total_qty") > LARGE_ORDER_QTY)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 6).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+SQL_LARGE_ORDERS = f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(sum(l_quantity) AS BIGINT) > {LARGE_ORDER_QTY}
+)
+SELECT c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 6) AS o_totalprice,
+       total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# exact money: snap the 2dp price and the 2dp discount complement to
+# DECIMAL before multiplying — the sum is exact integer arithmetic at
+# scale 4, order-free under any partitioning (repo determinism rule)
+_REV_DEC = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))"
+)
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume — revenue between every
+    (supplier nation, customer nation) pair per ship year. The double
+    star: lineitem reaches nation twice, once through supplier and once
+    through orders⋈customer; both dimension chains broadcast, so the
+    only shuffle is the lineitem⋈orders fact-fact sort-merge join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.expr(f"CAST(sum({_REV_DEC}) AS DOUBLE)"), 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_NATION_TRADE_VOLUME = f"""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       round(CAST(sum({_REV_DEC}) AS DOUBLE), 6) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier   ON l_suppkey = s_suppkey
+JOIN nation sn  ON s_nationkey = sn.n_nationkey
+JOIN orders     ON l_orderkey = o_orderkey
+JOIN customer   ON o_custkey = c_custkey
+JOIN nation cn  ON c_nationkey = cn.n_nationkey
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+"""
+
+
+MKT_REGION = "ASIA"
+MKT_NATION = "NATION_5"
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: {MKT_NATION} suppliers' share of all revenue from
+    {MKT_REGION}-region customers, per order year — conditional-sum
+    ratio over one pass of the joined fact (no second scan for the
+    denominator). The region filter rides the broadcast customer-side
+    dimension chain, pruning fact rows at the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cn = n.join(
+        F.broadcast(r.where(F.col("r_name") == MKT_REGION)),
+        n.n_regionkey == r.r_regionkey,
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev_u = F.expr(f"CAST(sum({_REV_DEC}) AS DOUBLE)")
+    nat_u = F.expr(
+        f"CAST(sum(CASE WHEN supp_nation = '{MKT_NATION}' THEN {_REV_DEC} "
+        f"ELSE CAST(0 AS DECIMAL(4,2)) END) AS DOUBLE)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(nat_u, 6).alias("nation_volume"),
+            F.round(rev_u, 6).alias("total_volume"),
+            F.round(nat_u / rev_u, 6).alias("mkt_share"),
+        )
+    )
+
+
+SQL_MARKET_SHARE = f"""
+WITH base AS (
+  SELECT year(o_orderdate) AS o_year,
+         sn.n_name AS supp_nation,
+         {_REV_DEC} AS rev
+  FROM lineitem
+  JOIN orders    ON l_orderkey = o_orderkey
+  JOIN customer  ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region    ON cn.n_regionkey = r_regionkey AND r_name = '{MKT_REGION}'
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = '{MKT_NATION}' THEN rev
+                           ELSE CAST(0 AS DECIMAL(4,2)) END) AS DOUBLE), 6)
+         AS nation_volume,
+       round(CAST(sum(rev) AS DOUBLE), 6) AS total_volume,
+       round(CAST(sum(CASE WHEN supp_nation = '{MKT_NATION}' THEN rev
+                           ELSE CAST(0 AS DECIMAL(4,2)) END) AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
+FROM base GROUP BY o_year
+"""
+
+
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape, de-correlated: for every part, the supplier
+    achieving the minimum unit cost (extendedprice/quantity), ties
+    broken by smallest suppkey. The correlated min subquery becomes
+    groupBy-min + equi-join-back — two passes over the (partkey,
+    cost) projection, both partial-aggregated map-side, joined on
+    (partkey, cost) with zero inequality predicates. Unit costs are
+    micro-quantized BIGINTs so the min and the join-back equality are
+    exact integer operations on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    costs = li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(
+            "CAST(round(l_extendedprice / l_quantity * 1e6) AS BIGINT)"
+        ).alias("cost_u"),
+    )
+    mn = (
+        costs.groupBy(F.col("l_partkey").alias("mn_partkey"))
+        .agg(F.min("cost_u").alias("min_cost_u"))
+    )
+    winners = (
+        costs.join(
+            mn,
+            (costs.l_partkey == mn.mn_partkey)
+            & (costs.cost_u == mn.min_cost_u),
+        )
+        .groupBy("mn_partkey", "min_cost_u")
+        .agg(F.min("l_suppkey").alias("s_suppkey"))
+    )
+    return winners.select(
+        F.col("mn_partkey").alias("p_partkey"),
+        "s_suppkey",
+        (F.col("min_cost_u") / F.lit(1e6)).alias("min_unit_cost"),
+    )
+
+
+SQL_CHEAPEST_SUPPLIER_PER_PART = """
+WITH costs AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(round(l_extendedprice / l_quantity * 1e6) AS BIGINT) AS cost_u
+  FROM lineitem
+),
+mn AS (
+  SELECT l_partkey, min(cost_u) AS min_cost_u FROM costs GROUP BY l_partkey
+)
+SELECT c.l_partkey AS p_partkey,
+       min(c.l_suppkey) AS s_suppkey,
+       min_cost_u / 1000000.0 AS min_unit_cost
+FROM costs c JOIN mn ON c.l_partkey = mn.l_partkey AND c.cost_u = mn.min_cost_u
+GROUP BY c.l_partkey, min_cost_u
+"""
+
+
 QUERIES = {
     "pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY),
     "rfm_segments": Query(q_rfm_segments, SQL_RFM_SEGMENTS),
@@ -706,6 +972,17 @@ QUERIES = {
     ),
     "segment_share": Query(q_segment_share, SQL_SEGMENT_SHARE),
     "cube_corpus": Query(q_cube_corpus, SQL_CUBE_CORPUS),
+    "order_count_distribution": Query(
+        q_order_count_distribution, SQL_ORDER_COUNT_DISTRIBUTION
+    ),
+    "large_orders": Query(q_large_orders, SQL_LARGE_ORDERS),
+    "nation_trade_volume": Query(
+        q_nation_trade_volume, SQL_NATION_TRADE_VOLUME
+    ),
+    "market_share": Query(q_market_share, SQL_MARKET_SHARE),
+    "cheapest_supplier_per_part": Query(
+        q_cheapest_supplier_per_part, SQL_CHEAPEST_SUPPLIER_PER_PART
+    ),
     "above_customer_avg": Query(q_above_customer_avg, SQL_ABOVE_CUSTOMER_AVG),
     "pivot_priority_segment": Query(
         q_pivot_priority_segment, SQL_PIVOT_PRIORITY_SEGMENT
