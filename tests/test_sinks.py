@@ -275,6 +275,53 @@ def test_snapshot_schema_evolution_read(spark, tmp):
     assert "note" in read_snapshot(spark, t, 1).columns
 
 
+def test_schema_log_evolution_rename_widen_add(spark, tmp):
+    """Full schema-evolution lifecycle over the snapshot layout: rename
+    + type-widen + add are O(metadata) log appends — no file rewrite —
+    and evolved_read surfaces every vintage in the CURRENT schema (old
+    names mapped, narrow types cast up, missing columns NULL). This is
+    the case mergeSchema cannot do (it has no rename lineage and fails
+    on int-vs-bigint)."""
+    from zcode_iceberg_spark.sources.sinks import (
+        evolved_read,
+        log_schema_action,
+        write_snapshot,
+    )
+
+    t = str(tmp / "evo2")
+    # v0: original schema (qty int)
+    write_snapshot(spark.createDataFrame([(1, 10)], "id long, qty int"), t)
+    # schema changes, logged not rewritten
+    log_schema_action(t, "rename", from_name="qty", to="quantity")
+    log_schema_action(t, "widen", col="quantity", to="bigint")
+    log_schema_action(t, "add", col="note", type="string")
+    # v1: written in the current schema
+    write_snapshot(
+        spark.createDataFrame(
+            [(2, 20, "x")], "id long, quantity bigint, note string"
+        ),
+        t,
+    )
+    out = evolved_read(spark, t)
+    assert dict(out.dtypes) == {
+        "id": "bigint", "quantity": "bigint", "note": "string"
+    }
+    rows = {r["id"]: (r["quantity"], r["note"]) for r in out.collect()}
+    assert rows == {1: (10, None), 2: (20, "x")}
+    # v0 files untouched on disk (old physical name + narrow type)
+    v0 = spark.read.parquet(f"{t}/v=0")
+    assert dict(v0.dtypes) == {"id": "bigint", "qty": "int"}
+
+
+def test_schema_log_rejects_malformed_actions(tmp):
+    from zcode_iceberg_spark.sources.sinks import log_schema_action
+
+    with pytest.raises(ValueError):
+        log_schema_action(str(tmp / "x"), "rename", col="a", to="b")
+    with pytest.raises(ValueError):
+        log_schema_action(str(tmp / "x"), "drop", col="a")
+
+
 def test_drawdown_state_step_matches_batch_query(spark, sf_dir, tmp_path):
     """Folding the ledger through the live risk table in two batch
     slices must land on exactly the final per-user row of the batch

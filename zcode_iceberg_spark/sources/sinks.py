@@ -148,6 +148,73 @@ def _snapshot_versions(table_dir: str) -> list[int]:
     ]
 
 
+def log_schema_action(table_dir: str, op: str, **kw) -> None:
+    """Append one schema-evolution action to the table's schema log
+    (``_schema_log.json``) — the plain-parquet analog of a table
+    format's field-id-based schema evolution. Supported ops:
+
+    - ``rename``: ``from_name`` → ``to`` (old files keep the old
+      column name on disk; reads normalize it);
+    - ``widen``: ``col`` promoted to ``to`` (a wider Spark type, e.g.
+      int → bigint, float → double — old files keep the narrow type);
+    - ``add``: ``col`` of ``type`` (old files simply lack it; reads
+      surface NULL, exactly like Iceberg/Delta add-column).
+
+    The log is ordered: actions apply oldest-first at read time, so a
+    column can be renamed and later widened. Nothing on disk is
+    rewritten — that is the point: at 100 TB a schema change must be
+    O(metadata), not O(table)."""
+    import json as _json
+
+    allowed = {"rename": {"from_name", "to"}, "widen": {"col", "to"},
+               "add": {"col", "type"}}
+    if op not in allowed or set(kw) != allowed[op]:
+        raise ValueError(f"schema action {op!r} needs exactly {allowed.get(op)}")
+    p = Path(table_dir) / "_schema_log.json"
+    log = _json.loads(p.read_text()) if p.exists() else []
+    log.append({"op": op, **kw})
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(_json.dumps(log, indent=1))
+
+
+def evolved_read(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Read EVERY snapshot version under ``table_dir`` as one frame in
+    the CURRENT schema, applying the schema log to old vintages:
+    renamed columns are mapped to their new name, widened columns cast
+    up, added columns surface as NULL in files that predate them.
+
+    Scale shape: each version directory is one parquet scan with its
+    own (uniform) physical schema — no ``mergeSchema`` footer
+    reconciliation pass, which both fails on type widening and costs a
+    footer read per file; the union is a zero-shuffle UnionExec and
+    every filter/pruning still pushes into each scan independently."""
+    import json as _json
+
+    versions = sorted(_snapshot_versions(table_dir))
+    if not versions:
+        raise FileNotFoundError(f"no snapshots under {table_dir}")
+    p = Path(table_dir) / "_schema_log.json"
+    log = _json.loads(p.read_text()) if p.exists() else []
+
+    def normalize(df: DataFrame) -> DataFrame:
+        for act in log:
+            if act["op"] == "rename" and act["from_name"] in df.columns:
+                df = df.withColumnRenamed(act["from_name"], act["to"])
+            elif act["op"] == "widen" and act["col"] in df.columns:
+                df = df.withColumn(act["col"], F.col(act["col"]).cast(act["to"]))
+            elif act["op"] == "add" and act["col"] not in df.columns:
+                df = df.withColumn(act["col"], F.lit(None).cast(act["type"]))
+        return df
+
+    out = None
+    for v in versions:
+        part = normalize(spark.read.parquet(f"{table_dir}/v={v}"))
+        out = part if out is None else out.unionByName(
+            part, allowMissingColumns=True
+        )
+    return out
+
+
 def merge_upsert(
     spark: SparkSession, path: str, updates: DataFrame, key: str
 ) -> None:
