@@ -117,3 +117,28 @@ def test_approx_distinct_tracks_exact(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["approx_ok"], r
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-10**12, max_value=10**12), min_size=1, max_size=20
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_half_away_integer_division_matches_fractions(vals):
+    """The repo-wide exact-mean convention — (2s+n) DIV (2n) with the
+    sign split (operators/stateful.avg_micro_exact, rfm_segments'
+    avg_monetary) — must equal round-half-away-from-zero of the true
+    rational mean for ANY integer sum, including the negatives and the
+    exact .5 boundaries where banker's rounding and truncation both
+    diverge. Pure-python mirror of the SQL integer arithmetic vs
+    fractions.Fraction ground truth."""
+    from fractions import Fraction
+
+    s, n = sum(vals), len(vals)
+    got = (2 * s + n) // (2 * n) if s >= 0 else -((2 * -s + n) // (2 * n))
+    q = Fraction(s, n)
+    # round half away from zero, exactly
+    want = (abs(q).numerator * 2 + abs(q).denominator) // (2 * abs(q).denominator)
+    want = want if q >= 0 else -want
+    assert got == want, (s, n, got, want)
