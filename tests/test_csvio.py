@@ -133,3 +133,29 @@ def test_csv_stream_matches_batch(spark, sf_dir, tmp):
     corrupt = out.filter(F.col("_corrupt_record").isNotNull())
     assert corrupt.count() == 1
     assert _doc_map(valid) == _doc_map(docs)
+
+
+def test_csv_quarantine_routing_sink(spark, sf_dir, tmp):
+    """The sink the stream_csv docstring promises: foreachBatch routes
+    clean rows to the valid table and malformed raw lines to the
+    quarantine table — and both match the batch read's exact rows."""
+    from zcode_iceberg_spark.sources.csvio import stream_csv
+    from zcode_iceberg_spark.sources.sinks import route_quarantine
+
+    docs = _docs(spark, sf_dir)
+    write_csv(docs, str(tmp / "rq"), n_shards=3)
+    with open(tmp / "rq" / "part-bad.csv", "w") as f:
+        f.write("broken,row,only\n")
+        f.write("also-not-a-long,t,en,web,nope\n")
+    st = stream_csv(spark, str(tmp / "rq"), DOC_SCHEMA)
+    route_quarantine(
+        st, str(tmp / "rq_valid"), str(tmp / "rq_bad"), str(tmp / "rq_ck")
+    )
+    batch_valid, batch_corrupt = read_csv(spark, str(tmp / "rq"), DOC_SCHEMA)
+    got_valid = spark.read.parquet(str(tmp / "rq_valid"))
+    got_bad = spark.read.parquet(str(tmp / "rq_bad"))
+    assert got_bad.columns == ["raw_line"]
+    assert sorted(r["raw_line"] for r in got_bad.collect()) == sorted(
+        r["raw_line"] for r in batch_corrupt.collect()
+    )
+    assert _doc_map(got_valid) == _doc_map(batch_valid)

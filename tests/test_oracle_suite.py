@@ -44,9 +44,11 @@ def test_priority_window_contract():
 
 
 def test_readme_oracle_figures():
-    """README's oracle-coverage claim must track the registry: every
-    suite query ships a DuckDB oracle (the stochastic/sketch ones via
-    deterministic audit views)."""
+    """README's oracle-coverage claim is an invariant, not a number:
+    EVERY suite query ships a DuckDB oracle (the stochastic/sketch
+    ones via deterministic audit views). Asserting the invariant
+    instead of a pinned count means it can never go stale when the
+    registry grows."""
     total = len(REG)
     with_oracle = sum(1 for q in REG.values() if q.oracle)
-    assert total == 113 and with_oracle == 113, (total, with_oracle)
+    assert total == with_oracle == len(ORACLE_NAMES) > 0, (total, with_oracle)

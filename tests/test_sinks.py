@@ -313,6 +313,49 @@ def test_schema_log_evolution_rename_widen_add(spark, tmp):
     assert dict(v0.dtypes) == {"id": "bigint", "qty": "int"}
 
 
+def test_schema_log_rename_widen_rename_chain_with_pushdown(spark, tmp):
+    """Adversarial evolution: the SAME column renamed, widened, then
+    renamed AGAIN across three on-disk vintages (physical names a/b/c,
+    physical types int/int/bigint) — the oldest-first log replay must
+    chain all three mappings per vintage. And the docstring's scale
+    claim is proven, not assumed: a filter on the final column pushes
+    into EVERY vintage's parquet scan through the union, each under
+    the vintage's own PHYSICAL column name (Spark's cast-unwrapping
+    makes the bigint comparison pushable into the int-typed scans)."""
+    import contextlib
+    import io
+
+    from zcode_iceberg_spark.sources.sinks import (
+        evolved_read,
+        log_schema_action,
+        write_snapshot,
+    )
+
+    t = str(tmp / "evo3")
+    write_snapshot(spark.createDataFrame([(1, 10)], "id long, a int"), t)
+    log_schema_action(t, "rename", from_name="a", to="b")
+    write_snapshot(spark.createDataFrame([(2, 20)], "id long, b int"), t)
+    log_schema_action(t, "widen", col="b", to="bigint")
+    log_schema_action(t, "rename", from_name="b", to="c")
+    write_snapshot(spark.createDataFrame([(3, 30)], "id long, c bigint"), t)
+
+    out = evolved_read(spark, t)
+    assert dict(out.dtypes) == {"id": "bigint", "c": "bigint"}
+    assert {r["id"]: r["c"] for r in out.collect()} == {1: 10, 2: 20, 3: 30}
+    # vintage files untouched: each keeps its physical name and type
+    assert dict(spark.read.parquet(f"{t}/v=0").dtypes) == {"id": "bigint", "a": "int"}
+    assert dict(spark.read.parquet(f"{t}/v=1").dtypes) == {"id": "bigint", "b": "int"}
+
+    filtered = out.filter(F.col("c") > 15)
+    assert {r["id"] for r in filtered.collect()} == {2, 3}
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        filtered.explain("formatted")
+    p = buf.getvalue()
+    for phys in ("a", "b", "c"):
+        assert f"GreaterThan({phys},15)" in p, (phys, p)
+
+
 def test_schema_log_rejects_malformed_actions(tmp):
     from zcode_iceberg_spark.sources.sinks import log_schema_action
 

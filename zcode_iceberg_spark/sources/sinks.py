@@ -395,6 +395,55 @@ def drawdown_state_step(
         merge_upsert(spark, state_path, merged, "user_id")
 
 
+def route_quarantine(
+    stream_df: DataFrame,
+    valid_dir: str,
+    quarantine_dir: str,
+    checkpoint: str,
+    corrupt_col: str = "_corrupt_record",
+):
+    """Split a PERMISSIVE-parsed stream (``csvio.stream_csv`` /
+    ``jsonl.stream_jsonl``) into TWO tables per micro-batch: clean rows
+    (corrupt marker dropped) appended to ``valid_dir``, malformed raw
+    lines appended to ``quarantine_dir`` — the routing sink the
+    quarantine contract defers to ("a stream returns one frame;
+    routing is the sink's job"). Drains with availableNow and blocks,
+    mirroring ``run_available_now``.
+
+    Scale shape: the batch frame is persisted once so the two writes
+    don't re-parse the source files; both writes are appends into
+    directory tables, so the sink is idempotent per checkpointed batch
+    and the quarantine table can be monitored/replayed independently
+    of the hot path."""
+    from pyspark import StorageLevel
+
+    def step(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            (
+                batch_df.filter(F.col(corrupt_col).isNull())
+                .drop(corrupt_col)
+                .write.mode("append")
+                .parquet(valid_dir)
+            )
+            (
+                batch_df.filter(F.col(corrupt_col).isNotNull())
+                .select(F.col(corrupt_col).alias("raw_line"))
+                .write.mode("append")
+                .parquet(quarantine_dir)
+            )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream_df.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def drawdown_sink(ledger_stream: DataFrame, state_path: str, checkpoint: str):
     """Attach the live risk table to a streaming FSM ledger
     (streaming/pipeline.py:position_fsm_stream): every micro-batch of

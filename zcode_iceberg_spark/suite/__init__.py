@@ -42,62 +42,67 @@ class Query:
 WINDOW = 50
 
 PRIORITY = [
-    # tool-generated rotation (tools/rotate_priority.py over r1-r4
-    # history): the one red row first, then the 19 never-driver-checked
-    # late-r4 additions, then stalest greens (r1/r2 rows), backfilled
-    # with keepers in registry order. Everything rotated out holds a
-    # green driver row from r3/r4 and stays oracle-checked at sf0.001
-    # on every pytest run (tests/test_oracle_suite.py).
-    "position_ledger",
-    "ticks_normalize",
-    "funnel_conversion",
-    "cohort_retention",
-    "event_transitions",
-    "robust_outliers",
-    "cusum_alarm",
-    "volume_hhi",
-    "session_paths",
-    "sessionize",
-    "delta_zscore",
-    "cvd",
-    "volume_factor",
-    "rolling_corr",
-    "ohlc_1h",
-    "bar_dod_change",
-    "sequence_labels",
-    "trend_classifier",
-    "atr_1h",
-    "liquidity_velocity",
-    "hurst",
-    "bos_1h",
-    "ema",
-    "book_topk",
-    "best_quotes",
-    "imbalance",
-    "asof_trade_quote",
-    "range_join_flow",
-    "rfm_segments",
-    "cumulative_customer_value",
-    "daily_order_summary",
-    "pivot_priority_segment",
-    "signal_scores",
-    "passage_dedup",
-    "boilerplate_strip",
-    "corpus_pipeline",
-    "lsh_precision",
-    "lsh_recall",
-    "lsh_recall_rebanded",
-    "bpe_encode",
-    "vocab_topk",
-    "doc_split",
-    "dedup_incremental",
-    "domain_mix",
-    "daily_uniques_rollup",
-    "daily_quantiles_rollup",
-    "pagerank",
-    "weighted_sample",
-    "corpus_drift_psi",
-    "risk_limits",
+    # tool-generated rotation (tools/rotate_priority.py over r1-r5
+    # history), round 6: the 5 never-driver-checked round-5 TPC-H
+    # archetypes (order_count_distribution, large_orders,
+    # nation_trade_volume, market_share, cheapest_supplier_per_part),
+    # the 14 stalest greens (last driver row r3: the ANN/dedup block,
+    # trend_hysteresis, media twins), then 31 r4 greens in registry
+    # order — with heavy_hitters swapped in for lang_id because its
+    # plan changed in r5 (lazy freqItems) and changed queries must
+    # re-enter the window. Everything rotated out holds a green driver
+    # row from r4/r5 and stays oracle-checked at sf0.001 on every
+    # pytest run (tests/test_oracle_suite.py).
+    "gap_fill_1h",
+    "realized_vol",
+    "iceberg_refill",
+    "wall_strength",
+    "pricing_summary",
+    "price_percentiles",
+    "price_percentiles_approx",
+    "star_revenue",
+    "top_customers_per_nation",
+    "priority_with_discounted",
+    "customers_without_orders",
+    "rollup_sales",
+    "distinct_parts_per_supplier",
+    "approx_distinct_parts",
+    "segment_share",
+    "cube_corpus",
+    "order_count_distribution",
+    "large_orders",
+    "nation_trade_volume",
+    "market_share",
+    "cheapest_supplier_per_part",
+    "above_customer_avg",
+    "unpivot_lineitem_stats",
+    "trade_params",
+    "mc_win_prob",
+    "dedup_exact",
+    "dup_spans",
+    "training_export",
+    "minhash_signatures",
+    "lsh_candidates",
+    "dedup_near",
+    "dedup_crosscheck",
+    "simhash",
+    "ngram_jaccard",
+    "doc_fingerprint",
+    "heavy_hitters",
+    "decontaminate",
+    "seq_packing",
+    "kmeans",
+    "doc_chunks",
+    "tf_idf",
+    "stratified_sample",
+    "dedup_cc",
+    "embedding_topk",
+    "ann_lsh",
+    "ann_ivf",
+    "embedding_neardup",
+    "trend_hysteresis",
+    "media_features",
+    "media_frames",
 ]
 
 

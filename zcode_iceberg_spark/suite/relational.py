@@ -856,7 +856,9 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(nat_u, 6).alias("nation_volume"),
             F.round(rev_u, 6).alias("total_volume"),
-            F.round(nat_u / rev_u, 6).alias("mkt_share"),
+            # guard: a year whose region revenue nets to zero must
+            # yield NULL share, not NULL/Inf from a 0 denominator
+            F.round(F.when(rev_u != 0, nat_u / rev_u), 6).alias("mkt_share"),
         )
     )
 
@@ -879,9 +881,10 @@ SELECT o_year,
                            ELSE CAST(0 AS DECIMAL(4,2)) END) AS DOUBLE), 6)
          AS nation_volume,
        round(CAST(sum(rev) AS DOUBLE), 6) AS total_volume,
-       round(CAST(sum(CASE WHEN supp_nation = '{MKT_NATION}' THEN rev
-                           ELSE CAST(0 AS DECIMAL(4,2)) END) AS DOUBLE)
-             / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
+       round(CASE WHEN CAST(sum(rev) AS DOUBLE) <> 0 THEN
+               CAST(sum(CASE WHEN supp_nation = '{MKT_NATION}' THEN rev
+                             ELSE CAST(0 AS DECIMAL(4,2)) END) AS DOUBLE)
+               / CAST(sum(rev) AS DOUBLE) END, 6) AS mkt_share
 FROM base GROUP BY o_year
 """
 
