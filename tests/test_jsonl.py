@@ -108,3 +108,25 @@ def test_jsonl_stream_matches_batch(spark, sf_dir, tmp):
     corrupt = out.filter(F.col("_corrupt_record").isNotNull())
     assert corrupt.count() == 1
     assert _doc_map(valid) == _doc_map(docs)
+
+
+def test_jsonl_quarantine_routing_sink(spark, sf_dir, tmp):
+    """route_quarantine is format-agnostic: the same sink that splits
+    the CSV stream routes a corrupt JSONL shard to the quarantine
+    table with the batch read's exact rows."""
+    from zcode_iceberg_spark.sources.jsonl import stream_jsonl
+    from zcode_iceberg_spark.sources.sinks import route_quarantine
+
+    docs = load_table(spark, sf_dir, "documents")
+    write_jsonl(docs, str(tmp / "rq"), n_shards=2)
+    with open(tmp / "rq" / "part-bad.json", "w") as f:
+        f.write('{"doc_id": "not-a-long"\n')
+    st = stream_jsonl(spark, str(tmp / "rq"))
+    route_quarantine(
+        st, str(tmp / "rq_valid"), str(tmp / "rq_bad"), str(tmp / "rq_ck")
+    )
+    got_valid = spark.read.parquet(str(tmp / "rq_valid"))
+    got_bad = spark.read.parquet(str(tmp / "rq_bad"))
+    assert got_bad.columns == ["raw_line"]
+    assert got_bad.count() == 1
+    assert _doc_map(got_valid) == _doc_map(docs)

@@ -310,3 +310,39 @@ def test_tpch_archetypes_plan_shapes(spark, sf_dir):
     # Q7/Q8: every dimension hop is a broadcast join
     assert plan(spark, sf_dir, "nation_trade_volume").count("BroadcastHashJoin") >= 4
     assert plan(spark, sf_dir, "market_share").count("BroadcastHashJoin") >= 5
+
+
+def test_tpch_archetypes_round6_plan_shapes(spark, sf_dir):
+    """The six round-6 archetype additions keep their intended
+    physical shapes: the Q4 EXISTS is a SEMI join (never inner +
+    distinct), the Q19 disjunction pushes into BOTH scans, the Q17
+    brand constant prunes the broadcast part dim at its scan, the Q22
+    NOT-EXISTS is a LEFT ANTI join and its only condition-free joins
+    are 1-row scalar broadcasts, and nothing anywhere degenerates to
+    a cartesian product."""
+    for name in (
+        "late_ship_exists",
+        "priority_line_buckets",
+        "small_quantity_revenue",
+        "disjunctive_band_revenue",
+        "sole_latest_supplier",
+    ):
+        p = plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "partial_count" in p or "partial_sum" in p or "partial_max" in p, name
+    assert "LeftSemi" in plan(spark, sf_dir, "late_ship_exists")
+    p19 = plan(spark, sf_dir, "disjunctive_band_revenue")
+    # the OR-of-ANDs reaches the parquet scans: quantity bands on the
+    # fact side, brand/size bands on the dimension side
+    assert p19.count("Or(") >= 2 and "EqualTo(p_brand,Brand#12)" in p19
+    assert "EqualTo(p_brand,Brand#4)" in plan(spark, sf_dir, "small_quantity_revenue")
+    p22 = plan(spark, sf_dir, "lapsed_rich_customers")
+    assert "CartesianProduct" not in p22
+    assert "LeftAnti" in p22
+    # the two scalar subqueries (avg balance, date cutoff) are the only
+    # condition-free joins, each a 1-row broadcast (formatted explain
+    # names each node twice: once in the tree, once in the detail)
+    import re
+
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p22)) <= 2

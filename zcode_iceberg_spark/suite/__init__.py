@@ -43,22 +43,26 @@ WINDOW = 50
 
 PRIORITY = [
     # tool-generated rotation (tools/rotate_priority.py over r1-r5
-    # history), round 6: the 5 never-driver-checked round-5 TPC-H
+    # history), round 6, amended for in-round additions: the 11
+    # never-driver-checked queries first — the 5 round-5 TPC-H
     # archetypes (order_count_distribution, large_orders,
-    # nation_trade_volume, market_share, cheapest_supplier_per_part),
-    # the 14 stalest greens (last driver row r3: the ANN/dedup block,
-    # trend_hysteresis, media twins), then 31 r4 greens in registry
-    # order — with heavy_hitters swapped in for lang_id because its
-    # plan changed in r5 (lazy freqItems) and changed queries must
-    # re-enter the window. Everything rotated out holds a green driver
-    # row from r4/r5 and stays oracle-checked at sf0.001 on every
-    # pytest run (tests/test_oracle_suite.py).
-    "gap_fill_1h",
-    "realized_vol",
-    "iceberg_refill",
-    "wall_strength",
-    "pricing_summary",
-    "price_percentiles",
+    # nation_trade_volume, market_share, cheapest_supplier_per_part)
+    # plus the 6 NEW round-6 archetypes (late_ship_exists,
+    # priority_line_buckets, small_quantity_revenue,
+    # disjunctive_band_revenue, sole_latest_supplier,
+    # lapsed_rich_customers) — then the 14 stalest greens (last driver
+    # row r3: the ANN/dedup block, trend_hysteresis, media twins),
+    # then 25 r4 greens in registry order, with heavy_hitters swapped
+    # in for lang_id because its plan changed in r5 (lazy freqItems)
+    # and changed queries must re-enter the window. Everything rotated
+    # out holds a green driver row from r4/r5 and stays oracle-checked
+    # at sf0.001 on every pytest run (tests/test_oracle_suite.py).
+    "late_ship_exists",
+    "priority_line_buckets",
+    "small_quantity_revenue",
+    "disjunctive_band_revenue",
+    "sole_latest_supplier",
+    "lapsed_rich_customers",
     "price_percentiles_approx",
     "star_revenue",
     "top_customers_per_nation",

@@ -943,6 +943,278 @@ GROUP BY c.l_partkey, min_cost_u
 """
 
 
+def q_late_ship_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders per priority having at least one line
+    shipped >90 days after the order date. The EXISTS subquery is a
+    LEFT SEMI join — Spark keeps it one pass over lineitem with the
+    date inequality evaluated as the join's residual condition, never
+    materializing the match multiplicity (an inner join + distinct
+    would shuffle the full match set just to throw it away)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+SQL_LATE_SHIP_EXISTS = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_priority_line_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per return flag, how many lines belong to
+    high-priority vs low-priority orders — conditional CASE counts
+    folded into ONE aggregation over the fact-fact join (two filtered
+    scans would read lineitem twice). The only shuffle is the
+    lineitem⋈orders sort-merge join; the counts partial-aggregate
+    map-side to 3 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+SQL_PRIORITY_LINE_BUCKETS = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+"""
+
+
+Q17_BRAND = "Brand#4"
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape, de-correlated: average yearly revenue lost if
+    small-quantity orders (below 20% of the part's mean order size)
+    for one brand were not filled. The correlated per-part AVG becomes
+    aggregate-then-join-back: one groupBy over the (partkey, quantity)
+    projection, joined to the brand-filtered fact (brand predicate
+    rides the broadcast part dim). Quantities are integer-valued, so
+    the double mean is an exact-integer sum / count — deterministic
+    under any partitioning; the revenue sum is exact DECIMAL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("thr")
+    )
+    return (
+        li.join(
+            F.broadcast(p.where(F.col("p_brand") == Q17_BRAND)),
+            li.l_partkey == p.p_partkey,
+        )
+        .join(pa, li.l_partkey == pa.pa_key)
+        .where(F.col("l_quantity") < F.col("thr"))
+        .agg(
+            F.round(
+                F.expr(
+                    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+                )
+                / 7.0,
+                6,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = f"""
+WITH pa AS (
+  SELECT l_partkey AS pa_key, 0.2 * avg(l_quantity) AS thr
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0, 6) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_brand = '{Q17_BRAND}'
+JOIN pa ON l_partkey = pa_key
+WHERE l_quantity < thr
+"""
+
+
+def q_disjunctive_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate over
+    three (brand, size-band, quantity-band) combinations. One
+    lineitem⋈part broadcast join with the disjunction as the join
+    filter — the common brand/size conjuncts stay on the broadcast
+    side where they prune the build table; no UNION of three scans
+    (that would read the fact three times for one aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    band = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(band)
+        .agg(
+            F.round(F.expr(f"CAST(sum({_REV_DEC}) AS DOUBLE)"), 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_DISJUNCTIVE_BAND_REVENUE = f"""
+SELECT round(CAST(sum({_REV_DEC}) AS DOUBLE), 6) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_sole_latest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape on the available columns: per supplier, how
+    many multi-supplier orders this supplier SOLELY closed out (its
+    latest shipment strictly after every other supplier's — the
+    "kept the order waiting" role). Q21's EXISTS/NOT-EXISTS pair of
+    correlated self-joins becomes two stacked aggregations: per
+    (order, supplier) max shipdate, then per order (supplier count,
+    order max), joined back and reduced to orders where exactly one
+    supplier attains the max. Three shuffles total, all on orderkey —
+    AQE reuses the partitioning — vs the textbook form's two extra
+    fact self-joins. Dates and counts are exact types; no float in
+    the pipeline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_max")
+    )
+    per_o = per_os.groupBy(F.col("l_orderkey").alias("po_key")).agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.max("supp_max").alias("order_max"),
+    )
+    sole = (
+        per_os.join(
+            per_o,
+            (per_os.l_orderkey == per_o.po_key)
+            & (per_o.n_supps > 1)
+            & (per_os.supp_max == per_o.order_max),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_at_max"),
+            F.max("l_suppkey").alias("win_supp"),
+        )
+        .where(F.col("n_at_max") == 1)
+    )
+    return (
+        sole.join(F.broadcast(s), sole.win_supp == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+SQL_SOLE_LATEST_SUPPLIER = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_max
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+),
+per_o AS (
+  SELECT l_orderkey AS po_key, count(*) AS n_supps,
+         max(supp_max) AS order_max
+  FROM per_os GROUP BY l_orderkey
+),
+sole AS (
+  SELECT p.l_orderkey, max(p.l_suppkey) AS win_supp
+  FROM per_os p
+  JOIN per_o o ON p.l_orderkey = o.po_key
+              AND o.n_supps > 1 AND p.supp_max = o.order_max
+  GROUP BY p.l_orderkey HAVING count(*) = 1
+)
+SELECT s_name, count(*) AS numwait
+FROM sole JOIN supplier ON win_supp = s_suppkey
+GROUP BY s_name
+"""
+
+
+def q_lapsed_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape on the available columns: customers whose
+    balance exceeds the average positive balance but who placed no
+    order in the trailing 90 days — per market segment, count and
+    total balance. The scalar AVG subquery is a 1-row broadcast; the
+    above-average test is an integer CROSS-MULTIPLY in exact cents
+    (bal_cents * n > sum_cents) so no float division ever enters the
+    threshold (repo determinism rule); the NOT EXISTS is a LEFT ANTI
+    join against the date-filtered orders projection."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+    pos = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(F.sum(cents).alias("sum_c"), F.count(F.lit(1)).alias("n_pos"))
+    )
+    cutoff = o.agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 90 DAYS")).alias("cut")
+    )
+    recent = o.join(F.broadcast(cutoff)).where(
+        F.col("o_orderdate") >= F.col("cut")
+    )
+    rich = c.join(F.broadcast(pos)).where(cents * F.col("n_pos") > F.col("sum_c"))
+    lapsed = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return lapsed.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.round(
+            (F.sum(cents) / F.lit(100.0)).cast("double"), 6
+        ).alias("total_bal"),
+    )
+
+
+SQL_LAPSED_RICH_CUSTOMERS = """
+WITH pos AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+         count(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0
+),
+cutoff AS (SELECT max(o_orderdate) - INTERVAL 90 DAY AS cut FROM orders)
+SELECT c_mktsegment,
+       count(*) AS n_custs,
+       round(CAST(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                  / 100.0 AS DOUBLE), 6) AS total_bal
+FROM customer, pos, cutoff
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderdate >= cut)
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY),
     "rfm_segments": Query(q_rfm_segments, SQL_RFM_SEGMENTS),
@@ -992,5 +1264,21 @@ QUERIES = {
     ),
     "unpivot_lineitem_stats": Query(
         q_unpivot_lineitem_stats, SQL_UNPIVOT_LINEITEM_STATS
+    ),
+    "late_ship_exists": Query(q_late_ship_exists, SQL_LATE_SHIP_EXISTS),
+    "priority_line_buckets": Query(
+        q_priority_line_buckets, SQL_PRIORITY_LINE_BUCKETS
+    ),
+    "small_quantity_revenue": Query(
+        q_small_quantity_revenue, SQL_SMALL_QUANTITY_REVENUE
+    ),
+    "disjunctive_band_revenue": Query(
+        q_disjunctive_band_revenue, SQL_DISJUNCTIVE_BAND_REVENUE
+    ),
+    "sole_latest_supplier": Query(
+        q_sole_latest_supplier, SQL_SOLE_LATEST_SUPPLIER
+    ),
+    "lapsed_rich_customers": Query(
+        q_lapsed_rich_customers, SQL_LAPSED_RICH_CUSTOMERS
     ),
 }
