@@ -346,3 +346,21 @@ def test_tpch_archetypes_round6_plan_shapes(spark, sf_dir):
     import re
 
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p22)) <= 2
+
+
+def test_setops_and_decile_plan_shapes(spark, sf_dir):
+    """cohort_set_ops: EXCEPT/INTERSECT DISTINCT plan as LeftAnti /
+    LeftSemi over the de-duplicated key projections, and the year
+    bounds reach both parquet scans as date-range pushed filters.
+    customer_value_deciles: all three rank statistics share ONE
+    per-nation window partition — exactly one hashpartitioning
+    Exchange feeds the Window, and no global (single-partition)
+    sort appears."""
+    p = plan(spark, sf_dir, "cohort_set_ops")
+    assert "LeftAnti" in p and "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "GreaterThanOrEqual(o_orderdate" in p  # date bound pushed to scan
+    pd_ = plan(spark, sf_dir, "customer_value_deciles")
+    assert "Window" in pd_
+    assert "hashpartitioning(c_nationkey" in pd_
+    assert "SinglePartition" not in pd_

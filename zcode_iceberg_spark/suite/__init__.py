@@ -43,30 +43,32 @@ WINDOW = 50
 
 PRIORITY = [
     # tool-generated rotation (tools/rotate_priority.py over r1-r5
-    # history), round 6, amended for in-round additions: the 11
+    # history), round 6, amended for in-round additions: the 15
     # never-driver-checked queries first — the 5 round-5 TPC-H
     # archetypes (order_count_distribution, large_orders,
     # nation_trade_volume, market_share, cheapest_supplier_per_part)
-    # plus the 6 NEW round-6 archetypes (late_ship_exists,
+    # plus the 10 NEW round-6 queries (late_ship_exists,
     # priority_line_buckets, small_quantity_revenue,
     # disjunctive_band_revenue, sole_latest_supplier,
-    # lapsed_rich_customers) — then the 14 stalest greens (last driver
-    # row r3: the ANN/dedup block, trend_hysteresis, media twins),
-    # then 25 r4 greens in registry order, with heavy_hitters swapped
-    # in for lang_id because its plan changed in r5 (lazy freqItems)
-    # and changed queries must re-enter the window. Everything rotated
-    # out holds a green driver row from r4/r5 and stays oracle-checked
-    # at sf0.001 on every pytest run (tests/test_oracle_suite.py).
+    # lapsed_rich_customers, customer_value_deciles, cohort_set_ops,
+    # bm25_scores, trigram_lm)
+    # — then the 14 stalest greens (last driver row r3: the ANN/dedup
+    # block, trend_hysteresis, media twins), then 21 r4 greens in
+    # registry order, with heavy_hitters swapped in for lang_id
+    # because its plan changed in r5 (lazy freqItems) and changed
+    # queries must re-enter the window. Everything rotated out holds a
+    # green driver row from r4/r5 and stays oracle-checked at sf0.001
+    # on every pytest run (tests/test_oracle_suite.py).
     "late_ship_exists",
     "priority_line_buckets",
     "small_quantity_revenue",
     "disjunctive_band_revenue",
     "sole_latest_supplier",
     "lapsed_rich_customers",
-    "price_percentiles_approx",
-    "star_revenue",
-    "top_customers_per_nation",
-    "priority_with_discounted",
+    "customer_value_deciles",
+    "cohort_set_ops",
+    "bm25_scores",
+    "trigram_lm",
     "customers_without_orders",
     "rollup_sales",
     "distinct_parts_per_supplier",

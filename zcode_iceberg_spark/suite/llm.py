@@ -3080,6 +3080,164 @@ SELECT doc_id, token, tf, df, round(tfidf, 6) AS tfidf, rank FROM (
 """
 
 
+# ----------------------------------------------------- BM25 retrieval scoring
+
+BM25_TERMS = ["join", "hash", "filter", "vector"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BM25_TOPK} documents by Okapi BM25 against a fixed query
+    term set — the retrieval-side scorer that pairs with the TF-IDF
+    feature pass (a training-data pipeline uses exactly this shape to
+    mine topical subsets from a corpus).
+
+    Scale shape: term frequencies collapse map-side and only the
+    query-term rows survive the filter (|Q| rows per doc, not the
+    vocabulary); document frequencies and the (N, total_dl) corpus
+    stats are tiny broadcasts; the per-doc score sum happens in
+    integer nano-units (each term contribution quantized to 1e-9
+    before the groupBy sum) so the result is partition-order-free
+    (repo determinism rule — same trick as pagerank); the final top-k
+    is a bounded TakeOrderedAndProject, never a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("token")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.sum("dl").alias("total_dl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B
+        + BM25_B * (F.col("dl") * F.col("n_docs") / F.col("total_dl"))
+    )
+    term = idf * F.col("tf") * (BM25_K1 + 1.0) / denom
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("term_u", F.round(term * 1e9).cast("bigint"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("term_u").alias("score_u"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    return (
+        per_doc.orderBy(F.col("score_u").desc(), "doc_id")
+        .limit(BM25_TOPK)
+        .select(
+            "doc_id",
+            F.round(F.col("score_u") / 1e9, 6).alias("bm25"),
+            "n_terms",
+        )
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+SQL_BM25_SCORES = f"""
+WITH {TOKS_CTE},
+tok AS (SELECT doc_id, t.token FROM toks, unnest(w) AS t(token)),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+       WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+stats AS (SELECT CAST(sum(dl) AS BIGINT) AS total_dl, count(*) AS n_docs
+          FROM dl),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * ({BM25_K1} + 1.0)
+           / (tf + {BM25_K1} * (1.0 - {BM25_B}
+              + {BM25_B} * (dl.dl * n_docs / total_dl))) * 1e9)
+         AS BIGINT) AS term_u
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN dfreq USING (token), stats
+)
+SELECT doc_id,
+       round(CAST(sum(term_u) AS BIGINT) / 1e9, 6) AS bm25,
+       count(*) AS n_terms
+FROM scored GROUP BY doc_id
+ORDER BY CAST(sum(term_u) AS BIGINT) DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+
+# ------------------------------------------------- trigram language-model head
+
+TRIGRAM_TOPK = 50
+
+
+def q_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head of a count-based trigram language model: the
+    {TRIGRAM_TOPK} most frequent trigrams with their conditional
+    probability P(w3 | w1 w2) = c(w1w2w3) / Σ_w c(w1w2·w) — the
+    statistic a corpus-quality pipeline uses to spot templated text
+    and the building block of KN-style smoothing.
+
+    Scale shape: trigram strings reuse the shingle kernel
+    (operators/text.py:shingles — 1-indexed to mirror SQL list
+    indexing, so both engines enumerate identical grams); counts
+    partial-aggregate map-side into a vocabulary-sized table; the
+    context denominator is ONE window sum keyed by the (w1, w2)
+    prefix (no second corpus pass); the conditional probability is an
+    exact-integer ratio — deterministic under any partitioning; the
+    head is a bounded TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tx.tokens(F.col("text"))
+    g3 = d.select(F.explode(tx.shingles(t, 3)).alias("g3"))
+    counts = g3.groupBy("g3").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = F.substring_index("g3", " ", 2)
+    probs = counts.withColumn(
+        "ctx_total",
+        F.sum("cnt").over(Window.partitionBy(ctx)),
+    )
+    return (
+        probs.orderBy(F.col("cnt").desc(), "g3")
+        .limit(TRIGRAM_TOPK)
+        .select(
+            "g3",
+            "cnt",
+            "ctx_total",
+            F.round(F.col("cnt") / F.col("ctx_total"), 6).alias("cond_p"),
+        )
+    )
+
+
+SQL_TRIGRAM_LM = f"""
+WITH {TOKS_CTE},
+g3 AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 2),
+                               i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))
+           AS g3
+  FROM toks
+),
+counts AS (SELECT g3, count(*) AS cnt FROM g3 GROUP BY g3),
+probs AS (
+  SELECT g3, cnt,
+         CAST(sum(cnt) OVER (
+           PARTITION BY array_to_string(string_split(g3, ' ')[1:2], ' ')
+         ) AS BIGINT) AS ctx_total
+  FROM counts
+)
+SELECT g3, cnt, ctx_total,
+       round(cnt / CAST(ctx_total AS DOUBLE), 6) AS cond_p
+FROM probs ORDER BY cnt DESC, g3 LIMIT {TRIGRAM_TOPK}
+"""
+
+
 # ------------------------------------------------------------ k-means (Lloyd)
 
 KM_K = 8
@@ -3917,6 +4075,8 @@ QUERIES = {
     "corpus_shuffle": Query(q_corpus_shuffle, SQL_CORPUS_SHUFFLE),
     "doc_chunks": Query(q_doc_chunks, SQL_DOC_CHUNKS),
     "tf_idf": Query(q_tf_idf, SQL_TF_IDF),
+    "bm25_scores": Query(q_bm25_scores, SQL_BM25_SCORES),
+    "trigram_lm": Query(q_trigram_lm, SQL_TRIGRAM_LM),
     "stratified_sample": Query(q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "dedup_cc": Query(q_dedup_cc, SQL_DEDUP_CC),
     "pagerank": Query(q_pagerank, SQL_PAGERANK),

@@ -1215,6 +1215,112 @@ GROUP BY c_mktsegment
 """
 
 
+def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window family: per-nation customer-value
+    deciles (ntile) with percent_rank and cume_dist — all three ride
+    ONE window sort keyed (nation, revenue desc, custkey), so the only
+    shuffle is the per-nation hash partition; no global sort (a
+    corpus-wide ntile would serialize into one partition — partitioned
+    ranking is the shape that survives 1000 executors). Revenue is
+    summed in exact cents so the rank order — and therefore every rank
+    statistic — is partition-independent; the (rev desc, custkey)
+    order is total, making percent_rank/cume_dist tie-free."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+                "rev_u"
+            )
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("rev_u").desc(), F.col("c_custkey")
+    )
+    return rev.select(
+        "c_nationkey",
+        "c_custkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_share"),
+    )
+
+
+SQL_CUSTOMER_VALUE_DECILES = """
+WITH rev AS (
+  SELECT c_nationkey, c_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_u
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_nationkey, c_custkey
+)
+SELECT c_nationkey, c_custkey,
+       ntile(10) OVER w AS decile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cum_share
+FROM rev
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY rev_u DESC, c_custkey)
+"""
+
+
+def q_cohort_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation shapes: first-year buyers EXCEPT final-year
+    buyers (churned) and INTERSECT (retained), as counts. Spark plans
+    EXCEPT/INTERSECT DISTINCT as LeftAnti/LeftSemi over the
+    de-duplicated key projections — one column shuffles, never whole
+    rows — and the year bounds are date-literal ranges so both scans
+    prune at the parquet footer instead of evaluating year() per
+    row."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def buyers(lo: str, hi: str) -> DataFrame:
+        return (
+            o.where(
+                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    first = buyers("1995-01-01", "1996-01-01")
+    last = buyers("2001-01-01", "2002-01-01")
+    churned = (
+        first.subtract(last)
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(F.lit("churned").alias("cohort"), "n_customers")
+    )
+    retained = (
+        first.intersect(last)
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(F.lit("retained").alias("cohort"), "n_customers")
+    )
+    return churned.unionAll(retained)
+
+
+SQL_COHORT_SET_OPS = """
+SELECT 'churned' AS cohort, count(*) AS n_customers FROM (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1996-01-01'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+    AND o_orderdate <  TIMESTAMP '2002-01-01')
+UNION ALL
+SELECT 'retained', count(*) FROM (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1996-01-01'
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+    AND o_orderdate <  TIMESTAMP '2002-01-01')
+"""
+
+
 QUERIES = {
     "pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY),
     "rfm_segments": Query(q_rfm_segments, SQL_RFM_SEGMENTS),
@@ -1281,4 +1387,8 @@ QUERIES = {
     "lapsed_rich_customers": Query(
         q_lapsed_rich_customers, SQL_LAPSED_RICH_CUSTOMERS
     ),
+    "customer_value_deciles": Query(
+        q_customer_value_deciles, SQL_CUSTOMER_VALUE_DECILES
+    ),
+    "cohort_set_ops": Query(q_cohort_set_ops, SQL_COHORT_SET_OPS),
 }
