@@ -364,3 +364,18 @@ def test_setops_and_decile_plan_shapes(spark, sf_dir):
     assert "Window" in pd_
     assert "hashpartitioning(c_nationkey" in pd_
     assert "SinglePartition" not in pd_
+
+
+def test_triangle_plan_all_equi_joins(spark, sf_dir):
+    """copurchase_triangles: the entire census — edge self-join,
+    degree orientation joins, wedge join, closure join — plans as
+    equi-joins; the only nested loops are the 1-row scalar-stat
+    broadcasts assembling the final row, and nothing is a cartesian
+    product over data-sized inputs."""
+    import re
+
+    p = plan(spark, sf_dir, "copurchase_triangles")
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p  # urgent-order filter is a semi join
+    # 3 scalar crossJoins assemble the 1-row stats output; no other BNLJ
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 3

@@ -3094,7 +3094,9 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature pass (a training-data pipeline uses exactly this shape to
     mine topical subsets from a corpus).
 
-    Scale shape: term frequencies collapse map-side and only the
+    Scale shape: the corpus fans out to full parallelism before the
+    token explode (one-file inputs otherwise tokenize on a single
+    task); term frequencies collapse map-side and only the
     query-term rows survive the filter (|Q| rows per doc, not the
     vocabulary); document frequencies and the (N, total_dl) corpus
     stats are tiny broadcasts; the per-doc score sum happens in
@@ -3102,7 +3104,9 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the groupBy sum) so the result is partition-order-free
     (repo determinism rule — same trick as pagerank); the final top-k
     is a bounded TakeOrderedAndProject, never a global sort."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = d.select(
         "doc_id", F.explode(tx.tokens(F.col("text"))).alias("token")
     )
@@ -3189,13 +3193,19 @@ def q_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: trigram strings reuse the shingle kernel
     (operators/text.py:shingles — 1-indexed to mirror SQL list
-    indexing, so both engines enumerate identical grams); counts
+    indexing, so both engines enumerate identical grams); the corpus
+    is repartitioned to full parallelism BEFORE the explode so the
+    CPU-heavy gram enumeration never runs on a one-file input's
+    single task (the corpus_pipeline stage-barrier lesson, measured:
+    single-task explode was 9 s at sf0.1 and linear at 10×); counts
     partial-aggregate map-side into a vocabulary-sized table; the
     context denominator is ONE window sum keyed by the (w1, w2)
     prefix (no second corpus pass); the conditional probability is an
     exact-integer ratio — deterministic under any partitioning; the
     head is a bounded TakeOrderedAndProject."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     t = tx.tokens(F.col("text"))
     g3 = d.select(F.explode(tx.shingles(t, 3)).alias("g3"))
     counts = g3.groupBy("g3").agg(F.count(F.lit(1)).alias("cnt"))
