@@ -366,6 +366,23 @@ def test_setops_and_decile_plan_shapes(spark, sf_dir):
     assert "SinglePartition" not in pd_
 
 
+def test_tpch_archetypes_third_wave_plan_shapes(spark, sf_dir):
+    """Q9/Q10/Q15 shapes: the LIKE fragment and the return-flag
+    constant push into their parquet scans, dimensions broadcast, the
+    Q10 top-k is a bounded TakeOrderedAndProject (no global sort), and
+    nothing degenerates to a cartesian product."""
+    p9 = plan(spark, sf_dir, "nation_profit")
+    assert "StringContains(p_name,red)" in p9
+    assert p9.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p9
+    p10 = plan(spark, sf_dir, "returned_item_ranking")
+    assert "EqualTo(l_returnflag,R)" in p10
+    assert "TakeOrderedAndProject" in p10
+    p15 = plan(spark, sf_dir, "top_revenue_supplier")
+    assert "GreaterThanOrEqual(l_shipdate" in p15
+    assert "CartesianProduct" not in p15
+
+
 def test_triangle_plan_all_equi_joins(spark, sf_dir):
     """copurchase_triangles: the entire census — edge self-join,
     degree orientation joins, wedge join, closure join — plans as

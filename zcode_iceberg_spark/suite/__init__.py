@@ -43,17 +43,18 @@ WINDOW = 50
 
 PRIORITY = [
     # tool-generated rotation (tools/rotate_priority.py over r1-r5
-    # history), round 6, amended for in-round additions: the 16
+    # history), round 6, amended for in-round additions: the 19
     # never-driver-checked queries first — the 5 round-5 TPC-H
     # archetypes (order_count_distribution, large_orders,
     # nation_trade_volume, market_share, cheapest_supplier_per_part)
-    # plus the 11 NEW round-6 queries (late_ship_exists,
+    # plus the 14 NEW round-6 queries (late_ship_exists,
     # priority_line_buckets, small_quantity_revenue,
     # disjunctive_band_revenue, sole_latest_supplier,
     # lapsed_rich_customers, customer_value_deciles, cohort_set_ops,
-    # bm25_scores, trigram_lm, copurchase_triangles)
+    # bm25_scores, trigram_lm, copurchase_triangles, nation_profit,
+    # returned_item_ranking, top_revenue_supplier)
     # — then the 14 stalest greens (last driver row r3: the ANN/dedup
-    # block, trend_hysteresis, media twins), then 20 r4 greens in
+    # block, trend_hysteresis, media twins), then 17 r4 greens in
     # registry order, with heavy_hitters swapped in for lang_id
     # because its plan changed in r5 (lazy freqItems) and changed
     # queries must re-enter the window. Everything rotated out holds a
@@ -70,9 +71,9 @@ PRIORITY = [
     "bm25_scores",
     "trigram_lm",
     "copurchase_triangles",
-    "rollup_sales",
-    "distinct_parts_per_supplier",
-    "approx_distinct_parts",
+    "nation_profit",
+    "returned_item_ranking",
+    "top_revenue_supplier",
     "segment_share",
     "cube_corpus",
     "order_count_distribution",

@@ -1321,6 +1321,165 @@ SELECT 'retained', count(*) FROM (
 """
 
 
+Q9_NAME_FRAGMENT = "red"
+# cost proxy: the schema has no partsupp/supplycost, so product cost is
+# modeled as half the part's retail price — exact DECIMAL end to end
+_PROFIT_DEC = (
+    f"({_REV_DEC} - CAST(p_retailprice AS DECIMAL(12,2))"
+    " * CAST(l_quantity AS DECIMAL(4,0)) * CAST(0.5 AS DECIMAL(2,1)))"
+)
+
+
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per (supplier nation, order year) over
+    parts whose name contains '{Q9_NAME_FRAGMENT}' — revenue minus a
+    retail-price cost proxy (this schema carries no supplycost). The
+    LIKE predicate rides the broadcast part dimension and prunes fact
+    rows AT the join; nation arrives through the broadcast supplier
+    chain; the only shuffle is the lineitem⋈orders fact-fact join.
+    Profit is exact DECIMAL arithmetic (scale-4 revenue minus scale-3
+    cost), so the sum is partition-order-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    red = p.where(F.col("p_name").contains(Q9_NAME_FRAGMENT)).select(
+        "p_partkey", "p_retailprice"
+    )
+    return (
+        li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.expr(f"CAST(sum({_PROFIT_DEC}) AS DOUBLE)"), 6
+            ).alias("profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_NATION_PROFIT = f"""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(CAST(sum({_PROFIT_DEC}) AS DOUBLE), 6) AS profit,
+       count(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%{Q9_NAME_FRAGMENT}%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+RETURNED_TOPK = 20
+
+
+def q_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the {RETURNED_TOPK} customers who returned the
+    most revenue (return flag 'R'), with their nation. The flag
+    predicate pushes into the lineitem scan; customer and nation ride
+    broadcast joins; the ranking key is the EXACT DECIMAL revenue sum
+    (ties broken by custkey) so the top-k cut is partition-independent
+    — and it is a bounded TakeOrderedAndProject, never a global
+    sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.expr(f"sum({_REV_DEC})").alias("rev_dec"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("rev_dec").desc(), "c_custkey")
+        .limit(RETURNED_TOPK)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("rev_dec").cast("double"), 6).alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+SQL_RETURNED_ITEM_RANKING = f"""
+SELECT c_custkey, c_name, n_name,
+       round(CAST(sum({_REV_DEC}) AS DOUBLE), 6) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY sum({_REV_DEC}) DESC, c_custkey LIMIT {RETURNED_TOPK}
+"""
+
+
+Q15_FROM = "1996-01-01"
+Q15_TO = "1996-04-01"
+
+
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the maximum revenue
+    in one quarter — the correlated MAX-of-aggregate becomes
+    aggregate → 1-row max → broadcast equality join-back, all on the
+    EXACT DECIMAL total so the max and the equality are exact
+    comparisons (no float max drift). The date range pushes into the
+    lineitem scan; supplier is a broadcast dim on the supplier-count-
+    sized revenue table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    window = li.where(
+        (F.col("l_shipdate") >= F.lit(Q15_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_TO).cast("timestamp"))
+    )
+    rev = window.groupBy(F.col("l_suppkey").alias("r_suppkey")).agg(
+        F.expr(f"sum({_REV_DEC})").alias("total_dec")
+    )
+    mx = rev.agg(F.max("total_dec").alias("max_dec"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_dec == F.col("max_dec"))
+        .join(F.broadcast(s), F.col("r_suppkey") == s.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            "s_name",
+            F.round(F.col("total_dec").cast("double"), 6).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+SQL_TOP_REVENUE_SUPPLIER = f"""
+WITH rev AS (
+  SELECT l_suppkey AS r_suppkey, sum({_REV_DEC}) AS total_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_FROM}'
+    AND l_shipdate <  TIMESTAMP '{Q15_TO}'
+  GROUP BY l_suppkey
+),
+mx AS (SELECT max(total_dec) AS max_dec FROM rev)
+SELECT s_suppkey, s_name,
+       round(CAST(total_dec AS DOUBLE), 6) AS total_revenue
+FROM rev JOIN mx ON total_dec = max_dec
+JOIN supplier ON r_suppkey = s_suppkey
+"""
+
+
 TRI_PRIORITY = "1-URGENT"
 
 
@@ -1525,5 +1684,12 @@ QUERIES = {
     "cohort_set_ops": Query(q_cohort_set_ops, SQL_COHORT_SET_OPS),
     "copurchase_triangles": Query(
         q_copurchase_triangles, SQL_COPURCHASE_TRIANGLES
+    ),
+    "nation_profit": Query(q_nation_profit, SQL_NATION_PROFIT),
+    "returned_item_ranking": Query(
+        q_returned_item_ranking, SQL_RETURNED_ITEM_RANKING
+    ),
+    "top_revenue_supplier": Query(
+        q_top_revenue_supplier, SQL_TOP_REVENUE_SUPPLIER
     ),
 }
