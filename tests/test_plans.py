@@ -383,6 +383,44 @@ def test_tpch_archetypes_third_wave_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in p15
 
 
+def test_tpch_archetypes_sweep_closure_plan_shapes(spark, sf_dir):
+    """Q3/Q6/Q11/Q14/Q16/Q20 shapes — the sweep closers. Q3: segment
+    semi join broadcasts, both date cuts push to their scans, top-k is
+    TakeOrderedAndProject. Q6: all three range predicates reach the
+    single scan. Q11: the only nested loop is the 1-row grand-total
+    broadcast. Q14/Q16: part dim broadcasts with brand/size pushed;
+    the exclusion list is a broadcast LEFT ANTI. Q20: promo filter is
+    a broadcast LEFT SEMI, the ship-year range pushes to the lineitem
+    scan, nothing is cartesian."""
+    import re
+
+    p3 = plan(spark, sf_dir, "shipping_priority")
+    assert "TakeOrderedAndProject" in p3
+    assert "LeftSemi" in p3
+    assert "GreaterThan(l_shipdate,1998-06-15" in p3
+    assert "LessThan(o_orderdate,1998-06-15" in p3
+    assert "CartesianProduct" not in p3
+    p6 = plan(spark, sf_dir, "forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate,1999-01-01" in p6
+    assert "GreaterThanOrEqual(l_discount,0.05)" in p6
+    assert "LessThan(l_quantity,24.0)" in p6
+    assert p6.count("Exchange") <= 2  # scan → partial agg → 1-row final
+    p11 = plan(spark, sf_dir, "part_value_concentration")
+    assert "CartesianProduct" not in p11
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p11)) <= 1
+    p14 = plan(spark, sf_dir, "promo_revenue")
+    assert "BroadcastHashJoin" in p14 and "CartesianProduct" not in p14
+    p16 = plan(spark, sf_dir, "supplier_part_variety")
+    assert "LeftAnti" in p16
+    assert "Not(EqualTo(p_brand,Brand#4))" in p16
+    assert "LessThan(s_acctbal,0.0)" in p16
+    p20 = plan(spark, sf_dir, "dominant_supplier")
+    assert "LeftSemi" in p20
+    assert "EqualTo(p_type,PROMO)" in p20
+    assert "GreaterThanOrEqual(l_shipdate,1998-01-01" in p20
+    assert "CartesianProduct" not in p20
+
+
 def test_triangle_plan_all_equi_joins(spark, sf_dir):
     """copurchase_triangles: the entire census — edge self-join,
     degree orientation joins, wedge join, closure join — plans as

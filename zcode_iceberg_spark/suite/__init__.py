@@ -43,23 +43,20 @@ WINDOW = 50
 
 PRIORITY = [
     # tool-generated rotation (tools/rotate_priority.py over r1-r5
-    # history), round 6, amended for in-round additions: the 19
+    # history), round 6, amended for in-round additions: the 25
     # never-driver-checked queries first — the 5 round-5 TPC-H
-    # archetypes (order_count_distribution, large_orders,
-    # nation_trade_volume, market_share, cheapest_supplier_per_part)
-    # plus the 14 NEW round-6 queries (late_ship_exists,
-    # priority_line_buckets, small_quantity_revenue,
-    # disjunctive_band_revenue, sole_latest_supplier,
-    # lapsed_rich_customers, customer_value_deciles, cohort_set_ops,
-    # bm25_scores, trigram_lm, copurchase_triangles, nation_profit,
-    # returned_item_ranking, top_revenue_supplier)
-    # — then the 14 stalest greens (last driver row r3: the ANN/dedup
-    # block, trend_hysteresis, media twins), then 17 r4 greens in
-    # registry order, with heavy_hitters swapped in for lang_id
-    # because its plan changed in r5 (lazy freqItems) and changed
-    # queries must re-enter the window. Everything rotated out holds a
-    # green driver row from r4/r5 and stays oracle-checked at sf0.001
-    # on every pytest run (tests/test_oracle_suite.py).
+    # archetypes (order_count_distribution … cheapest_supplier_per_part)
+    # plus the 20 NEW round-6 queries (late_ship_exists …
+    # top_revenue_supplier, and the six archetype-sweep closers
+    # shipping_priority … dominant_supplier) — then the LSH block
+    # (lsh_candidates/dedup_near/dedup_crosscheck/dedup_cc re-enter
+    # because the pair join dropped its signature payload this round;
+    # heavy_hitters because its freqItems went lazy in r5), then the
+    # stalest greens (last driver row r3: the ANN/dedup block,
+    # trend_hysteresis, media twins, decontaminate, kmeans), filled
+    # with r4 keepers in registry order. Everything rotated out holds
+    # a green driver row from r4/r5 and stays oracle-checked at
+    # sf0.001 on every pytest run (tests/test_oracle_suite.py).
     "late_ship_exists",
     "priority_line_buckets",
     "small_quantity_revenue",
@@ -81,18 +78,22 @@ PRIORITY = [
     "nation_trade_volume",
     "market_share",
     "cheapest_supplier_per_part",
+    # the 6 archetype-sweep closers added mid-round-6 (Q3/Q6/Q11/Q14/
+    # Q16/Q20 shapes) — never driver-checked, enter the window
+    # displacing six unchanged r4/r5 greens (trade_params, mc_win_prob,
+    # dedup_exact, dup_spans, training_export, simhash)
+    "shipping_priority",
+    "forecast_revenue",
+    "part_value_concentration",
+    "promo_revenue",
+    "supplier_part_variety",
+    "dominant_supplier",
     "above_customer_avg",
     "unpivot_lineitem_stats",
-    "trade_params",
-    "mc_win_prob",
-    "dedup_exact",
-    "dup_spans",
-    "training_export",
     "minhash_signatures",
     "lsh_candidates",
     "dedup_near",
     "dedup_crosscheck",
-    "simhash",
     "ngram_jaccard",
     "doc_fingerprint",
     "heavy_hitters",

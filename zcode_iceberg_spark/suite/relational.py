@@ -1612,6 +1612,300 @@ FROM stats
 """
 
 
+# ------------------------------------------- archetype sweep closure
+# Q3 / Q6 / Q11 / Q14 / Q16 / Q20 shapes — the last six of the 22
+# TPC-H archetypes, reshaped onto the available star schema (no
+# partsupp table: supplier-part relationships come from lineitem).
+# Same rules as the rest of the block: dimensions broadcast, facts
+# aggregate before they shuffle, money stays in exact DECIMAL until
+# the final rounded-double projection.
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-06-15"
+Q3_TOPK = 10
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: the {Q3_TOPK} highest-revenue orders placed
+    before the cutoff but still unshipped after it, for one market
+    segment. The segment filter is a broadcast LEFT SEMI against the
+    customer dim (orders shuffle zero bytes for it); the only shuffle
+    is the date-pruned lineitem⋈orders fact join plus the group-by,
+    and the final top-k is TakeOrderedAndProject — ordered on the
+    EXACT decimal revenue with l_orderkey as tiebreak, so the cut line
+    is deterministic under any partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cut = F.to_timestamp(F.lit(Q3_CUTOFF))
+    seg = c.where(F.col("c_mktsegment") == Q3_SEGMENT).select("c_custkey")
+    open_orders = o.where(F.col("o_orderdate") < cut).join(
+        F.broadcast(seg), o.o_custkey == seg.c_custkey, "left_semi"
+    )
+    return (
+        li.where(F.col("l_shipdate") > cut)
+        .join(open_orders, li.l_orderkey == open_orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.expr(f"sum({_REV_DEC})").alias("rev_dec"))
+        .orderBy(F.col("rev_dec").desc(), "l_orderkey")
+        .limit(Q3_TOPK)
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            F.round(F.col("rev_dec").cast("double"), 6).alias("revenue"),
+        )
+    )
+
+
+SQL_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(CAST(sum({_REV_DEC}) AS DOUBLE), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l_shipdate  > TIMESTAMP '{Q3_CUTOFF}'
+  AND o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = '{Q3_SEGMENT}')
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY sum({_REV_DEC}) DESC, l_orderkey
+LIMIT {Q3_TOPK}
+"""
+
+# the discount delta is DECIMAL(18,2)·DECIMAL(4,2) — exact integer
+# arithmetic at scale 4, order-free under any partitioning
+_DISC_DEC = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))"
+)
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue gained by eliminating a discount band
+    for one ship year — a single scan whose THREE range predicates
+    (ship-year bounds, discount band, quantity cap) are all plain
+    comparisons, so every one reaches the parquet scan as a pushed
+    filter and row groups outside the year never leave disk. The
+    plan is scan → map-side partial sum → 1-row exchange: the
+    cheapest possible shape, and the yardstick that the scan layer
+    prunes correctly (asserted in tests/test_plans.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1999-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("2000-01-01")))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.expr(f"CAST(sum({_DISC_DEC}) AS DOUBLE)"), 6
+            ).alias("revenue_delta")
+        )
+    )
+
+
+SQL_FORECAST_REVENUE = f"""
+SELECT round(CAST(sum({_DISC_DEC}) AS DOUBLE), 6) AS revenue_delta
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+  AND l_shipdate <  TIMESTAMP '2000-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue exceeds 0.1% of TOTAL
+    revenue. The scalar subquery de-correlates into a re-aggregation
+    of the per-part frame itself — lineitem is scanned ONCE, the
+    grand total is a second-stage fold over the already-collapsed
+    part rows, and the threshold comparison is pure decimal integer
+    arithmetic (``val·1000 > total``, no float division), broadcast
+    as a 1-row frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.groupBy("l_partkey").agg(
+        F.expr(f"sum({_REV_DEC})").alias("val_dec")
+    )
+    total = vals.agg(F.expr("sum(val_dec)").alias("tot_dec"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .where(F.expr("val_dec * 1000 > tot_dec"))
+        .select(
+            "l_partkey",
+            F.round(F.col("val_dec").cast("double"), 6).alias("part_value"),
+        )
+    )
+
+
+SQL_PART_VALUE_CONCENTRATION = f"""
+WITH vals AS (
+  SELECT l_partkey, sum({_REV_DEC}) AS val_dec
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, round(CAST(val_dec AS DOUBLE), 6) AS part_value
+FROM vals CROSS JOIN (SELECT sum(val_dec) AS tot_dec FROM vals) t
+WHERE val_dec * 1000 > tot_dec
+"""
+
+# exact promo indicator: revenue × {0,1} as DECIMAL(1,0) keeps the
+# conditional sum in the same exact-decimal lattice on both engines
+# (a CASE whose ELSE is a bare 0 infers different decimal types in
+# Spark vs DuckDB)
+_PROMO_DEC = (
+    f"{_REV_DEC} * (CASE WHEN p_type = 'PROMO' THEN CAST(1 AS DECIMAL(1,0)) "
+    "ELSE CAST(0 AS DECIMAL(1,0)) END)"
+)
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share per ship year — the
+    conditional-aggregate ratio. One broadcast part join, one
+    group-by; numerator and denominator fold in the SAME aggregate
+    pass (two filtered scans would read lineitem twice), both exact
+    decimal until the final rounded ratio."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.expr(f"sum({_PROMO_DEC})").alias("promo_dec"),
+            F.expr(f"sum({_REV_DEC})").alias("tot_dec"),
+        )
+        .select(
+            "l_year",
+            F.round(
+                F.lit(100.0)
+                * F.col("promo_dec").cast("double")
+                / F.col("tot_dec").cast("double"),
+                6,
+            ).alias("promo_share"),
+        )
+    )
+
+
+SQL_PROMO_REVENUE = f"""
+SELECT year(l_shipdate) AS l_year,
+       round(100.0 * CAST(sum({_PROMO_DEC}) AS DOUBLE)
+                   / CAST(sum({_REV_DEC}) AS DOUBLE), 6) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY year(l_shipdate)
+"""
+
+Q16_EXCL_BRAND = "Brand#4"
+Q16_SIZES = (1, 5, 9, 14, 19, 23, 36, 45)
+
+
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many DISTINCT suppliers ship each
+    (brand, type, size) combination, excluding one brand, a size
+    whitelist, and suppliers in bad standing (negative account
+    balance — the complaints analog). The NOT IN is a broadcast LEFT
+    ANTI join (the exclusion list is dimension-sized); the brand/size
+    predicates ride the broadcast part dim; the distinct count is
+    Spark's standard two-phase partial-distinct aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    keep = p.where(
+        (F.col("p_brand") != Q16_EXCL_BRAND)
+        & F.col("p_size").isin(*Q16_SIZES)
+    )
+    bad = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(keep), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_SUPPLIER_PART_VARIETY = f"""
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{Q16_EXCL_BRAND}'
+  AND p_size IN {Q16_SIZES}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+Q20_TYPE = "PROMO"
+Q20_YEAR = "1998"
+
+
+def q_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested semi-join chain — suppliers who
+    shipped MORE THAN HALF of a promo part's total {Q20_YEAR} volume,
+    with how many parts each dominates. partsupp's availability
+    threshold becomes a shipped-share threshold on lineitem: per
+    (part, supplier) quantities aggregate FIRST (one shuffle on the
+    pair key), the per-part total is a re-aggregation of those
+    collapsed rows (lineitem is scanned once), and the >50% test is
+    exact integer arithmetic (``2·qty > total``). The surviving pair
+    set joins back to supplier/nation as broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    promo = p.where(F.col("p_type") == Q20_TYPE).select("p_partkey")
+    pairs = (
+        li.where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit(f"{Q20_YEAR}-01-01")))
+            & (
+                F.col("l_shipdate")
+                < F.to_timestamp(F.lit(f"{int(Q20_YEAR) + 1}-01-01"))
+            )
+        )
+        .join(F.broadcast(promo), li.l_partkey == promo.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.expr("CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)").alias("qty"))
+    )
+    totals = pairs.groupBy(F.col("l_partkey").alias("t_key")).agg(
+        F.sum("qty").alias("tot_qty")
+    )
+    dom = pairs.join(totals, pairs.l_partkey == totals.t_key).where(
+        F.col("qty") * 2 > F.col("tot_qty")
+    )
+    per_supp = dom.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_dominated")
+    )
+    return (
+        per_supp.join(F.broadcast(s), per_supp.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            "s_name", F.col("n_name").alias("supp_nation"), "n_dominated"
+        )
+    )
+
+
+SQL_DOMINANT_SUPPLIER = f"""
+WITH pairs AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q20_YEAR}-01-01'
+    AND l_shipdate <  TIMESTAMP '{int(Q20_YEAR) + 1}-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = '{Q20_TYPE}')
+  GROUP BY l_partkey, l_suppkey
+), totals AS (
+  SELECT l_partkey AS t_key, CAST(sum(qty) AS BIGINT) AS tot_qty
+  FROM pairs GROUP BY l_partkey
+), dom AS (
+  SELECT l_suppkey FROM pairs JOIN totals ON l_partkey = t_key
+  WHERE qty * 2 > tot_qty
+)
+SELECT s_name, n_name AS supp_nation,
+       CAST(count(*) AS BIGINT) AS n_dominated
+FROM dom
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY s_name, n_name
+"""
+
+
 QUERIES = {
     "pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY),
     "rfm_segments": Query(q_rfm_segments, SQL_RFM_SEGMENTS),
@@ -1692,4 +1986,14 @@ QUERIES = {
     "top_revenue_supplier": Query(
         q_top_revenue_supplier, SQL_TOP_REVENUE_SUPPLIER
     ),
+    "shipping_priority": Query(q_shipping_priority, SQL_SHIPPING_PRIORITY),
+    "forecast_revenue": Query(q_forecast_revenue, SQL_FORECAST_REVENUE),
+    "part_value_concentration": Query(
+        q_part_value_concentration, SQL_PART_VALUE_CONCENTRATION
+    ),
+    "promo_revenue": Query(q_promo_revenue, SQL_PROMO_REVENUE),
+    "supplier_part_variety": Query(
+        q_supplier_part_variety, SQL_SUPPLIER_PART_VARIETY
+    ),
+    "dominant_supplier": Query(q_dominant_supplier, SQL_DOMINANT_SUPPLIER),
 }
