@@ -135,6 +135,27 @@ def test_media_decode_seam_contract(spark, sf_dir):
         for r in rows:
             assert r["frame_byte"] == b[r["frame_idx"] * 4]
 
+    # resize: image-only contraction, exact NN byte arithmetic
+    from zcode_iceberg_spark.operators.media import RESIZE_SCHEMA, resize_media
+
+    rz = resize_media(media, out_w=8, out_h=8)
+    assert rz.schema == RESIZE_SCHEMA
+    rz_rows = {r["doc_id"]: r for r in rz.collect()}
+    assert rz_rows, "fixture contains no image docs"
+    assert all(doc_id % 3 == 0 for doc_id in rz_rows)  # images only
+    for doc_id, r in rz_rows.items():
+        b = hashlib.md5(texts[doc_id].encode()).digest()
+        w, h = 64 + b[0] % 192, 64 + b[1] % 192
+        total = sum(
+            b[(((y * h) // 8) * w + (x * w) // 8) % 16]
+            for y in range(8)
+            for x in range(8)
+        )
+        assert r["resized_sum"] == total
+        assert abs(r["resized_mean"] - total / 64.0) < 1e-12
+
     # the real-decoder seam must fail loudly, at evaluation time
     with _pytest.raises(Exception, match="NotImplementedError|real media decoding"):
         decode_media(media, use_real_decoder=True).collect()
+    with _pytest.raises(Exception, match="NotImplementedError|real image resizing"):
+        resize_media(media, use_real_decoder=True).collect()

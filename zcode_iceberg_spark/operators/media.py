@@ -97,6 +97,79 @@ def decode_media(media: DataFrame, use_real_decoder: bool = False) -> DataFrame:
     return media.mapInPandas(decode, MEDIA_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("resized_sum", T.LongType()),
+        T.StructField("resized_mean", T.DoubleType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame,
+    out_w: int = 8,
+    out_h: int = 8,
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """Nearest-neighbor resize stub for image payloads: the virtual
+    (width × height) single-channel image whose pixel (x, y) is
+    ``payload[(y·width + x) mod len]`` is resampled to (out_w, out_h)
+    with the standard NN index map ``src = (dst · src_dim) // dst_dim``
+    — the same arithmetic a real thumbnail pass runs, minus the codec.
+    One output row per image (audio/video rows pass through the batch
+    untouched and are dropped), carrying the resized pixel sum (exact
+    integer) and mean.
+
+    Real-decoder seam: ``use_real_decoder=True`` raises at the exact
+    point where ``PIL.Image.resize`` would take over; the Arrow batch
+    shape, per-split parallelism, and N→M row contraction are the real
+    thing either way.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if use_real_decoder:
+                # real seam: PIL.Image.open(...).resize((out_w, out_h))
+                raise NotImplementedError(
+                    "real image resizing requires PIL (not in container)"
+                )
+            rows = []
+            for doc_id, payload, mtype in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mtype != "image":
+                    continue
+                n = len(payload)
+                w = 64 + payload[0] % 192
+                h = 64 + payload[1] % 192
+                total = 0
+                for y in range(out_h):
+                    src_y = (y * h) // out_h
+                    for x in range(out_w):
+                        src_x = (x * w) // out_w
+                        total += payload[(src_y * w + src_x) % n]
+                rows.append(
+                    (
+                        int(doc_id),
+                        out_w,
+                        out_h,
+                        int(total),
+                        float(total) / (out_w * out_h),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "out_w", "out_h", "resized_sum", "resized_mean"
+                ],
+            )
+
+    return media.mapInPandas(resize, RESIZE_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
     """Frame-sampling stub for video payloads: one row per sampled
     byte offset (stand-in for frame extraction at stride n) —

@@ -109,7 +109,10 @@ PRIORITY = [
     "ann_ivf",
     "embedding_neardup",
     "trend_hysteresis",
-    "media_features",
+    # media_resize is the round-6 thumbnail op (never checked); it
+    # takes media_features' slot (r3 green, unchanged, still
+    # oracle-checked at sf0.001 on every pytest run)
+    "media_resize",
     "media_frames",
 ]
 

@@ -175,8 +175,55 @@ FROM ranked r JOIN full_b f
 """
 
 
+RZ_W = 8
+RZ_H = 8
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor thumbnail pass over the image payloads: the
+    virtual (width × height) image resamples to {RZ_W}×{RZ_H} inside
+    the same Arrow-batched ``mapInPandas`` seam the decoder uses
+    (operators/media.py:resize_media) — N input rows contract to the
+    image-only subset, one row per thumbnail, resized pixel sum kept
+    as an exact integer so the hash is byte-arithmetic-deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    rz = md.resize_media(md.with_payload(docs), out_w=RZ_W, out_h=RZ_H)
+    return rz.select(
+        "doc_id",
+        "out_w",
+        "out_h",
+        "resized_sum",
+        F.round("resized_mean", 6).alias("resized_mean"),
+    )
+
+
+SQL_MEDIA_RESIZE = f"""
+WITH px AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+           i -> CAST(concat('0x', substr(md5(text), 2 * i + 1, 2))
+                     AS INTEGER)) AS pb
+  FROM documents WHERE doc_id % 3 = 0
+), dims AS (
+  SELECT doc_id, pb, 64 + pb[1] % 192 AS w, 64 + pb[2] % 192 AS h FROM px
+), samp AS (
+  SELECT doc_id,
+         list_reduce(list_transform(generate_series(0, {RZ_W * RZ_H - 1}),
+           i -> pb[1 + ((((i // {RZ_W}) * h) // {RZ_H}) * w
+                        + (((i % {RZ_W}) * w) // {RZ_W})) % 16]),
+           (a, b) -> a + b) AS s
+  FROM dims
+)
+SELECT doc_id, {RZ_W} AS out_w, {RZ_H} AS out_h,
+       CAST(s AS BIGINT) AS resized_sum,
+       round(CAST(s AS DOUBLE) / {RZ_W * RZ_H}.0, 6) AS resized_mean
+FROM samp
+"""
+
+
 QUERIES = {
     "media_features": Query(q_media_features, SQL_MEDIA_FEATURES),
     "media_frames": Query(q_media_frames, SQL_MEDIA_FRAMES),
+    "media_resize": Query(q_media_resize, SQL_MEDIA_RESIZE),
     "modality_interleave": Query(q_modality_interleave, SQL_MODALITY_INTERLEAVE),
 }
