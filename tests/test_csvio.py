@@ -152,10 +152,23 @@ def test_csv_quarantine_routing_sink(spark, sf_dir, tmp):
         st, str(tmp / "rq_valid"), str(tmp / "rq_bad"), str(tmp / "rq_ck")
     )
     batch_valid, batch_corrupt = read_csv(spark, str(tmp / "rq"), DOC_SCHEMA)
-    got_valid = spark.read.parquet(str(tmp / "rq_valid"))
+    got_valid = spark.read.parquet(str(tmp / "rq_valid")).drop("batch_id")
     got_bad = spark.read.parquet(str(tmp / "rq_bad"))
-    assert got_bad.columns == ["raw_line"]
+    assert sorted(got_bad.drop("batch_id").columns) == ["raw_line"]
     assert sorted(r["raw_line"] for r in got_bad.collect()) == sorted(
         r["raw_line"] for r in batch_corrupt.collect()
     )
     assert _doc_map(got_valid) == _doc_map(batch_valid)
+
+    # replay idempotency: a fresh checkpoint re-delivers every batch
+    # (foreachBatch at-least-once); the batch_id-keyed overwrite must
+    # land on the same partitions instead of appending duplicates
+    bad_count = got_bad.count()  # before replay invalidates its files
+    st2 = stream_csv(spark, str(tmp / "rq"), DOC_SCHEMA)
+    route_quarantine(
+        st2, str(tmp / "rq_valid"), str(tmp / "rq_bad"), str(tmp / "rq_ck2")
+    )
+    again_valid = spark.read.parquet(str(tmp / "rq_valid")).drop("batch_id")
+    again_bad = spark.read.parquet(str(tmp / "rq_bad"))
+    assert again_bad.count() == bad_count
+    assert _doc_map(again_valid) == _doc_map(batch_valid)

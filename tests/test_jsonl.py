@@ -125,8 +125,8 @@ def test_jsonl_quarantine_routing_sink(spark, sf_dir, tmp):
     route_quarantine(
         st, str(tmp / "rq_valid"), str(tmp / "rq_bad"), str(tmp / "rq_ck")
     )
-    got_valid = spark.read.parquet(str(tmp / "rq_valid"))
+    got_valid = spark.read.parquet(str(tmp / "rq_valid")).drop("batch_id")
     got_bad = spark.read.parquet(str(tmp / "rq_bad"))
-    assert got_bad.columns == ["raw_line"]
+    assert sorted(got_bad.columns) == ["batch_id", "raw_line"]
     assert got_bad.count() == 1
     assert _doc_map(got_valid) == _doc_map(docs)

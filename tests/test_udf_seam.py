@@ -103,13 +103,13 @@ def test_media_decode_seam_contract(spark, sf_dir):
         MEDIA_SCHEMA,
         decode_media,
         sample_frames,
-        with_payload,
     )
+    from zcode_iceberg_spark.suite.media import with_payload
     from zcode_iceberg_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").limit(30)
     media = with_payload(docs)
-    decoded = decode_media(media)
+    decoded = decode_media(media, use_real_decoder=False)
     assert decoded.schema == MEDIA_SCHEMA
 
     # independent recomputation of the fake-decode byte arithmetic
@@ -138,7 +138,7 @@ def test_media_decode_seam_contract(spark, sf_dir):
     # resize: image-only contraction, exact NN byte arithmetic
     from zcode_iceberg_spark.operators.media import RESIZE_SCHEMA, resize_media
 
-    rz = resize_media(media, out_w=8, out_h=8)
+    rz = resize_media(media, out_w=8, out_h=8, use_real_decoder=False)
     assert rz.schema == RESIZE_SCHEMA
     rz_rows = {r["doc_id"]: r for r in rz.collect()}
     assert rz_rows, "fixture contains no image docs"
@@ -154,8 +154,36 @@ def test_media_decode_seam_contract(spark, sf_dir):
         assert r["resized_sum"] == total
         assert abs(r["resized_mean"] - total / 64.0) < 1e-12
 
-    # the real-decoder seam must fail loudly, at evaluation time
-    with _pytest.raises(Exception, match="NotImplementedError|real media decoding"):
-        decode_media(media, use_real_decoder=True).collect()
-    with _pytest.raises(Exception, match="NotImplementedError|real image resizing"):
-        resize_media(media, use_real_decoder=True).collect()
+    # the real-codec path, parametrized by the environment probe:
+    # with PIL installed the auto path decodes a genuine PNG payload;
+    # without it, pinning use_real_decoder=True must fail loudly at
+    # evaluation time (never silently fall back to the fake)
+    from zcode_iceberg_spark.operators.media import _pil_image
+
+    Image = _pil_image()
+    if Image is None:
+        with _pytest.raises(
+            Exception, match="NotImplementedError|real media decoding"
+        ):
+            decode_media(media, use_real_decoder=True).collect()
+        with _pytest.raises(
+            Exception, match="NotImplementedError|real image resizing"
+        ):
+            resize_media(media, use_real_decoder=True).collect()
+    else:
+        import io
+
+        buf = io.BytesIO()
+        Image.new("RGB", (5, 3), color=(10, 20, 30)).save(buf, format="PNG")
+        png = spark.createDataFrame(
+            [(1, bytearray(buf.getvalue()), "image")],
+            "doc_id long, payload binary, media_type string",
+        )
+        real = decode_media(png, use_real_decoder=True).collect()
+        assert (real[0]["width"], real[0]["height"], real[0]["channels"]) == (
+            5, 3, 3,
+        )
+        thumb = resize_media(png, out_w=2, out_h=2, use_real_decoder=True)
+        r = thumb.collect()[0]
+        assert (r["out_w"], r["out_h"]) == (2, 2)
+        assert r["resized_sum"] > 0  # grayscale of a constant-color fill

@@ -33,8 +33,13 @@ def main() -> int:
     import __spark_entry__ as entry_mod
 
     args = sys.argv[1:]
-    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
-    names = [a for a in args if "/" not in a]
+    # the sf_dir argument is whatever points at a real directory (so
+    # relative paths like "sf0.01" work); everything else is a query name
+    import os
+
+    dirs = [a for a in args if os.path.isdir(a)]
+    sf_dir = dirs[0] if dirs else "/root/testdata/sf0.01"
+    names = [a for a in args if a not in dirs]
 
     spark = (
         SparkSession.builder.master("local[4]")

@@ -12,6 +12,12 @@ image/audio libraries, so the DECODE step is stubbed two ways:
   oracle-checkable (the fake decode is pure byte arithmetic DuckDB
   can reproduce from the same md5 bytes).
 
+Operators here are payload-agnostic: they consume any frame with
+``(doc_id, payload: binary, media_type: string)`` columns. The
+deterministic md5-bytes test fixture lives in ``suite/media.py``
+(``with_payload``), keeping fixture branding out of the operator
+surface.
+
 Scale notes: mapInPandas streams Arrow record batches — payloads never
 materialize on the driver; batch size is bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``. Partitioning is
@@ -27,7 +33,6 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -51,33 +56,80 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def with_payload(docs: DataFrame) -> DataFrame:
-    """Attach a deterministic 16-byte binary payload (md5 of the text)
-    standing in for image/audio bytes, plus a media_type tag."""
-    return docs.select(
-        "doc_id",
-        F.unhex(F.md5("text")).alias("payload"),
-        F.when(F.col("doc_id") % 3 == 0, "image")
-        .when(F.col("doc_id") % 3 == 1, "audio")
-        .otherwise("video")
-        .alias("media_type"),
-    )
+def _pil_image():
+    """Codec probe: the PIL Image module if importable, else None.
+    Called on the EXECUTOR inside the mapInPandas closure (workers
+    decide from their own environment, nothing is pickled)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
 
 
-def decode_media(media: DataFrame, use_real_decoder: bool = False) -> DataFrame:
+def _resolve_real(use_real_decoder: bool | None) -> bool:
+    """``None`` → auto: real codec iff PIL is importable (probed on
+    the driver; homogeneous clusters are assumed — mixed worker
+    environments should pin the flag explicitly)."""
+    if use_real_decoder is None:
+        return _pil_image() is not None
+    return use_real_decoder
+
+
+def decode_media(
+    media: DataFrame, use_real_decoder: bool | None = None
+) -> DataFrame:
     """Decode payloads into typed metadata via mapInPandas.
 
-    Fake decode (default): width/height/channels derived from payload
-    bytes — deterministic, oracle-checkable byte arithmetic.
+    ``use_real_decoder=None`` (default) auto-selects: PIL decode when
+    the codec is importable, else the deterministic fake. ``False``
+    pins the fake (what the oracle suite uses — its fixture payloads
+    are md5 bytes, not image files); ``True`` demands the real codec
+    and raises ``NotImplementedError`` where it is absent.
+
+    Fake decode: width/height/channels derived from payload bytes —
+    deterministic, oracle-checkable byte arithmetic. Real decode:
+    ``PIL.Image.open`` per payload; channels = band count, mean_byte =
+    mean over decoded pixel-band bytes.
     """
+    real = _resolve_real(use_real_decoder)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _pil_image() if real else None
         for pdf in batches:
-            if use_real_decoder:
-                # real seam: PIL.Image.open(io.BytesIO(payload)) etc.
-                raise NotImplementedError(
-                    "real media decoding requires PIL/ffmpeg (not in container)"
+            if real:
+                if Image is None:
+                    raise NotImplementedError(
+                        "real media decoding requires PIL (not installed)"
+                    )
+                import io  # noqa: PLC0415
+
+                rows = []
+                for doc_id, payload, mtype in zip(
+                    pdf["doc_id"], pdf["payload"], pdf["media_type"]
+                ):
+                    im = Image.open(io.BytesIO(payload))
+                    px = im.tobytes()
+                    rows.append(
+                        (
+                            int(doc_id),
+                            mtype,
+                            len(payload),
+                            im.width,
+                            im.height,
+                            len(im.getbands()),
+                            float(sum(px)) / len(px) if px else 0.0,
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "media_type", "payload_len",
+                        "width", "height", "channels", "mean_byte",
+                    ],
                 )
+                continue
             payloads = pdf["payload"]
             out = pd.DataFrame(
                 {
@@ -112,7 +164,7 @@ def resize_media(
     media: DataFrame,
     out_w: int = 8,
     out_h: int = 8,
-    use_real_decoder: bool = False,
+    use_real_decoder: bool | None = None,
 ) -> DataFrame:
     """Nearest-neighbor resize stub for image payloads: the virtual
     (width × height) single-channel image whose pixel (x, y) is
@@ -123,19 +175,52 @@ def resize_media(
     untouched and are dropped), carrying the resized pixel sum (exact
     integer) and mean.
 
-    Real-decoder seam: ``use_real_decoder=True`` raises at the exact
-    point where ``PIL.Image.resize`` would take over; the Arrow batch
-    shape, per-split parallelism, and N→M row contraction are the real
-    thing either way.
+    Real-decoder seam (``use_real_decoder=None`` auto-probes PIL like
+    ``decode_media``): the real path opens the payload, converts to
+    grayscale, ``Image.resize((out_w, out_h), NEAREST)`` and sums the
+    thumbnail pixels — same output contract; raises
+    ``NotImplementedError`` when ``True`` is pinned without PIL. The
+    Arrow batch shape, per-split parallelism, and N→M row contraction
+    are the real thing on both paths.
     """
+    real = _resolve_real(use_real_decoder)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _pil_image() if real else None
         for pdf in batches:
-            if use_real_decoder:
-                # real seam: PIL.Image.open(...).resize((out_w, out_h))
-                raise NotImplementedError(
-                    "real image resizing requires PIL (not in container)"
+            if real:
+                if Image is None:
+                    raise NotImplementedError(
+                        "real image resizing requires PIL (not installed)"
+                    )
+                import io  # noqa: PLC0415
+
+                rows = []
+                for doc_id, payload, mtype in zip(
+                    pdf["doc_id"], pdf["payload"], pdf["media_type"]
+                ):
+                    if mtype != "image":
+                        continue
+                    im = Image.open(io.BytesIO(payload)).convert("L")
+                    thumb = im.resize((out_w, out_h), Image.NEAREST)
+                    total = sum(thumb.tobytes())
+                    rows.append(
+                        (
+                            int(doc_id),
+                            out_w,
+                            out_h,
+                            int(total),
+                            float(total) / (out_w * out_h),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "out_w", "out_h",
+                        "resized_sum", "resized_mean",
+                    ],
                 )
+                continue
             rows = []
             for doc_id, payload, mtype in zip(
                 pdf["doc_id"], pdf["payload"], pdf["media_type"]

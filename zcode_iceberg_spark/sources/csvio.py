@@ -93,7 +93,13 @@ def read_csv(
     offending record). With ``strict=True`` the parse runs in FAILFAST
     mode over the same text-scan line population — any malformed line
     raises at execution time (never silently eaten as a header) and
-    the quarantine frame is empty by construction.
+    the quarantine frame is empty by construction. The module-level
+    out-of-contract carve-outs apply to strict mode too: blank/
+    whitespace-only lines and (with ``header=True``) data rows
+    byte-identical to the header line are removed by the shared
+    ``_data_lines`` filter BEFORE the FAILFAST guard sees them, so
+    they are dropped rather than raised on. Pass ``header=False``
+    when the input has no headers to keep header-identical rows.
 
     With ``header=True``, header rows are recognized by exact match
     against the schema's column names (one header per shard file, the

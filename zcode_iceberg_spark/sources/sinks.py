@@ -411,26 +411,32 @@ def route_quarantine(
     mirroring ``run_available_now``.
 
     Scale shape: the batch frame is persisted once so the two writes
-    don't re-parse the source files; both writes are appends into
-    directory tables, so the sink is idempotent per checkpointed batch
-    and the quarantine table can be monitored/replayed independently
-    of the hot path."""
+    don't re-parse the source files. Each batch lands in a
+    ``batch_id=<epoch>`` hive-style subdirectory written with
+    mode("overwrite") — foreachBatch is at-least-once, so a restart
+    that replays a batch (failure between the two writes, or mid-
+    write) OVERWRITES the partition it already committed instead of
+    appending duplicates; epoch ids are stable across restarts from
+    the same checkpoint, which is what makes the replay land on the
+    same directory. Readers of either table see ``batch_id`` as an
+    ordinary partition column (per-batch lineage/compaction for free;
+    ``drop("batch_id")`` to ignore it)."""
     from pyspark import StorageLevel
 
-    def step(batch_df: DataFrame, _batch_id: int) -> None:
+    def step(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             (
                 batch_df.filter(F.col(corrupt_col).isNull())
                 .drop(corrupt_col)
-                .write.mode("append")
-                .parquet(valid_dir)
+                .write.mode("overwrite")
+                .parquet(f"{valid_dir}/batch_id={batch_id}")
             )
             (
                 batch_df.filter(F.col(corrupt_col).isNotNull())
                 .select(F.col(corrupt_col).alias("raw_line"))
-                .write.mode("append")
-                .parquet(quarantine_dir)
+                .write.mode("overwrite")
+                .parquet(f"{quarantine_dir}/batch_id={batch_id}")
             )
         finally:
             batch_df.unpersist()
@@ -442,6 +448,10 @@ def route_quarantine(
         .start()
     )
     q.awaitTermination()
+    # replayed batches overwrite files in place; drop any cached
+    # listing so same-session readers don't chase deleted part files
+    for path in (valid_dir, quarantine_dir):
+        stream_df.sparkSession.catalog.refreshByPath(path)
 
 
 def drawdown_sink(ledger_stream: DataFrame, state_path: str, checkpoint: str):

@@ -24,6 +24,22 @@ from zcode_iceberg_spark.sources.tables import (
 )
 from zcode_iceberg_spark.suite import Query
 
+
+def _reuse(df: DataFrame) -> DataFrame:
+    """Stage barrier for a frame consumed by 2+ downstream branches.
+
+    persist(MEMORY_AND_DISK), NOT localCheckpoint: persisted blocks
+    keep their lineage, so on a real cluster an executor loss
+    recomputes the lost partitions instead of failing the job
+    (localCheckpoint stores blocks unreplicated and truncates lineage
+    — fine inside iterative fixpoints where unbounded plan growth is
+    the greater evil, unrecoverable for a plain reuse barrier).
+    Lazy like the rest of the plan: materializes on first action."""
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 P = tx.HASH_P
 EMB_DIM = 64
 TOPK = 5
@@ -174,11 +190,9 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     # stage barrier: the signature table feeds the band explode AND
-    # both sides of the post-dedup signature re-attach — checkpoint it
-    # once instead of recomputing the shingle+hash fold three times
-    sig = tx.minhash_signatures(d, "doc_id", "text").localCheckpoint(
-        eager=False
-    )
+    # both sides of the post-dedup signature re-attach — materialize
+    # it once instead of recomputing the shingle+hash fold three times
+    sig = _reuse(tx.minhash_signatures(d, "doc_id", "text"))
     # the pair join carries ONLY ids — never the 64-int signature
     # arrays. A corpus with B-way duplicate families puts B members in
     # one bucket and the band join emits O(B²) match rows per bucket;
@@ -306,9 +320,9 @@ def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     cand = q_lsh_candidates(spark, sf_dir)
     # both pair sides consume the gram sets — materialize the 10M-md5
-    # hashing pass ONCE (lazy checkpoint; same stage-barrier rationale
+    # hashing pass ONCE (lazy persist; same stage-barrier rationale
     # as decontaminate's gram explode)
-    hd = _doc_gram_sets(d).localCheckpoint(eager=False)
+    hd = _reuse(_doc_gram_sets(d))
     a = hd.alias("ha")
     b = hd.alias("hb")
     scored = (
@@ -444,14 +458,12 @@ def q_lsh_recall(
     # filter to the panel BEFORE the O(corpus) hashing passes: panel
     # membership is a pure function of doc_id, and per-doc signatures /
     # gram sets don't depend on other docs, so stage-1 cost really is
-    # confined to the fixed-size panel; checkpoint both lazily since
+    # confined to the fixed-size panel; persist both lazily since
     # each feeds two join sides (and the rebanded twin reuses the
     # query shape)
     panel_docs = d.join(F.broadcast(panel_ids), "doc_id")
-    sig = tx.minhash_signatures(panel_docs, "doc_id", "text").localCheckpoint(
-        eager=False
-    )
-    hd = _doc_gram_sets(panel_docs).localCheckpoint(eager=False)
+    sig = _reuse(tx.minhash_signatures(panel_docs, "doc_id", "text"))
+    hd = _reuse(_doc_gram_sets(panel_docs))
     left = hd.join(sig, "doc_id").select(
         F.col("doc_id").alias("d1"),
         F.col("h").alias("h1"),
@@ -464,7 +476,11 @@ def q_lsh_recall(
         F.col("n").alias("n2"),
         F.col("sig").alias("s2"),
     )
-    pairs = left.join(right, F.col("d1") < F.col("d2"))
+    # all-pairs over the FIXED-SIZE panel only — broadcast the right
+    # side explicitly (a nested-loop join with a sub-MB build side);
+    # without the hint the persisted relation's unknown pre-
+    # materialization stats can demote this to a partition-cartesian
+    pairs = left.join(F.broadcast(right), F.col("d1") < F.col("d2"))
     captured = _band_capture(bands, rpb)
     ju = F.round(
         _exact_jacc(F.col("h1"), F.col("n1"), F.col("h2"), F.col("n2")) * 1e6
@@ -2545,7 +2561,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("g"),
-    ).localCheckpoint(eager=False)
+    )
+    grams = _reuse(grams)
     train_g = grams.where(F.col("u") < SPLIT_TRAIN).select("g").distinct()
     test_g = grams.where(F.col("u") >= SPLIT_VAL).select("doc_id", "g")
     n_grams = test_g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
@@ -3762,9 +3779,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (documents arrives as one file → one task; same fan-out
     # rationale as minhash_signatures).
     sc = spark.sparkContext
-    sp = sp.repartition(sc.defaultParallelism, "doc_id").localCheckpoint(
-        eager=False
-    )
+    sp = _reuse(sp.repartition(sc.defaultParallelism, "doc_id"))
     # 4. decontamination: drop test docs sharing ≥ DECON_FLAG of their
     # distinct word 3-grams with the (surviving) train split
     grams = sp.select(
@@ -3778,7 +3793,8 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("g"),
-    ).localCheckpoint(eager=False)
+    )
+    grams = _reuse(grams)
     train_g = grams.filter(F.col("split") == "train").select("g").distinct()
     test_g = grams.filter(F.col("split") == "test")
     contaminated = (

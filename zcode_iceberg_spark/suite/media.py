@@ -15,10 +15,27 @@ from zcode_iceberg_spark.sources.tables import load_table
 from zcode_iceberg_spark.suite import Query
 
 
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Test fixture: attach a deterministic 16-byte binary payload
+    (md5 of the text) standing in for image/audio bytes, plus a
+    media_type tag branded by ``doc_id % 3``. Lives in the suite (not
+    operators/media.py) because the branding is fixture logic — the
+    media operators themselves are payload-agnostic."""
+    return docs.select(
+        "doc_id",
+        F.unhex(F.md5("text")).alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode stub: payload → (width, height, channels, mean_byte)."""
     docs = load_table(spark, sf_dir, "documents")
-    dec = md.decode_media(md.with_payload(docs))
+    # fake decode pinned (md5-byte fixture payloads; see q_media_resize)
+    dec = md.decode_media(with_payload(docs), use_real_decoder=False)
     return dec.select(
         "doc_id",
         "media_type",
@@ -58,7 +75,7 @@ FROM documents
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out: every-4th byte of video payloads."""
     docs = load_table(spark, sf_dir, "documents")
-    return md.sample_frames(md.with_payload(docs), every_n=4)
+    return md.sample_frames(with_payload(docs), every_n=4)
 
 
 SQL_MEDIA_FRAMES = f"""
@@ -187,7 +204,11 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     image-only subset, one row per thumbnail, resized pixel sum kept
     as an exact integer so the hash is byte-arithmetic-deterministic."""
     docs = load_table(spark, sf_dir, "documents")
-    rz = md.resize_media(md.with_payload(docs), out_w=RZ_W, out_h=RZ_H)
+    # fake decode pinned: the fixture payloads are md5 bytes, not image
+    # files, so the auto codec probe must not pick a real PIL path here
+    rz = md.resize_media(
+        with_payload(docs), out_w=RZ_W, out_h=RZ_H, use_real_decoder=False
+    )
     return rz.select(
         "doc_id",
         "out_w",
