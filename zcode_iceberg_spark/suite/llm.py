@@ -680,6 +680,126 @@ FROM new n LEFT JOIN keeper k ON n.doc_id = k.keep_id
 """
 
 
+def _hash_state_dir(sf_dir: str) -> str:
+    """Deterministic scratch location for the historical content-hash
+    table, keyed to the corpus directory (parallel sf runs don't
+    collide)."""
+    import hashlib as _hl
+    import tempfile
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"{tempfile.gettempdir()}/zspark_hash_state_{tag}"
+
+
+def build_incremental_hash_table(
+    spark: SparkSession, sf_dir: str, state_dir: str
+) -> tuple[str, int]:
+    """Materialize the historical content-hash table the daily-ingest
+    dedup story reads, end-to-end through the maintenance layer
+    (sources/sinks.py) instead of a per-run re-hash of the raw corpus:
+
+    1. day-0 ingest: hash the older historical half, key by
+       content_hash (first_doc_id = min id), write the initial table;
+    2. day-1 ingest: hash the newer half, keep only NOVEL hashes
+       (first-seen-wins, the passage-ledger rule — append order gives
+       day-0 the smaller ids) and ``merge_upsert`` them in — a replay
+       of day-1 re-merges the same rows and the table is unchanged
+       (idempotent re-ingest);
+    3. compaction: ``compact_parquet`` rewrites the accumulated files
+       to target size — the nightly step that keeps years of daily
+       merges from degenerating into a small-files swamp.
+
+    Returns (compacted_dir, cut): queries dedup new batches against
+    the COMPACTED table — 16-byte hashes only, the raw historical
+    text is never rescanned. Rebuilt from scratch each call so the
+    suite query stays deterministic whatever state a prior run left.
+    """
+    import shutil as _shutil
+    from pathlib import Path as _Path
+
+    from zcode_iceberg_spark.sources.sinks import compact_parquet, merge_upsert
+
+    if _Path(state_dir).exists():
+        _shutil.rmtree(state_dir)
+    d = load_table(spark, sf_dir, "documents")
+    cut = d.agg(
+        F.floor(F.lit(INCR_SPLIT_FRAC) * (F.max("doc_id") + 1)).cast("bigint")
+    ).collect()[0][0]
+    hashed = d.select("doc_id", F.md5("text").alias("content_hash"))
+    day_cut = cut // 2
+    raw_dir = f"{state_dir}/raw"
+
+    def keyed(df: DataFrame) -> DataFrame:
+        return df.groupBy("content_hash").agg(
+            F.min("doc_id").alias("first_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    keyed(hashed.filter(F.col("doc_id") < day_cut)).write.parquet(raw_dir)
+    day1 = keyed(
+        hashed.filter((F.col("doc_id") >= day_cut) & (F.col("doc_id") < cut))
+    )
+    novel = day1.join(
+        spark.read.parquet(raw_dir).select("content_hash"),
+        "content_hash",
+        "left_anti",
+    )
+    merge_upsert(spark, raw_dir, novel, "content_hash")
+    compact_dir = f"{state_dir}/compact"
+    compact_parquet(spark, raw_dir, compact_dir)
+    return compact_dir, int(cut)
+
+
+def incremental_dedup_against(
+    spark: SparkSession, sf_dir: str, hash_dir: str, cut: int
+) -> DataFrame:
+    """The batch phase of persisted incremental dedup: hash ONLY the
+    incoming batch (doc_id >= cut — the predicate pushes to the scan)
+    and anti-join the persisted 16-byte hash table; within-batch dups
+    resolve by min doc_id. The historical corpus contributes one
+    compacted-parquet hash read and zero text bytes — the plan is
+    asserted free of a second documents scan
+    (tests/test_dedup_persisted.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") >= cut).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    prior = (
+        spark.read.parquet(hash_dir)
+        .select("content_hash")
+        .withColumn("prior", F.lit(True))
+    )
+    # single pass over the batch: membership join + window-min share
+    # one hash-partitioning on content_hash (a groupBy-and-rejoin
+    # keeper would scan-and-hash the batch twice); is_kept = novel
+    # hash AND first id within the batch
+    w = Window.partitionBy("content_hash")
+    return (
+        new.join(prior, "content_hash", "left")
+        .select(
+            "doc_id",
+            "content_hash",
+            (
+                F.col("prior").isNull()
+                & (F.col("doc_id") == F.min("doc_id").over(w))
+            ).alias("is_kept"),
+        )
+    )
+
+
+def q_dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_incremental`` with the historical side read from the
+    PERSISTED hash table (built, merged, and compacted through the
+    maintenance layer by :func:`build_incremental_hash_table`) — the
+    executable form of the "compacted hash table read, not a text
+    scan" claim. Same output contract and oracle as
+    ``dedup_incremental``; what changes is where the historical
+    hashes come from."""
+    state = _hash_state_dir(sf_dir)
+    hash_dir, cut = build_incremental_hash_table(spark, sf_dir, state)
+    return incremental_dedup_against(spark, sf_dir, hash_dir, cut)
+
+
 REP_TOK_MAX, REP_BIGRAM_MAX = 0.2, 0.18  # Gopher-style repetition caps
 
 
@@ -4110,6 +4230,9 @@ QUERIES = {
     "pii_scan": Query(q_pii_scan, SQL_PII_SCAN),
     "doc_repetition": Query(q_doc_repetition, SQL_DOC_REPETITION),
     "dedup_incremental": Query(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "dedup_incremental_persisted": Query(
+        q_dedup_incremental_persisted, SQL_DEDUP_INCREMENTAL
+    ),
     "domain_mix": Query(q_domain_mix, SQL_DOMAIN_MIX),
     "temperature_mix": Query(q_temperature_mix, SQL_TEMPERATURE_MIX),
     "quality_sample": Query(q_quality_sample, SQL_QUALITY_SAMPLE),
