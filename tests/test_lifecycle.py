@@ -1,0 +1,162 @@
+"""Lifecycle supervision (streaming/lifecycle.py): crash mid-feed →
+bounded-backoff restart with state intact; staleness probe → stop +
+restart; probe logic itself unit-tested against a stub query.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from zcode_iceberg_spark.streaming.lifecycle import (
+    progress_stale_probe,
+    supervise,
+)
+
+SCHEMA = "doc_id long, text string"
+
+
+def _write_shards(spark, sf_dir, src, n=4):
+    from zcode_iceberg_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(40)
+    rows = docs.collect()
+    per = (len(rows) + n - 1) // n
+    for i in range(n):
+        chunk = rows[i * per : (i + 1) * per]
+        spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.parquet(
+            f"{src}/shard={i}"
+        )
+    return {(r["doc_id"]) for r in rows}
+
+
+def test_supervise_restarts_after_midfeed_crash(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    marker = tmp_path / "crashed_once"
+    log = tmp_path / "epochs.log"
+    want_ids = _write_shards(spark, sf_dir, src, n=4)
+
+    def step(batch_df, epoch_id):
+        with open(log, "a") as f:
+            f.write(f"{epoch_id}\n")
+        if epoch_id == 2 and not marker.exists():
+            marker.touch()
+            raise RuntimeError("injected mid-feed crash")
+        batch_df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+    def factory():
+        return (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(step)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    report = supervise(factory, max_restarts=3, backoff_sec=0.05)
+    assert report["completed"] is True
+    assert report["restarts"] == 1
+    assert any("injected" in f for f in report["failures"])
+
+    # state intact across the restart: committed epochs 0/1 are NOT
+    # re-delivered — the resumed attempt re-runs only the crashed epoch
+    epochs = [int(x) for x in log.read_text().split()]
+    crash_at = epochs.index(2)
+    assert epochs[: crash_at + 1] == [0, 1, 2]
+    assert epochs[crash_at + 1] == 2  # resume point, not a replay of 0
+    assert epochs.count(0) == 1 and epochs.count(1) == 1
+
+    # and the output holds every input row exactly once
+    got = spark.read.parquet(out)
+    ids = [r["doc_id"] for r in got.select("doc_id").collect()]
+    assert sorted(ids) == sorted(want_ids)
+
+
+def test_supervise_stale_probe_stops_and_restarts(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    wedge = tmp_path / "wedge"
+    want_ids = _write_shards(spark, sf_dir, src, n=3)
+    wedge.touch()  # first batch hangs while this exists
+
+    def step(batch_df, epoch_id):
+        t0 = time.monotonic()
+        while wedge.exists() and time.monotonic() - t0 < 10:
+            time.sleep(0.05)
+        batch_df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+    def factory():
+        return (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(step)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def probe():
+        # the deploy-side staleness signal (staleness_stream alerts /
+        # progress silence); firing also clears the wedge so the stuck
+        # batch can drain and the restart makes progress
+        if wedge.exists():
+            wedge.unlink()
+            return True
+        return False
+
+    report = supervise(
+        factory, max_restarts=3, backoff_sec=0.05, stale_probe=probe
+    )
+    assert report["completed"] is True
+    assert report["stale_restarts"] == 1
+    got = spark.read.parquet(out)
+    ids = [r["doc_id"] for r in got.select("doc_id").collect()]
+    assert sorted(ids) == sorted(want_ids)
+
+
+def test_supervise_budget_exhaustion_reports_failure(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    _write_shards(spark, sf_dir, src, n=2)
+
+    def step(batch_df, epoch_id):
+        raise RuntimeError("always broken")
+
+    def factory():
+        return (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(step)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    report = supervise(factory, max_restarts=2, backoff_sec=0.01)
+    assert report["completed"] is False
+    assert report["restarts"] == 2
+    assert len(report["failures"]) == 3  # initial attempt + 2 restarts
+
+
+def test_progress_stale_probe_logic():
+    class StubQuery:
+        def __init__(self):
+            self.lastProgress = None
+
+    q = StubQuery()
+    probe = progress_stale_probe(lambda: q, max_silence_sec=0.2)
+    assert probe() is False  # fresh timer
+    q.lastProgress = {"timestamp": "t1"}
+    assert probe() is False  # progress moved → timer reset
+    time.sleep(0.25)
+    assert probe() is True  # no new progress past the threshold
+    q.lastProgress = {"timestamp": "t2"}
+    assert probe() is False  # recovered

@@ -1,0 +1,131 @@
+"""Streaming-query lifecycle supervision: start / monitor / restart
+(SURVEY H9's deploy half — the reference keeps its feed loop alive
+with bounded reconnect retries + backoff and a staleness watchdog,
+main.py:233-309; staleness *detection* itself is the event-time-timer
+stream in streaming/pipeline.py:staleness_stream).
+
+The supervisor owns one structured-streaming query. Recovery leans
+entirely on the checkpoint: a restart calls the SAME factory with the
+SAME checkpoint location, so committed epochs are never re-emitted and
+stateful operators resume their store — state-intact restart is a
+property of Spark's checkpoint contract, the supervisor just has to
+not get creative (never wipe the checkpoint, never change the query
+shape between attempts).
+
+Scale notes: supervision is pure driver-side control flow (a poll loop
+over ``awaitTermination(timeout)``); no data moves through it. The
+staleness probe is pluggable so deployments can point it at the
+``staleness_stream`` alert table, a lag metric, or query progress —
+anything cheap enough to poll.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql.streaming import StreamingQuery
+
+
+def progress_stale_probe(
+    get_query: Callable[[], StreamingQuery | None], max_silence_sec: float
+) -> Callable[[], bool]:
+    """A staleness probe over query progress events: True when the
+    running query has made NO progress update for ``max_silence_sec``
+    (wall clock). Complements staleness_stream's per-key event-time
+    alerts with a whole-query liveness check (a wedged source makes no
+    progress at all, so no alert row would ever be emitted)."""
+    last_change = [time.monotonic(), None]
+
+    def probe() -> bool:
+        q = get_query()
+        if q is None:
+            return False
+        p = q.lastProgress
+        stamp = p["timestamp"] if p else None
+        if stamp != last_change[1]:
+            last_change[0] = time.monotonic()
+            last_change[1] = stamp
+        return time.monotonic() - last_change[0] > max_silence_sec
+
+    return probe
+
+
+def supervise(
+    start: Callable[[], StreamingQuery],
+    max_restarts: int = 3,
+    backoff_sec: float = 1.0,
+    poll_sec: float = 0.25,
+    stale_probe: Callable[[], bool] | None = None,
+    on_event: Callable[[str], None] | None = None,
+) -> dict:
+    """Run a streaming query under crash/staleness supervision until it
+    terminates cleanly or the restart budget is spent.
+
+    ``start`` is the query factory — it must start the SAME query
+    against the SAME checkpoint every call (that is what makes a
+    restart resume instead of replay). Failed attempts restart after
+    exponential backoff (``backoff_sec * 2**k``, reference cadence:
+    3 retries); a True from ``stale_probe`` stops the wedged query
+    and restarts it, drawing from the same budget.
+
+    Returns a report dict:
+    ``{"completed": bool, "restarts": int, "stale_restarts": int,
+    "failures": [str, ...]}`` — ``completed`` is False only when the
+    budget ran out, and the last failure message says why.
+    """
+    report = {
+        "completed": False,
+        "restarts": 0,
+        "stale_restarts": 0,
+        "failures": [],
+    }
+
+    def note(msg: str) -> None:
+        if on_event is not None:
+            on_event(msg)
+
+    def used() -> int:
+        return report["restarts"] + report["stale_restarts"]
+
+    q = start()
+    note("started")
+    while True:
+        try:
+            done = q.awaitTermination(poll_sec)
+        except Exception as e:  # terminated with error
+            done, q_exc = True, e
+        else:
+            q_exc = q.exception() if done else None
+        if done:
+            if q_exc is None:
+                report["completed"] = True
+                note("completed")
+                return report
+            report["failures"].append(" ".join(str(q_exc).split())[:2000])
+            if used() >= max_restarts:
+                note("restart budget exhausted")
+                return report
+            delay = backoff_sec * (2 ** used())
+            note(f"crashed; restarting in {delay:.2f}s")
+            time.sleep(delay)
+            report["restarts"] += 1
+            q = start()
+            continue
+        if stale_probe is not None and stale_probe():
+            if used() >= max_restarts:
+                report["failures"].append("stale and restart budget exhausted")
+                note("stale; budget exhausted — stopping")
+                q.stop()
+                return report
+            note("stale; stopping and restarting")
+            q.stop()
+            # drain the stop before relaunching on the same checkpoint
+            try:
+                q.awaitTermination()
+            except Exception:
+                pass
+            delay = backoff_sec * (2 ** used())
+            time.sleep(delay)
+            report["stale_restarts"] += 1
+            q = start()
