@@ -19,6 +19,96 @@ def test_expression_and_udf_classifiers_agree(spark, sf_dir):
     assert am == bm
 
 
+def test_external_weights_probe_matches_file(spark, sf_dir):
+    """The external-weights path must deliver the FILE's parameters,
+    not code defaults: recompute the probe scores driver-side from the
+    npz and pin equality."""
+    import numpy as np
+
+    w = ops.load_trend_weights()
+    pw = np.asarray(w["probe_w"], dtype=np.float64)
+    pb = float(w["probe_b"])
+    s = ops.sequence_windows(events_ticks(spark, sf_dir), seq_len=10, horizon=5)
+    got = {
+        (r["user_id"], r["event_id"]): (r["trend_score"], r["norm_seq"])
+        for r in ops.trend_classifier_external(s)
+        .select("user_id", "event_id", "trend_score", "norm_seq")
+        .collect()
+    }
+    assert got
+    for key, (score, norm_seq) in got.items():
+        z = 0.0
+        for i in range(10):
+            z += norm_seq[i] * pw[i]
+        z += pb
+        want = 1.0 / (1.0 + np.exp(-z))
+        assert abs(score - want) < 1e-12, (key, score, want)
+
+
+def test_lstm_forward_through_seam(spark, sf_dir):
+    """The reference-shaped LSTM (1→64×2 + fc 64→3) run through the
+    broadcast-weights seam: valid probability rows, deterministic
+    across runs, and bit-matching a driver-side numpy recomputation —
+    the I/O contract a torch-trained export drops into."""
+    import numpy as np
+
+    s = ops.sequence_windows(
+        events_ticks(spark, sf_dir), seq_len=10, horizon=5
+    ).limit(200)
+    out = ops.lstm_trend_scores(s)
+    rows = out.select(
+        "user_id", "event_id", "p_down", "p_range", "p_up", "trend_pred",
+        "norm_seq",
+    ).collect()
+    assert rows
+    w = ops.load_trend_weights()
+    # shape contract: the blob really is the reference TrendLSTM's
+    assert w["weight_ih_l0"].shape == (256, 1)
+    assert w["weight_hh_l1"].shape == (256, 64)
+    assert w["fc_weight"].shape == (3, 64)
+
+    def forward(seq):
+        x = np.asarray(seq, dtype=np.float64)[None, :, None]
+        for layer in (0, 1):
+            wi, wh = w[f"weight_ih_l{layer}"], w[f"weight_hh_l{layer}"]
+            b = w[f"bias_ih_l{layer}"] + w[f"bias_hh_l{layer}"]
+            hid = wh.shape[1]
+            h = np.zeros((1, hid))
+            c = np.zeros((1, hid))
+            outs = np.empty((1, x.shape[1], hid))
+            for t in range(x.shape[1]):
+                gates = x[:, t, :] @ wi.T + h @ wh.T + b
+                i_g, f_g, g_g, o_g = np.split(gates, 4, axis=1)
+                i_g = 1 / (1 + np.exp(-i_g))
+                f_g = 1 / (1 + np.exp(-f_g))
+                o_g = 1 / (1 + np.exp(-o_g))
+                c = f_g * c + i_g * np.tanh(g_g)
+                h = o_g * np.tanh(c)
+                outs[:, t, :] = h
+            x = outs
+        logits = h @ w["fc_weight"].T + w["fc_bias"]
+        e = np.exp(logits - logits.max())
+        return (e / e.sum())[0]
+
+    for r in rows[:25]:
+        p = forward(r["norm_seq"])
+        assert abs(r["p_down"] - p[0]) < 1e-9
+        assert abs(r["p_range"] - p[1]) < 1e-9
+        assert abs(r["p_up"] - p[2]) < 1e-9
+        assert abs(r["p_down"] + r["p_range"] + r["p_up"] - 1.0) < 1e-9
+
+    # determinism across independent runs
+    again = {
+        (r["user_id"], r["event_id"]): (r["p_down"], r["p_range"], r["p_up"])
+        for r in ops.lstm_trend_scores(s).collect()
+    }
+    first = {
+        (r["user_id"], r["event_id"]): (r["p_down"], r["p_range"], r["p_up"])
+        for r in rows
+    }
+    assert first == again
+
+
 def test_sql_functions_match_column_api(spark):
     """The SQL-macro registrations must inline the SAME arithmetic as
     the Column builders — exact float equality, not approximate."""

@@ -393,6 +393,130 @@ def trend_classifier_udf(
     return out.withColumn("trend_pred", pred)
 
 
+DEFAULT_WEIGHTS_PATH = str(
+    __import__("pathlib").Path(__file__).resolve().parent.parent
+    / "models" / "trend_lstm_weights.npz"
+)
+
+
+def load_trend_weights(path: str | None = None) -> dict[str, np.ndarray]:
+    """Load an externally-trained weight blob (npz of named arrays —
+    the export format of the reference TrendLSTM's state dict,
+    data_manager.py:34-61 shapes; see tools/make_weights.py for the
+    committed fixture). One small file read on the DRIVER; the arrays
+    ship to executors via a broadcast, never per task."""
+    loaded = np.load(path or DEFAULT_WEIGHTS_PATH)
+    return {k: loaded[k] for k in loaded.files}
+
+
+def trend_classifier_external(
+    seqs: DataFrame,
+    weights_path: str | None = None,
+    band: float = 0.25,
+) -> DataFrame:
+    """I1 external-weights path: score the normalized sequences with
+    the weight blob's linear-probe head through the broadcast-weights
+    pandas_udf seam — identical plumbing to ``trend_classifier_udf``
+    but the parameters come from a FILE a training job produced, not
+    from code. z folds left-to-right term by term (vectorized across
+    rows, sequential across the 10 terms) so the float64 stream
+    matches a SQL ``list_reduce`` fold bit-for-bit — what keeps the
+    oracle hash green at round(6)."""
+    from pyspark.sql.functions import pandas_udf
+
+    w = load_trend_weights(weights_path)
+    probe_w = np.asarray(w["probe_w"], dtype=np.float64)
+    probe_b = float(w["probe_b"])
+    bw = seqs.sparkSession.sparkContext.broadcast((probe_w, probe_b))
+
+    @pandas_udf("double")
+    def score_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        pw, pb = bw.value  # model load: once per worker
+        for seq_batch in it:
+            m = np.vstack(seq_batch.to_numpy())
+            z = np.zeros(m.shape[0], dtype=np.float64)
+            for i in range(pw.shape[0]):  # sequential fold, SQL order
+                z = z + m[:, i] * pw[i]
+            z = z + pb
+            yield pd.Series(1.0 / (1.0 + np.exp(-z)))
+
+    out = seqs.withColumn("trend_score", score_udf(F.col("norm_seq")))
+    pred = (
+        F.when(F.col("trend_score") > 0.5 + band, "UP")
+        .when(F.col("trend_score") < 0.5 - band, "DOWN")
+        .otherwise("RANGE")
+    )
+    return out.withColumn("trend_pred", pred)
+
+
+def lstm_trend_scores(
+    seqs: DataFrame, weights_path: str | None = None
+) -> DataFrame:
+    """Full LSTM forward pass through the SAME seam: the reference's
+    1→64×2 TrendLSTM (data_manager.py:34-61) run as vectorized numpy
+    on the executors — broadcast weights, Arrow batches, gates in the
+    torch [i|f|g|o] row layout — plus the fc 64→3 head and softmax.
+    Output columns: p_down/p_range/p_up and the argmax class. This is
+    the drop-in point for real trained weights; the committed fixture
+    proves the I/O contract (shape round-trip + determinism,
+    tests/test_udf_seam.py), not model quality. Not SQL-expressible,
+    so it carries no DuckDB oracle — the agreement test recomputes
+    the forward pass driver-side and pins equality."""
+    from pyspark.sql.functions import pandas_udf
+
+    w = load_trend_weights(weights_path)
+    bw = seqs.sparkSession.sparkContext.broadcast(w)
+
+    def _forward(m: np.ndarray, w: dict[str, np.ndarray]) -> np.ndarray:
+        """(rows, seq_len) normalized sequences → (rows, 3) probs."""
+        n, seq_len = m.shape
+        x = m[:, :, None]  # input_size = 1
+        for layer in (0, 1):
+            wi = w[f"weight_ih_l{layer}"]
+            wh = w[f"weight_hh_l{layer}"]
+            b = w[f"bias_ih_l{layer}"] + w[f"bias_hh_l{layer}"]
+            hidden = wh.shape[1]
+            h = np.zeros((n, hidden))
+            c = np.zeros((n, hidden))
+            outs = np.empty((n, seq_len, hidden))
+            for t in range(seq_len):
+                gates = x[:, t, :] @ wi.T + h @ wh.T + b
+                i_g, f_g, g_g, o_g = np.split(gates, 4, axis=1)
+                i_g = 1.0 / (1.0 + np.exp(-i_g))
+                f_g = 1.0 / (1.0 + np.exp(-f_g))
+                o_g = 1.0 / (1.0 + np.exp(-o_g))
+                c = f_g * c + i_g * np.tanh(g_g)
+                h = o_g * np.tanh(c)
+                outs[:, t, :] = h
+            x = outs
+        logits = h @ w["fc_weight"].T + w["fc_bias"]
+        e = np.exp(logits - logits.max(axis=1, keepdims=True))
+        return e / e.sum(axis=1, keepdims=True)
+
+    @pandas_udf("p_down double, p_range double, p_up double")
+    def probs_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        wts = bw.value  # once per worker
+        for seq_batch in it:
+            p = _forward(np.vstack(seq_batch.to_numpy()), wts)
+            yield pd.DataFrame(
+                {"p_down": p[:, 0], "p_range": p[:, 1], "p_up": p[:, 2]}
+            )
+
+    out = seqs.withColumn("probs", probs_udf(F.col("norm_seq"))).select(
+        "*", "probs.*"
+    ).drop("probs")
+    cls = (
+        F.when(
+            (F.col("p_up") >= F.col("p_down"))
+            & (F.col("p_up") >= F.col("p_range")),
+            "UP",
+        )
+        .when(F.col("p_down") >= F.col("p_range"), "DOWN")
+        .otherwise("RANGE")
+    )
+    return out.withColumn("trend_pred", cls)
+
+
 def cumulative_sum(df: DataFrame, value: str, order: list[str]) -> DataFrame:
     """F3/E14: running total in a deterministic order (reference
     cumulative P&L, zscore_excel_logger.py:330-343)."""

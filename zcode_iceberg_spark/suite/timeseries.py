@@ -479,12 +479,63 @@ FROM full_seqs
 """
 
 
+def q_trend_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 external-weights plumbing, oracle-checked: the linear-probe
+    head of the committed weight blob scored through the
+    broadcast-weights pandas_udf seam (operators/timeseries.py:
+    trend_classifier_external). The oracle inlines the SAME file's
+    probe constants, so a green hash proves the load→broadcast→udf
+    path delivers the file's parameters bit-exactly."""
+    s = ops.sequence_windows(events_ticks(spark, sf_dir), seq_len=10, horizon=5)
+    c = ops.trend_classifier_external(s)
+    return c.select(
+        "event_id",
+        "user_id",
+        F.round("trend_score", 6).alias("trend_score"),
+        "trend_pred",
+    )
+
+
+def _probe_sql() -> tuple[str, str]:
+    """(weights-array literal, bias literal) read from the SAME npz the
+    Spark path broadcasts — the oracle's constants and the engine's
+    constants share one source of truth."""
+    w = ops.load_trend_weights()
+    arr = "[" + ", ".join(repr(float(x)) for x in w["probe_w"]) + "]"
+    return arr, repr(float(w["probe_b"]))
+
+
+_PROBE_W, _PROBE_B = _probe_sql()
+_PROBE_Z = (
+    "(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, 10), "
+    "i -> (CASE WHEN seq_std > 0 THEN (seq[i] - seq_mean) / seq_std "
+    f"ELSE 0.0 END) * ({_PROBE_W})[i])), "
+    f"(acc, x) -> acc + x) + ({_PROBE_B}))"
+)
+_PROBE_SCORE = f"(1.0 / (1.0 + exp(-{_PROBE_Z})))"
+
+SQL_TREND_CLASSIFIER_WEIGHTS = f"""
+{TICKS_CTE},
+{SEQ_CTE}
+SELECT event_id, user_id,
+       round({_PROBE_SCORE}, 6) AS trend_score,
+       CASE WHEN {_PROBE_SCORE} > 0.75 THEN 'UP'
+            WHEN {_PROBE_SCORE} < 0.25 THEN 'DOWN'
+            ELSE 'RANGE' END AS trend_pred
+FROM full_seqs
+"""
+
+
 QUERIES = {
     "ohlc_1h": Query(q_ohlc_1h, SQL_OHLC_1H),
     "gap_fill_1h": Query(q_gap_fill_1h, SQL_GAP_FILL_1H),
     "bar_dod_change": Query(q_bar_dod_change, SQL_BAR_DOD_CHANGE),
     "sequence_labels": Query(q_sequence_labels, SQL_SEQUENCE_LABELS),
     "trend_classifier": Query(q_trend_classifier, SQL_TREND_CLASSIFIER),
+    "trend_classifier_weights": Query(
+        q_trend_classifier_weights, SQL_TREND_CLASSIFIER_WEIGHTS
+    ),
     "atr_1h": Query(q_atr_1h, SQL_ATR_1H),
     "realized_vol": Query(q_realized_vol, SQL_REALIZED_VOL),
     "liquidity_velocity": Query(q_liquidity_velocity, SQL_LIQUIDITY_VELOCITY),
