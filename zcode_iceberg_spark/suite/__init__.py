@@ -42,78 +42,64 @@ class Query:
 WINDOW = 50
 
 PRIORITY = [
-    # tool-generated rotation (tools/rotate_priority.py over r1-r5
-    # history), round 6, amended for in-round additions: the 25
-    # never-driver-checked queries first — the 5 round-5 TPC-H
-    # archetypes (order_count_distribution … cheapest_supplier_per_part)
-    # plus the 20 NEW round-6 queries (late_ship_exists …
-    # top_revenue_supplier, and the six archetype-sweep closers
-    # shipping_priority … dominant_supplier) — then the LSH block
-    # (lsh_candidates/dedup_near/dedup_crosscheck/dedup_cc re-enter
-    # because the pair join dropped its signature payload this round;
-    # heavy_hitters because its freqItems went lazy in r5), then the
-    # stalest greens (last driver row r3: the ANN/dedup block,
-    # trend_hysteresis, media twins, decontaminate, kmeans), filled
-    # with r4 keepers in registry order. Everything rotated out holds
-    # a green driver row from r4/r5 and stays oracle-checked at
-    # sf0.001 on every pytest run (tests/test_oracle_suite.py).
-    "late_ship_exists",
-    "priority_line_buckets",
-    "small_quantity_revenue",
-    "disjunctive_band_revenue",
-    "sole_latest_supplier",
-    "lapsed_rich_customers",
-    "customer_value_deciles",
-    "cohort_set_ops",
-    "bm25_scores",
-    "trigram_lm",
-    "copurchase_triangles",
-    "nation_profit",
-    "returned_item_ranking",
-    "top_revenue_supplier",
-    "segment_share",
-    "cube_corpus",
-    "order_count_distribution",
-    "large_orders",
-    "nation_trade_volume",
-    "market_share",
-    "cheapest_supplier_per_part",
-    # the 6 archetype-sweep closers added mid-round-6 (Q3/Q6/Q11/Q14/
-    # Q16/Q20 shapes) — never driver-checked, enter the window
-    # displacing six unchanged r4/r5 greens (trade_params, mc_win_prob,
-    # dedup_exact, dup_spans, training_export, simhash)
-    "shipping_priority",
-    "forecast_revenue",
-    "part_value_concentration",
-    "promo_revenue",
-    "supplier_part_variety",
-    "dominant_supplier",
-    "above_customer_avg",
-    "unpivot_lineitem_stats",
-    "minhash_signatures",
-    "lsh_candidates",
-    "dedup_near",
-    "dedup_crosscheck",
-    "ngram_jaccard",
-    "doc_fingerprint",
-    "heavy_hitters",
-    "decontaminate",
-    "seq_packing",
-    "kmeans",
-    "doc_chunks",
-    "tf_idf",
-    "stratified_sample",
-    "dedup_cc",
-    "embedding_topk",
-    "ann_lsh",
-    "ann_ivf",
-    "embedding_neardup",
-    "trend_hysteresis",
-    # media_resize is the round-6 thumbnail op (never checked); it
-    # takes media_features' slot (r3 green, unchanged, still
-    # oracle-checked at sf0.001 on every pytest run)
-    "media_resize",
-    "media_frames",
+    # tool-generated rotation (tools/rotate_priority.py over r1-r6
+    # history), round 7: the 2 never-driver-checked round-7 queries
+    # (trend_classifier_weights external-weights seam,
+    # dedup_incremental_persisted maintenance-layer hash table) plus
+    # the stalest greens — media_features (r3) and the r4 block — fill
+    # the window; everything rotated out holds a green driver row from
+    # r5/r6 and stays oracle-checked at sf0.001 on every pytest run
+    # (tests/test_oracle_suite.py).
+    "ticks_normalize",
+    "funnel_conversion",
+    "cohort_retention",
+    "event_transitions",
+    "robust_outliers",
+    "cusum_alarm",
+    "volume_hhi",
+    "session_paths",
+    "sessionize",
+    "gap_fill_1h",
+    "trend_classifier_weights",
+    "realized_vol",
+    "iceberg_refill",
+    "wall_strength",
+    "pricing_summary",
+    "price_percentiles",
+    "price_percentiles_approx",
+    "star_revenue",
+    "top_customers_per_nation",
+    "priority_with_discounted",
+    "customers_without_orders",
+    "rollup_sales",
+    "distinct_parts_per_supplier",
+    "approx_distinct_parts",
+    "trade_params",
+    "mc_win_prob",
+    "dedup_exact",
+    "dup_spans",
+    "training_export",
+    "simhash",
+    "lang_id",
+    "text_quality",
+    "token_counts",
+    "token_histogram",
+    "bpe_merges",
+    "bpe_segment",
+    "pii_scan",
+    "doc_repetition",
+    "dedup_incremental_persisted",
+    "temperature_mix",
+    "quality_sample",
+    "decon_overlap_hll",
+    "semantic_dedup",
+    "corpus_shuffle",
+    "ledger_drawdown",
+    "wp_calibration",
+    "ledger_daily_summary",
+    "ledger_exit_stats",
+    "media_features",
+    "modality_interleave",
 ]
 
 
