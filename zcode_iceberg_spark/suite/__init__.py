@@ -43,22 +43,18 @@ WINDOW = 50
 
 PRIORITY = [
     # tool-generated rotation (tools/rotate_priority.py over r1-r6
-    # history), round 7: the 2 never-driver-checked round-7 queries
-    # (trend_classifier_weights external-weights seam,
-    # dedup_incremental_persisted maintenance-layer hash table) plus
-    # the stalest greens — media_features (r3) and the r4 block — fill
-    # the window; everything rotated out holds a green driver row from
-    # r5/r6 and stays oracle-checked at sf0.001 on every pytest run
-    # (tests/test_oracle_suite.py).
+    # history), round 7: the 6 never-driver-checked round-7 queries
+    # (trend_classifier_weights, dedup_incremental_persisted, and the
+    # four format round-trips csv/jsonl/orc/avro) plus the stalest
+    # greens — media_features (r3) and the r4 block. Displaced r4
+    # greens (cusum_alarm, volume_hhi, session_paths, sessionize)
+    # hold green rows and stay oracle-checked at sf0.001 on every
+    # pytest run (tests/test_oracle_suite.py).
     "ticks_normalize",
     "funnel_conversion",
     "cohort_retention",
     "event_transitions",
     "robust_outliers",
-    "cusum_alarm",
-    "volume_hhi",
-    "session_paths",
-    "sessionize",
     "gap_fill_1h",
     "trend_classifier_weights",
     "realized_vol",
@@ -100,6 +96,10 @@ PRIORITY = [
     "ledger_exit_stats",
     "media_features",
     "modality_interleave",
+    "csv_roundtrip",
+    "jsonl_roundtrip",
+    "orc_roundtrip",
+    "avro_roundtrip",
 ]
 
 
@@ -113,10 +113,14 @@ def registry() -> dict[str, Query]:
         llm,
         stateful,
         media,
+        formats,
     )
 
     out: dict[str, Query] = {}
-    for mod in (flow, timeseries, orderbook, relational, scoring, llm, stateful, media):
+    for mod in (
+        flow, timeseries, orderbook, relational, scoring, llm, stateful,
+        media, formats,
+    ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
