@@ -109,6 +109,38 @@ def test_lstm_forward_through_seam(spark, sf_dir):
     assert first == again
 
 
+def test_train_once_persist_and_serve(spark, sf_dir, tmp_path):
+    """H10 end-to-end: distributed gradient training → npz persistence
+    → serving through the external-weights seam. Pins that (a) the
+    loss trajectory is strictly decreasing (the gradients really
+    descend), (b) training is bit-deterministic across runs (the
+    micro-unit quantization claim), (c) the served scores come from
+    the TRAINED blob, not defaults."""
+    import numpy as np
+
+    s = ops.sequence_windows(events_ticks(spark, sf_dir), seq_len=10, horizon=5)
+    w1, b1, hist1 = ops.train_trend_probe(s)
+    losses = [h["loss_micro"] for h in hist1]
+    assert losses == sorted(losses, reverse=True)
+    assert losses[-1] < losses[0]
+    w2, b2, hist2 = ops.train_trend_probe(s)
+    assert list(w1) == list(w2) and b1 == b2
+    assert hist1 == hist2
+
+    path = ops.save_trained_probe(w1, b1, str(tmp_path / "trained"))
+    loaded = ops.load_trend_weights(path)
+    assert list(loaded["probe_w"]) == list(w1)
+    served = ops.trend_classifier_external(s.limit(50), weights_path=path)
+    rows = served.select("trend_score", "norm_seq").collect()
+    assert rows
+    for r in rows:
+        z = 0.0
+        for i in range(10):
+            z += r["norm_seq"][i] * w1[i]
+        z += b1
+        assert abs(r["trend_score"] - 1.0 / (1.0 + np.exp(-z))) < 1e-12
+
+
 def test_sql_functions_match_column_api(spark):
     """The SQL-macro registrations must inline the SAME arithmetic as
     the Column builders — exact float equality, not approximate."""

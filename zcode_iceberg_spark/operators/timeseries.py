@@ -449,6 +449,102 @@ def trend_classifier_external(
     return out.withColumn("trend_pred", pred)
 
 
+TRAIN_ITERS = 8
+TRAIN_LR = 0.5
+_P_EPS = 1e-12  # probability clamp so log-loss never hits log(0)
+
+
+def train_trend_probe(
+    seqs: DataFrame,
+    seq_len: int = 10,
+    iters: int = TRAIN_ITERS,
+    lr: float = TRAIN_LR,
+) -> tuple[np.ndarray, float, list[dict]]:
+    """H10's train-once half: fit the linear-probe trend head (UP vs
+    rest) by full-batch gradient descent run AS SPARK AGGREGATES — the
+    canonical distributed-training shape (reference train path:
+    data_manager.py:886-965, torch loop; here each epoch is one job).
+
+    Per iteration: broadcast the current (w, b) as literals, one pass
+    over the cached feature frame computes ``Σ (σ(w·x+b) − y)·xᵢ``
+    for every i plus the bias gradient and the log-loss — all
+    map-side partial aggregates, 12 longs per partition crossing the
+    wire. The driver applies the update; no data ever leaves the
+    executors. Every sum quantizes to integer MICRO-UNITS before
+    aggregation, so the gradients — and therefore the whole training
+    trajectory — are bit-deterministic under any partitioning
+    (the float-determinism discipline the k-means/PageRank loops use).
+
+    Feature frame: ``norm_seq`` exploded to x0..x{seq_len-1} columns +
+    y = 1 iff label == 'UP', persisted once; per-iteration cost is one
+    pass over the cache. Returns (weights, bias, history) where
+    history rows carry the pre-update loss and post-update weights.
+    """
+    from pyspark import StorageLevel
+
+    # coalesce the post-window partitioning down to core count before
+    # caching: every epoch re-scans this cache, so its partition count
+    # is per-epoch task-scheduling overhead (200 shuffle partitions ×
+    # 8 epochs of sub-ms aggregate tasks is pure dispatch cost)
+    feats = (
+        seqs.select(
+            *[F.col("norm_seq")[i].alias(f"x{i}") for i in range(seq_len)],
+            (F.col("label") == "UP").cast("double").alias("y"),
+        )
+        .coalesce(seqs.sparkSession.sparkContext.defaultParallelism)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = feats.count()
+    w = [0.0] * seq_len
+    b = 0.0
+    history: list[dict] = []
+    for it in range(1, iters + 1):
+        z = F.lit(b)
+        for i in range(seq_len):
+            z = z + F.col(f"x{i}") * F.lit(w[i])
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        pc = F.least(F.greatest(p, F.lit(_P_EPS)), F.lit(1.0 - _P_EPS))
+        err = p - F.col("y")
+        aggs = [
+            F.sum(F.round(err * F.col(f"x{i}") * 1e6).cast("bigint")).alias(
+                f"g{i}"
+            )
+            for i in range(seq_len)
+        ]
+        aggs.append(F.sum(F.round(err * 1e6).cast("bigint")).alias("gb"))
+        aggs.append(
+            F.sum(
+                F.round(
+                    -(
+                        F.col("y") * F.log(pc)
+                        + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - pc)
+                    )
+                    * 1e6
+                ).cast("bigint")
+            ).alias("loss_micro")
+        )
+        row = feats.agg(*aggs).collect()[0]
+        w = [w[i] - lr * row[f"g{i}"] / (1e6 * n) for i in range(seq_len)]
+        b = b - lr * row["gb"] / (1e6 * n)
+        history.append(
+            {"iter": it, "loss_micro": int(row["loss_micro"]),
+             "w": list(w), "b": b}
+        )
+    feats.unpersist()
+    return np.asarray(w), b, history
+
+
+def save_trained_probe(
+    weights: np.ndarray, bias: float, path: str
+) -> str:
+    """Persist trained probe parameters as the same npz contract the
+    external-weights seam loads (H10 model-state persistence: train
+    once, write the blob, every scoring job broadcasts it)."""
+    np.savez(path if path.endswith(".npz") else path + ".npz",
+             probe_w=np.asarray(weights), probe_b=np.asarray(bias))
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def lstm_trend_scores(
     seqs: DataFrame, weights_path: str | None = None
 ) -> DataFrame:

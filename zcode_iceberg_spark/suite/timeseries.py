@@ -527,6 +527,93 @@ FROM full_seqs
 """
 
 
+def q_trend_probe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H10 train-once, oracle-checked end-to-end: {ops.TRAIN_ITERS}
+    full-batch gradient-descent epochs of the UP-vs-rest probe run as
+    Spark aggregates over the cached feature frame
+    (operators/timeseries.py:train_trend_probe). Output = the training
+    TRAJECTORY — per-epoch pre-update log-loss (exact integer
+    micro-units) and post-update parameters — which the oracle
+    re-derives from {ops.TRAIN_ITERS} unrolled gradient CTEs on the
+    same rows; a green hash means the distributed gradients matched
+    the sequential reference bit-for-bit on every epoch."""
+    s = ops.sequence_windows(events_ticks(spark, sf_dir), seq_len=10, horizon=5)
+    _w, _b, history = ops.train_trend_probe(s, seq_len=10)
+    rows = [
+        (
+            h["iter"],
+            h["loss_micro"],
+            *[round(x, 6) for x in h["w"]],
+            round(h["b"], 6),
+        )
+        for h in history
+    ]
+    schema = (
+        "iter int, loss_micro long, "
+        + ", ".join(f"w{i} double" for i in range(10))
+        + ", b double"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _train_sql(iters: int = None, lr: float = None, seq_len: int = 10) -> str:
+    """Unrolled gradient-descent CTE chain mirroring
+    ``train_trend_probe`` epoch by epoch (same micro-unit
+    quantization, same left-to-right z fold, same clamp)."""
+    iters = iters or ops.TRAIN_ITERS
+    lr = lr if lr is not None else ops.TRAIN_LR
+    xs = ", ".join(
+        f"CASE WHEN seq_std > 0 THEN (seq[{i + 1}] - seq_mean) / seq_std "
+        f"ELSE 0.0 END AS x{i}"
+        for i in range(seq_len)
+    )
+    parts = [
+        f"data AS MATERIALIZED (SELECT {xs}, "
+        "CASE WHEN fut_mean_ret > 5e-4 THEN 1.0 ELSE 0.0 END AS y "
+        "FROM full_seqs)",
+        "w0 AS (SELECT "
+        + ", ".join(f"0.0 AS w{i}" for i in range(seq_len))
+        + ", 0.0 AS b)",
+    ]
+    for k in range(1, iters + 1):
+        z = "(w.b" + "".join(f" + d.x{i} * w.w{i}" for i in range(seq_len)) + ")"
+        p = f"(1.0 / (1.0 + exp(-{z})))"
+        pc = f"least(greatest({p}, 1e-12), 1.0 - 1e-12)"
+        gsums = ", ".join(
+            f"CAST(sum(round(({p} - d.y) * d.x{i} * 1e6)) AS BIGINT) AS g{i}"
+            for i in range(seq_len)
+        )
+        parts.append(
+            f"g{k} AS MATERIALIZED (SELECT count(*) AS n, {gsums}, "
+            f"CAST(sum(round(({p} - d.y) * 1e6)) AS BIGINT) AS gb, "
+            f"CAST(sum(round(-(d.y * ln({pc}) + (1.0 - d.y) * "
+            f"ln(1.0 - {pc})) * 1e6)) AS BIGINT) AS loss_micro "
+            f"FROM data d CROSS JOIN w{k - 1} w)"
+        )
+        upd = ", ".join(
+            f"w.w{i} - {lr!r} * g.g{i} / (1e6 * g.n) AS w{i}"
+            for i in range(seq_len)
+        )
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT {upd}, w.b - {lr!r} * g.gb / (1e6 * g.n) AS b "
+            f"FROM g{k} g CROSS JOIN w{k - 1} w)"
+        )
+    selects = [
+        f"SELECT {k} AS iter, g{k}.loss_micro, "
+        + ", ".join(f"round(w{k}.w{i}, 6) AS w{i}" for i in range(seq_len))
+        + f", round(w{k}.b, 6) AS b FROM g{k}, w{k}"
+        for k in range(1, iters + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+SQL_TREND_PROBE_TRAINING = f"""
+{TICKS_CTE},
+{SEQ_CTE},
+{_train_sql()}
+"""
+
+
 QUERIES = {
     "ohlc_1h": Query(q_ohlc_1h, SQL_OHLC_1H),
     "gap_fill_1h": Query(q_gap_fill_1h, SQL_GAP_FILL_1H),
@@ -535,6 +622,9 @@ QUERIES = {
     "trend_classifier": Query(q_trend_classifier, SQL_TREND_CLASSIFIER),
     "trend_classifier_weights": Query(
         q_trend_classifier_weights, SQL_TREND_CLASSIFIER_WEIGHTS
+    ),
+    "trend_probe_training": Query(
+        q_trend_probe_training, SQL_TREND_PROBE_TRAINING
     ),
     "atr_1h": Query(q_atr_1h, SQL_ATR_1H),
     "realized_vol": Query(q_realized_vol, SQL_REALIZED_VOL),
