@@ -153,15 +153,86 @@ def test_avro_stream_matches_batch(spark, sf_dir, tmp):
     assert _doc_map(got) == _doc_map(docs)
 
 
-def test_avro_quarantine_composition(spark, sf_dir, tmp):
-    """Format-agnostic sink composition: a corrupt shard routed out of
-    the hot path by catching the decode failure per-file is future
-    work; today the contract is fail-loud (this test pins that the
-    GOOD shards round-trip while the corrupt one is reported with its
-    path)."""
+def test_avro_strict_read_fails_loudly_on_bad_shard(spark, sf_dir, tmp):
     docs = load_table(spark, sf_dir, "documents").select(*COLS)
     write_avro(docs, str(tmp / "q"), n_shards=2)
     bad = tmp / "q" / "part-99999.avro"
     bad.write_bytes(b"not avro at all")
     with pytest.raises(Exception, match="not an Avro object container"):
         read_avro(spark, str(tmp / "q"), DOC_SCHEMA).collect()
+
+
+def test_avro_quarantine_read_routes_bad_shards(spark, sf_dir, tmp):
+    """The line-format quarantine contract at this format's corruption
+    granularity: a bad shard becomes one (path, error) row, healthy
+    shards' rows flow through exactly."""
+    from zcode_iceberg_spark.sources.avroio import read_avro_quarantine
+
+    docs = load_table(spark, sf_dir, "documents").select(*COLS)
+    write_avro(docs, str(tmp / "qq"), n_shards=2)
+    (tmp / "qq" / "part-99998.avro").write_bytes(b"garbage bytes")
+    # and a sync-corrupted real shard
+    f = tmp / "qq" / "part-00001.avro"
+    raw = bytearray(f.read_bytes())
+    raw[-4] ^= 0xFF
+    f.write_bytes(bytes(raw))
+    valid, corrupt = read_avro_quarantine(spark, str(tmp / "qq"), DOC_SCHEMA)
+    bad = {r["path"].split("/")[-1]: r["error"] for r in corrupt.collect()}
+    assert set(bad) == {"part-99998.avro", "part-00001.avro"}
+    assert "not an Avro object container" in bad["part-99998.avro"]
+    assert "sync-marker mismatch" in bad["part-00001.avro"]
+    # the surviving shard's rows are exactly the batch read of shard 0
+    want = {
+        r["doc_id"]
+        for r in read_avro(
+            spark, str(tmp / "qq" / "part-00000.avro"), DOC_SCHEMA
+        ).collect()
+    }
+    assert {r["doc_id"] for r in valid.collect()} == want
+
+
+def test_avro_codec_property_round_trip():
+    """Hypothesis: ANY row set of the supported types survives
+    encode→decode bit-exactly under both codecs (the hand-written
+    binary codec's correctness surface)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    schema = T.StructType(
+        [
+            T.StructField("l", T.LongType()),
+            T.StructField("d", T.DoubleType()),
+            T.StructField("b", T.BooleanType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("by", T.BinaryType()),
+        ]
+    )
+    from zcode_iceberg_spark.sources.avroio import (
+        _container_header,
+        _encode_block,
+    )
+
+    rec = avro_schema(schema)
+    kinds = _schema_kinds(rec)
+    row = st.tuples(
+        st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+        st.one_of(
+            st.none(),
+            st.floats(allow_nan=False, width=64),
+        ),
+        st.one_of(st.none(), st.booleans()),
+        st.one_of(st.none(), st.text(max_size=60)),
+        st.one_of(st.none(), st.binary(max_size=60)),
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(rows=st.lists(row, max_size=25), codec=st.sampled_from(["null", "deflate"]))
+    def check(rows, codec):
+        buf = _container_header(rec, codec)
+        if rows:
+            buf += _encode_block(rows, kinds, codec)
+        got_rec, got_rows = decode_container(buf)
+        assert got_rec == rec
+        assert list(got_rows()) == rows
+
+    check()

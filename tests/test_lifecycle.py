@@ -146,6 +146,27 @@ def test_supervise_budget_exhaustion_reports_failure(spark, sf_dir, tmp_path):
     assert len(report["failures"]) == 3  # initial attempt + 2 restarts
 
 
+def test_alert_table_probe(spark, tmp_path):
+    """The glue between staleness_stream's alert sink and supervise:
+    fires exactly when NEW alert rows land, stays quiet otherwise."""
+    from zcode_iceberg_spark.streaming.lifecycle import alert_table_probe
+
+    alert_dir = str(tmp_path / "alerts")
+    probe = alert_table_probe(spark, alert_dir)
+    assert probe() is False  # sink not created yet — healthy
+    spark.createDataFrame(
+        [("u1", "stale")], "user_id string, status string"
+    ).write.mode("append").parquet(alert_dir)
+    spark.catalog.refreshByPath(alert_dir)
+    assert probe() is True  # new alert row → restart signal
+    assert probe() is False  # no further rows → quiet
+    spark.createDataFrame(
+        [("u2", "stale")], "user_id string, status string"
+    ).write.mode("append").parquet(alert_dir)
+    spark.catalog.refreshByPath(alert_dir)
+    assert probe() is True
+
+
 def test_progress_stale_probe_logic():
     class StubQuery:
         def __init__(self):

@@ -378,10 +378,69 @@ def read_avro(
     Every shard's embedded writer schema is checked against the
     declared one (drift fails loudly); decode runs one task per file
     via the binaryFile scan + mapInPandas."""
-    files = spark.read.format("binaryFile").load(f"{path.rstrip('/')}/*.avro")
+    files = spark.read.format("binaryFile").load(_glob(path))
     return files.select("path", "content").mapInPandas(
         _decode_udf(schema), schema
     )
+
+
+def _glob(path: str) -> str:
+    """Directory → ``<dir>/*.avro`` glob; a direct ``.avro`` file path
+    passes through."""
+    p = path.rstrip("/")
+    return p if p.endswith(".avro") else f"{p}/*.avro"
+
+
+_CORRUPT_FILE = "_corrupt_file"
+_CORRUPT_ERROR = "_corrupt_error"
+
+
+def read_avro_quarantine(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantine twin of ``read_avro`` — the line-format contract
+    applied at this format's corruption granularity (the FILE): →
+    (valid_rows, corrupt_files). A shard that fails decode (bad magic,
+    sync-marker mismatch, schema drift, truncation) contributes ONE
+    quarantine row ``(path, error)`` instead of failing the scan;
+    every healthy shard's rows flow through untouched. Single decode
+    pass: the marker travels as two extra nullable columns and both
+    frames are prunable filters over it (no re-decode per frame)."""
+    names = [f.name for f in schema.fields]
+    wide = T.StructType(
+        [
+            *schema.fields,
+            T.StructField(_CORRUPT_FILE, T.StringType()),
+            T.StructField(_CORRUPT_ERROR, T.StringType()),
+        ]
+    )
+    base = _decode_udf(schema)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for i in range(len(pdf)):
+                one = pdf.iloc[i : i + 1]
+                try:
+                    for out in base(iter([one])):
+                        out[_CORRUPT_FILE] = None
+                        out[_CORRUPT_ERROR] = None
+                        yield out
+                except Exception as e:  # quarantine, don't fail the scan
+                    row = {n: [None] for n in names}
+                    row[_CORRUPT_FILE] = [str(one["path"].iloc[0])]
+                    row[_CORRUPT_ERROR] = [" ".join(str(e).split())[:500]]
+                    yield pd.DataFrame(row)
+
+    files = spark.read.format("binaryFile").load(_glob(path))
+    flat = files.select("path", "content").mapInPandas(decode, wide)
+    valid = flat.filter(F.col(_CORRUPT_FILE).isNull()).drop(
+        _CORRUPT_FILE, _CORRUPT_ERROR
+    )
+    corrupt = flat.filter(F.col(_CORRUPT_FILE).isNotNull()).select(
+        F.col(_CORRUPT_FILE).alias("path"),
+        F.col(_CORRUPT_ERROR).alias("error"),
+    )
+    return valid, corrupt
 
 
 def stream_avro(

@@ -51,6 +51,34 @@ def progress_stale_probe(
     return probe
 
 
+def alert_table_probe(spark, alert_dir: str) -> Callable[[], bool]:
+    """A staleness probe over the ``staleness_stream`` alert SINK: True
+    exactly when NEW alert rows landed since the last poll (the watch
+    stream's event-time timers write a row per silent key — see
+    streaming/pipeline.py:staleness_stream). This is the glue between
+    the detection half (H9's alert table) and the deploy half (this
+    supervisor): run the watchdog stream against the same source,
+    point its sink here, and the supervisor restarts the wedged
+    pipeline when alerts start arriving. Counting is one cheap
+    metadata+count job per poll over a table that is empty in the
+    healthy case."""
+    seen = [0]
+
+    def probe() -> bool:
+        try:
+            # the watchdog stream appends while we poll — drop any
+            # cached listing so the count sees the newest files
+            spark.catalog.refreshByPath(alert_dir)
+            n = spark.read.parquet(alert_dir).count()
+        except Exception:  # sink not created yet — healthy silence
+            return False
+        fired = n > seen[0]
+        seen[0] = n
+        return fired
+
+    return probe
+
+
 def supervise(
     start: Callable[[], StreamingQuery],
     max_restarts: int = 3,
