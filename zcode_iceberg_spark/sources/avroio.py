@@ -329,8 +329,14 @@ def write_avro(
 
         pid = TaskContext.get().partitionId()
         fname = os.path.join(path, f"part-{pid:05d}.avro")
+        # stage-and-rename commit: a retried/zombie task never leaves a
+        # half-written container at the published name, and the rename
+        # is atomic on any POSIX filesystem (attempt id in the staging
+        # name keeps concurrent attempts from clobbering each other)
+        attempt = TaskContext.get().taskAttemptId()
+        tmp_name = os.path.join(path, f".part-{pid:05d}.{attempt}.avro.tmp")
         n_rows = 0
-        with open(fname, "wb") as f:
+        with open(tmp_name, "wb") as f:
             f.write(header)
             for pdf in batches:
                 cols = [pdf[c] for c in names]
@@ -344,6 +350,7 @@ def write_avro(
                     block = rows[lo : lo + rows_per_block]
                     f.write(_encode_block(block, kinds, codec))
                     n_rows += len(block)
+        os.replace(tmp_name, fname)
         yield pd.DataFrame({"shard": [fname], "n_rows": [n_rows]})
 
     out = df.repartition(n_shards) if n_shards else df
