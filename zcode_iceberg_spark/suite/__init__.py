@@ -43,18 +43,18 @@ WINDOW = 50
 
 PRIORITY = [
     # tool-generated rotation (tools/rotate_priority.py over r1-r6
-    # history), round 7: the 7 never-driver-checked round-7 queries
+    # history), round 7: the 8 never-driver-checked round-7 queries
     # (trend_classifier_weights, trend_probe_training,
-    # dedup_incremental_persisted, and the four format round-trips
-    # csv/jsonl/orc/avro) plus the stalest greens — media_features
-    # (r3) and the r4 block. Displaced r4 greens (robust_outliers,
-    # cusum_alarm, volume_hhi, session_paths, sessionize) hold green
-    # rows and stay oracle-checked at sf0.001 on every pytest run
+    # dedup_incremental_persisted, dedup_cc_twostar, and the four
+    # format round-trips csv/jsonl/orc/avro) plus the stalest greens —
+    # media_features (r3) and the r4 block. Displaced r4 greens
+    # (event_transitions, robust_outliers, cusum_alarm, volume_hhi,
+    # session_paths, sessionize) hold green rows and stay
+    # oracle-checked at sf0.001 on every pytest run
     # (tests/test_oracle_suite.py).
     "ticks_normalize",
     "funnel_conversion",
     "cohort_retention",
-    "event_transitions",
     "gap_fill_1h",
     "trend_classifier_weights",
     "realized_vol",
@@ -101,6 +101,7 @@ PRIORITY = [
     "orc_roundtrip",
     "avro_roundtrip",
     "trend_probe_training",
+    "dedup_cc_twostar",
 ]
 
 
