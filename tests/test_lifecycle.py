@@ -167,6 +167,103 @@ def test_alert_table_probe(spark, tmp_path):
     assert probe() is True
 
 
+def test_h9_end_to_end_alerts_drive_restart(spark, sf_dir, tmp_path):
+    """The full H9 chain with REAL alert rows: a silent key makes
+    staleness_stream's event-time timer fire → its alert lands in the
+    alert table → alert_table_probe reports staleness →
+    supervise stops the main pipeline and restarts it on the same
+    checkpoint → the restarted run completes with exactly-once
+    output."""
+    import datetime as dt
+    import os
+    import shutil
+    import time as time_mod
+
+    from zcode_iceberg_spark.streaming.lifecycle import alert_table_probe
+    from zcode_iceberg_spark.streaming.pipeline import (
+        run_available_now,
+        staleness_stream,
+        stream_events_raw,
+    )
+
+    # --- 1. the watchdog: user 2 goes silent, its timer fires
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (i, t0 + dt.timedelta(seconds=s), u, "view", 1.0, '{"k":"1"}')
+                for i, (u, s) in enumerate(rows)
+            ],
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i, rows in enumerate(
+        [[(1, 0), (1, 10), (2, 5)], [(1, 1200), (1, 1210)], [(1, 2400)]]
+    ):
+        sub = tmp_path / f"fpart{i}"
+        mk(rows).coalesce(1).write.parquet(str(sub))
+        f = next(sub.glob("*.parquet"))
+        dst = feed / f"{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (time_mod.time() + i, time_mod.time() + i))
+    run_available_now(
+        staleness_stream(stream_events_raw(spark, str(feed)), max_silence_sec=300),
+        str(tmp_path / "watch_raw"),
+        str(tmp_path / "watch_ck"),
+    )
+    alert_dir = str(tmp_path / "alerts")
+    alerts = spark.read.parquet(str(tmp_path / "watch_raw")).filter(
+        F.col("kind") == "stale"
+    )
+    assert alerts.count() == 1  # the silent key really fired
+    alerts.write.parquet(alert_dir)
+
+    # --- 2. the supervised main pipeline
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    want_ids = _write_shards(spark, sf_dir, src, n=2)
+    calls = {"n": 0}
+
+    def step(batch_df, epoch_id):
+        batch_df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+    def factory():
+        calls["n"] += 1
+        w = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(step)
+            .option("checkpointLocation", ck)
+        )
+        # first attempt models the long-running deployment (continuous
+        # trigger); the post-restart attempt drains and completes so
+        # the test terminates
+        if calls["n"] == 1:
+            w = w.trigger(processingTime="1 second")
+        else:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    report = supervise(
+        factory,
+        max_restarts=3,
+        backoff_sec=0.05,
+        poll_sec=0.1,
+        stale_probe=alert_table_probe(spark, alert_dir),
+    )
+    assert report["completed"] is True
+    assert report["stale_restarts"] == 1
+    assert calls["n"] == 2
+    got = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(want_ids)
+
+
 def test_progress_stale_probe_logic():
     class StubQuery:
         def __init__(self):
