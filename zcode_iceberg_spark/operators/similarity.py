@@ -174,3 +174,56 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def k_center_greedy(
+    vectors: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[dict]:
+    """Diversity-maximizing coreset selection: the classic k-center
+    greedy (Gonzalez / farthest-point traversal) in cosine space —
+    the subset-selection step a training-data pipeline runs to pick a
+    diverse exemplar set from an embedded corpus.
+
+    Shape: one cached scan; per round, coverage = the quantized max
+    cosine of each vector to the centers chosen so far (a pure
+    expression over broadcast center literals), and the next center =
+    the WORST-covered vector (min cover, ties to min id — computed as
+    one ``min(struct(cover, id))`` aggregate, so each round costs ONE
+    pass + one pushed-filter point lookup; nothing but 2 scalar rows
+    per round reaches the driver). Coverage quantizes to integer
+    micro-units before the min/argmax, so selection is deterministic
+    under any partitioning. O(n·k) total work, the scale-standard
+    greedy (an exact metric k-center is NP-hard; greedy is the 2-approx
+    everyone ships).
+
+    Returns [{"k", "center_id", "radius_micro"}]: radius_micro is the
+    worst coverage BEFORE adding that round's center (None for the
+    seed, which is the min-id vector)."""
+    from pyspark import StorageLevel
+
+    base = vectors.select(id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    seed = base.orderBy(id_col).limit(1).collect()[0]
+    centers = [(int(seed[id_col]), list(seed[vec_col]))]
+    out = [{"k": 1, "center_id": centers[0][0], "radius_micro": None}]
+
+    def cq(center_vec: list) -> F.Column:
+        lit = F.array(*[F.lit(float(v)) for v in center_vec])
+        return F.round(cosine(F.col(vec_col), lit) * 1e6).cast("bigint")
+
+    for round_no in range(2, k + 1):
+        cover = F.greatest(*[cq(v) for _, v in centers]) if len(centers) > 1 \
+            else cq(centers[0][1])
+        worst = base.agg(
+            F.min(F.struct(cover.alias("c"), F.col(id_col).alias("i")))
+        ).collect()[0][0]
+        nxt = base.filter(F.col(id_col) == worst["i"]).collect()[0]
+        centers.append((int(nxt[id_col]), list(nxt[vec_col])))
+        out.append(
+            {"k": round_no, "center_id": int(nxt[id_col]),
+             "radius_micro": int(worst["c"])}
+        )
+    base.unpersist()
+    return out

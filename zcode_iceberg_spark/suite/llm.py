@@ -2121,6 +2121,68 @@ SELECT qid, nid, cos_sim, rank FROM (
 """
 
 
+CORESET_K = 6
+
+
+def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity coreset: k-center greedy (farthest-point traversal in
+    cosine space) over the embedding corpus — k={CORESET_K} exemplars
+    plus the coverage radius the selection achieved at each step
+    (operators/similarity.py:k_center_greedy; one aggregate pass per
+    round, quantized-integer coverage so the trajectory is
+    deterministic). Oracle = the same greedy unrolled as materialized
+    CTEs, so the hash checks every selection decision, not just the
+    final set."""
+    e = load_table(spark, sf_dir, "embeddings")
+    picks = sim_ops.k_center_greedy(e, k=CORESET_K)
+    return spark.createDataFrame(
+        [(p["k"], p["center_id"], p["radius_micro"]) for p in picks],
+        "k int, center_id long, radius_micro long",
+    )
+
+
+def _kcenter_sql(k: int) -> str:
+    def cq(e: str, c: str) -> str:
+        return f"CAST(round(({_cos_sql(e, c)}) * 1e6) AS BIGINT)"
+
+    parts = [
+        "c1 AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings "
+        "ORDER BY vec_id LIMIT 1)",
+        f"cov1 AS MATERIALIZED (SELECT e.vec_id, "
+        f"{cq('e.embedding', 'c.embedding')} AS cover "
+        f"FROM embeddings e CROSS JOIN c1 c)",
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT min(cover) AS rad FROM cov{i - 1})"
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT e.vec_id, e.embedding "
+            f"FROM embeddings e JOIN cov{i - 1} v USING (vec_id) "
+            f"CROSS JOIN r{i} WHERE v.cover = r{i}.rad "
+            f"ORDER BY e.vec_id LIMIT 1)"
+        )
+        if i < k:
+            parts.append(
+                f"cov{i} AS MATERIALIZED (SELECT v.vec_id, "
+                f"greatest(v.cover, {cq('e.embedding', 'c.embedding')}) "
+                f"AS cover FROM cov{i - 1} v "
+                f"JOIN embeddings e USING (vec_id) CROSS JOIN c{i} c)"
+            )
+    selects = [
+        "SELECT 1 AS k, c1.vec_id AS center_id, "
+        "CAST(NULL AS BIGINT) AS radius_micro FROM c1"
+    ] + [
+        f"SELECT {i} AS k, c{i}.vec_id AS center_id, r{i}.rad AS radius_micro "
+        f"FROM c{i}, r{i}"
+        for i in range(2, k + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+SQL_CORESET_KCENTER = _kcenter_sql(CORESET_K)
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (scale path): 8 random-hyperplane sign bits →
     bucket id; neighbors searched only within the query's bucket.
@@ -4353,6 +4415,7 @@ QUERIES = {
     "weighted_sample": Query(q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "corpus_drift_psi": Query(q_corpus_drift_psi, SQL_CORPUS_DRIFT_PSI),
     "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "coreset_kcenter": Query(q_coreset_kcenter, SQL_CORESET_KCENTER),
     "ann_lsh": Query(q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf": Query(q_ann_ivf, SQL_ANN_IVF),
     "embedding_neardup": Query(q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
