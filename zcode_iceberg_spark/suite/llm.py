@@ -3567,6 +3567,167 @@ FROM probs ORDER BY cnt DESC, g3 LIMIT {TRIGRAM_TOPK}
 """
 
 
+PPL_KEEP_MAX = 45.0  # perplexity filter cut (CCNet-style keep rule)
+_BO = 0.4  # stupid-backoff discount
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-based quality filter (the CCNet recipe): train a
+    count trigram LM with stupid backoff on half the corpus (even
+    doc_ids), score every held-out doc's trigram stream, keep docs
+    whose perplexity clears the cut — templated/gibberish text scores
+    high and drops.
+
+    Scale shape: the three count tables are vocabulary-sized partial
+    aggregates; scoring is an explode + FOUR hash equi-joins of the
+    eval trigram stream against them (at 100 TB the gram keys would
+    hash to fixed-width ints — same layout, narrower shuffle); every
+    per-trigram log-prob quantizes to integer micro-units before the
+    per-doc sum, so the scores are partition-order-free. N/V are two
+    driver scalars. Backoff: P = c3/c2(prefix), else 0.4·c2(w2w3)/
+    c1(w2), else 0.16·(c1(w3)+1)/(N+V)."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    w = tx.tokens(F.col("text"))
+    train = d.filter(F.col("doc_id") % 2 == 0).select(w.alias("w"))
+    c3 = (
+        train.select(F.explode(tx.shingles(F.col("w"), 3)).alias("g"))
+        .groupBy("g").agg(F.count(F.lit(1)).alias("c3"))
+    )
+    c2 = (
+        train.select(F.explode(tx.shingles(F.col("w"), 2)).alias("g"))
+        .groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    )
+    c1 = (
+        train.select(F.explode("w").alias("g"))
+        .groupBy("g").agg(F.count(F.lit(1)).alias("c1"))
+    )
+    tot = c1.agg(
+        F.sum("c1").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    n_plus_v = int(tot["n"]) + int(tot["v"])
+
+    ev = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", w.alias("w"))
+    idx = F.when(
+        F.size("w") >= 3, F.sequence(F.lit(1), F.size("w") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    e = lambda off: F.element_at(F.col("w"), F.col("i") + off)  # noqa: E731
+    tri = ev.select("doc_id", F.explode(idx).alias("i"), "w").select(
+        "doc_id",
+        F.concat_ws(" ", e(0), e(1), e(2)).alias("g3"),
+        F.concat_ws(" ", e(0), e(1)).alias("g2p"),
+        F.concat_ws(" ", e(1), e(2)).alias("g2b"),
+        e(1).alias("w2"),
+        e(2).alias("w3"),
+    )
+    j = (
+        tri.join(c3.withColumnRenamed("g", "g3"), "g3", "left")
+        .join(
+            c2.select(F.col("g").alias("g2p"), F.col("c2").alias("c2p")),
+            "g2p", "left",
+        )
+        .join(
+            c2.select(F.col("g").alias("g2b"), F.col("c2").alias("c2b")),
+            "g2b", "left",
+        )
+        .join(
+            c1.select(F.col("g").alias("w2"), F.col("c1").alias("c1_2")),
+            "w2", "left",
+        )
+        .join(
+            c1.select(F.col("g").alias("w3"), F.col("c1").alias("c1_3")),
+            "w3", "left",
+        )
+    )
+    s = (
+        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("c2p"))
+        .when(
+            F.col("c2b").isNotNull(),
+            F.lit(_BO) * (F.col("c2b") / F.col("c1_2")),
+        )
+        .otherwise(
+            F.lit(_BO * _BO)
+            * ((F.coalesce("c1_3", F.lit(0)) + 1) / F.lit(n_plus_v))
+        )
+    )
+    scored = j.select(
+        "doc_id", F.round(F.log(s) * 1e6).cast("bigint").alias("lp")
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum("lp").alias("logp_micro"),
+    )
+    ppl = F.round(
+        F.exp(-(F.col("logp_micro") / (F.lit(1e6) * F.col("n_trigrams")))), 6
+    )
+    return agg.select(
+        "doc_id",
+        "n_trigrams",
+        "logp_micro",
+        ppl.alias("ppl"),
+        (ppl <= PPL_KEEP_MAX).alias("keep"),
+    )
+
+
+SQL_LM_PERPLEXITY = f"""
+WITH {TOKS_CTE},
+train AS MATERIALIZED (SELECT w FROM toks WHERE doc_id % 2 = 0),
+c3 AS MATERIALIZED (
+  SELECT g, count(*) AS c3 FROM (
+    SELECT unnest(list_transform(generate_series(1, len(w) - 2),
+                  i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g
+    FROM train) GROUP BY g
+),
+c2 AS MATERIALIZED (
+  SELECT g, count(*) AS c2 FROM (
+    SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i + 1])) AS g
+    FROM train) GROUP BY g
+),
+c1 AS MATERIALIZED (
+  SELECT g, count(*) AS c1 FROM (
+    SELECT unnest(w) AS g FROM train) GROUP BY g
+),
+nv AS MATERIALIZED (
+  SELECT CAST(sum(c1) AS BIGINT) + count(*) AS n_plus_v FROM c1
+),
+tri AS (
+  SELECT doc_id,
+         w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g3,
+         w[i] || ' ' || w[i + 1] AS g2p,
+         w[i + 1] || ' ' || w[i + 2] AS g2b,
+         w[i + 1] AS w2, w[i + 2] AS w3
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 2)) AS i
+        FROM toks WHERE doc_id % 2 = 1)
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(round(ln(
+           CASE WHEN x3.c3 IS NOT NULL THEN x3.c3 / p2.c2
+                WHEN b2.c2 IS NOT NULL
+                  THEN {_BO} * (b2.c2 / u2.c1)
+                ELSE {_BO * _BO} *
+                     ((coalesce(u3.c1, 0) + 1) / nv.n_plus_v)
+           END) * 1e6) AS BIGINT) AS lp
+  FROM tri t
+  CROSS JOIN nv
+  LEFT JOIN c3 x3 ON x3.g = t.g3
+  LEFT JOIN c2 p2 ON p2.g = t.g2p
+  LEFT JOIN c2 b2 ON b2.g = t.g2b
+  LEFT JOIN c1 u2 ON u2.g = t.w2
+  LEFT JOIN c1 u3 ON u3.g = t.w3
+)
+SELECT doc_id, count(*) AS n_trigrams,
+       CAST(sum(lp) AS BIGINT) AS logp_micro,
+       round(exp(-(CAST(sum(lp) AS DOUBLE) / (1e6 * count(*)))), 6) AS ppl,
+       round(exp(-(CAST(sum(lp) AS DOUBLE) / (1e6 * count(*)))), 6)
+         <= {PPL_KEEP_MAX} AS keep
+FROM scored GROUP BY doc_id
+"""
+
+
 # ------------------------------------------------------------ k-means (Lloyd)
 
 KM_K = 8
@@ -4408,6 +4569,7 @@ QUERIES = {
     "tf_idf": Query(q_tf_idf, SQL_TF_IDF),
     "bm25_scores": Query(q_bm25_scores, SQL_BM25_SCORES),
     "trigram_lm": Query(q_trigram_lm, SQL_TRIGRAM_LM),
+    "lm_perplexity": Query(q_lm_perplexity, SQL_LM_PERPLEXITY),
     "stratified_sample": Query(q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "dedup_cc": Query(q_dedup_cc, SQL_DEDUP_CC),
     "dedup_cc_twostar": Query(q_dedup_cc_twostar, SQL_DEDUP_CC),
