@@ -434,3 +434,16 @@ def test_triangle_plan_all_equi_joins(spark, sf_dir):
     assert "LeftSemi" in p  # urgent-order filter is a semi join
     # 3 scalar crossJoins assemble the 1-row stats output; no other BNLJ
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 3
+
+
+def test_lm_perplexity_joins_stay_hashed(spark, sf_dir):
+    """lm_perplexity: the scoring chain is pure hash equi-joins of the
+    eval trigram stream against vocabulary-sized, map-side partial-
+    aggregated count tables — no cartesian/nested-loop over data, and
+    the corpus is fanned out before the CPU-heavy gram explode."""
+    p = plan(spark, sf_dir, "lm_perplexity")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_count" in p  # count tables combine map-side
+    # the corpus fan-out repartition sits below the explode
+    assert "RoundRobinPartitioning" in p and "Generate" in p
