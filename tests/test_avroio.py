@@ -90,6 +90,32 @@ def test_codec_unit_round_trip_all_types():
         assert list(got_rows()) == rows
 
 
+def test_avro_large_longs_with_nulls_round_trip(spark, tmp):
+    """The pandas float64 trap, pinned: an int64 column that contains
+    a NULL in the same batch as values above 2^53 must round-trip
+    bit-exactly (the Arrow-side encode path never hops through a
+    lossy float)."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    rows = [
+        (2**53 + 1, "a"),  # not representable in float64
+        (None, "b"),
+        (-(2**62) - 7, "c"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    write_avro(df, str(tmp / "big"), codec="null")
+    got = sorted(
+        ((r["id"], r["s"]) for r in read_avro(spark, str(tmp / "big"), schema).collect()),
+        key=str,
+    )
+    assert got == sorted(rows, key=str)
+
+
 def test_avro_round_trip_lossless(spark, sf_dir, tmp):
     docs = load_table(spark, sf_dir, "documents").select(*COLS)
     n = write_avro(docs, str(tmp / "out"), n_shards=4)

@@ -166,6 +166,15 @@ def test_alert_table_probe(spark, tmp_path):
     spark.catalog.refreshByPath(alert_dir)
     assert probe() is True
 
+    # pre-existing alerts are the BASELINE for a fresh probe (a new
+    # supervisor incarnation must not restart on history)
+    probe2 = alert_table_probe(spark, alert_dir)
+    assert probe2() is False
+    spark.createDataFrame(
+        [("u3", "stale")], "user_id string, status string"
+    ).write.mode("append").parquet(alert_dir)
+    assert probe2() is True
+
 
 def test_h9_end_to_end_alerts_drive_restart(spark, sf_dir, tmp_path):
     """The full H9 chain with REAL alert rows: a silent key makes
@@ -210,12 +219,15 @@ def test_h9_end_to_end_alerts_drive_restart(spark, sf_dir, tmp_path):
         dst = feed / f"{i:03d}.parquet"
         shutil.copy(f, dst)
         os.utime(dst, (time_mod.time() + i, time_mod.time() + i))
+    # the probe is created BEFORE the watchdog fires — its baseline is
+    # the empty table, so the alert that lands below counts as NEW
+    alert_dir = str(tmp_path / "alerts")
+    probe = alert_table_probe(spark, alert_dir)
     run_available_now(
         staleness_stream(stream_events_raw(spark, str(feed)), max_silence_sec=300),
         str(tmp_path / "watch_raw"),
         str(tmp_path / "watch_ck"),
     )
-    alert_dir = str(tmp_path / "alerts")
     alerts = spark.read.parquet(str(tmp_path / "watch_raw")).filter(
         F.col("kind") == "stale"
     )
@@ -255,7 +267,7 @@ def test_h9_end_to_end_alerts_drive_restart(spark, sf_dir, tmp_path):
         max_restarts=3,
         backoff_sec=0.05,
         poll_sec=0.1,
-        stale_probe=alert_table_probe(spark, alert_dir),
+        stale_probe=probe,
     )
     assert report["completed"] is True
     assert report["stale_restarts"] == 1

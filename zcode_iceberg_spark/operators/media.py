@@ -109,6 +109,16 @@ def decode_media(
                 for doc_id, payload, mtype in zip(
                     pdf["doc_id"], pdf["payload"], pdf["media_type"]
                 ):
+                    if mtype != "image":
+                        # PIL can only decode images; audio/video rows
+                        # keep their identity/length metadata and null
+                        # decode fields (same 1→1 cardinality as the
+                        # fake path, which is modality-agnostic)
+                        rows.append(
+                            (int(doc_id), mtype, len(payload),
+                             None, None, None, None)
+                        )
+                        continue
                     im = Image.open(io.BytesIO(payload))
                     px = im.tobytes()
                     rows.append(

@@ -304,13 +304,19 @@ def write_avro(
     rows_per_block: int = 4096,
 ) -> int:
     """Write a frame as Avro container shards — one file per task,
-    encoded executor-side (``mapInPandas``; the driver only collects
+    encoded executor-side (``mapInArrow``; the driver only collects
     the manifest). ``n_shards`` repartitions round-robin first for
     even shard sizes; ``codec`` is ``deflate`` (raw-DEFLATE blocks,
     the spec's universally-readable codec) or ``null``. Returns the
     shard count. Executors write to ``path`` directly, so it must be
     storage every task can reach (true for any real deployment's
-    shared FS, and for local mode)."""
+    shared FS, and for local mode).
+
+    The encode side reads Arrow record batches directly (NOT pandas):
+    pandas coerces an int64 column containing a null to float64, which
+    silently rounds longs above 2^53 — Arrow's ``to_pylist`` keeps
+    exact ints + None, preserving the lossless contract
+    (round-trip-pinned for >2^53 ids in tests/test_avroio.py)."""
     import os
     import shutil
 
@@ -324,7 +330,8 @@ def write_avro(
     os.makedirs(path, exist_ok=True)
     header = _container_header(rec, codec)
 
-    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def emit(batches):
+        import pyarrow as pa
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
@@ -338,8 +345,12 @@ def write_avro(
         n_rows = 0
         with open(tmp_name, "wb") as f:
             f.write(header)
-            for pdf in batches:
-                cols = [pdf[c] for c in names]
+            for batch in batches:
+                by_name = {
+                    n: batch.column(i).to_pylist()
+                    for i, n in enumerate(batch.schema.names)
+                }
+                cols = [by_name[c] for c in names]
                 rows = [
                     tuple(
                         _pdf_cell(v, k[1]) for v, k in zip(raw_row, kinds)
@@ -351,10 +362,15 @@ def write_avro(
                     f.write(_encode_block(block, kinds, codec))
                     n_rows += len(block)
         os.replace(tmp_name, fname)
-        yield pd.DataFrame({"shard": [fname], "n_rows": [n_rows]})
+        yield pa.RecordBatch.from_pydict(
+            {"shard": [fname], "n_rows": [n_rows]},
+            schema=pa.schema(
+                [("shard", pa.string()), ("n_rows", pa.int64())]
+            ),
+        )
 
     out = df.repartition(n_shards) if n_shards else df
-    manifest = out.mapInPandas(emit, "shard string, n_rows long").collect()
+    manifest = out.mapInArrow(emit, "shard string, n_rows long").collect()
     return len(manifest)
 
 

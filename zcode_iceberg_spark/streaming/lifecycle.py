@@ -61,16 +61,25 @@ def alert_table_probe(spark, alert_dir: str) -> Callable[[], bool]:
     point its sink here, and the supervisor restarts the wedged
     pipeline when alerts start arriving. Counting is one cheap
     metadata+count job per poll over a table that is empty in the
-    healthy case."""
-    seen = [0]
+    healthy case. The row count at probe CREATION is the baseline:
+    alert rows a previous supervisor incarnation already acted on
+    must not fire a spurious restart on the first poll (restarts are
+    a bounded budget)."""
 
-    def probe() -> bool:
+    def _count() -> int | None:
         try:
             # the watchdog stream appends while we poll — drop any
             # cached listing so the count sees the newest files
             spark.catalog.refreshByPath(alert_dir)
-            n = spark.read.parquet(alert_dir).count()
+            return spark.read.parquet(alert_dir).count()
         except Exception:  # sink not created yet — healthy silence
+            return None
+
+    seen = [_count() or 0]
+
+    def probe() -> bool:
+        n = _count()
+        if n is None:
             return False
         fired = n > seen[0]
         seen[0] = n

@@ -43,8 +43,12 @@ N_SHARDS = 4
 
 
 def _scratch(sf_dir: str, fmt: str) -> str:
+    # keyed to (corpus, format, PROCESS): each run rewrites the dir,
+    # so concurrent same-corpus processes must not share one
+    import os
+
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return f"{tempfile.gettempdir()}/zspark_fmt_{fmt}_{tag}"
+    return f"{tempfile.gettempdir()}/zspark_fmt_{fmt}_{tag}_p{os.getpid()}"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -682,13 +682,16 @@ FROM new n LEFT JOIN keeper k ON n.doc_id = k.keep_id
 
 def _hash_state_dir(sf_dir: str) -> str:
     """Deterministic scratch location for the historical content-hash
-    table, keyed to the corpus directory (parallel sf runs don't
-    collide)."""
+    table, keyed to (corpus directory, process): the builder rmtrees
+    and rebuilds it per run, so two CONCURRENT processes over the same
+    corpus (a driver gate and a pytest run, say) must not share one
+    directory — one would delete files mid-scan of the other."""
     import hashlib as _hl
+    import os
     import tempfile
 
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
-    return f"{tempfile.gettempdir()}/zspark_hash_state_{tag}"
+    return f"{tempfile.gettempdir()}/zspark_hash_state_{tag}_p{os.getpid()}"
 
 
 def build_incremental_hash_table(
@@ -3595,11 +3598,14 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         train.select(F.explode(tx.shingles(F.col("w"), 3)).alias("g"))
         .groupBy("g").agg(F.count(F.lit(1)).alias("c3"))
     )
-    c2 = (
+    # c2 feeds two join sides (prefix + backoff bigram) and c1 feeds
+    # two joins plus the N/V collect — persist both so the train-half
+    # tokenize+explode+aggregate runs once per table, not per consumer
+    c2 = _reuse(
         train.select(F.explode(tx.shingles(F.col("w"), 2)).alias("g"))
         .groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
     )
-    c1 = (
+    c1 = _reuse(
         train.select(F.explode("w").alias("g"))
         .groupBy("g").agg(F.count(F.lit(1)).alias("c1"))
     )
