@@ -999,74 +999,20 @@ def q_dedup_cc_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     each operation is one symmetric groupBy-min + one equi-join over
     the current edge set — no per-node label table, and the edge set
     provably never grows, which is what makes the shape win when
-    edges, not job overhead, dominate a round. Converges to star
-    graphs rooted at component minima in O(log²) rounds; convergence
-    is detected by an order-free xxhash64 checksum of the canonical
-    edge set (one tiny driver scalar per round, same discipline as
-    the min-label loop's sum)."""
+    edges, not job overhead, dominate a round. Kernel:
+    operators/graph.py:two_star_components (property-tested against a
+    union-find reference on random graphs); isolated docs re-enter as
+    their own cluster via the corpus join."""
+    from zcode_iceberg_spark.operators.graph import two_star_components
+
     d = load_table(spark, sf_dir, "documents")
     pairs = q_lsh_candidates(spark, sf_dir).filter(
         F.col("est_jaccard") >= NEARDUP_EST_MIN
     )
-    E = (
-        pairs.select(
-            F.least("doc1", "doc2").alias("u"),
-            F.greatest("doc1", "doc2").alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
-    )
-
-    def edge_sig(e: DataFrame) -> tuple[int, int]:
-        r = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64(F.least("u", "v"), F.greatest("u", "v"))).alias(
-                "h"
-            ),
-        ).collect()[0]
-        return int(r["n"] or 0), int(r["h"] or 0)
-
-    prev = edge_sig(E)
-    for _ in range(CC_MAX_ITERS):
-        # large-star over the symmetric view
-        sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        m = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("mv"))
-            .select("u", F.least("mv", F.col("u")).alias("m"))
-        )
-        ls = (
-            sym.join(m, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
-        )
-        # small-star over (larger → smaller)-oriented edges
-        o = ls.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).filter(F.col("u") != F.col("v"))
-        m2 = o.groupBy("u").agg(F.min("v").alias("m"))
-        ss = (
-            o.join(m2, "u")
-            .filter(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(m2.select(F.col("u"), F.col("m").alias("v")))
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
-        cur = edge_sig(ss)
-        E = ss
-        if cur == prev:
-            break
-        prev = cur
-    # at fixpoint E holds (child, root) star edges; roots re-enter as
-    # their own cluster, isolated docs via the final corpus join
-    labels = E.select(F.col("u").alias("doc_id"), F.col("v").alias("label")).union(
-        E.select("v").distinct().select(
-            F.col("v").alias("doc_id"), F.col("v").alias("label")
-        )
-    )
+    labels = two_star_components(
+        pairs.select(F.col("doc1").alias("u"), F.col("doc2").alias("v")),
+        max_iters=CC_MAX_ITERS,
+    ).select(F.col("node").alias("doc_id"), "label")
     return (
         d.select("doc_id")
         .join(labels, "doc_id", "left")
