@@ -172,3 +172,54 @@ def test_csv_quarantine_routing_sink(spark, sf_dir, tmp):
     again_bad = spark.read.parquet(str(tmp / "rq_bad"))
     assert again_bad.count() == bad_count
     assert _doc_map(again_valid) == _doc_map(batch_valid)
+
+
+def test_csv_property_round_trip_adversarial_strings(spark, tmp):
+    """Hypothesis: any in-contract string content (no newlines; quotes,
+    delimiters, unicode, leading/trailing spaces all allowed) survives
+    write_csv -> read_csv exactly, and strict mode agrees."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.StringType()),
+        ]
+    )
+    # printable-ish minus newlines (out of contract) — includes the
+    # delimiter, double quotes, backslashes, and non-ASCII
+    txt = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), blacklist_characters="\r\n"
+        ),
+        max_size=25,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(rows=st.lists(st.tuples(txt, txt), min_size=1, max_size=8))
+    def check(rows):
+        import uuid
+
+        data = [(i, a, b) for i, (a, b) in enumerate(rows)]
+        d = tmp / f"prop_{uuid.uuid4().hex[:8]}"
+        df = spark.createDataFrame(data, schema).coalesce(1)
+        write_csv(df, str(d))
+        valid, corrupt = read_csv(spark, str(d), schema)
+        # Spark's CSV writer emits NULL for the empty string (they are
+        # indistinguishable in unquoted CSV) — normalize both sides
+        norm = lambda v: v if v else ""
+        got = sorted(
+            (r["id"], norm(r["a"]), norm(r["b"])) for r in valid.collect()
+        )
+        want = sorted((i, norm(a), norm(b)) for i, a, b in data)
+        assert corrupt.count() == 0
+        assert got == want
+        strict, _ = read_csv(spark, str(d), schema, strict=True)
+        got2 = sorted(
+            (r["id"], norm(r["a"]), norm(r["b"])) for r in strict.collect()
+        )
+        assert got2 == want
+
+    check()

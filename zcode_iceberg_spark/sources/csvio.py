@@ -140,10 +140,17 @@ def write_csv(
 ) -> None:
     """Write a frame as CSV shards (one file per task; ``n_shards``
     repartitions round-robin first for even shard sizes); quoting is
-    Spark's RFC-4180 default so embedded delimiters/quotes round-trip."""
+    Spark's RFC-4180 default so embedded delimiters/quotes round-trip.
+    Leading/trailing whitespace is PRESERVED (Spark's writer trims it
+    by default, which silently mutates ' '-padded fields — a
+    round-trip violation the property test pins)."""
     out = df.repartition(n_shards) if n_shards else df
     writer = (
-        out.write.mode("overwrite").option("header", header).option("sep", sep)
+        out.write.mode("overwrite")
+        .option("header", header)
+        .option("sep", sep)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
     )
     if compress:
         writer = writer.option("compression", "gzip")
