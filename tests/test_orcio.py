@@ -81,3 +81,38 @@ def test_orc_stream_matches_batch(spark, sf_dir, tmp):
     run_available_now(st, str(tmp / "st_out"), str(tmp / "st_ck"))
     got = spark.read.parquet(str(tmp / "st_out"))
     assert _doc_map(got) == _doc_map(docs)
+
+
+def test_orc_property_round_trip_any_text(spark, tmp):
+    """Hypothesis: ORC (binary columnar) round-trips ANY string
+    content — newlines, quotes, control chars, unicode — exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.StringType()),
+        ]
+    )
+    txt = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=25
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(rows=st.lists(st.tuples(txt, txt), min_size=1, max_size=8))
+    def check(rows):
+        import uuid
+
+        data = [(i, a, b) for i, (a, b) in enumerate(rows)]
+        d = tmp / f"prop_{uuid.uuid4().hex[:8]}"
+        df = spark.createDataFrame(data, schema).coalesce(1)
+        write_orc(df, str(d))
+        got = sorted(
+            (r["id"], r["a"], r["b"])
+            for r in read_orc(spark, str(d), schema).collect()
+        )
+        assert got == sorted(data)
+
+    check()
