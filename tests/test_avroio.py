@@ -116,6 +116,59 @@ def test_avro_large_longs_with_nulls_round_trip(spark, tmp):
     assert got == sorted(rows, key=str)
 
 
+def test_avro_nan_round_trips_as_nan(spark, tmp):
+    """A genuine NaN double must come back as NaN, never become null
+    (NaN-vs-null distinction is part of lossless)."""
+    import math
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("x", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, None), (3, 1.5)], schema
+    ).coalesce(1)
+    write_avro(df, str(tmp / "nan"), codec="null")
+    got = {r["id"]: r["x"] for r in read_avro(spark, str(tmp / "nan"), schema).collect()}
+    assert math.isnan(got[1])
+    assert got[2] is None
+    assert got[3] == 1.5
+
+
+def test_avro_timestamps_survive_non_utc_session(spark, tmp):
+    """Timestamps are ABSOLUTE instants: a round-trip under a non-UTC
+    session timezone must not shift them by the tz offset (the micros
+    are UTC; the decode column is tz-aware so Spark cannot
+    re-interpret naive wall-clock in session-local time)."""
+    import datetime as dt
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    want = dt.datetime(2024, 6, 1, 12, 0, 0)
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        df = spark.createDataFrame([(1, want)], schema).coalesce(1)
+        write_avro(df, str(tmp / "tz"), codec="null")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = read_avro(spark, str(tmp / "tz"), schema).collect()[0]["ts"]
+        # collect() renders the internal instant in the DRIVER's local
+        # tz (UTC on this host), so a correct round-trip is exactly
+        # the written value; the pre-fix naive decode re-interpreted
+        # 12:00 as NY wall clock and came back as 16:00 (+4h shift)
+        assert got == want
+        spark.conf.set("spark.sql.session.timeZone", prev)
+        again = read_avro(spark, str(tmp / "tz"), schema).collect()[0]["ts"]
+        assert again == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_avro_round_trip_lossless(spark, sf_dir, tmp):
     docs = load_table(spark, sf_dir, "documents").select(*COLS)
     n = write_avro(docs, str(tmp / "out"), n_shards=4)

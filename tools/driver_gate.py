@@ -33,13 +33,27 @@ def main() -> int:
     import __spark_entry__ as entry_mod
 
     args = sys.argv[1:]
-    # the sf_dir argument is whatever points at a real directory (so
-    # relative paths like "sf0.01" work); everything else is a query name
+    # classify each arg against the REGISTRY first (a known query name
+    # always wins, even if a same-named directory exists in cwd), then
+    # as an existing sf_dir; anything else is an error — a mistyped
+    # path or query must never silently run the gate against the
+    # default corpus
     import os
 
-    dirs = [a for a in args if os.path.isdir(a)]
-    sf_dir = dirs[0] if dirs else "/root/testdata/sf0.01"
-    names = [a for a in args if a not in dirs]
+    reg = registry()
+    sf_dir = "/root/testdata/sf0.01"
+    names: list[str] = []
+    for a in args:
+        if a in reg:
+            names.append(a)
+        elif os.path.isdir(a):
+            sf_dir = a
+        else:
+            print(
+                f"error: '{a}' is neither a registry query name nor an "
+                "existing directory"
+            )
+            return 2
 
     spark = (
         SparkSession.builder.master("local[4]")
@@ -47,7 +61,6 @@ def main() -> int:
         .getOrCreate()
     )
     entry_mod._configure(spark)
-    reg = registry()
     if not names:
         names = list(reg)[:WINDOW]
     con = duck_connection(sf_dir)

@@ -48,6 +48,7 @@ def two_star_components(edges: DataFrame, max_iters: int = 12) -> DataFrame:
         return int(r["n"] or 0), int(r["h"] or 0)
 
     prev = edge_sig(E)
+    converged = False
     for _ in range(max_iters):
         # large-star over the symmetric view
         sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -78,8 +79,18 @@ def two_star_components(edges: DataFrame, max_iters: int = 12) -> DataFrame:
         cur = edge_sig(ss)
         E = ss
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # a non-converged edge set is NOT stars: nodes could carry
+        # conflicting labels and silently corrupt downstream dedup —
+        # fail loudly instead (O(log² n) bounds mean max_iters=12
+        # covers any graph this engine will realistically see; raise
+        # it explicitly for adversarial diameters)
+        raise RuntimeError(
+            f"two_star_components did not converge in {max_iters} rounds"
+        )
     # at fixpoint E holds (child, root) star edges; roots re-enter as
     # their own label
     return E.select(F.col("u").alias("node"), F.col("v").alias("label")).union(

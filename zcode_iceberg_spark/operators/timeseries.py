@@ -495,6 +495,12 @@ def train_trend_probe(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = feats.count()
+    if n == 0:
+        feats.unpersist()
+        raise ValueError(
+            "train_trend_probe: no training rows — the input has no "
+            f"complete length-{seq_len} sequences"
+        )
     w = [0.0] * seq_len
     b = 0.0
     history: list[dict] = []

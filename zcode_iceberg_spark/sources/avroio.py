@@ -281,7 +281,10 @@ def _check_schema(rec: dict, declared: T.StructType, path: str) -> None:
 
 
 def _pdf_cell(v, kind: str):
-    if v is None or v != v:  # None or NaN
+    # Arrow's to_pylist keeps None and NaN distinct — only None maps
+    # to the Avro null branch; a genuine NaN double must round-trip
+    # as NaN (lossless contract), never silently become null
+    if v is None:
         return None
     if kind == "timestamp":
         return int(pd.Timestamp(v).value // 1000)  # ns → micros
@@ -374,22 +377,53 @@ def write_avro(
     return len(manifest)
 
 
-def _decode_udf(declared: T.StructType):
-    names = [f.name for f in declared.fields]
-    ts_cols = [
-        f.name for f in declared.fields
-        if isinstance(f.dataType, T.TimestampType)
-    ]
+def _arrow_type(dt: T.DataType):
+    """Declared Spark field type → the Arrow type the decode emits.
+    Timestamps are ``timestamp(us, UTC)``: the stored micros are
+    ABSOLUTE instants, and a tz-aware Arrow column cannot be
+    re-interpreted as session-local wall clock by a non-UTC session
+    (which would shift every value by the tz offset)."""
+    import pyarrow as pa
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                rec, rows = decode_container(bytes(content), str(fpath))
-                _check_schema(rec, declared, str(fpath))
-                out = pd.DataFrame(list(rows()), columns=names, dtype=object)
-                for c in ts_cols:
-                    out[c] = pd.to_datetime(out[c], unit="us")
-                yield out
+    if isinstance(dt, T.TimestampType):
+        return pa.timestamp("us", tz="UTC")
+    return {
+        T.LongType(): pa.int64(),
+        T.IntegerType(): pa.int32(),
+        T.DoubleType(): pa.float64(),
+        T.FloatType(): pa.float32(),
+        T.BooleanType(): pa.bool_(),
+        T.StringType(): pa.string(),
+        T.BinaryType(): pa.binary(),
+    }[dt]
+
+
+def _decode_file_batch(content: bytes, fpath: str, declared: T.StructType):
+    """One container file → one Arrow RecordBatch of the declared
+    schema. Arrow end to end (never pandas): ``pa.array`` with
+    ``from_pandas=False`` keeps None→null and NaN→NaN distinct — the
+    pandas hop would silently nullify genuine NaN doubles."""
+    import pyarrow as pa
+
+    rec, rows = decode_container(content, fpath)
+    _check_schema(rec, declared, fpath)
+    names = [f.name for f in declared.fields]
+    data = list(rows())
+    cols = list(zip(*data)) if data else [[] for _ in names]
+    arrays = [
+        pa.array(list(col), type=_arrow_type(f.dataType), from_pandas=False)
+        for col, f in zip(cols, declared.fields)
+    ]
+    return pa.RecordBatch.from_arrays(arrays, names)
+
+
+def _decode_udf(declared: T.StructType):
+    def decode(batches):
+        for batch in batches:
+            paths = batch.column(0).to_pylist()
+            contents = batch.column(1).to_pylist()
+            for fpath, content in zip(paths, contents):
+                yield _decode_file_batch(bytes(content), str(fpath), declared)
 
     return decode
 
@@ -400,9 +434,9 @@ def read_avro(
     """Read an Avro container directory/file with a declared schema.
     Every shard's embedded writer schema is checked against the
     declared one (drift fails loudly); decode runs one task per file
-    via the binaryFile scan + mapInPandas."""
+    via the binaryFile scan + mapInArrow."""
     files = spark.read.format("binaryFile").load(_glob(path))
-    return files.select("path", "content").mapInPandas(
+    return files.select("path", "content").mapInArrow(
         _decode_udf(schema), schema
     )
 
@@ -429,7 +463,6 @@ def read_avro_quarantine(
     every healthy shard's rows flow through untouched. Single decode
     pass: the marker travels as two extra nullable columns and both
     frames are prunable filters over it (no re-decode per frame)."""
-    names = [f.name for f in schema.fields]
     wide = T.StructType(
         [
             *schema.fields,
@@ -437,25 +470,45 @@ def read_avro_quarantine(
             T.StructField(_CORRUPT_ERROR, T.StringType()),
         ]
     )
-    base = _decode_udf(schema)
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for i in range(len(pdf)):
-                one = pdf.iloc[i : i + 1]
+    def decode(batches):
+        import pyarrow as pa
+
+        str_t = pa.string()
+        for batch in batches:
+            paths = batch.column(0).to_pylist()
+            contents = batch.column(1).to_pylist()
+            for fpath, content in zip(paths, contents):
                 try:
-                    for out in base(iter([one])):
-                        out[_CORRUPT_FILE] = None
-                        out[_CORRUPT_ERROR] = None
-                        yield out
+                    good = _decode_file_batch(
+                        bytes(content), str(fpath), schema
+                    )
+                    n = good.num_rows
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            *good.columns,
+                            pa.nulls(n, str_t),
+                            pa.nulls(n, str_t),
+                        ],
+                        [f.name for f in wide.fields],
+                    )
                 except Exception as e:  # quarantine, don't fail the scan
-                    row = {n: [None] for n in names}
-                    row[_CORRUPT_FILE] = [str(one["path"].iloc[0])]
-                    row[_CORRUPT_ERROR] = [" ".join(str(e).split())[:500]]
-                    yield pd.DataFrame(row)
+                    arrays = [
+                        pa.nulls(1, _arrow_type(f.dataType))
+                        for f in schema.fields
+                    ]
+                    arrays.append(pa.array([str(fpath)], str_t))
+                    arrays.append(
+                        pa.array(
+                            [" ".join(str(e).split())[:500]], str_t
+                        )
+                    )
+                    yield pa.RecordBatch.from_arrays(
+                        arrays, [f.name for f in wide.fields]
+                    )
 
     files = spark.read.format("binaryFile").load(_glob(path))
-    flat = files.select("path", "content").mapInPandas(decode, wide)
+    flat = files.select("path", "content").mapInArrow(decode, wide)
     valid = flat.filter(F.col(_CORRUPT_FILE).isNull()).drop(
         _CORRUPT_FILE, _CORRUPT_ERROR
     )
@@ -486,6 +539,6 @@ def stream_avro(
         .option("maxFilesPerTrigger", 1)
         .load(src_dir)
     )
-    return files.select("path", "content").mapInPandas(
+    return files.select("path", "content").mapInArrow(
         _decode_udf(schema), schema
     )

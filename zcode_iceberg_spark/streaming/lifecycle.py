@@ -67,13 +67,18 @@ def alert_table_probe(spark, alert_dir: str) -> Callable[[], bool]:
     a bounded budget)."""
 
     def _count() -> int | None:
+        from pyspark.errors import AnalysisException
+
         try:
             # the watchdog stream appends while we poll — drop any
             # cached listing so the count sees the newest files
             spark.catalog.refreshByPath(alert_dir)
             return spark.read.parquet(alert_dir).count()
-        except Exception:  # sink not created yet — healthy silence
+        except AnalysisException:  # sink not created yet — healthy
             return None
+        # anything else (corrupt footer, permissions, schema clash)
+        # propagates: a watchdog whose alert table became unreadable
+        # must fail loudly, not report eternal health
 
     seen = [_count() or 0]
 
@@ -125,7 +130,27 @@ def supervise(
     def used() -> int:
         return report["restarts"] + report["stale_restarts"]
 
-    q = start()
+    def try_start() -> StreamingQuery | None:
+        """start() under the same budget/backoff as a crashed query: a
+        factory that throws (locked checkpoint, transient FS error at
+        launch) records the failure and retries instead of escaping
+        with the accumulated report lost. None = budget spent."""
+        while True:
+            try:
+                return start()
+            except Exception as e:
+                report["failures"].append(" ".join(str(e).split())[:2000])
+                if used() >= max_restarts:
+                    note("start failed; restart budget exhausted")
+                    return None
+                delay = backoff_sec * (2 ** used())
+                note(f"start failed; retrying in {delay:.2f}s")
+                time.sleep(delay)
+                report["restarts"] += 1
+
+    q = try_start()
+    if q is None:
+        return report
     note("started")
     while True:
         try:
@@ -147,7 +172,9 @@ def supervise(
             note(f"crashed; restarting in {delay:.2f}s")
             time.sleep(delay)
             report["restarts"] += 1
-            q = start()
+            q = try_start()
+            if q is None:
+                return report
             continue
         if stale_probe is not None and stale_probe():
             if used() >= max_restarts:
@@ -165,4 +192,6 @@ def supervise(
             delay = backoff_sec * (2 ** used())
             time.sleep(delay)
             report["stale_restarts"] += 1
-            q = start()
+            q = try_start()
+            if q is None:
+                return report

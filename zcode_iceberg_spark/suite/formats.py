@@ -44,9 +44,13 @@ N_SHARDS = 4
 
 def _scratch(sf_dir: str, fmt: str) -> str:
     # keyed to (corpus, format, PROCESS): each run rewrites the dir,
-    # so concurrent same-corpus processes must not share one
+    # so concurrent same-corpus processes must not share one; orphans
+    # from dead processes are swept on the way
     import os
 
+    from zcode_iceberg_spark.suite.llm import sweep_dead_scratch
+
+    sweep_dead_scratch("zspark_fmt_")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     return f"{tempfile.gettempdir()}/zspark_fmt_{fmt}_{tag}_p{os.getpid()}"
 

@@ -680,16 +680,36 @@ FROM new n LEFT JOIN keeper k ON n.doc_id = k.keep_id
 """
 
 
+def sweep_dead_scratch(prefix: str) -> None:
+    """Remove PID-suffixed scratch dirs (``<prefix>*_p<pid>``) whose
+    owning process is gone — the PID keying isolates concurrent
+    processes, this keeps repeated runs from accumulating corpus
+    copies in the temp filesystem. Best-effort (races with a dying
+    owner are harmless: its dir was garbage either way)."""
+    import glob as _glob
+    import os
+    import re as _re
+    import shutil as _shutil
+    import tempfile
+
+    for d in _glob.glob(f"{tempfile.gettempdir()}/{prefix}*_p[0-9]*"):
+        m = _re.search(r"_p(\d+)$", d)
+        if m and not os.path.exists(f"/proc/{m.group(1)}"):
+            _shutil.rmtree(d, ignore_errors=True)
+
+
 def _hash_state_dir(sf_dir: str) -> str:
     """Deterministic scratch location for the historical content-hash
     table, keyed to (corpus directory, process): the builder rmtrees
     and rebuilds it per run, so two CONCURRENT processes over the same
     corpus (a driver gate and a pytest run, say) must not share one
-    directory — one would delete files mid-scan of the other."""
+    directory — one would delete files mid-scan of the other. Dirs
+    orphaned by dead processes are swept on the way."""
     import hashlib as _hl
     import os
     import tempfile
 
+    sweep_dead_scratch("zspark_hash_state_")
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
     return f"{tempfile.gettempdir()}/zspark_hash_state_{tag}_p{os.getpid()}"
 

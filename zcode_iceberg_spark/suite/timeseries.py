@@ -505,7 +505,13 @@ def _probe_sql() -> tuple[str, str]:
     return arr, repr(float(w["probe_b"]))
 
 
-_PROBE_W, _PROBE_B = _probe_sql()
+# a missing/corrupt fixture must break ONLY the weight queries, never
+# the import of the whole suite package (registry() imports this
+# module for every query)
+try:
+    _PROBE_W, _PROBE_B = _probe_sql()
+except Exception as _probe_err:  # noqa: BLE001
+    _PROBE_W, _PROBE_B = "[0.0]", f"error('weights fixture unreadable: {type(_probe_err).__name__}')"
 _PROBE_Z = (
     "(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
     "list_transform(generate_series(1, 10), "
