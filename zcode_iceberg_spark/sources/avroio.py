@@ -11,12 +11,17 @@ Container File** spec (public: magic ``Obj\\x01``, metadata map with
 blocks, zigzag-varint primitives) as a pure-Python codec run INSIDE
 Spark:
 
-- **read**: ``binaryFile`` scan → Arrow-batched ``mapInPandas``
-  decode, one task per container file — decode parallelism ==
-  file count, payloads never touch the driver;
-- **write**: ``mapInPandas`` over the outgoing partitions, one
+- **read**: ``binaryFile`` scan → ``mapInArrow`` decode, one task
+  per container file — decode parallelism == file count, payloads
+  never touch the driver;
+- **write**: ``mapInArrow`` over the outgoing partitions, one
   container file per task written to shared storage, manifest rows
   back to the driver.
+
+Arrow END TO END, never pandas: the pandas hop coerces
+int64-with-null columns to float64 (silently rounding longs past
+2^53) and nullifies genuine NaN doubles — both lossless-contract
+violations the tests pin.
 
 Defensive stance (shared with orcio): **explicit schema, never
 inference** — every file's embedded writer schema is checked against
