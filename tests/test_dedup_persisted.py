@@ -93,3 +93,23 @@ def test_batch_phase_never_rescans_raw_text(spark, sf_dir, tmp_path):
     # the md5 projection directly above the scan (no second occurrence
     # in any Exchange's output)
     assert p.count("md5") >= 1
+
+
+def test_scratch_writing_queries_are_rerun_idempotent(spark, sf_dir):
+    """Queries that materialize scratch state (/tmp hash tables,
+    format shards) must return identical results when re-run in the
+    SAME session — the rebuild-from-scratch contract, plus proof that
+    Spark's cached file listings don't poison the second run."""
+    from zcode_iceberg_spark.suite import registry
+
+    reg = registry()
+    for name in (
+        "dedup_incremental_persisted",
+        "csv_roundtrip",
+        "jsonl_roundtrip",
+        "orc_roundtrip",
+        "avro_roundtrip",
+    ):
+        a = sorted(map(str, reg[name].fn(spark, sf_dir).collect()))
+        b = sorted(map(str, reg[name].fn(spark, sf_dir).collect()))
+        assert a == b and a, name
