@@ -113,3 +113,45 @@ def test_scratch_writing_queries_are_rerun_idempotent(spark, sf_dir):
         a = sorted(map(str, reg[name].fn(spark, sf_dir).collect()))
         b = sorted(map(str, reg[name].fn(spark, sf_dir).collect()))
         assert a == b and a, name
+
+
+def test_neardup_batch_phase_never_reshingles_history(spark, sf_dir, tmp_path):
+    """The LSH twin of the single-scan claim: with the band/signature
+    state prebuilt, the batch phase's plan scans documents ONCE (the
+    incoming batch, predicate pushed) plus the two compacted state
+    tables — historical text is never re-shingled."""
+    from pyspark.sql import functions as F
+
+    from zcode_iceberg_spark.operators import text as tx
+    from zcode_iceberg_spark.sources.tables import load_table
+    from zcode_iceberg_spark.suite.llm import build_neardup_state
+
+    state = str(tmp_path / "lsh_state")
+    bands_dir, sigs_dir, cut = build_neardup_state(spark, sf_dir, state)
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") >= cut)
+    sig_new = tx.minhash_signatures(new, "doc_id", "text")
+    bands_new = sig_new.select(
+        F.col("doc_id").alias("nid"),
+        F.explode(tx.lsh_bands(F.col("sig"))).alias("b"),
+    ).select("nid", "b.band_id", "b.bucket_key")
+    hist_bands = spark.read.parquet(bands_dir)
+    cand = bands_new.join(
+        hist_bands.select(
+            F.col("doc_id").alias("hid"), "band_id", "bucket_key"
+        ),
+        ["band_id", "bucket_key"],
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cand.explain("formatted")
+    p = buf.getvalue()
+    # minhash_signatures reads its input twice by design (shingle path
+    # + sentinel id join) — the claim is that EVERY documents scan is
+    # the batch (pushed doc_id >= cut); a historical-text scan would
+    # appear as a documents scan WITHOUT the batch predicate
+    n_scans = p.count("documents.parquet")
+    assert n_scans >= 1
+    assert p.count("GreaterThanOrEqual(doc_id") == n_scans
+    assert "bands" in p  # the persisted band table feeds the join
+    assert "CartesianProduct" not in p

@@ -43,17 +43,14 @@ WINDOW = 50
 
 PRIORITY = [
     # tool-generated rotation (tools/rotate_priority.py over r1-r6
-    # history), round 7: the 10 never-driver-checked round-7 queries
+    # history), round 7: the 11 never-driver-checked round-7 queries
     # (trend_classifier_weights, trend_probe_training,
-    # dedup_incremental_persisted, dedup_cc_twostar, coreset_kcenter,
-    # lm_perplexity, and the four format round-trips
-    # csv/jsonl/orc/avro) plus the stalest greens — media_features
-    # (r3) and the r4 block. Displaced r4 greens (funnel_conversion,
-    # cohort_retention, event_transitions, robust_outliers,
-    # cusum_alarm, volume_hhi, session_paths, sessionize) hold green
-    # rows and stay oracle-checked at sf0.001 on every pytest run
-    # (tests/test_oracle_suite.py).
-    "ticks_normalize",
+    # dedup_incremental_persisted, neardup_incremental_persisted,
+    # dedup_cc_twostar, coreset_kcenter, lm_perplexity, and the four
+    # format round-trips csv/jsonl/orc/avro) plus the stalest greens —
+    # media_features (r3) and the r4 block. Displaced r4 greens hold
+    # green rows and stay oracle-checked at sf0.001 on every pytest
+    # run (tests/test_oracle_suite.py).
     "gap_fill_1h",
     "trend_classifier_weights",
     "realized_vol",
@@ -103,6 +100,7 @@ PRIORITY = [
     "dedup_cc_twostar",
     "coreset_kcenter",
     "lm_perplexity",
+    "neardup_incremental_persisted",
 ]
 
 

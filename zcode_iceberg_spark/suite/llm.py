@@ -823,6 +823,144 @@ def q_dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame
     return incremental_dedup_against(spark, sf_dir, hash_dir, cut)
 
 
+def build_neardup_state(
+    spark: SparkSession, sf_dir: str, state_dir: str
+) -> tuple[str, str, int]:
+    """Materialize the NEAR-dup ingest state: the historical corpus's
+    MinHash signature table and exploded (band_id, bucket_key) band
+    table, written once and compacted through the maintenance layer —
+    the LSH analog of :func:`build_incremental_hash_table`. A daily
+    batch then finds its near-dups against history via one equi-join
+    on the persisted band table: historical TEXT is never re-shingled.
+    Returns (bands_dir, sigs_dir, cut). Rebuilt per call so the suite
+    query stays deterministic."""
+    import shutil as _shutil
+    from pathlib import Path as _Path
+
+    from zcode_iceberg_spark.sources.sinks import compact_parquet
+
+    if _Path(state_dir).exists():
+        _shutil.rmtree(state_dir)
+    d = load_table(spark, sf_dir, "documents")
+    cut = d.agg(
+        F.floor(F.lit(INCR_SPLIT_FRAC) * (F.max("doc_id") + 1)).cast("bigint")
+    ).collect()[0][0]
+    hist = d.filter(F.col("doc_id") < cut)
+    sig = _reuse(tx.minhash_signatures(hist, "doc_id", "text"))
+    sig.write.parquet(f"{state_dir}/sigs_raw")
+    (
+        sig.select(
+            "doc_id", F.explode(tx.lsh_bands(F.col("sig"))).alias("b")
+        )
+        .select("doc_id", "b.band_id", "b.bucket_key")
+        .write.parquet(f"{state_dir}/bands_raw")
+    )
+    sig.unpersist()
+    compact_parquet(spark, f"{state_dir}/bands_raw", f"{state_dir}/bands")
+    compact_parquet(spark, f"{state_dir}/sigs_raw", f"{state_dir}/sigs")
+    return f"{state_dir}/bands", f"{state_dir}/sigs", int(cut)
+
+
+def q_neardup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest NEAR-dup screen against persisted LSH state: the
+    incoming batch (doc_id ≥ cut) is shingled/minhashed ONCE, its
+    bands equi-join the historical band table, and candidate pairs
+    re-attach signatures from the persisted signature table for the
+    estimated Jaccard — per new doc: how many historical near-dup
+    candidates, the best signature-estimated Jaccard, and the
+    keep/flag decision. The historical side contributes two compacted
+    parquet reads and zero text bytes (plan-asserted alongside the
+    exact-hash twin in tests/test_dedup_persisted.py)."""
+    state = _hash_state_dir(sf_dir) + "_lsh"
+    bands_dir, sigs_dir, cut = build_neardup_state(spark, sf_dir, state)
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") >= cut)
+    sig_new = _reuse(tx.minhash_signatures(new, "doc_id", "text"))
+    bands_new = sig_new.select(
+        F.col("doc_id").alias("nid"),
+        F.explode(tx.lsh_bands(F.col("sig"))).alias("b"),
+    ).select("nid", "b.band_id", "b.bucket_key")
+    hist_bands = spark.read.parquet(bands_dir).select(
+        F.col("doc_id").alias("hid"), "band_id", "bucket_key"
+    )
+    cand = (
+        bands_new.join(hist_bands, ["band_id", "bucket_key"])
+        .groupBy("nid", "hid")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    hist_sigs = spark.read.parquet(sigs_dir).select(
+        F.col("doc_id").alias("hid"), F.col("sig").alias("hsig")
+    )
+    est = F.aggregate(
+        F.zip_with(
+            F.col("sig"), F.col("hsig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(tx.N_PERM))
+    scored = (
+        cand.join(sig_new.select(F.col("doc_id").alias("nid"), "sig"), "nid")
+        .join(hist_sigs, "hid")
+        .select("nid", est.alias("est"))
+    )
+    per = scored.groupBy("nid").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.round(F.max("est"), 6).alias("best_est"),
+    )
+    return (
+        new.select("doc_id")
+        .join(per, new.doc_id == per.nid, "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.round(F.coalesce("best_est", F.lit(0.0)), 6).alias("best_est"),
+            (
+                F.coalesce("best_est", F.lit(0.0)) >= NEARDUP_EST_MIN
+            ).alias("is_neardup"),
+        )
+    )
+
+
+SQL_NEARDUP_INCREMENTAL = f"""
+WITH {CHSH_CTE},
+{HASHES_CTE},
+{SIG_CTE},
+{BANDS_CTE},
+cut AS (
+  SELECT CAST(floor({INCR_SPLIT_FRAC} * (max(doc_id) + 1)) AS BIGINT) AS c
+  FROM documents
+),
+cand AS (
+  SELECT a.doc_id AS nid, b.doc_id AS hid
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.bucket_key = b.bucket_key
+  CROSS JOIN cut
+  WHERE a.doc_id >= cut.c AND b.doc_id < cut.c
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT c.nid,
+         {_EST_JACCARD_SQL.replace('a.s', 'sa.s').replace('b.s', 'sb.s')} AS est
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.nid
+  JOIN sig sb ON sb.doc_id = c.hid
+),
+per AS (
+  SELECT nid, count(*) AS n_candidates, round(max(est), 6) AS best_est
+  FROM scored GROUP BY nid
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_candidates, 0) AS BIGINT) AS n_candidates,
+       round(coalesce(p.best_est, 0.0), 6) AS best_est,
+       coalesce(p.best_est, 0.0) >= {NEARDUP_EST_MIN} AS is_neardup
+FROM documents d
+CROSS JOIN cut
+LEFT JOIN per p ON p.nid = d.doc_id
+WHERE d.doc_id >= cut.c
+"""
+
+
 REP_TOK_MAX, REP_BIGRAM_MAX = 0.2, 0.18  # Gopher-style repetition caps
 
 
@@ -4523,6 +4661,9 @@ QUERIES = {
     "dedup_incremental": Query(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_incremental_persisted": Query(
         q_dedup_incremental_persisted, SQL_DEDUP_INCREMENTAL
+    ),
+    "neardup_incremental_persisted": Query(
+        q_neardup_incremental_persisted, SQL_NEARDUP_INCREMENTAL
     ),
     "domain_mix": Query(q_domain_mix, SQL_DOMAIN_MIX),
     "temperature_mix": Query(q_temperature_mix, SQL_TEMPERATURE_MIX),
