@@ -155,3 +155,54 @@ def test_neardup_batch_phase_never_reshingles_history(spark, sf_dir, tmp_path):
     assert p.count("GreaterThanOrEqual(doc_id") == n_scans
     assert "bands" in p  # the persisted band table feeds the join
     assert "CartesianProduct" not in p
+
+
+def test_neardup_hist_cap_preserves_flags_on_dup_flood(spark, sf_dir, tmp_path):
+    """The dup-flood guard: capping each bucket's historical side must
+    bound candidates without changing any is_neardup verdict on an
+    exact-copy flood (any retained family member scores 1.0)."""
+    from pyspark.sql import functions as F
+
+    from zcode_iceberg_spark.sources.tables import load_table
+    from zcode_iceberg_spark.suite.llm import (
+        build_neardup_state,
+        incremental_neardup_against,
+    )
+
+    base = load_table(spark, sf_dir, "documents").limit(10)
+    copies = spark.range(30).select(F.col("id").alias("cp"))
+    # copy k of every family lands at k*1000 + base_id: families are
+    # INTERLEAVED across the id range, so the 80/20 cut leaves every
+    # new-batch doc with historical near-dup partners
+    flood = (
+        base.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("cp") * 1000 + F.col("doc_id")).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    corpus = str(tmp_path / "flood")
+    flood.write.parquet(f"{corpus}/documents.parquet")
+
+    state = str(tmp_path / "state")
+    bands_dir, sigs_dir, cut = build_neardup_state(spark, corpus, state)
+    exact = incremental_neardup_against(
+        spark, corpus, bands_dir, sigs_dir, cut
+    )
+    capped = incremental_neardup_against(
+        spark, corpus, bands_dir, sigs_dir, cut, hist_cap=4
+    )
+    ex = {r["doc_id"]: r for r in exact.collect()}
+    cp = {r["doc_id"]: r for r in capped.collect()}
+    assert set(ex) == set(cp)
+    n_flagged = sum(1 for r in ex.values() if r["is_neardup"])
+    assert n_flagged > 0  # the flood really floods
+    for k in ex:
+        assert cp[k]["is_neardup"] == ex[k]["is_neardup"], k
+        assert cp[k]["n_candidates"] <= ex[k]["n_candidates"]
+    # exact copies: capped members still score 1.0
+    flagged = [k for k in ex if ex[k]["is_neardup"]]
+    assert all(cp[k]["best_est"] == 1.0 for k in flagged if ex[k]["best_est"] == 1.0)

@@ -873,6 +873,31 @@ def q_neardup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFra
     exact-hash twin in tests/test_dedup_persisted.py)."""
     state = _hash_state_dir(sf_dir) + "_lsh"
     bands_dir, sigs_dir, cut = build_neardup_state(spark, sf_dir, state)
+    return incremental_neardup_against(spark, sf_dir, bands_dir, sigs_dir, cut)
+
+
+def incremental_neardup_against(
+    spark: SparkSession,
+    sf_dir: str,
+    bands_dir: str,
+    sigs_dir: str,
+    cut: int,
+    hist_cap: int | None = None,
+) -> DataFrame:
+    """The batch phase of persisted near-dup ingest (see
+    :func:`q_neardup_incremental_persisted` for the full contract).
+
+    ``hist_cap`` is the dup-flood guard: when set, each (band, bucket)
+    keeps only the ``hist_cap`` SMALLEST-id historical members for
+    candidate generation (deterministic, one window over the band
+    table), bounding the band join at O(new × cap) instead of
+    O(new × family) — the text analog of similarity.py's
+    ``hot_block_slice``. For a doc with ≥1 true near-dup in a capped
+    bucket the flag still fires (dup-family members score alike;
+    exact-copy families identically), but ``best_est`` becomes
+    best-of-capped — which is why the DEFAULT is None/exact and the
+    cap is the documented scale switch (measured on the 100×
+    dup-flood corpus: SCALE.md)."""
     d = load_table(spark, sf_dir, "documents")
     new = d.filter(F.col("doc_id") >= cut)
     sig_new = _reuse(tx.minhash_signatures(new, "doc_id", "text"))
@@ -883,6 +908,13 @@ def q_neardup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFra
     hist_bands = spark.read.parquet(bands_dir).select(
         F.col("doc_id").alias("hid"), "band_id", "bucket_key"
     )
+    if hist_cap is not None:
+        w = Window.partitionBy("band_id", "bucket_key").orderBy("hid")
+        hist_bands = (
+            hist_bands.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= hist_cap)
+            .drop("__rk")
+        )
     cand = (
         bands_new.join(hist_bands, ["band_id", "bucket_key"])
         .groupBy("nid", "hid")
