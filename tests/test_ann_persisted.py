@@ -1,0 +1,101 @@
+"""Persisted incremental ANN: the embed-once/index-incrementally story.
+
+Pins the claims of suite/llm.py:q_ann_ivf_incremental_persisted — the
+vector-index member of the persisted-ingest-state family (exact hash
+table, LSH band table, IVF index): (1) the index is built/merged/
+compacted through the maintenance layer and a replayed ingest day is a
+no-op; (2) the batch phase's plan reads the compacted assignment table
+and scans raw embeddings ONCE, with the batch predicate pushed to that
+scan — historical vectors are never re-read or re-scored against
+centroids; (3) the end result matches the self-contained DuckDB oracle
+(test_oracle_suite covers the registry entry on every run).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from zcode_iceberg_spark.suite.llm import (
+    NLIST,
+    build_ivf_state,
+    incremental_ann_against,
+)
+
+
+def test_state_build_is_merge_idempotent(spark, sf_dir, tmp_path):
+    state = str(tmp_path / "ivf_state")
+    cents_dir, assign_dir, cut = build_ivf_state(spark, sf_dir, state)
+
+    cents = spark.read.parquet(cents_dir)
+    assert cents.count() == NLIST
+    assert set(cents.columns) == {"cell", "ce", "cnrm"}
+
+    # every historical vector is assigned to exactly one cell
+    from zcode_iceberg_spark.sources.tables import load_table
+
+    n_hist = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < cut)
+        .count()
+    )
+    table = spark.read.parquet(assign_dir)
+    assert table.count() == n_hist
+    assert table.select("vec_id").distinct().count() == n_hist
+
+    # replaying day-1 (same assignments, same keys) is a no-op merge
+    from zcode_iceberg_spark.sources.sinks import merge_upsert
+    from zcode_iceberg_spark.suite.llm import _ivf_assign
+
+    from zcode_iceberg_spark.operators import similarity as sim_ops
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", sim_ops.norm(F.col("embedding")).alias("nrm")
+    )
+    day_cut = cut // 2
+    day1 = (
+        _ivf_assign(
+            e.filter((F.col("vec_id") >= day_cut) & (F.col("vec_id") < cut)),
+            cents,
+        )
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "embedding", "nrm", "cell")
+    )
+    raw_dir = f"{state}/assign_raw"
+    before = sorted(
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(raw_dir).collect()
+    )
+    merge_upsert(spark, raw_dir, day1, "vec_id")
+    spark.catalog.refreshByPath(raw_dir)
+    after = sorted(
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(raw_dir).collect()
+    )
+    assert after == before
+
+
+def test_batch_phase_never_rereads_history(spark, sf_dir, tmp_path):
+    state = str(tmp_path / "ivf_state_plan")
+    cents_dir, assign_dir, cut = build_ivf_state(spark, sf_dir, state)
+    df = incremental_ann_against(spark, sf_dir, cents_dir, assign_dir, cut)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    # raw embeddings are scanned only for the incoming batch: the
+    # assignment side and the tiny broadcast query side each read it
+    # (two scans — the query side is a %-sample headed into a
+    # broadcast, so the duplicate is batch-sized, never history), and
+    # EVERY scan carries the pushed batch predicate; a historical
+    # read would appear as an embeddings scan WITHOUT it. History
+    # arrives from the compacted assignment table riding its cell rows
+    n_scans = p.count("embeddings.parquet")
+    assert n_scans >= 1
+    assert p.count("GreaterThanOrEqual(vec_id") == n_scans
+    assert "assign_compact" in p
+    # centroid scoring and cell probing are broadcasts, never a
+    # shuffle of the big side by anything but its cell
+    assert "CartesianProduct" not in p

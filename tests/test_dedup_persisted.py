@@ -105,6 +105,7 @@ def test_scratch_writing_queries_are_rerun_idempotent(spark, sf_dir):
     reg = registry()
     for name in (
         "dedup_incremental_persisted",
+        "ann_ivf_incremental_persisted",
         "csv_roundtrip",
         "jsonl_roundtrip",
         "orc_roundtrip",

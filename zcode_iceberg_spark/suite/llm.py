@@ -2581,6 +2581,229 @@ SELECT qid, nid, cell, cos_sim, rank FROM (
 """
 
 
+ANN_INCR_QMOD = 10  # denser probe set: the batch is 20% of the table
+
+
+def _ivf_state_dir(sf_dir: str) -> str:
+    """Scratch location for the persisted IVF index, keyed like
+    :func:`_hash_state_dir` (corpus dir + pid so concurrent processes
+    never share a rebuild target; dead-process dirs swept)."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    sweep_dead_scratch("zspark_ivf_state_")
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"{tempfile.gettempdir()}/zspark_ivf_state_{tag}_p{os.getpid()}"
+
+
+def build_ivf_state(
+    spark: SparkSession, sf_dir: str, state_dir: str
+) -> tuple[str, str, int]:
+    """Materialize the persisted IVF index the incremental-ANN story
+    reads: the coarse-centroid table plus the historical cell
+    assignments, written and maintained through the maintenance layer
+    — the vector-index member of the persisted-ingest-state family
+    (:func:`build_incremental_hash_table` = exact hashes,
+    :func:`build_neardup_state` = LSH bands). Embed once, index
+    incrementally:
+
+    1. centroid fit on the HISTORICAL side: the NLIST deterministic
+       coarse centroids (same stand-in as ``q_ann_ivf``; ``q_kmeans``
+       is the offline trainer). NLIST ≪ cut, so this equals the
+       full-table head the self-contained oracle uses. At 100 TB the
+       centroid table is the tiny "model" every ingest day broadcasts;
+    2. day-0 ingest: assign the older historical half to cells, write
+       the initial assignment table (vector travels WITH its cell row
+       so probes never re-read raw history);
+    3. day-1 ingest: assign the newer half and ``merge_upsert`` by
+       vec_id — replaying day-1 re-merges identical rows and the
+       table is unchanged (idempotent re-ingest);
+    4. compaction: ``compact_parquet`` rewrites the accumulated daily
+       files to target size.
+
+    Returns (cents_dir, assign_dir, cut). Rebuilt from scratch per
+    call so the suite query stays deterministic."""
+    import shutil as _shutil
+    from pathlib import Path as _Path
+
+    from zcode_iceberg_spark.sources.sinks import compact_parquet, merge_upsert
+
+    if _Path(state_dir).exists():
+        _shutil.rmtree(state_dir)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", sim_ops.norm(F.col("embedding")).alias("nrm")
+    )
+    cut = int(
+        e.agg(
+            F.floor(F.lit(INCR_SPLIT_FRAC) * (F.max("vec_id") + 1)).cast("bigint")
+        ).collect()[0][0]
+    )
+    w16 = Window.orderBy("vec_id")
+    cents_dir = f"{state_dir}/cents"
+    (
+        e.filter(F.col("vec_id") < cut)
+        .orderBy("vec_id")
+        .limit(NLIST)
+        .select(
+            (F.row_number().over(w16) - 1).alias("cell"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+        )
+        .write.parquet(cents_dir)
+    )
+    cents = spark.read.parquet(cents_dir)
+
+    def assigned(vecs: DataFrame) -> DataFrame:
+        return _ivf_assign(vecs, cents).filter(F.col("crank") == 1).select(
+            "vec_id", "embedding", "nrm", "cell"
+        )
+
+    day_cut = cut // 2
+    raw_dir = f"{state_dir}/assign_raw"
+    assigned(e.filter(F.col("vec_id") < day_cut)).write.parquet(raw_dir)
+    day1 = assigned(
+        e.filter((F.col("vec_id") >= day_cut) & (F.col("vec_id") < cut))
+    )
+    merge_upsert(spark, raw_dir, day1, "vec_id")
+    assign_dir = f"{state_dir}/assign_compact"
+    compact_parquet(spark, raw_dir, assign_dir)
+    return cents_dir, assign_dir, cut
+
+
+def _ivf_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Rank the NLIST cells per vector by round-6 cosine: one
+    broadcast of the centroid table, one map-side score, one
+    per-vector window — the assignment kernel both the state build
+    and the batch phase run."""
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        "cell",
+        F.round(
+            sim_ops.cosine_with_norms(
+                F.col("embedding"), F.col("ce"), F.col("nrm"), F.col("cnrm")
+            ),
+            6,
+        ).alias("ccos"),
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cell")
+    return scored.withColumn("crank", F.row_number().over(wc))
+
+
+def incremental_ann_against(
+    spark: SparkSession,
+    sf_dir: str,
+    cents_dir: str,
+    assign_dir: str,
+    cut: int,
+) -> DataFrame:
+    """The batch phase of persisted incremental ANN: raw-embedding
+    work touches ONLY the incoming batch (vec_id >= cut — pushed to
+    the embeddings scan); the batch is assigned to cells with one
+    broadcast of the persisted centroids, and its query vectors
+    (vec_id % {ANN_INCR_QMOD} == 0) probe NPROBE cells against the
+    UNION of the persisted historical assignments and the batch
+    itself. Historical vectors arrive from the compacted assignment
+    table — the raw embeddings table contributes exactly one filtered
+    scan, plan-asserted in tests/test_ann_persisted.py."""
+    cents = spark.read.parquet(cents_dir)
+    new = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") >= cut)
+        .select(
+            "vec_id", "embedding", sim_ops.norm(F.col("embedding")).alias("nrm")
+        )
+    )
+    ranked = _ivf_assign(new, cents)
+    new_assign = ranked.filter(F.col("crank") == 1).select(
+        "vec_id", "embedding", "nrm", "cell"
+    )
+    q_cells = ranked.filter(
+        (F.col("vec_id") % ANN_INCR_QMOD == 0) & (F.col("crank") <= NPROBE)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        "cell",
+    )
+    pool = spark.read.parquet(assign_dir).unionByName(new_assign)
+    pairs = pool.join(F.broadcast(q_cells), "cell").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    scored = pairs.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.col("cell").cast("int").alias("cell"),
+        F.round(
+            sim_ops.cosine_with_norms(
+                F.col("qe"), F.col("embedding"), F.col("qnrm"), F.col("nrm")
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOPK
+    )
+
+
+def q_ann_ivf_incremental_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``ann_ivf`` re-cut as daily ingest against a PERSISTED index:
+    centroids + historical cell assignments are built, merged, and
+    compacted through the maintenance layer once, then the incoming
+    batch (the top {1-INCR_SPLIT_FRAC:.0%} of vec_ids) is assigned
+    and probed without ever re-reading historical raw embeddings —
+    the vector-search member of the persisted-ingest-state family
+    (exact hash table → LSH band table → IVF index). Queries are the
+    batch's vec_id % {ANN_INCR_QMOD} == 0 vectors; neighbors may come
+    from history or the batch itself."""
+    state = _ivf_state_dir(sf_dir)
+    cents_dir, assign_dir, cut = build_ivf_state(spark, sf_dir, state)
+    return incremental_ann_against(spark, sf_dir, cents_dir, assign_dir, cut)
+
+
+SQL_ANN_IVF_INCR = f"""
+WITH cut AS (
+  SELECT CAST(floor({INCR_SPLIT_FRAC} * (max(vec_id) + 1)) AS BIGINT) AS c
+  FROM embeddings
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS ce
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {NLIST})
+),
+scored_cells AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         round({_cos_sql('e.embedding', 'c.ce')}, 6) AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY ccos DESC, cell) AS crank
+  FROM scored_cells
+),
+v_cells AS (SELECT vec_id, embedding, cell FROM ranked WHERE crank = 1),
+q_cells AS (SELECT vec_id AS qid, embedding AS qe, cell
+            FROM ranked, cut
+            WHERE vec_id % {ANN_INCR_QMOD} = 0 AND vec_id >= cut.c
+              AND crank <= {NPROBE}),
+scored AS (
+  SELECT q.qid, v.vec_id AS nid, CAST(v.cell AS INTEGER) AS cell,
+         round({_cos_sql('q.qe', 'v.embedding')}, 6) AS cos_sim
+  FROM v_cells v JOIN q_cells q USING (cell)
+  WHERE v.vec_id <> q.qid
+)
+SELECT qid, nid, cell, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cos_sim DESC, nid) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
 # ---------------------------------------------------- domain mixture sampling
 
 MIX_BUDGET_FRAC = 0.5  # keep ~50% of corpus tokens, spread evenly per source
@@ -4725,5 +4948,8 @@ QUERIES = {
     "coreset_kcenter": Query(q_coreset_kcenter, SQL_CORESET_KCENTER),
     "ann_lsh": Query(q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf": Query(q_ann_ivf, SQL_ANN_IVF),
+    "ann_ivf_incremental_persisted": Query(
+        q_ann_ivf_incremental_persisted, SQL_ANN_IVF_INCR
+    ),
     "embedding_neardup": Query(q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
 }
