@@ -2477,10 +2477,12 @@ NLIST = 16  # IVF cells
 NPROBE = 2  # cells probed per query
 
 
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_ivf(
+    spark: SparkSession, sf_dir: str, nprobe: int = NPROBE
+) -> DataFrame:
     """IVF ANN (the second scale path besides LSH): assign every
     vector to its nearest of NLIST coarse centroids, probe the
-    NPROBE nearest cells per query, brute-force only inside them.
+    ``nprobe`` nearest cells per query, brute-force only inside them.
 
     Centroids here are the NLIST lowest-vec_id embeddings — a
     deterministic stand-in for a k-means fit (``q_kmeans`` IS that
@@ -2522,7 +2524,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", "nrm", "cell"
     )
     q_cells = ranked.filter(
-        (F.col("vec_id") % 100 == 0) & (F.col("crank") <= NPROBE)
+        (F.col("vec_id") % 100 == 0) & (F.col("crank") <= nprobe)
     ).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
@@ -2549,8 +2551,11 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_ANN_IVF = f"""
-WITH cents AS (
+def _ann_ivf_ctes(nprobe: int) -> str:
+    """The IVF probe pipeline as a CTE chain ending in ``ivf_hits``
+    (qid, nid, cell, cos_sim ranked ≤ TOPK) — shared by the ANN query
+    oracle and the recall-panel oracles."""
+    return f"""cents AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS ce
   FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {NLIST})
 ),
@@ -2566,19 +2571,99 @@ ranked AS (
 ),
 v_cells AS (SELECT vec_id, embedding, cell FROM ranked WHERE crank = 1),
 q_cells AS (SELECT vec_id AS qid, embedding AS qe, cell FROM ranked
-            WHERE vec_id % 100 = 0 AND crank <= {NPROBE}),
-scored AS (
+            WHERE vec_id % 100 = 0 AND crank <= {nprobe}),
+ivf_scored AS (
   SELECT q.qid, v.vec_id AS nid, CAST(v.cell AS INTEGER) AS cell,
          round({_cos_sql('q.qe', 'v.embedding')}, 6) AS cos_sim
   FROM v_cells v JOIN q_cells q USING (cell)
   WHERE v.vec_id <> q.qid
-)
-SELECT qid, nid, cell, cos_sim, rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY qid
-                               ORDER BY cos_sim DESC, nid) AS rank
-  FROM scored
-) WHERE rank <= {TOPK}
+),
+ivf_hits AS (
+  SELECT qid, nid, cell, cos_sim, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY cos_sim DESC, nid) AS rank
+    FROM ivf_scored
+  ) WHERE rank <= {TOPK}
+)"""
+
+
+SQL_ANN_IVF = f"""
+WITH {_ann_ivf_ctes(NPROBE)}
+SELECT qid, nid, cell, cos_sim, rank FROM ivf_hits
 """
+
+
+def q_ann_ivf_recall(
+    spark: SparkSession, sf_dir: str, nprobe: int = NPROBE
+) -> DataFrame:
+    """Recall@{TOPK} of the IVF probe against the exact brute-force
+    baseline (``embedding_topk``), per query vector — the vector-space
+    twin of the ``lsh_recall`` tuning panel: comparing this row set
+    across ``nprobe`` settings IS the probe-width decision (recall
+    rises as more cells are searched; latency rises with the probed
+    candidate mass). Same fixed query panel as both inputs.
+
+    Scale shape: both sides keep the query panel broadcast and the
+    verdict join is on (qid, nid) over ≤ TOPK rows per query — the
+    panel audit costs nothing beyond its two inputs."""
+    exact = q_embedding_topk(spark, sf_dir).select("qid", "nid")
+    approx = (
+        q_ann_ivf(spark, sf_dir, nprobe=nprobe)
+        .select("qid", "nid")
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        exact.join(approx, ["qid", "nid"], "left")
+        .groupBy("qid")
+        .agg(F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_hits"))
+        .select(
+            "qid",
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(TOPK), 6).alias("recall"),
+        )
+    )
+
+
+ANN_RECALL_PROBE_WIDE = 4  # the candidate next notch for the nprobe dial
+
+
+def q_ann_ivf_recall_probe4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same recall panel with nprobe={ANN_RECALL_PROBE_WIDE}:
+    doubling the probed cells from {NPROBE} bounds how much recall the
+    narrow setting leaves on the table — this row set vs
+    ``ann_ivf_recall``'s is the tuning decision."""
+    return q_ann_ivf_recall(spark, sf_dir, nprobe=ANN_RECALL_PROBE_WIDE)
+
+
+def _ann_recall_sql(nprobe: int) -> str:
+    return f"""
+WITH {_ann_ivf_ctes(nprobe)},
+q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0
+),
+exact_scored AS (
+  SELECT q.qid, e.vec_id AS nid,
+         round({_cos_sql('q.qe', 'e.embedding')}, 6) AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE q.qid <> e.vec_id
+),
+exact AS (
+  SELECT qid, nid FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY cos_sim DESC, nid) AS rank
+    FROM exact_scored
+  ) WHERE rank <= {TOPK}
+)
+SELECT e.qid,
+       count(i.nid) AS n_hits,
+       round(count(i.nid) / CAST({TOPK} AS DOUBLE), 6) AS recall
+FROM exact e LEFT JOIN ivf_hits i ON e.qid = i.qid AND e.nid = i.nid
+GROUP BY e.qid
+"""
+
+
+SQL_ANN_IVF_RECALL = _ann_recall_sql(NPROBE)
+SQL_ANN_IVF_RECALL_PROBE4 = _ann_recall_sql(ANN_RECALL_PROBE_WIDE)
 
 
 ANN_INCR_QMOD = 10  # denser probe set: the batch is 20% of the table
@@ -4948,6 +5033,10 @@ QUERIES = {
     "coreset_kcenter": Query(q_coreset_kcenter, SQL_CORESET_KCENTER),
     "ann_lsh": Query(q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf": Query(q_ann_ivf, SQL_ANN_IVF),
+    "ann_ivf_recall": Query(q_ann_ivf_recall, SQL_ANN_IVF_RECALL),
+    "ann_ivf_recall_probe4": Query(
+        q_ann_ivf_recall_probe4, SQL_ANN_IVF_RECALL_PROBE4
+    ),
     "ann_ivf_incremental_persisted": Query(
         q_ann_ivf_incremental_persisted, SQL_ANN_IVF_INCR
     ),
