@@ -1,0 +1,95 @@
+"""Scale-safety properties of the bounded IVF probe
+(suite/llm.py:q_ann_ivf_bounded): hot cells are sub-sliced by the SAME
+hot_block_slice rule that bounds embedding_neardup / semantic_dedup,
+BOTH join sides agree on which cells are hot (the candidate side's
+counts drive both), and bounding can only remove candidates — so
+per-query recall against the exact baseline is monotone: bounded ≤
+plain. The fixture already exercises the hot path (several of the 16
+cells exceed ANN_MAX_CELL=32 rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from zcode_iceberg_spark.operators import similarity as sim_ops
+from zcode_iceberg_spark.sources.tables import load_table
+from zcode_iceberg_spark.suite.llm import (
+    ANN_MAX_CELL,
+    ANN_SLICE_BITS,
+    EMB_DIM,
+    NLIST,
+    _ivf_assign,
+    q_ann_ivf_bounded_recall,
+    q_ann_ivf_recall,
+)
+
+
+def _blocked_cells(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", sim_ops.norm(F.col("embedding")).alias("nrm")
+    )
+    w16 = Window.orderBy("vec_id")
+    cents = (
+        e.orderBy("vec_id")
+        .limit(NLIST)
+        .select(
+            (F.row_number().over(w16) - 1).alias("cell"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    v_cells = (
+        _ivf_assign(e, cents)
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    counts = v_cells.groupBy("cell").agg(F.count(F.lit(1)).alias("__block_n"))
+    blocked = sim_ops.hot_block_slice(
+        v_cells, "cell", "embedding", EMB_DIM,
+        ANN_MAX_CELL, ANN_SLICE_BITS, count_col="cell_n", counts=counts,
+    )
+    return blocked.groupBy("cell", "sub").agg(
+        F.count(F.lit(1)).alias("block_n"), F.max("cell_n").alias("cell_n")
+    )
+
+
+def test_hot_cells_are_subsliced(spark, sf_dir):
+    sizes = _blocked_cells(spark, sf_dir).collect()
+    hot = [r for r in sizes if r["cell_n"] > ANN_MAX_CELL]
+    cold = [r for r in sizes if r["cell_n"] <= ANN_MAX_CELL]
+    assert hot, "fixture regression: no hot cell left to exercise the split"
+    assert all(r["sub"] > 0 for r in hot)
+    assert all(r["sub"] == 0 for r in cold)
+    for r in hot:
+        assert r["block_n"] < r["cell_n"]
+
+
+def test_probe_pair_mass_strictly_reduced(spark, sf_dir):
+    """Σ over (cell, sub) blocks of block_n is the per-query candidate
+    mass inside a probed cell; sub-slicing must strictly reduce the
+    worst cell's contribution vs the unsplit cell."""
+    sizes = _blocked_cells(spark, sf_dir).collect()
+    worst_block = max(r["block_n"] for r in sizes if r["sub"] > 0)
+    worst_cell = max(r["cell_n"] for r in sizes)
+    assert worst_block < worst_cell
+
+
+def test_bounded_recall_is_monotone_below_plain(spark, sf_dir):
+    """Bounding only REMOVES candidates (the bounded candidate set is
+    a subset of the plain probe's), so an exact-baseline hit found by
+    the bounded probe is always found by the plain probe: per-query
+    n_hits(bounded) <= n_hits(plain)."""
+    plain = {
+        r["qid"]: r["n_hits"]
+        for r in q_ann_ivf_recall(spark, sf_dir).collect()
+    }
+    bounded = {
+        r["qid"]: r["n_hits"]
+        for r in q_ann_ivf_bounded_recall(spark, sf_dir).collect()
+    }
+    assert set(plain) == set(bounded)
+    assert plain, "empty query panel"
+    for qid in plain:
+        assert bounded[qid] <= plain[qid], qid

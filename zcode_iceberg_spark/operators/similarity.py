@@ -102,6 +102,31 @@ def lsh_bucket(emb: Column, dim: int, n_planes: int = N_PLANES) -> Column:
     return out
 
 
+def ivf_cell_ranks(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Rank IVF cells per vector by round-6 cosine: one broadcast of
+    the tiny centroid table (cell, ce, cnrm), one map-side score per
+    (vector, cell), one per-vector window — the assignment kernel
+    shared by the batch IVF queries (suite/llm.py), the persisted
+    index build, and the streaming ingest sink. ``vecs`` must carry
+    (vec_id, embedding, nrm); output adds (cell, ccos, crank)."""
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        "cell",
+        F.round(
+            cosine_with_norms(
+                F.col("embedding"), F.col("ce"), F.col("nrm"), F.col("cnrm")
+            ),
+            6,
+        ).alias("ccos"),
+    )
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cell")
+    return scored.withColumn("crank", F.row_number().over(wc))
+
+
 def hot_block_slice(
     df: DataFrame,
     key_col: str,
@@ -110,6 +135,7 @@ def hot_block_slice(
     max_block: int,
     slice_bits: int,
     count_col: str | None = None,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Append the bounded-block ``sub`` key: rows whose ``key_col``
     group exceeds ``max_block`` get a ``slice_bits``-wide LSH sub-slice
@@ -118,9 +144,14 @@ def hot_block_slice(
     on (key, sub). Group sizes come from a partial-agg groupBy
     BROADCAST back (never a count-over-window partitioned by the
     skewed key). THE single spelling of the blocking rule shared by
-    embedding near-dup, semantic dedup, and their bounding tests;
-    pass ``count_col`` to keep the group size in the output."""
-    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__block_n"))
+    embedding near-dup, semantic dedup, bounded IVF probing, and
+    their bounding tests; pass ``count_col`` to keep the group size in
+    the output. Pass ``counts`` (a (key_col, __block_n) frame) when
+    hotness is defined by a DIFFERENT population than ``df`` — e.g.
+    ANN query vectors sliced by the CANDIDATE side's cell sizes, so
+    both join sides agree on which blocks are hot."""
+    if counts is None:
+        counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__block_n"))
     out = df.join(F.broadcast(counts), key_col).withColumn(
         "sub",
         F.when(

@@ -456,6 +456,71 @@ def passage_dedup_step(
     novel.write.mode("overwrite").parquet(f"{ledger_dir}/epoch={epoch_id}")
 
 
+EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def ann_index_stream(
+    spark: SparkSession,
+    src_dir: str,
+    cents_dir: str,
+    index_dir: str,
+    checkpoint: str,
+):
+    """Streaming twin of the persisted-IVF ingest
+    (suite/llm.py:build_ivf_state): each arriving micro-batch of
+    embeddings is assigned to its nearest persisted coarse centroid —
+    one broadcast of the tiny centroid table through the SAME kernel
+    the batch build runs (operators/similarity.py:ivf_cell_ranks) —
+    and lands in the index as an epoch-keyed overwrite partition, so
+    at-least-once foreachBatch is effectively exactly-once under the
+    checkpoint (the route_quarantine/passage_dedup sink rule).
+    Batch warmup and live stream share one code path, the A4
+    warmup/stream duality (reference: data_manager.py:191-196)
+    applied to vector ingest. Returns the started StreamingQuery."""
+    raw = (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        ann_index_step(batch_df, epoch_id, cents_dir, index_dir)
+
+    return (
+        raw.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ann_index_step(
+    batch_df: DataFrame, epoch_id: int, cents_dir: str, index_dir: str
+) -> None:
+    """One ``ann_index_stream`` epoch (module-level so tests can
+    replay an epoch directly and pin the overwrite-idempotence
+    claim): assign the batch, write its index rows to the epoch's own
+    partition."""
+    from zcode_iceberg_spark.operators.similarity import ivf_cell_ranks, norm
+
+    cents = batch_df.sparkSession.read.parquet(cents_dir)
+    vecs = batch_df.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    assigned = (
+        ivf_cell_ranks(vecs, cents)
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "embedding", "nrm", "cell")
+    )
+    assigned.write.mode("overwrite").parquet(f"{index_dir}/epoch={epoch_id}")
+
+
 def dedup_stream_bounded(spark: SparkSession, src_dir: str) -> DataFrame:
     """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
     keeps the first-seen row per event_id and EVICTS each key's state

@@ -2506,20 +2506,7 @@ def q_ann_ivf(
             F.col("nrm").alias("cnrm"),
         )
     )
-    scored_cells = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "nrm",
-        "cell",
-        F.round(
-            sim_ops.cosine_with_norms(
-                F.col("embedding"), F.col("ce"), F.col("nrm"), F.col("cnrm")
-            ),
-            6,
-        ).alias("ccos"),
-    )
-    wc = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cell")
-    ranked = scored_cells.withColumn("crank", F.row_number().over(wc))
+    ranked = sim_ops.ivf_cell_ranks(e, cents)
     v_cells = ranked.filter(F.col("crank") == 1).select(
         "vec_id", "embedding", "nrm", "cell"
     )
@@ -2551,10 +2538,11 @@ def q_ann_ivf(
     )
 
 
-def _ann_ivf_ctes(nprobe: int) -> str:
-    """The IVF probe pipeline as a CTE chain ending in ``ivf_hits``
-    (qid, nid, cell, cos_sim ranked ≤ TOPK) — shared by the ANN query
-    oracle and the recall-panel oracles."""
+def _ann_ivf_base_ctes(nprobe: int) -> str:
+    """CTE chain up to cell assignment: ``v_cells`` (every vector in
+    its nearest cell) and ``q_cells`` (the query panel × its nprobe
+    nearest cells) — shared by the plain, bounded, and recall
+    oracles."""
     return f"""cents AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS ce
   FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {NLIST})
@@ -2571,7 +2559,14 @@ ranked AS (
 ),
 v_cells AS (SELECT vec_id, embedding, cell FROM ranked WHERE crank = 1),
 q_cells AS (SELECT vec_id AS qid, embedding AS qe, cell FROM ranked
-            WHERE vec_id % 100 = 0 AND crank <= {nprobe}),
+            WHERE vec_id % 100 = 0 AND crank <= {nprobe})"""
+
+
+def _ann_ivf_ctes(nprobe: int) -> str:
+    """The full IVF probe pipeline as a CTE chain ending in
+    ``ivf_hits`` (qid, nid, cell, cos_sim ranked ≤ TOPK) — shared by
+    the ANN query oracle and the recall-panel oracles."""
+    return f"""{_ann_ivf_base_ctes(nprobe)},
 ivf_scored AS (
   SELECT q.qid, v.vec_id AS nid, CAST(v.cell AS INTEGER) AS cell,
          round({_cos_sql('q.qe', 'v.embedding')}, 6) AS cos_sim
@@ -2593,27 +2588,18 @@ SELECT qid, nid, cell, cos_sim, rank FROM ivf_hits
 """
 
 
-def q_ann_ivf_recall(
-    spark: SparkSession, sf_dir: str, nprobe: int = NPROBE
+def _recall_vs_exact(
+    spark: SparkSession, sf_dir: str, approx: DataFrame
 ) -> DataFrame:
-    """Recall@{TOPK} of the IVF probe against the exact brute-force
-    baseline (``embedding_topk``), per query vector — the vector-space
-    twin of the ``lsh_recall`` tuning panel: comparing this row set
-    across ``nprobe`` settings IS the probe-width decision (recall
-    rises as more cells are searched; latency rises with the probed
-    candidate mass). Same fixed query panel as both inputs.
-
-    Scale shape: both sides keep the query panel broadcast and the
-    verdict join is on (qid, nid) over ≤ TOPK rows per query — the
-    panel audit costs nothing beyond its two inputs."""
+    """Recall@{TOPK} of an approximate (qid, nid) hit set against the
+    exact brute-force baseline (``embedding_topk``), per query vector.
+    Scale shape: the verdict join is on (qid, nid) over ≤ TOPK rows
+    per query, then one groupBy(qid) — the panel audit costs nothing
+    beyond its two inputs."""
     exact = q_embedding_topk(spark, sf_dir).select("qid", "nid")
-    approx = (
-        q_ann_ivf(spark, sf_dir, nprobe=nprobe)
-        .select("qid", "nid")
-        .withColumn("hit", F.lit(True))
-    )
+    hits = approx.select("qid", "nid").withColumn("hit", F.lit(True))
     return (
-        exact.join(approx, ["qid", "nid"], "left")
+        exact.join(hits, ["qid", "nid"], "left")
         .groupBy("qid")
         .agg(F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_hits"))
         .select(
@@ -2621,6 +2607,20 @@ def q_ann_ivf_recall(
             "n_hits",
             F.round(F.col("n_hits") / F.lit(TOPK), 6).alias("recall"),
         )
+    )
+
+
+def q_ann_ivf_recall(
+    spark: SparkSession, sf_dir: str, nprobe: int = NPROBE
+) -> DataFrame:
+    """Recall@{TOPK} of the IVF probe against the exact brute-force
+    baseline — the vector-space twin of the ``lsh_recall`` tuning
+    panel: comparing this row set across ``nprobe`` settings IS the
+    probe-width decision (recall rises as more cells are searched;
+    latency rises with the probed candidate mass). Same fixed query
+    panel as both inputs."""
+    return _recall_vs_exact(
+        spark, sf_dir, q_ann_ivf(spark, sf_dir, nprobe=nprobe)
     )
 
 
@@ -2664,6 +2664,160 @@ GROUP BY e.qid
 
 SQL_ANN_IVF_RECALL = _ann_recall_sql(NPROBE)
 SQL_ANN_IVF_RECALL_PROBE4 = _ann_recall_sql(ANN_RECALL_PROBE_WIDE)
+
+
+ANN_MAX_CELL = 32  # cells above this are LSH-sub-sliced before probing
+ANN_SLICE_BITS = 2  # 4 sub-slices per hot cell
+
+
+def q_ann_ivf_bounded(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = NPROBE,
+    max_cell: int = ANN_MAX_CELL,
+    slice_bits: int = ANN_SLICE_BITS,
+) -> DataFrame:
+    """IVF probe with BOUNDED cells — the hot-partition guard for
+    clustered embedding corpora (real embeddings cluster; one hot
+    cell degenerates per-cell brute force back toward full brute
+    force). Cells above {ANN_MAX_CELL} rows are split into
+    2^{ANN_SLICE_BITS} hyperplane-LSH sub-slices via the SAME
+    ``hot_block_slice`` rule that bounds ``embedding_neardup`` and
+    ``semantic_dedup`` blocks — one spelling of the blocking rule
+    across the engine. Both probe sides compute hotness from the
+    CANDIDATE side's cell sizes (a broadcast #cells-row frame), so
+    the pair join stays a pure equi-join on (cell, sub) and a hot
+    cell's pair mass drops ~4× per extra slice bit. The recall cost
+    on hot cells is the standard LSH-banding trade —
+    ``ann_ivf_bounded_recall`` vs ``ann_ivf_recall`` measures it."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", sim_ops.norm(F.col("embedding")).alias("nrm")
+    )
+    w16 = Window.orderBy("vec_id")
+    cents = (
+        e.orderBy("vec_id")
+        .limit(NLIST)
+        .select(
+            (F.row_number().over(w16) - 1).alias("cell"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    ranked = _ivf_assign(e, cents)
+    v_cells = ranked.filter(F.col("crank") == 1).select(
+        "vec_id", "embedding", "nrm", "cell"
+    )
+    counts = v_cells.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("__block_n")
+    )
+    vb = sim_ops.hot_block_slice(
+        v_cells, "cell", "embedding", EMB_DIM, max_cell, slice_bits,
+        counts=counts,
+    )
+    q_cells = ranked.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("crank") <= nprobe)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        "cell",
+    )
+    # the query side slices by the CANDIDATE side's cell sizes — both
+    # sides must agree on which cells are hot
+    qb = sim_ops.hot_block_slice(
+        q_cells, "cell", "qe", EMB_DIM, max_cell, slice_bits,
+        counts=counts,
+    )
+    pairs = vb.join(F.broadcast(qb), ["cell", "sub"]).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    scored = pairs.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.col("cell").cast("int").alias("cell"),
+        F.round(
+            sim_ops.cosine_with_norms(
+                F.col("qe"), F.col("embedding"), F.col("qnrm"), F.col("nrm")
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOPK
+    )
+
+
+def q_ann_ivf_bounded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall panel over the bounded probe: this row set vs
+    ``ann_ivf_recall``'s prices the hot-cell guard in recall — the
+    same panel-pair methodology as lsh_recall vs lsh_recall_rebanded."""
+    return _recall_vs_exact(spark, sf_dir, q_ann_ivf_bounded(spark, sf_dir))
+
+
+def _ann_bounded_ctes(nprobe: int) -> str:
+    return f"""{_ann_ivf_base_ctes(nprobe)},
+cell_counts AS (
+  SELECT cell, count(*) AS cell_n FROM v_cells GROUP BY cell
+),
+vb AS (
+  SELECT v.vec_id, v.embedding, v.cell,
+         CASE WHEN c.cell_n > {ANN_MAX_CELL}
+              THEN {_bucket_sql('v.embedding', ANN_SLICE_BITS)} + 1
+              ELSE 0 END AS sub
+  FROM v_cells v JOIN cell_counts c USING (cell)
+),
+qb AS (
+  SELECT q.qid, q.qe, q.cell,
+         CASE WHEN c.cell_n > {ANN_MAX_CELL}
+              THEN {_bucket_sql('q.qe', ANN_SLICE_BITS)} + 1
+              ELSE 0 END AS sub
+  FROM q_cells q JOIN cell_counts c USING (cell)
+),
+ivf_scored AS (
+  SELECT q.qid, v.vec_id AS nid, CAST(v.cell AS INTEGER) AS cell,
+         round({_cos_sql('q.qe', 'v.embedding')}, 6) AS cos_sim
+  FROM vb v JOIN qb q ON v.cell = q.cell AND v.sub = q.sub
+  WHERE v.vec_id <> q.qid
+),
+ivf_hits AS (
+  SELECT qid, nid, cell, cos_sim, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY cos_sim DESC, nid) AS rank
+    FROM ivf_scored
+  ) WHERE rank <= {TOPK}
+)"""
+
+
+SQL_ANN_IVF_BOUNDED = f"""
+WITH {_ann_bounded_ctes(NPROBE)}
+SELECT qid, nid, cell, cos_sim, rank FROM ivf_hits
+"""
+
+SQL_ANN_IVF_BOUNDED_RECALL = f"""
+WITH {_ann_bounded_ctes(NPROBE)},
+q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0
+),
+exact_scored AS (
+  SELECT q.qid, e.vec_id AS nid,
+         round({_cos_sql('q.qe', 'e.embedding')}, 6) AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE q.qid <> e.vec_id
+),
+exact AS (
+  SELECT qid, nid FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY cos_sim DESC, nid) AS rank
+    FROM exact_scored
+  ) WHERE rank <= {TOPK}
+)
+SELECT e.qid,
+       count(i.nid) AS n_hits,
+       round(count(i.nid) / CAST({TOPK} AS DOUBLE), 6) AS recall
+FROM exact e LEFT JOIN ivf_hits i ON e.qid = i.qid AND e.nid = i.nid
+GROUP BY e.qid
+"""
 
 
 ANN_INCR_QMOD = 10  # denser probe set: the batch is 20% of the table
@@ -2756,25 +2910,9 @@ def build_ivf_state(
     return cents_dir, assign_dir, cut
 
 
-def _ivf_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Rank the NLIST cells per vector by round-6 cosine: one
-    broadcast of the centroid table, one map-side score, one
-    per-vector window — the assignment kernel both the state build
-    and the batch phase run."""
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "nrm",
-        "cell",
-        F.round(
-            sim_ops.cosine_with_norms(
-                F.col("embedding"), F.col("ce"), F.col("nrm"), F.col("cnrm")
-            ),
-            6,
-        ).alias("ccos"),
-    )
-    wc = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cell")
-    return scored.withColumn("crank", F.row_number().over(wc))
+# the shared assignment kernel lives with the other vector ops so the
+# streaming ingest sink can run the identical expression
+_ivf_assign = sim_ops.ivf_cell_ranks
 
 
 def incremental_ann_against(
@@ -5036,6 +5174,10 @@ QUERIES = {
     "ann_ivf_recall": Query(q_ann_ivf_recall, SQL_ANN_IVF_RECALL),
     "ann_ivf_recall_probe4": Query(
         q_ann_ivf_recall_probe4, SQL_ANN_IVF_RECALL_PROBE4
+    ),
+    "ann_ivf_bounded": Query(q_ann_ivf_bounded, SQL_ANN_IVF_BOUNDED),
+    "ann_ivf_bounded_recall": Query(
+        q_ann_ivf_bounded_recall, SQL_ANN_IVF_BOUNDED_RECALL
     ),
     "ann_ivf_incremental_persisted": Query(
         q_ann_ivf_incremental_persisted, SQL_ANN_IVF_INCR
