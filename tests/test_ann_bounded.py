@@ -76,6 +76,27 @@ def test_probe_pair_mass_strictly_reduced(spark, sf_dir):
     assert worst_block < worst_cell
 
 
+def test_bounded_probe_plan_shape(spark, sf_dir):
+    """The guard must not cost the plan its shape: the probe stays a
+    broadcast equi-join on (cell, sub) — no cartesian product, no
+    shuffle of the candidate side by anything but its block key."""
+    import contextlib
+    import io
+
+    from zcode_iceberg_spark.suite.llm import q_ann_ivf_bounded
+
+    df = q_ann_ivf_bounded(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    # both the centroid table and the sliced query side arrive by
+    # broadcast: the only nested-loop joins are centroid broadcasts
+    assert "BroadcastNestedLoopJoin" in p  # the nlist-row cross score
+
+
 def test_bounded_recall_is_monotone_below_plain(spark, sf_dir):
     """Bounding only REMOVES candidates (the bounded candidate set is
     a subset of the plain probe's), so an exact-baseline hit found by
