@@ -97,6 +97,61 @@ def test_bounded_probe_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p  # the nlist-row cross score
 
 
+def test_cell_cap_noop_when_blocks_fit(spark, sf_dir):
+    """cell_cap at or above the largest block is a no-op — the cap
+    only ever bites on blocks it was sized to bound."""
+    from zcode_iceberg_spark.suite.llm import q_ann_ivf_bounded
+
+    sizes = _blocked_cells(spark, sf_dir).collect()
+    cap = max(r["block_n"] for r in sizes)
+    base = sorted(map(str, q_ann_ivf_bounded(spark, sf_dir).collect()))
+    capped = sorted(
+        map(str, q_ann_ivf_bounded(spark, sf_dir, cell_cap=cap).collect())
+    )
+    assert capped == base and base
+
+
+def test_cell_cap_preserves_topk_quality_on_dup_flood(spark, sf_dir, tmp_path):
+    """The degenerate-flood guard: on an exact-copy flood (the regime
+    hyperplane slicing provably cannot split) the cap bounds pair mass
+    while every query's retained top-k scores exactly what the
+    uncapped probe scores — any surviving family member is as good a
+    neighbor as a dropped one."""
+    base = load_table(spark, sf_dir, "embeddings").limit(10)
+    copies = (
+        base.sparkSession.range(40).select(F.col("id").alias("cp"))
+    )
+    flood = base.crossJoin(F.broadcast(copies)).select(
+        (F.col("cp") * 1000 + F.col("vec_id")).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    corpus = str(tmp_path / "flood")
+    flood.write.parquet(f"{corpus}/embeddings.parquet")
+
+    from zcode_iceberg_spark.suite.llm import TOPK, q_ann_ivf_bounded
+
+    full = q_ann_ivf_bounded(spark, corpus).collect()
+    capped = q_ann_ivf_bounded(spark, corpus, cell_cap=8).collect()
+
+    def best(rows):
+        out = {}
+        for r in rows:
+            if r["rank"] == 1:
+                out[r["qid"]] = r["cos_sim"]
+        return out
+
+    fb, cb = best(full), best(capped)
+    assert set(fb) == set(cb) and fb
+    for qid in fb:
+        assert cb[qid] == fb[qid], qid  # top score survives the cap
+    # and the cap still yields a full top-k per query (cap >= TOPK)
+    per_q = {}
+    for r in capped:
+        per_q[r["qid"]] = per_q.get(r["qid"], 0) + 1
+    assert all(n == TOPK for n in per_q.values())
+
+
 def test_bounded_recall_is_monotone_below_plain(spark, sf_dir):
     """Bounding only REMOVES candidates (the bounded candidate set is
     a subset of the plain probe's), so an exact-baseline hit found by

@@ -2676,6 +2676,7 @@ def q_ann_ivf_bounded(
     nprobe: int = NPROBE,
     max_cell: int = ANN_MAX_CELL,
     slice_bits: int = ANN_SLICE_BITS,
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """IVF probe with BOUNDED cells — the hot-partition guard for
     clustered embedding corpora (real embeddings cluster; one hot
@@ -2689,7 +2690,22 @@ def q_ann_ivf_bounded(
     the pair join stays a pure equi-join on (cell, sub) and a hot
     cell's pair mass drops ~4× per extra slice bit. The recall cost
     on hot cells is the standard LSH-banding trade —
-    ``ann_ivf_bounded_recall`` vs ``ann_ivf_recall`` measures it."""
+    ``ann_ivf_bounded_recall`` vs ``ann_ivf_recall`` measures it.
+
+    The slice bounds WIDE hot cells (diverse vectors); it cannot
+    split a DEGENERATE tight cluster — near-identical vectors share
+    hyperplane signs by construction (sign-agreement ∝ 1 − θ/π, the
+    very property that makes the slice right for near-dup grouping),
+    so a 100× exact-ish flood keeps its pair mass (measured:
+    SCALE.md "IVF hot-cell flood"). ``cell_cap`` is the guard for
+    that regime — IVF list truncation, the vector twin of the
+    near-dup ``hist_cap``: keep only the ``cell_cap`` smallest-id
+    candidates per (cell, sub) block (one window over the vector
+    table, never the pair stream). In a tight flood the retained
+    candidates score ≈ identically to the dropped ones, so top-k
+    QUALITY survives while pair mass drops to queries × cap; on cold
+    blocks a cap ≥ block size is a no-op. Off by default (the suite
+    oracle checks the uncapped semantics)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", sim_ops.norm(F.col("embedding")).alias("nrm")
     )
@@ -2714,6 +2730,13 @@ def q_ann_ivf_bounded(
         v_cells, "cell", "embedding", EMB_DIM, max_cell, slice_bits,
         counts=counts,
     )
+    if cell_cap is not None:
+        wcap = Window.partitionBy("cell", "sub").orderBy("vec_id")
+        vb = (
+            vb.withColumn("__rn", F.row_number().over(wcap))
+            .filter(F.col("__rn") <= cell_cap)
+            .drop("__rn")
+        )
     q_cells = ranked.filter(
         (F.col("vec_id") % 100 == 0) & (F.col("crank") <= nprobe)
     ).select(
