@@ -2944,6 +2944,7 @@ def incremental_ann_against(
     cents_dir: str,
     assign_dir: str,
     cut: int,
+    hist_cap: int | None = None,
 ) -> DataFrame:
     """The batch phase of persisted incremental ANN: raw-embedding
     work touches ONLY the incoming batch (vec_id >= cut — pushed to
@@ -2953,7 +2954,15 @@ def incremental_ann_against(
     UNION of the persisted historical assignments and the batch
     itself. Historical vectors arrive from the compacted assignment
     table — the raw embeddings table contributes exactly one filtered
-    scan, plan-asserted in tests/test_ann_persisted.py."""
+    scan, plan-asserted in tests/test_ann_persisted.py.
+
+    ``hist_cap`` is the ingest-side list-truncation guard (the same
+    dial as the near-dup ``hist_cap`` and the bounded probe's
+    ``cell_cap``): keep only the cap smallest-id HISTORICAL members
+    per cell, bounding the probe at O(queries × (cap + batch)) when
+    years of ingest have made a cell hot. One window over the
+    assignment table, never the pair stream; off by default (the
+    suite oracle checks exact semantics)."""
     cents = spark.read.parquet(cents_dir)
     new = (
         load_table(spark, sf_dir, "embeddings")
@@ -2974,7 +2983,15 @@ def incremental_ann_against(
         F.col("nrm").alias("qnrm"),
         "cell",
     )
-    pool = spark.read.parquet(assign_dir).unionByName(new_assign)
+    hist = spark.read.parquet(assign_dir)
+    if hist_cap is not None:
+        wcap = Window.partitionBy("cell").orderBy("vec_id")
+        hist = (
+            hist.withColumn("__rn", F.row_number().over(wcap))
+            .filter(F.col("__rn") <= hist_cap)
+            .drop("__rn")
+        )
+    pool = hist.unionByName(new_assign)
     pairs = pool.join(F.broadcast(q_cells), "cell").filter(
         F.col("vec_id") != F.col("qid")
     )
