@@ -10,47 +10,22 @@ cells exceed ANN_MAX_CELL=32 rows).
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from zcode_iceberg_spark.operators import similarity as sim_ops
 from zcode_iceberg_spark.sources.tables import load_table
 from zcode_iceberg_spark.suite.llm import (
     ANN_MAX_CELL,
-    ANN_SLICE_BITS,
-    EMB_DIM,
-    NLIST,
-    _ivf_assign,
+    bounded_cell_blocks,
     q_ann_ivf_bounded_recall,
     q_ann_ivf_recall,
 )
 
 
 def _blocked_cells(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", sim_ops.norm(F.col("embedding")).alias("nrm")
-    )
-    w16 = Window.orderBy("vec_id")
-    cents = (
-        e.orderBy("vec_id")
-        .limit(NLIST)
-        .select(
-            (F.row_number().over(w16) - 1).alias("cell"),
-            F.col("embedding").alias("ce"),
-            F.col("nrm").alias("cnrm"),
-        )
-    )
-    v_cells = (
-        _ivf_assign(e, cents)
-        .filter(F.col("crank") == 1)
-        .select("vec_id", "embedding", "cell")
-    )
-    counts = v_cells.groupBy("cell").agg(F.count(F.lit(1)).alias("__block_n"))
-    blocked = sim_ops.hot_block_slice(
-        v_cells, "cell", "embedding", EMB_DIM,
-        ANN_MAX_CELL, ANN_SLICE_BITS, count_col="cell_n", counts=counts,
-    )
-    return blocked.groupBy("cell", "sub").agg(
+    """Audit frame over the PRODUCTION candidate-side pipeline — the
+    exact vb frame q_ann_ivf_bounded joins, not a re-spelling."""
+    _ranked, _counts, vb = bounded_cell_blocks(spark, sf_dir)
+    return vb.groupBy("cell", "sub").agg(
         F.count(F.lit(1)).alias("block_n"), F.max("cell_n").alias("cell_n")
     )
 

@@ -136,7 +136,9 @@ def test_batch_phase_never_rereads_history(spark, sf_dir, tmp_path):
     # read would appear as an embeddings scan WITHOUT it. History
     # arrives from the compacted assignment table riding its cell rows
     n_scans = p.count("embeddings.parquet")
-    assert n_scans >= 1
+    # PLANS.md pins exactly two batch-side scans (assignment side +
+    # the broadcast query side) — a third would mean broken reuse
+    assert n_scans == 2
     assert p.count("GreaterThanOrEqual(vec_id") == n_scans
     assert "assign_compact" in p
     # centroid scoring and cell probing are broadcasts, never a

@@ -41,7 +41,7 @@ def test_ann_index_stream_matches_batch_build(spark, sf_dir, tmp_path):
     q = ann_index_stream(
         spark, src, cents_dir, index_dir, str(tmp_path / "ck")
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream timed out"
 
     got = _index_rows(spark, index_dir)
     want = _index_rows(spark, assign_dir)

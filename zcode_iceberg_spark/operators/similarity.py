@@ -149,15 +149,22 @@ def hot_block_slice(
     the output. Pass ``counts`` (a (key_col, __block_n) frame) when
     hotness is defined by a DIFFERENT population than ``df`` — e.g.
     ANN query vectors sliced by the CANDIDATE side's cell sizes, so
-    both join sides agree on which blocks are hot."""
+    both join sides agree on which blocks are hot. The helper is
+    TOTAL: a df key absent from ``counts`` keeps its row with a
+    0-count (sub = 0, cold) rather than being silently dropped —
+    left join + coalesce, mirrored in the SQL oracles."""
     if counts is None:
         counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__block_n"))
-    out = df.join(F.broadcast(counts), key_col).withColumn(
-        "sub",
-        F.when(
-            F.col("__block_n") > max_block,
-            lsh_bucket(F.col(emb_col), dim, slice_bits) + 1,
-        ).otherwise(F.lit(0)),
+    out = (
+        df.join(F.broadcast(counts), key_col, "left")
+        .withColumn("__block_n", F.coalesce("__block_n", F.lit(0)))
+        .withColumn(
+            "sub",
+            F.when(
+                F.col("__block_n") > max_block,
+                lsh_bucket(F.col(emb_col), dim, slice_bits) + 1,
+            ).otherwise(F.lit(0)),
+        )
     )
     if count_col is None:
         return out.drop("__block_n")

@@ -2477,6 +2477,53 @@ NLIST = 16  # IVF cells
 NPROBE = 2  # cells probed per query
 
 
+def _ivf_cents(e: DataFrame) -> DataFrame:
+    """The deterministic coarse-centroid head shared by every IVF
+    path (plain/bounded probe, persisted build, tests): the NLIST
+    lowest-vec_id rows of ``e`` as (cell, ce, cnrm). ``e`` must carry
+    (vec_id, embedding, nrm)."""
+    w16 = Window.orderBy("vec_id")
+    return (
+        e.orderBy("vec_id")
+        .limit(NLIST)
+        .select(
+            (F.row_number().over(w16) - 1).alias("cell"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+
+
+def _ivf_probe_topk(pool: DataFrame, q_cells: DataFrame) -> DataFrame:
+    """The probe tail shared by every IVF path: equi-join the
+    candidate pool to the BROADCAST query panel on the block key
+    (cell, plus sub when both sides carry one), score round-6 cosine,
+    keep the deterministic top-{TOPK} per query. One spelling of the
+    rank key and tie-break, so a determinism fix lands everywhere at
+    once."""
+    join_cols = [
+        c for c in ("cell", "sub") if c in pool.columns and c in q_cells.columns
+    ]
+    pairs = pool.join(F.broadcast(q_cells), join_cols).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    scored = pairs.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.col("cell").cast("int").alias("cell"),
+        F.round(
+            sim_ops.cosine_with_norms(
+                F.col("qe"), F.col("embedding"), F.col("qnrm"), F.col("nrm")
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOPK
+    )
+
+
 def q_ann_ivf(
     spark: SparkSession, sf_dir: str, nprobe: int = NPROBE
 ) -> DataFrame:
@@ -2496,17 +2543,7 @@ def q_ann_ivf(
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", sim_ops.norm(F.col("embedding")).alias("nrm")
     )
-    w16 = Window.orderBy("vec_id")
-    cents = (
-        e.orderBy("vec_id")
-        .limit(NLIST)
-        .select(
-            (F.row_number().over(w16) - 1).alias("cell"),
-            F.col("embedding").alias("ce"),
-            F.col("nrm").alias("cnrm"),
-        )
-    )
-    ranked = sim_ops.ivf_cell_ranks(e, cents)
+    ranked = sim_ops.ivf_cell_ranks(e, _ivf_cents(e))
     v_cells = ranked.filter(F.col("crank") == 1).select(
         "vec_id", "embedding", "nrm", "cell"
     )
@@ -2518,24 +2555,7 @@ def q_ann_ivf(
         F.col("nrm").alias("qnrm"),
         "cell",
     )
-    pairs = v_cells.join(F.broadcast(q_cells), "cell").filter(
-        F.col("vec_id") != F.col("qid")
-    )
-    scored = pairs.select(
-        "qid",
-        F.col("vec_id").alias("nid"),
-        F.col("cell").cast("int").alias("cell"),
-        F.round(
-            sim_ops.cosine_with_norms(
-                F.col("qe"), F.col("embedding"), F.col("qnrm"), F.col("nrm")
-            ),
-            6,
-        ).alias("cos_sim"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= TOPK
-    )
+    return _ivf_probe_topk(v_cells, q_cells)
 
 
 def _ann_ivf_base_ctes(nprobe: int) -> str:
@@ -2635,9 +2655,13 @@ def q_ann_ivf_recall_probe4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_ann_ivf_recall(spark, sf_dir, nprobe=ANN_RECALL_PROBE_WIDE)
 
 
-def _ann_recall_sql(nprobe: int) -> str:
+def _ann_recall_sql(nprobe: int, ctes: str | None = None) -> str:
+    """Recall-panel oracle over ANY probe pipeline: ``ctes`` is a CTE
+    chain ending in ``ivf_hits`` (defaults to the plain probe's) —
+    one spelling of the exact baseline and the recall SELECT for the
+    plain and bounded panels alike."""
     return f"""
-WITH {_ann_ivf_ctes(nprobe)},
+WITH {ctes or _ann_ivf_ctes(nprobe)},
 q AS (
   SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0
 ),
@@ -2706,30 +2730,10 @@ def q_ann_ivf_bounded(
     QUALITY survives while pair mass drops to queries × cap; on cold
     blocks a cap ≥ block size is a no-op. Off by default (the suite
     oracle checks the uncapped semantics)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", sim_ops.norm(F.col("embedding")).alias("nrm")
+    ranked, counts, vb = bounded_cell_blocks(
+        spark, sf_dir, max_cell=max_cell, slice_bits=slice_bits
     )
-    w16 = Window.orderBy("vec_id")
-    cents = (
-        e.orderBy("vec_id")
-        .limit(NLIST)
-        .select(
-            (F.row_number().over(w16) - 1).alias("cell"),
-            F.col("embedding").alias("ce"),
-            F.col("nrm").alias("cnrm"),
-        )
-    )
-    ranked = _ivf_assign(e, cents)
-    v_cells = ranked.filter(F.col("crank") == 1).select(
-        "vec_id", "embedding", "nrm", "cell"
-    )
-    counts = v_cells.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("__block_n")
-    )
-    vb = sim_ops.hot_block_slice(
-        v_cells, "cell", "embedding", EMB_DIM, max_cell, slice_bits,
-        counts=counts,
-    )
+    vb = vb.drop("cell_n")
     if cell_cap is not None:
         wcap = Window.partitionBy("cell", "sub").orderBy("vec_id")
         vb = (
@@ -2751,24 +2755,36 @@ def q_ann_ivf_bounded(
         q_cells, "cell", "qe", EMB_DIM, max_cell, slice_bits,
         counts=counts,
     )
-    pairs = vb.join(F.broadcast(qb), ["cell", "sub"]).filter(
-        F.col("vec_id") != F.col("qid")
+    return _ivf_probe_topk(vb, qb)
+
+
+def bounded_cell_blocks(
+    spark: SparkSession,
+    sf_dir: str,
+    max_cell: int = ANN_MAX_CELL,
+    slice_bits: int = ANN_SLICE_BITS,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The bounded probe's candidate-side pipeline, exposed so the
+    bounding tests audit the PRODUCTION frames rather than a
+    re-spelling: returns (ranked, counts, vb) where ``ranked`` is the
+    per-vector cell ranking, ``counts`` the (cell, __block_n) hotness
+    frame both join sides slice by, and ``vb`` the blocked candidates
+    with ``cell_n`` retained for auditing."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", sim_ops.norm(F.col("embedding")).alias("nrm")
     )
-    scored = pairs.select(
-        "qid",
-        F.col("vec_id").alias("nid"),
-        F.col("cell").cast("int").alias("cell"),
-        F.round(
-            sim_ops.cosine_with_norms(
-                F.col("qe"), F.col("embedding"), F.col("qnrm"), F.col("nrm")
-            ),
-            6,
-        ).alias("cos_sim"),
+    ranked = _ivf_assign(e, _ivf_cents(e))
+    v_cells = ranked.filter(F.col("crank") == 1).select(
+        "vec_id", "embedding", "nrm", "cell"
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= TOPK
+    counts = v_cells.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("__block_n")
     )
+    vb = sim_ops.hot_block_slice(
+        v_cells, "cell", "embedding", EMB_DIM, max_cell, slice_bits,
+        count_col="cell_n", counts=counts,
+    )
+    return ranked, counts, vb
 
 
 def q_ann_ivf_bounded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2785,17 +2801,17 @@ cell_counts AS (
 ),
 vb AS (
   SELECT v.vec_id, v.embedding, v.cell,
-         CASE WHEN c.cell_n > {ANN_MAX_CELL}
+         CASE WHEN coalesce(c.cell_n, 0) > {ANN_MAX_CELL}
               THEN {_bucket_sql('v.embedding', ANN_SLICE_BITS)} + 1
               ELSE 0 END AS sub
-  FROM v_cells v JOIN cell_counts c USING (cell)
+  FROM v_cells v LEFT JOIN cell_counts c USING (cell)
 ),
 qb AS (
   SELECT q.qid, q.qe, q.cell,
-         CASE WHEN c.cell_n > {ANN_MAX_CELL}
+         CASE WHEN coalesce(c.cell_n, 0) > {ANN_MAX_CELL}
               THEN {_bucket_sql('q.qe', ANN_SLICE_BITS)} + 1
               ELSE 0 END AS sub
-  FROM q_cells q JOIN cell_counts c USING (cell)
+  FROM q_cells q LEFT JOIN cell_counts c USING (cell)
 ),
 ivf_scored AS (
   SELECT q.qid, v.vec_id AS nid, CAST(v.cell AS INTEGER) AS cell,
@@ -2817,30 +2833,9 @@ WITH {_ann_bounded_ctes(NPROBE)}
 SELECT qid, nid, cell, cos_sim, rank FROM ivf_hits
 """
 
-SQL_ANN_IVF_BOUNDED_RECALL = f"""
-WITH {_ann_bounded_ctes(NPROBE)},
-q AS (
-  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0
-),
-exact_scored AS (
-  SELECT q.qid, e.vec_id AS nid,
-         round({_cos_sql('q.qe', 'e.embedding')}, 6) AS cos_sim
-  FROM embeddings e CROSS JOIN q
-  WHERE q.qid <> e.vec_id
-),
-exact AS (
-  SELECT qid, nid FROM (
-    SELECT *, row_number() OVER (PARTITION BY qid
-                                 ORDER BY cos_sim DESC, nid) AS rank
-    FROM exact_scored
-  ) WHERE rank <= {TOPK}
+SQL_ANN_IVF_BOUNDED_RECALL = _ann_recall_sql(
+    NPROBE, ctes=_ann_bounded_ctes(NPROBE)
 )
-SELECT e.qid,
-       count(i.nid) AS n_hits,
-       round(count(i.nid) / CAST({TOPK} AS DOUBLE), 6) AS recall
-FROM exact e LEFT JOIN ivf_hits i ON e.qid = i.qid AND e.nid = i.nid
-GROUP BY e.qid
-"""
 
 
 ANN_INCR_QMOD = 10  # denser probe set: the batch is 20% of the table
@@ -2901,19 +2896,8 @@ def build_ivf_state(
             F.floor(F.lit(INCR_SPLIT_FRAC) * (F.max("vec_id") + 1)).cast("bigint")
         ).collect()[0][0]
     )
-    w16 = Window.orderBy("vec_id")
     cents_dir = f"{state_dir}/cents"
-    (
-        e.filter(F.col("vec_id") < cut)
-        .orderBy("vec_id")
-        .limit(NLIST)
-        .select(
-            (F.row_number().over(w16) - 1).alias("cell"),
-            F.col("embedding").alias("ce"),
-            F.col("nrm").alias("cnrm"),
-        )
-        .write.parquet(cents_dir)
-    )
+    _ivf_cents(e.filter(F.col("vec_id") < cut)).write.parquet(cents_dir)
     cents = spark.read.parquet(cents_dir)
 
     def assigned(vecs: DataFrame) -> DataFrame:
@@ -2992,24 +2976,7 @@ def incremental_ann_against(
             .drop("__rn")
         )
     pool = hist.unionByName(new_assign)
-    pairs = pool.join(F.broadcast(q_cells), "cell").filter(
-        F.col("vec_id") != F.col("qid")
-    )
-    scored = pairs.select(
-        "qid",
-        F.col("vec_id").alias("nid"),
-        F.col("cell").cast("int").alias("cell"),
-        F.round(
-            sim_ops.cosine_with_norms(
-                F.col("qe"), F.col("embedding"), F.col("qnrm"), F.col("nrm")
-            ),
-            6,
-        ).alias("cos_sim"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= TOPK
-    )
+    return _ivf_probe_topk(pool, q_cells)
 
 
 def q_ann_ivf_incremental_persisted(
