@@ -447,3 +447,16 @@ def test_lm_perplexity_joins_stay_hashed(spark, sf_dir):
     assert "partial_count" in p  # count tables combine map-side
     # the corpus fan-out repartition sits below the explode
     assert "RoundRobinPartitioning" in p and "Generate" in p
+
+
+def test_quality_classifier_is_shuffle_free(spark, sf_dir):
+    """quality_classifier: the hashed-linear-model score must be
+    ENTIRELY map-side — feature build, hashing-trick lookup, integer
+    fold, sigmoid are all expressions inside the scan's project. Zero
+    Exchange of any kind: at 100 TB the model-based quality filter
+    costs exactly one pass over the text."""
+    p = plan(spark, sf_dir, "quality_classifier")
+    assert "Exchange" not in p
+    assert "pythonUDF" not in p and "BatchEvalPython" not in p
+    # column pruning: only doc_id + text leave the scan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p

@@ -271,6 +271,51 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+QC_BUCKETS = 1024  # hashing-trick weight slots (shared on collision)
+
+
+def hashed_features(toks: Column) -> Column:
+    """Unigram + adjacent-word-bigram feature strings — the fastText
+    feature map (Joulin et al., "Bag of Tricks for Efficient Text
+    Classification"), built as a pure array expression: no explode,
+    no shuffle, no Python. Bigrams join with '_' so the feature space
+    is disjoint from unigrams by construction."""
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit("_"), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def hashed_weight_sum(feats: Column, n_buckets: int = QC_BUCKETS) -> Column:
+    """Hashing-trick linear-model dot product, in exact integers:
+    each feature hashes to one of ``n_buckets`` weight slots
+    (collisions SHARE a slot — the memory bound that lets a 100 TB
+    corpus score against a fixed-size model), and the slot weight is
+    an md5-derived integer in [-1000, 1000] — the deterministic
+    stand-in for a trained fastText weight vector (loading externally
+    trained weights through a broadcast is already proven by the
+    trend_classifier_weights seam; swapping these derived weights for
+    a broadcast lookup is mechanical). The fold accumulates INTEGER
+    weights (bit-exact under any partitioning / re-run); callers
+    divide once at the end to get the mean-pooled logit."""
+
+    def w(f: Column) -> Column:
+        bucket = word_hash(F.concat(F.lit("qcb:"), f)) % n_buckets
+        return (
+            word_hash(F.concat(F.lit("qcw:"), bucket.cast("string"))) % 2001
+        ) - 1000
+
+    return F.aggregate(
+        feats, F.lit(0).cast("bigint"), lambda acc, f: acc + w(f)
+    )
+
+
 def passages(df: DataFrame, id_col: str, text_col: str, width: int = 8) -> DataFrame:
     """Sub-document passage rows: (id, pidx, ptext) — the text split
     into fixed-width word windows (non-overlapping), the granularity

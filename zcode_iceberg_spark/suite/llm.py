@@ -1801,6 +1801,86 @@ FROM r
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier (Joulin et al.;
+    the CCNet/LLaMA model-based quality-filter archetype): unigram +
+    bigram features under the hashing trick, a fixed-size weight
+    vector, mean-pooled logit, sigmoid probability, keep/drop flag.
+
+    Scale shape: ENTIRELY map-side — feature construction, hashing,
+    weight lookup, and the fold are expressions inside the scan's
+    project; no shuffle, no UDF, no model table to join (plan-asserted
+    zero-Exchange in tests/test_plans.py). At 100 TB a model-based
+    quality filter must cost exactly one pass over the text — this is
+    that shape. The weight vector here is md5-derived (deterministic,
+    oracle-checkable); production swaps in trained weights via the
+    broadcast seam proven by trend_classifier_weights.
+
+    The keep decision compares the INTEGER weight sum to zero (exact;
+    no float-threshold flakiness): sigmoid is monotone, so wsum >= 0
+    iff prob >= 0.5."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    feats = tx.hashed_features(toks)
+    base = d.select(
+        "doc_id",
+        F.size(feats).cast("bigint").alias("n_feats"),
+        tx.hashed_weight_sum(feats).alias("wsum"),
+    )
+    logit = F.when(
+        F.col("n_feats") > 0,
+        F.col("wsum") / (F.lit(1000.0) * F.col("n_feats")),
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "doc_id",
+        "n_feats",
+        "wsum",
+        F.round(logit, 6).alias("logit"),
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-4.0) * logit)), 6
+        ).alias("prob"),
+        (F.col("wsum") >= 0).alias("keep"),
+    )
+
+
+_QCW_SQL = WORD_HASH_SQL.format(
+    x=(
+        "concat('qcw:', CAST(("
+        + WORD_HASH_SQL.format(x="concat('qcb:', f)")
+        + f") % {tx.QC_BUCKETS} AS VARCHAR))"
+    )
+)
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH {TOKS_CTE},
+feats AS (
+  SELECT doc_id,
+         list_concat(w, CASE WHEN len(w) >= 2
+           THEN list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || '_' || w[i + 1])
+           ELSE [] END) AS fs
+  FROM toks
+),
+s AS (
+  SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_feats,
+         CAST(coalesce(list_sum(list_transform(fs,
+           f -> (({_QCW_SQL}) % 2001) - 1000)), 0) AS BIGINT) AS wsum
+  FROM feats
+),
+lg AS (
+  SELECT doc_id, n_feats, wsum,
+         CASE WHEN n_feats > 0
+              THEN wsum / (1000.0 * n_feats) ELSE 0.0 END AS logit
+  FROM s
+)
+SELECT doc_id, n_feats, wsum,
+       round(logit, 6) AS logit,
+       round(1.0 / (1.0 + exp(-4.0 * logit)), 6) AS prob,
+       wsum >= 0 AS keep
+FROM lg
+"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, alpha-only tokens, and a
     BPE-ish upper-bound estimate (chars/4 + word-boundary regex)."""
@@ -5133,6 +5213,7 @@ QUERIES = {
     "doc_fingerprint": Query(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "lang_id": Query(q_lang_id, SQL_LANG_ID),
     "text_quality": Query(q_text_quality, SQL_TEXT_QUALITY),
+    "quality_classifier": Query(q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "token_counts": Query(q_token_counts, SQL_TOKEN_COUNTS),
     "token_histogram": Query(q_token_histogram, SQL_TOKEN_HISTOGRAM),
     "heavy_hitters": Query(q_heavy_hitters, SQL_HEAVY_HITTERS),
