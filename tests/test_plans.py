@@ -460,3 +460,27 @@ def test_quality_classifier_is_shuffle_free(spark, sf_dir):
     assert "pythonUDF" not in p and "BatchEvalPython" not in p
     # column pruning: only doc_id + text leave the scan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_ann_rp_shortlist_plan_shape(spark, sf_dir):
+    """ann_rp: the projection rides the scan (no model-table join);
+    the only nested loop is the single query-set broadcast (the same
+    brute-force pair shape as embedding_topk, at RP_DIM per pair);
+    both top-k cuts (shortlist, rerank) push into the window sort."""
+    import re
+
+    p = plan(spark, sf_dir, "ann_rp")
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1
+    assert "WindowGroupLimit" in p
+
+
+def test_dedup_canonical_single_window_family(spark, sf_dir):
+    """dedup_canonical: keeper choice is ONE window family over
+    cluster_id on the already-cluster-keyed CC output — no second
+    text scan, no per-cluster collect, no cartesian."""
+    p = plan(spark, sf_dir, "dedup_canonical")
+    assert "CartesianProduct" not in p
+    assert p.count("text") == 0  # length comes from n_chars, not text
+    assert "Window" in p

