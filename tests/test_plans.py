@@ -484,3 +484,18 @@ def test_dedup_canonical_single_window_family(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert p.count("text") == 0  # length comes from n_chars, not text
     assert "Window" in p
+
+
+def test_mmr_rerank_no_driver_loop_no_cartesian(spark, sf_dir):
+    """mmr_rerank: the greedy rounds are a static unrolled DAG — the
+    corpus is touched only by the single pool scan (one query-set
+    broadcast, same shape as embedding_topk); every round is qid-keyed
+    equi-joins + windows, no cartesian product over data."""
+    import re
+
+    p = plan(spark, sf_dir, "mmr_rerank")
+    assert "CartesianProduct" not in p
+    # exactly one data-sized nested loop: the pool's query broadcast
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1
+    # anti joins keep picked docs out of later rounds
+    assert "LeftAnti" in p

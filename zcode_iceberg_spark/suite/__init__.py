@@ -50,11 +50,12 @@ PRIORITY = [
     # ann_ivf_bounded{,_recall}, dedup_cc_twostar, coreset_kcenter,
     # lm_perplexity, the four format round-trips csv/jsonl/orc/avro,
     # and the late-round-7 additions quality_classifier,
-    # dedup_canonical, ann_rp{,_recall}) plus the stalest greens —
-    # media_features (r3) and the r4 block. Displaced r4/r6 greens
-    # (incl. quality_sample, decon_overlap_hll, semantic_dedup,
-    # corpus_shuffle) hold green rows and stay oracle-checked at
-    # sf0.001 on every pytest run (tests/test_oracle_suite.py).
+    # dedup_canonical, ann_rp{,_recall}, mmr_rerank) plus the stalest
+    # greens — media_features (r3) and the r4 block. Displaced r4/r6
+    # greens (incl. quality_sample, decon_overlap_hll, semantic_dedup,
+    # corpus_shuffle, temperature_mix) hold green rows and stay
+    # oracle-checked at sf0.001 on every pytest run
+    # (tests/test_oracle_suite.py).
     "gap_fill_1h",
     "trend_classifier_weights",
     "realized_vol",
@@ -85,7 +86,6 @@ PRIORITY = [
     "pii_scan",
     "doc_repetition",
     "dedup_incremental_persisted",
-    "temperature_mix",
     "media_features",
     "csv_roundtrip",
     "jsonl_roundtrip",
@@ -105,6 +105,7 @@ PRIORITY = [
     "dedup_canonical",
     "ann_rp",
     "ann_rp_recall",
+    "mmr_rerank",
 ]
 
 

@@ -2993,6 +2993,158 @@ ivf_hits AS (
 SQL_ANN_RP_RECALL = _ann_recall_sql(0, ctes=_RP_HITS_CTES)
 
 
+MMR_POOL = 10  # candidate pool per query (relevance top-N)
+MMR_K = 4  # diversified picks per query
+MMR_LAMBDA = 0.7  # relevance weight; (1-λ) penalizes similarity to picks
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein):
+    from each query's relevance top-{MMR_POOL} pool, greedily pick
+    {MMR_K} results maximizing λ·rel − (1−λ)·max-sim-to-already-picked
+    — the standard diversity pass retrieval stacks run AFTER ANN.
+    Scores are micro-unit integers (round-6 cosines in, one quantize
+    out) with (score desc, nid) tie-break, so the greedy trajectory is
+    deterministic on both engines; the oracle unrolls each pick as a
+    CTE (the k-center protocol), hash-checking every DECISION, not
+    just the final set.
+
+    Scale shape: a static {MMR_K}-round unrolled DAG — NO driver
+    collect in the loop (contrast k-center, which must see the global
+    argmax; here every pick is per-query, so each round is one
+    (qid)-keyed join + groupBy + per-qid window over pool-sized data).
+    All rounds pick for ALL queries at once: cost scales with
+    queries × pool, never with corpus size — the corpus is touched
+    only by the one brute-force pool scan (swap in ann_rp/ann_ivf for
+    the pool at scale; the MMR stage is source-agnostic)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            "embedding",
+            F.round(
+                sim_ops.cosine(F.col("qe"), F.col("embedding")), 6
+            ).alias("rel"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "nid")
+    pool = _reuse(
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= MMR_POOL)
+        .drop("rn")
+    )
+    lam, inv = F.lit(MMR_LAMBDA), F.lit(1.0 - MMR_LAMBDA)
+    mmr1 = F.round(F.lit(1e6) * lam * F.col("rel")).cast("bigint")
+    w1 = Window.partitionBy("qid").orderBy(mmr1.desc(), "nid")
+    sel = (
+        pool.withColumn("mmr_micro", mmr1)
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("qid", "nid", "embedding", "mmr_micro", F.lit(1).alias("k"))
+    )
+    for r in range(2, MMR_K + 1):
+        picked = sel.select(
+            "qid",
+            F.col("nid").alias("snid"),
+            F.col("embedding").alias("semb"),
+        )
+        msim = (
+            pool.join(picked, "qid")
+            .groupBy("qid", "nid")
+            .agg(
+                F.max(
+                    F.round(
+                        sim_ops.cosine(F.col("embedding"), F.col("semb")), 6
+                    )
+                ).alias("msim")
+            )
+        )
+        mmr = F.round(
+            F.lit(1e6) * (lam * F.col("rel") - inv * F.col("msim"))
+        ).cast("bigint")
+        wk = Window.partitionBy("qid").orderBy(mmr.desc(), "nid")
+        pick = (
+            pool.join(msim, ["qid", "nid"])
+            .join(sel.select("qid", "nid"), ["qid", "nid"], "left_anti")
+            .withColumn("mmr_micro", mmr)
+            .withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") == 1)
+            .select("qid", "nid", "embedding", "mmr_micro", F.lit(r).alias("k"))
+        )
+        sel = sel.union(pick)
+    return sel.select("qid", F.col("k").cast("int").alias("k"), "nid", "mmr_micro")
+
+
+def _mmr_sql() -> str:
+    lam, inv = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    parts = [
+        f"""qq AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0
+),
+pool AS (
+  SELECT qid, nid, embedding, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY rel DESC, nid) AS rn
+    FROM (
+      SELECT qq.qid, e.vec_id AS nid, e.embedding,
+             round({_cos_sql('qq.qe', 'e.embedding')}, 6) AS rel
+      FROM embeddings e CROSS JOIN qq WHERE e.vec_id <> qq.qid
+    )
+  ) WHERE rn <= {MMR_POOL}
+),
+s1 AS (
+  SELECT qid, nid, embedding, mmr_micro, 1 AS k FROM (
+    SELECT qid, nid, embedding,
+           CAST(round(1e6 * {lam} * rel) AS BIGINT) AS mmr_micro,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY CAST(round(1e6 * {lam} * rel) AS BIGINT) DESC, nid
+           ) AS rn
+    FROM pool
+  ) WHERE rn = 1
+),
+a1 AS (SELECT * FROM s1)"""
+    ]
+    for r in range(2, MMR_K + 1):
+        parts.append(
+            f"""m{r} AS (
+  SELECT p.qid, p.nid,
+         max(round({_cos_sql('p.embedding', 's.embedding')}, 6)) AS msim
+  FROM pool p JOIN a{r - 1} s ON s.qid = p.qid
+  GROUP BY p.qid, p.nid
+),
+s{r} AS (
+  SELECT qid, nid, embedding, mmr_micro, {r} AS k FROM (
+    SELECT p.qid, p.nid, p.embedding,
+           CAST(round(1e6 * ({lam} * p.rel - {inv} * m.msim)) AS BIGINT)
+             AS mmr_micro,
+           row_number() OVER (PARTITION BY p.qid
+             ORDER BY CAST(round(1e6 * ({lam} * p.rel - {inv} * m.msim))
+                           AS BIGINT) DESC, p.nid
+           ) AS rn
+    FROM pool p JOIN m{r} m ON p.qid = m.qid AND p.nid = m.nid
+    WHERE NOT EXISTS (
+      SELECT 1 FROM a{r - 1} x WHERE x.qid = p.qid AND x.nid = p.nid
+    )
+  ) WHERE rn = 1
+),
+a{r} AS (SELECT * FROM a{r - 1} UNION ALL SELECT * FROM s{r})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT qid, CAST(k AS INT) AS k, nid, mmr_micro FROM s{r}"
+        for r in range(1, MMR_K + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+SQL_MMR_RERANK = _mmr_sql()
+
+
 ANN_MAX_CELL = 32  # cells above this are LSH-sub-sliced before probing
 ANN_SLICE_BITS = 2  # 4 sub-slices per hot cell
 
@@ -5484,6 +5636,7 @@ QUERIES = {
     "ann_lsh": Query(q_ann_lsh, SQL_ANN_LSH),
     "ann_rp": Query(q_ann_rp, SQL_ANN_RP),
     "ann_rp_recall": Query(q_ann_rp_recall, SQL_ANN_RP_RECALL),
+    "mmr_rerank": Query(q_mmr_rerank, SQL_MMR_RERANK),
     "ann_ivf": Query(q_ann_ivf, SQL_ANN_IVF),
     "ann_ivf_recall": Query(q_ann_ivf_recall, SQL_ANN_IVF_RECALL),
     "ann_ivf_recall_probe4": Query(
