@@ -2558,32 +2558,37 @@ def q_ann_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding scan (the matrix is a pure function of indices — no
     model table, nothing broadcast); the pair scoring broadcasts the
     small query set against the candidate scan exactly like
-    embedding_topk, but each pair costs RP_DIM ops, and the exact
-    {EMB_DIM}-dim cosine runs only on SHORTLIST×queries rows.
+    embedding_topk, but each pair costs RP_DIM ops — and the pair
+    rows stay NARROW (qid, nid, score): the full vectors do NOT ride
+    the shortlist shuffle. The exact {EMB_DIM}-dim rerank re-fetches
+    vectors by id via a broadcast hash join of the tiny shortlist
+    against the embedding scan (first cut carried the 64-dim vectors
+    through every pair row and measured SLOWER than brute force at
+    100× — 55.7 s vs 30.2 s; narrow rows + BHJ re-fetch fixed it).
     Approximate by construction; `embedding_topk` is the recall
     baseline (same query set)."""
     e = load_table(spark, sf_dir, "embeddings")
-    red = e.select(
-        "vec_id",
-        "embedding",
-        sim_ops.rp_project(F.col("embedding"), EMB_DIM).alias("rp"),
-        sim_ops.norm(F.col("embedding")).alias("nrm"),
-    ).withColumn("rnrm", sim_ops.norm(F.col("rp")))
+    # _reuse (persist) is load-bearing, not a cache nicety: without a
+    # pipeline barrier CollapseProject merges this projection into the
+    # per-PAIR window input, re-running the 32×{EMB_DIM} projection of
+    # BOTH sides for every candidate pair — measured 50 s of the 55 s
+    # first-cut total on the 100× corpus; with the barrier the
+    # projection runs once per ROW and the same window takes ~2 s.
+    red = _reuse(
+        e.select(
+            "vec_id",
+            sim_ops.rp_project(F.col("embedding"), EMB_DIM).alias("rp"),
+        ).withColumn("rnrm", sim_ops.norm(F.col("rp")))
+    )
     q = red.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
         F.col("rp").alias("qrp"),
-        F.col("nrm").alias("qnrm"),
         F.col("rnrm").alias("qrnrm"),
     )
     pairs = red.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
     scored = pairs.select(
         "qid",
         F.col("vec_id").alias("nid"),
-        "embedding",
-        "nrm",
-        "qe",
-        "qnrm",
         F.round(
             sim_ops.cosine_with_norms(
                 F.col("qrp"), F.col("rp"), F.col("qrnrm"), F.col("rnrm")
@@ -2594,17 +2599,22 @@ def q_ann_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = Window.partitionBy("qid").orderBy(F.col("rp_cos").desc(), "nid")
     short = scored.withColumn("srank", F.row_number().over(ws)).filter(
         F.col("srank") <= RP_SHORTLIST
+    ).select("qid", "nid", "rp_cos")
+    qfull = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    rer = short.select(
-        "qid",
-        "nid",
-        "rp_cos",
-        F.round(
-            sim_ops.cosine_with_norms(
-                F.col("qe"), F.col("embedding"), F.col("qnrm"), F.col("nrm")
-            ),
-            6,
-        ).alias("cos_sim"),
+    rer = (
+        e.select(F.col("vec_id").alias("nid"), "embedding")
+        .join(F.broadcast(short), "nid")
+        .join(F.broadcast(qfull), "qid")
+        .select(
+            "qid",
+            "nid",
+            "rp_cos",
+            F.round(
+                sim_ops.cosine(F.col("qe"), F.col("embedding")), 6
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "nid")
     return rer.withColumn("rank", F.row_number().over(w)).filter(
