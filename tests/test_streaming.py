@@ -1076,3 +1076,22 @@ def test_cusum_stream_agreement(spark, sf_dir, tmp):
         gsu, gsd, gau, gad = got[kk]
         assert (gau, gad) == (au, ad), kk
         assert abs(gsu - su) < 2e-6 and abs(gsd - sd) < 2e-6, kk
+
+
+def test_quality_filter_stream_agreement(spark, sf_dir, raw_docs_dir, tmp):
+    """The stateless quality-filter stream must score every document
+    identically to the batch classifier — same shared kernel
+    (operators/text.py:quality_filter), so row-for-row equality in
+    exact integer units, across micro-batch boundaries."""
+    from zcode_iceberg_spark.operators import text as tx
+    from zcode_iceberg_spark.streaming.pipeline import quality_filter_stream
+
+    got = {
+        r["doc_id"]: (r["n_feats"], r["wsum"], r["keep"])
+        for r in _drain(spark, quality_filter_stream(spark, raw_docs_dir), tmp, "qf").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_feats"], r["wsum"], r["keep"])
+        for r in tx.quality_filter(load_table(spark, sf_dir, "documents")).collect()
+    }
+    assert got == want and got

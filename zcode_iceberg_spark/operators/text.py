@@ -316,6 +316,25 @@ def hashed_weight_sum(feats: Column, n_buckets: int = QC_BUCKETS) -> Column:
     )
 
 
+def quality_filter(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_feats, wsum, keep) — THE shared kernel for the batch
+    quality classifier (suite/llm.py:q_quality_classifier) and its
+    streaming twin (streaming/pipeline.py:quality_filter_stream):
+    both engines score a document by the same hashed-linear integer
+    fold, and keep iff wsum >= 0 (exact; sigmoid is monotone, so this
+    equals prob >= 0.5). Stateless projection — streams with no state
+    store or watermark."""
+    toks = tokens(F.col(text_col))
+    feats = hashed_features(toks)
+    return df.select(
+        id_col,
+        F.size(feats).cast("bigint").alias("n_feats"),
+        hashed_weight_sum(feats).alias("wsum"),
+    ).withColumn("keep", F.col("wsum") >= 0)
+
+
 def passages(df: DataFrame, id_col: str, text_col: str, width: int = 8) -> DataFrame:
     """Sub-document passage rows: (id, pidx, ptext) — the text split
     into fixed-width word windows (non-overlapping), the granularity

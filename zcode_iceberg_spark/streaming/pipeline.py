@@ -334,6 +334,26 @@ DOC_SCHEMA = T.StructType(
 )
 
 
+def quality_filter_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Streaming twin of the batch quality classifier
+    (suite/llm.py:q_quality_classifier), via the SAME kernel
+    (operators/text.py:quality_filter): the hashed-linear-model score
+    is a pure stateless projection, so the model-based quality filter
+    streams for free — no state store, no watermark, per-row cost
+    identical to the batch pass. This is the ingest-time shape: a
+    feed scores-and-routes documents in the same micro-batch that
+    lands them (compose with sources/sinks.py:route_quarantine to
+    split keep/drop into separate tables)."""
+    from zcode_iceberg_spark.operators import text as tx
+
+    raw = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return tx.quality_filter(raw)
+
+
 def dedup_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """Streaming exact dedup of an arriving document feed: first-seen
     row per content hash via ``dropDuplicates`` keyed state — the

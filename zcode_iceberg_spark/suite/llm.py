@@ -1878,13 +1878,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     no float-threshold flakiness): sigmoid is monotone, so wsum >= 0
     iff prob >= 0.5."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tx.tokens(F.col("text"))
-    feats = tx.hashed_features(toks)
-    base = d.select(
-        "doc_id",
-        F.size(feats).cast("bigint").alias("n_feats"),
-        tx.hashed_weight_sum(feats).alias("wsum"),
-    )
+    base = tx.quality_filter(d).drop("keep")
     logit = F.when(
         F.col("n_feats") > 0,
         F.col("wsum") / (F.lit(1000.0) * F.col("n_feats")),
