@@ -1095,3 +1095,34 @@ def test_quality_filter_stream_agreement(spark, sf_dir, raw_docs_dir, tmp):
         for r in tx.quality_filter(load_table(spark, sf_dir, "documents")).collect()
     }
     assert got == want and got
+
+
+def test_quality_route_by_flag_end_to_end(spark, sf_dir, raw_docs_dir, tmp):
+    """The ingest-time score-and-route claim, executable: the scored
+    quality stream routes through route_by_flag into keep/drop corpus
+    tables in the same micro-batch, with full auditable rows on both
+    sides; membership equals the batch classifier's keep flag."""
+    from zcode_iceberg_spark.operators import text as tx
+    from zcode_iceberg_spark.sources.sinks import route_by_flag
+    from zcode_iceberg_spark.streaming.pipeline import quality_filter_stream
+
+    keep_dir, drop_dir = f"{tmp}/q_keep", f"{tmp}/q_drop"
+    route_by_flag(
+        quality_filter_stream(spark, raw_docs_dir),
+        keep_dir,
+        drop_dir,
+        f"{tmp}/q_ck",
+    )
+    kept = spark.read.parquet(keep_dir)
+    dropped = spark.read.parquet(drop_dir)
+    assert kept.filter(~F.col("keep")).count() == 0
+    assert dropped.filter(F.col("keep")).count() == 0
+    # full rows on both sides: wsum survives for re-scoring audits
+    assert "wsum" in kept.columns and "wsum" in dropped.columns
+    got_keep = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    got_drop = {r["doc_id"] for r in dropped.select("doc_id").collect()}
+    batch = tx.quality_filter(load_table(spark, sf_dir, "documents")).collect()
+    want_keep = {r["doc_id"] for r in batch if r["keep"]}
+    want_drop = {r["doc_id"] for r in batch if not r["keep"]}
+    assert got_keep == want_keep and got_drop == want_drop
+    assert got_keep and got_drop  # both routes exercised

@@ -454,6 +454,52 @@ def route_quarantine(
         stream_df.sparkSession.catalog.refreshByPath(path)
 
 
+def route_by_flag(
+    stream_df: DataFrame,
+    keep_dir: str,
+    drop_dir: str,
+    checkpoint: str,
+    flag_col: str = "keep",
+):
+    """Boolean-routing twin of :func:`route_quarantine` for SCORED
+    streams (e.g. streaming/pipeline.py:quality_filter_stream): rows
+    whose ``flag_col`` is true land in ``keep_dir``, the rest in
+    ``drop_dir`` — FULL rows on both sides (quality drops are
+    auditable corpus to re-score under a new model, not corrupt
+    text, so nothing is reduced to a raw line). Same scale shape:
+    one persist per batch so the two writes don't recompute the
+    scoring projection, and the same at-least-once-safe
+    ``batch_id=<epoch>`` overwrite layout — a replayed epoch rewrites
+    its own partition. Drains with availableNow and blocks."""
+    from pyspark import StorageLevel
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            (
+                batch_df.filter(F.col(flag_col))
+                .write.mode("overwrite")
+                .parquet(f"{keep_dir}/batch_id={batch_id}")
+            )
+            (
+                batch_df.filter(~F.col(flag_col))
+                .write.mode("overwrite")
+                .parquet(f"{drop_dir}/batch_id={batch_id}")
+            )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream_df.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    for path in (keep_dir, drop_dir):
+        stream_df.sparkSession.catalog.refreshByPath(path)
+
+
 def drawdown_sink(ledger_stream: DataFrame, state_path: str, checkpoint: str):
     """Attach the live risk table to a streaming FSM ledger
     (streaming/pipeline.py:position_fsm_stream): every micro-batch of
