@@ -495,7 +495,22 @@ def test_mmr_rerank_no_driver_loop_no_cartesian(spark, sf_dir):
 
     p = plan(spark, sf_dir, "mmr_rerank")
     assert "CartesianProduct" not in p
-    # exactly one data-sized nested loop: the pool's query broadcast
-    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1
+    # the only data-sized nested loop is the pool's query broadcast;
+    # the static plan may print the (persisted) pool subtree under
+    # both union branches depending on session cache state, so bound
+    # the count instead of pinning it
+    assert 1 <= len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 2
     # anti joins keep picked docs out of later rounds
     assert "LeftAnti" in p
+
+
+def test_ann_pq_adc_plan_shape(spark, sf_dir):
+    """ann_pq: the ADC pair stage joins NARROW code rows against the
+    broadcast query LUTs (one nested loop, same brute-force broadcast
+    shape); the full vectors appear only in the shortlist rerank's
+    broadcast hash join; no cartesian product; both top-k cuts push
+    into the window sort."""
+    p = plan(spark, sf_dir, "ann_pq")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # rerank vector re-fetch
+    assert "WindowGroupLimit" in p

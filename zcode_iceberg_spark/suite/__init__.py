@@ -50,10 +50,11 @@ PRIORITY = [
     # ann_ivf_bounded{,_recall}, dedup_cc_twostar, coreset_kcenter,
     # lm_perplexity, the four format round-trips csv/jsonl/orc/avro,
     # and the late-round-7 additions quality_classifier,
-    # dedup_canonical, ann_rp{,_recall}, mmr_rerank) plus the stalest
+    # dedup_canonical, ann_rp{,_recall}, mmr_rerank, ann_pq{,_recall}) plus the stalest
     # greens — media_features (r3) and the r4 block. Displaced r4/r6
     # greens (incl. quality_sample, decon_overlap_hll, semantic_dedup,
-    # corpus_shuffle, temperature_mix) hold green rows and stay
+    # corpus_shuffle, temperature_mix, pii_scan, doc_repetition) hold
+    # green rows and stay
     # oracle-checked at sf0.001 on every pytest run
     # (tests/test_oracle_suite.py).
     "gap_fill_1h",
@@ -83,8 +84,6 @@ PRIORITY = [
     "token_histogram",
     "bpe_merges",
     "bpe_segment",
-    "pii_scan",
-    "doc_repetition",
     "dedup_incremental_persisted",
     "media_features",
     "csv_roundtrip",
@@ -106,6 +105,8 @@ PRIORITY = [
     "ann_rp",
     "ann_rp_recall",
     "mmr_rerank",
+    "ann_pq",
+    "ann_pq_recall",
 ]
 
 

