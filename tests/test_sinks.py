@@ -435,3 +435,33 @@ def test_drawdown_sink_streams_fsm_ledger(spark, sf_dir, tmp_path):
     for r in st:
         assert r["peak_u"] >= r["eq_u"]
         assert r["n_trades"] > 0
+
+
+def test_route_by_flag_null_flag_is_exhaustive(spark, tmp_path):
+    """A NULL flag must land in drop_dir (null-safe split): the two
+    routes partition every input row — a scorer bug yielding NULL
+    produces an auditable drop, never a vanished document. Also pins
+    the kernel guard upstream: quality_filter on NULL text returns a
+    non-NULL keep."""
+    from zcode_iceberg_spark.operators import text as tx
+    from zcode_iceberg_spark.sources.sinks import route_by_flag
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, True), (2, False), (3, None)], "doc_id long, keep boolean"
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, keep boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    keep_dir, drop_dir = str(tmp_path / "keep"), str(tmp_path / "drop")
+    route_by_flag(stream, keep_dir, drop_dir, str(tmp_path / "ck"))
+    kept = {r["doc_id"] for r in spark.read.parquet(keep_dir).collect()}
+    dropped = {r["doc_id"] for r in spark.read.parquet(drop_dir).collect()}
+    assert kept == {1} and dropped == {2, 3}
+
+    # kernel guard: NULL text scores deterministically, keep non-NULL
+    d = spark.createDataFrame([(7, None)], "doc_id long, text string")
+    row = tx.quality_filter(d).collect()[0]
+    assert row["n_feats"] == 1 and row["keep"] is not None

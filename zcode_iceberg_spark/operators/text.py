@@ -278,18 +278,10 @@ def hashed_features(toks: Column) -> Column:
     """Unigram + adjacent-word-bigram feature strings — the fastText
     feature map (Joulin et al., "Bag of Tricks for Efficient Text
     Classification"), built as a pure array expression: no explode,
-    no shuffle, no Python. Bigrams join with '_' so the feature space
-    is disjoint from unigrams by construction."""
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit("_"), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.concat(toks, bigrams)
+    no shuffle, no Python. Bigrams are ``shingles(k=2)`` joined with
+    '_' so the feature space is disjoint from unigrams by
+    construction."""
+    return F.concat(toks, shingles(toks, k=2, sep="_"))
 
 
 def hashed_weight_sum(feats: Column, n_buckets: int = QC_BUCKETS) -> Column:
@@ -325,8 +317,15 @@ def quality_filter(
     both engines score a document by the same hashed-linear integer
     fold, and keep iff wsum >= 0 (exact; sigmoid is monotone, so this
     equals prob >= 0.5). Stateless projection — streams with no state
-    store or watermark."""
-    toks = tokens(F.col(text_col))
+    store or watermark.
+
+    NULL text coalesces to '' BEFORE tokenizing (→ the single empty
+    token, a deterministic wsum, and a non-NULL keep): without the
+    guard Spark propagates NULL through split/size into
+    (n_feats=-1, wsum=NULL, keep=NULL) while the oracle's coalesce
+    lands elsewhere — and a NULL keep would silently vanish from
+    BOTH sides of a boolean routing sink."""
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     feats = hashed_features(toks)
     return df.select(
         id_col,

@@ -421,23 +421,76 @@ def route_quarantine(
     same directory. Readers of either table see ``batch_id`` as an
     ordinary partition column (per-batch lineage/compaction for free;
     ``drop("batch_id")`` to ignore it)."""
+    _route_two_way(
+        stream_df,
+        checkpoint,
+        [
+            (
+                valid_dir,
+                lambda b: b.filter(F.col(corrupt_col).isNull()).drop(corrupt_col),
+            ),
+            (
+                quarantine_dir,
+                lambda b: b.filter(F.col(corrupt_col).isNotNull()).select(
+                    F.col(corrupt_col).alias("raw_line")
+                ),
+            ),
+        ],
+    )
+
+
+def route_by_flag(
+    stream_df: DataFrame,
+    keep_dir: str,
+    drop_dir: str,
+    checkpoint: str,
+    flag_col: str = "keep",
+):
+    """Boolean-routing twin of :func:`route_quarantine` for SCORED
+    streams (e.g. streaming/pipeline.py:quality_filter_stream): rows
+    whose ``flag_col`` is true land in ``keep_dir``, EVERYTHING else
+    — false or NULL — in ``drop_dir`` (null-safe split, so the two
+    routes are provably exhaustive: a scorer bug that yields a NULL
+    flag produces an auditable drop row, never a vanished document).
+    FULL rows on both sides (quality drops are corpus to re-score
+    under a new model, not corrupt text, so nothing is reduced to a
+    raw line). Same scale shape and at-least-once-safe
+    ``batch_id=<epoch>`` overwrite layout as route_quarantine (shared
+    scaffolding: ``_route_two_way``)."""
+    is_kept = F.col(flag_col).eqNullSafe(F.lit(True))
+    _route_two_way(
+        stream_df,
+        checkpoint,
+        [
+            (keep_dir, lambda b: b.filter(is_kept)),
+            (drop_dir, lambda b: b.filter(~is_kept)),
+        ],
+    )
+
+
+def _route_two_way(stream_df: DataFrame, checkpoint: str, routes) -> None:
+    """Shared scaffolding for the two-table routing sinks
+    (:func:`route_quarantine`, :func:`route_by_flag`): per micro-batch,
+    persist once (the writes must not recompute the upstream parse /
+    scoring projection), write each route's slice to its own
+    ``batch_id=<epoch>`` subdirectory with mode("overwrite") —
+    foreachBatch is at-least-once, so a replayed epoch rewrites the
+    partition it already committed instead of appending duplicates
+    (epoch ids are stable across restarts from one checkpoint).
+    Drains with availableNow and blocks. ``routes`` is a list of
+    (out_dir, slice_fn) pairs; the slicing predicates are the callers'
+    contract and should be exhaustive."""
     from pyspark import StorageLevel
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            (
-                batch_df.filter(F.col(corrupt_col).isNull())
-                .drop(corrupt_col)
-                .write.mode("overwrite")
-                .parquet(f"{valid_dir}/batch_id={batch_id}")
-            )
-            (
-                batch_df.filter(F.col(corrupt_col).isNotNull())
-                .select(F.col(corrupt_col).alias("raw_line"))
-                .write.mode("overwrite")
-                .parquet(f"{quarantine_dir}/batch_id={batch_id}")
-            )
+            for out_dir, slice_fn in routes:
+                (
+                    slice_fn(batch_df)
+                    .write.mode("overwrite")
+                    .parquet(f"{out_dir}/batch_id={batch_id}")
+                )
         finally:
             batch_df.unpersist()
 
@@ -450,54 +503,8 @@ def route_quarantine(
     q.awaitTermination()
     # replayed batches overwrite files in place; drop any cached
     # listing so same-session readers don't chase deleted part files
-    for path in (valid_dir, quarantine_dir):
-        stream_df.sparkSession.catalog.refreshByPath(path)
-
-
-def route_by_flag(
-    stream_df: DataFrame,
-    keep_dir: str,
-    drop_dir: str,
-    checkpoint: str,
-    flag_col: str = "keep",
-):
-    """Boolean-routing twin of :func:`route_quarantine` for SCORED
-    streams (e.g. streaming/pipeline.py:quality_filter_stream): rows
-    whose ``flag_col`` is true land in ``keep_dir``, the rest in
-    ``drop_dir`` — FULL rows on both sides (quality drops are
-    auditable corpus to re-score under a new model, not corrupt
-    text, so nothing is reduced to a raw line). Same scale shape:
-    one persist per batch so the two writes don't recompute the
-    scoring projection, and the same at-least-once-safe
-    ``batch_id=<epoch>`` overwrite layout — a replayed epoch rewrites
-    its own partition. Drains with availableNow and blocks."""
-    from pyspark import StorageLevel
-
-    def step(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            (
-                batch_df.filter(F.col(flag_col))
-                .write.mode("overwrite")
-                .parquet(f"{keep_dir}/batch_id={batch_id}")
-            )
-            (
-                batch_df.filter(~F.col(flag_col))
-                .write.mode("overwrite")
-                .parquet(f"{drop_dir}/batch_id={batch_id}")
-            )
-        finally:
-            batch_df.unpersist()
-
-    q = (
-        stream_df.writeStream.foreachBatch(step)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    for path in (keep_dir, drop_dir):
-        stream_df.sparkSession.catalog.refreshByPath(path)
+    for out_dir, _ in routes:
+        stream_df.sparkSession.catalog.refreshByPath(out_dir)
 
 
 def drawdown_sink(ledger_stream: DataFrame, state_path: str, checkpoint: str):

@@ -43,20 +43,19 @@ WINDOW = 50
 
 PRIORITY = [
     # tool-generated rotation (tools/rotate_priority.py over r1-r6
-    # history), round 7: the 20 never-driver-checked round-7 queries
+    # history), round 7: the 23 never-driver-checked round-7 queries
     # (trend_classifier_weights, trend_probe_training,
     # dedup_incremental_persisted, neardup_incremental_persisted,
     # ann_ivf_incremental_persisted, ann_ivf_recall{,_probe4},
     # ann_ivf_bounded{,_recall}, dedup_cc_twostar, coreset_kcenter,
     # lm_perplexity, the four format round-trips csv/jsonl/orc/avro,
     # and the late-round-7 additions quality_classifier,
-    # dedup_canonical, ann_rp{,_recall}, mmr_rerank, ann_pq{,_recall}) plus the stalest
-    # greens — media_features (r3) and the r4 block. Displaced r4/r6
-    # greens (incl. quality_sample, decon_overlap_hll, semantic_dedup,
-    # corpus_shuffle, temperature_mix, pii_scan, doc_repetition) hold
-    # green rows and stay
-    # oracle-checked at sf0.001 on every pytest run
-    # (tests/test_oracle_suite.py).
+    # dedup_canonical, ann_rp{,_recall}, mmr_rerank, ann_pq{,_recall})
+    # plus the stalest greens — media_features (r3) and the r4 block.
+    # Displaced r4/r6 greens (incl. quality_sample, decon_overlap_hll,
+    # semantic_dedup, corpus_shuffle, temperature_mix, pii_scan,
+    # doc_repetition) hold green rows and stay oracle-checked at
+    # sf0.001 on every pytest run (tests/test_oracle_suite.py).
     "gap_fill_1h",
     "trend_classifier_weights",
     "realized_vol",

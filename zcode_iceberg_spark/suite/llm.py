@@ -1906,8 +1906,11 @@ _QCW_SQL = WORD_HASH_SQL.format(
 SQL_QUALITY_CLASSIFIER = f"""
 WITH {TOKS_CTE},
 feats AS (
+  -- coalesce(w, ['']) mirrors the Spark kernel's NULL-text guard
+  -- (text.py:quality_filter): NULL text scores as the single empty
+  -- token on BOTH engines instead of NULL-propagating on one
   SELECT doc_id,
-         list_concat(w, CASE WHEN len(w) >= 2
+         list_concat(coalesce(w, ['']), CASE WHEN len(w) >= 2
            THEN list_transform(generate_series(1, len(w) - 1),
                                i -> w[i] || '_' || w[i + 1])
            ELSE [] END) AS fs
