@@ -2547,9 +2547,9 @@ def q_ann_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     The (dims, shortlist) operating point is MEASURED, not guessed
     (`ann_rp_recall`, the panel protocol that set the LSH re-band):
     on the sf0.01 panel this point reaches recall@{TOPK} = 0.68 —
-    above both IVF probe settings (0.32 at nprobe={{default}}, 0.48
-    at nprobe=4) at half the per-pair scan cost; 16 dims or a
-    {{3×TOPK}} shortlist measured 0.28-0.48 and were rejected.
+    above both IVF probe settings (0.32 at the default nprobe, 0.48
+    at nprobe=4) at half the per-pair scan cost; 16 dims or a 3×TOPK
+    shortlist measured 0.28-0.48 and were rejected.
 
     Scale shape: the projection is a map-side expression on the
     embedding scan (the matrix is a pure function of indices — no
