@@ -1878,6 +1878,12 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     no float-threshold flakiness): sigmoid is monotone, so wsum >= 0
     iff prob >= 0.5."""
     d = load_table(spark, sf_dir, "documents")
+    # fan out before the CPU-heavy per-feature hashing: the documents
+    # table arrives as one file -> one split, and the md5 fold is the
+    # bottleneck, not the scan (the minhash_signatures rule; measured
+    # 8.0 -> 1.2 s at sf0.1). Values are per-row, so partitioning is
+    # free to change.
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     base = tx.quality_filter(d).drop("keep")
     logit = F.when(
         F.col("n_feats") > 0,
@@ -2564,7 +2570,9 @@ def q_ann_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     100× — 55.7 s vs 30.2 s; narrow rows + BHJ re-fetch fixed it).
     Approximate by construction; `embedding_topk` is the recall
     baseline (same query set)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # _reuse (persist) is load-bearing, not a cache nicety: without a
     # pipeline barrier CollapseProject merges this projection into the
     # per-PAIR window input, re-running the 32×{EMB_DIM} projection of
@@ -3049,6 +3057,10 @@ def _pq_train(spark: SparkSession, sf_dir: str):
     scheduling overhead — ~30 s of the original 60 s train+build.)"""
     emb = (
         load_table(spark, sf_dir, "embeddings")
+        # one file -> one split; fan out so the fold-heavy training
+        # assignment, encode, and ADC stages use every core (values
+        # are per-row / order-canonicalized, so partitioning is free)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias("e"),
@@ -3447,7 +3459,9 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries × pool, never with corpus size — the corpus is touched
     only by the one brute-force pool scan (swap in ann_rp/ann_ivf for
     the pool at scale; the MMR stage is source-agnostic)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
