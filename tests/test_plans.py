@@ -450,13 +450,35 @@ def test_lm_perplexity_joins_stay_hashed(spark, sf_dir):
 
 
 def test_quality_classifier_is_shuffle_free(spark, sf_dir):
-    """quality_classifier: the hashed-linear-model score must be
-    ENTIRELY map-side — feature build, hashing-trick lookup, integer
-    fold, sigmoid are all expressions inside the scan's project. Zero
-    Exchange of any kind: at 100 TB the model-based quality filter
-    costs exactly one pass over the text."""
+    """The hashed-linear-model score must be ENTIRELY map-side —
+    feature build, hashing-trick lookup, integer fold, sigmoid are
+    all expressions inside the scan's project: the KERNEL plans with
+    zero Exchange of any kind (at 100 TB the model-based quality
+    filter costs exactly one pass over the text). The registered
+    suite query adds exactly ONE round-robin fan-out exchange for the
+    one-file local fixture — never a key shuffle."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from zcode_iceberg_spark.operators import text as tx
+
+    kernel = tx.quality_filter(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        kernel.explain("formatted")
+    kp = buf.getvalue()
+    assert "Exchange" not in kp
+    assert "pythonUDF" not in kp and "BatchEvalPython" not in kp
+
     p = plan(spark, sf_dir, "quality_classifier")
-    assert "Exchange" not in p
+    assert "hashpartitioning" not in p  # fan-out only, no key shuffle
+    assert p.count("RoundRobinPartitioning") == 1
     assert "pythonUDF" not in p and "BatchEvalPython" not in p
     # column pruning: only doc_id + text leave the scan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in p

@@ -1865,12 +1865,14 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram features under the hashing trick, a fixed-size weight
     vector, mean-pooled logit, sigmoid probability, keep/drop flag.
 
-    Scale shape: ENTIRELY map-side — feature construction, hashing,
-    weight lookup, and the fold are expressions inside the scan's
-    project; no shuffle, no UDF, no model table to join (plan-asserted
-    zero-Exchange in tests/test_plans.py). At 100 TB a model-based
-    quality filter must cost exactly one pass over the text — this is
-    that shape. The weight vector here is md5-derived (deterministic,
+    Scale shape: the scoring kernel is ENTIRELY map-side — feature
+    construction, hashing, weight lookup, and the fold are expressions
+    inside the scan's project; no key shuffle, no UDF, no model table
+    to join (plan-asserted zero-Exchange on the kernel in
+    tests/test_plans.py; this suite query adds only the one-file
+    fixture's round-robin fan-out). At 100 TB a model-based quality
+    filter must cost exactly one pass over the text — this is that
+    shape. The weight vector here is md5-derived (deterministic,
     oracle-checkable); production swaps in trained weights via the
     broadcast seam proven by trend_classifier_weights.
 
