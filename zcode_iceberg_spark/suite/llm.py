@@ -3239,12 +3239,17 @@ def _pq_topk(
     qfull: DataFrame,
     rerank_src: DataFrame,
     books: list,
+    shortlist: int = PQ_SHORTLIST,
 ) -> DataFrame:
     """ADC scoring + shortlist + exact rerank — the search shared by
-    the per-call (`q_ann_pq`) and persisted (`q_ann_pq_persisted`)
-    paths. Inputs: codes (vec_id, p0..), q (qid, l0.., qnrm), qfull
-    (qid, qe), rerank_src (nid, e) — the full vectors only the
-    shortlist rows ever touch."""
+    the per-call (`q_ann_pq`), persisted (`q_ann_pq_persisted`), and
+    IVF-composed (`q_ann_ivfpq`) paths. Inputs: codes (vec_id, p0..),
+    q (qid, l0.., qnrm), qfull (qid, qe), rerank_src (nid, e) — the
+    full vectors only the shortlist rows ever touch. When BOTH codes
+    and q carry a ``cell`` column the pair join becomes an equi-join
+    on it (the IVFADC probe restriction — only probed cells' members
+    are ADC-scored); otherwise every candidate is scored against the
+    broadcast query panel."""
     # candidate-side reconstruction norm²: Σ_s |codeword(s, code_s)|²
     # — codeword norms are Python floats (same left-to-right fold the
     # oracle computes), looked up by code position map-side
@@ -3267,7 +3272,12 @@ def _pq_topk(
     for s in range(PQ_M):
         term = F.element_at(F.col(f"l{s}"), F.col(f"p{s}"))
         num = term if num is None else num + term
-    pairs = codes.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    if "cell" in codes.columns and "cell" in q.columns:
+        pairs = codes.join(F.broadcast(q), "cell").filter(
+            F.col("vec_id") != F.col("qid")
+        )
+    else:
+        pairs = codes.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
     scored = pairs.select(
         "qid",
         F.col("vec_id").alias("nid"),
@@ -3282,7 +3292,7 @@ def _pq_topk(
     ws = Window.partitionBy("qid").orderBy(F.col("pq_cos").desc(), "nid")
     short = (
         scored.withColumn("srank", F.row_number().over(ws))
-        .filter(F.col("srank") <= PQ_SHORTLIST)
+        .filter(F.col("srank") <= shortlist)
         .select("qid", "nid", "pq_cos")
     )
     rer = (
@@ -3404,32 +3414,42 @@ _PQ_QNORM = (
     "(acc, x) -> acc + x))"
 )
 
-_PQ_SEARCH_TAIL = f"""
-cand AS (
+_PQ_CAND_CTE = f"""cand AS (
   SELECT c0.vec_id, {", ".join(f"c{s}.k{s}" for s in range(PQ_M))}
   FROM codes_0 c0
   {" ".join(f"JOIN codes_{s} c{s} ON c{s}.vec_id = c0.vec_id" for s in range(1, PQ_M))}
-),
-scored AS (
-  SELECT qq.qid, d.vec_id AS nid,
-         round(CASE WHEN {_PQ_QNORM} > 0
+)"""
+
+_PQ_ADC_CASE = f"""round(CASE WHEN {_PQ_QNORM} > 0
                     AND ({" + ".join(f"n{s}.w" for s in range(PQ_M))}) > 0
                THEN ({" + ".join(f"l{s}.v" for s in range(PQ_M))})
                     / ({_PQ_QNORM}
                        * sqrt({" + ".join(f"n{s}.w" for s in range(PQ_M))}))
-               ELSE 0.0 END, 6) AS pq_cos
-  FROM cand d CROSS JOIN qq
-  {" ".join(f"JOIN lut_{s} l{s} ON l{s}.qid = qq.qid AND l{s}.cid = d.k{s}" for s in range(PQ_M))}
-  {" ".join(f"JOIN nsq_{s} n{s} ON n{s}.cid = d.k{s}" for s in range(PQ_M))}
-  WHERE d.vec_id <> qq.qid
-),
-short AS (
+               ELSE 0.0 END, 6)"""
+
+_PQ_LUT_NSQ_JOINS = (
+    " ".join(
+        f"JOIN lut_{s} l{s} ON l{s}.qid = qq.qid AND l{s}.cid = d.k{s}"
+        for s in range(PQ_M)
+    )
+    + "\n  "
+    + " ".join(f"JOIN nsq_{s} n{s} ON n{s}.cid = d.k{s}" for s in range(PQ_M))
+)
+
+def _pq_short_cte(shortlist: int) -> str:
+    """ADC shortlist CTE over a ``scored`` CTE (qid, nid, pq_cos)."""
+    return f"""short AS (
   SELECT qid, nid, pq_cos FROM (
     SELECT *, row_number() OVER (PARTITION BY qid
                                  ORDER BY pq_cos DESC, nid) AS srank
     FROM scored
-  ) WHERE srank <= {PQ_SHORTLIST}
-)
+  ) WHERE srank <= {shortlist}
+)"""
+
+
+def _pq_rerank_tail(shortlist: int = PQ_SHORTLIST) -> str:
+    """Shortlist + exact-rerank tail over a ``scored`` CTE."""
+    return f"""{_pq_short_cte(shortlist)}
 SELECT qid, nid, pq_cos, cos_sim, rank FROM (
   SELECT s.qid, s.nid, s.pq_cos,
          round({_cos_sql('q2.qe', 'm.e')}, 6) AS cos_sim,
@@ -3441,6 +3461,18 @@ SELECT qid, nid, pq_cos, cos_sim, rank FROM (
   JOIN qq q2 ON q2.qid = s.qid
 ) WHERE rank <= {TOPK}
 """
+
+
+_PQ_SEARCH_TAIL = f"""
+{_PQ_CAND_CTE},
+scored AS (
+  SELECT qq.qid, d.vec_id AS nid,
+         {_PQ_ADC_CASE} AS pq_cos
+  FROM cand d CROSS JOIN qq
+  {_PQ_LUT_NSQ_JOINS}
+  WHERE d.vec_id <> qq.qid
+),
+{_pq_rerank_tail()}"""
 
 SQL_ANN_PQ = f"""
 WITH {_pq_ctes()},
@@ -3655,6 +3687,130 @@ WITH cutt AS MATERIALIZED (
     ),
 )},
 {_PQ_SEARCH_TAIL}"""
+
+
+# ------------------------------------------------------- IVFADC (IVF × PQ)
+
+IVFPQ_NPROBE = 8  # cells probed per query (recall ceiling = the probe's)
+# in-probe ADC shortlist: 2× the full-scan PQ's — the probe restriction
+# cuts which candidates exist, so the shortlist must keep a larger
+# share of them for the exact rerank to see the survivors. MEASURED
+# grid at sf0.01 (nprobe × shortlist → mean recall@5): (8,50) 0.60,
+# (8,100) 0.76, (8,150) 0.76, (12,50) 0.68, (12,100) 0.76, (12,150)
+# 0.84. Operating point (8,100): recall@5 = 0.76 — EQUAL to the
+# full-ADC ann_pq — at 52% of its ADC pair count (1303 vs 2495 pairs
+# on the panel); the wider shortlist costs 100-vs-50 rerank rows per
+# query, not pair scans.
+IVFPQ_SHORTLIST = 2 * PQ_SHORTLIST
+
+
+def q_ann_ivfpq(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVFPQ_NPROBE
+) -> DataFrame:
+    """IVFADC (Jégou et al.'s actual recipe): coarse-quantize every
+    vector to its IVF cell, ADC-score ONLY the probed cells' members
+    per query (equi-join on cell — the probe restriction composes
+    with PQ's cheap per-pair cost), then exact-rerank the ADC
+    shortlist. `ann_pq` scans every candidate with cheap pairs;
+    `ann_ivf` scans few candidates with full-width pairs; this does
+    BOTH — the shape a billion-vector store actually runs.
+
+    Encoding choice (documented): codes quantize the RAW subvectors,
+    not the per-cell residuals — residual PQ needs the coarse
+    centroid subtracted before encoding (and per-cell or shared
+    residual codebooks); raw-subvector PQ shares one codebook set
+    with `ann_pq`, keeps the oracle chain identical, and its recall
+    is MEASURED on the same panel (`ann_ivfpq_recall`) so the
+    operating point is priced, not assumed. nprobe={IVFPQ_NPROBE} of
+    {NLIST} cells: the probed-candidate ceiling on this corpus's
+    probe curve (0.24/0.32/0.48/0.76 at 1/2/4/8) matches PQ+rerank's
+    0.76 — at production NLIST≈√N the same nprobe probes a ~1000×
+    smaller corpus fraction.
+
+    Scale shape: one broadcast of nlist·dim floats for assignment,
+    codes ride their cell rows (the pair join shuffles nothing bigger
+    than its cell), the LUT panel broadcasts, and full vectors are
+    fetched only for shortlist rows."""
+    emb, books = _pq_train(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", sim_ops.norm(F.col("embedding")).alias("nrm")
+    )
+    ranked = sim_ops.ivf_cell_ranks(e, _ivf_cents(e))
+    v_cells = ranked.filter(F.col("crank") == 1).select("vec_id", "cell")
+    codes = _reuse(
+        emb.select("vec_id", *_pq_enc_cols(books)).join(v_cells, "vec_id")
+    )
+    q_probe = ranked.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("crank") <= nprobe)
+    ).select(F.col("vec_id").alias("qid"), "cell")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    q = queries.select(
+        F.col("vec_id").alias("qid"),
+        *_pq_lut_cols(books),
+        sim_ops.norm(F.col("e")).alias("qnrm"),
+    ).join(q_probe, "qid")
+    qfull = queries.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
+    return _pq_topk(
+        codes,
+        q,
+        qfull,
+        emb.select(F.col("vec_id").alias("nid"), "e"),
+        books,
+        shortlist=IVFPQ_SHORTLIST,
+    )
+
+
+def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOPK} of the IVFADC path against the exact brute-force
+    baseline — the composed member of the recall-panel family. Read
+    against `ann_pq_recall` (same codebooks, full ADC scan) it prices
+    the probe restriction; against `ann_ivf_recall_probe4` it prices
+    what ADC+rerank recovers inside wider probes."""
+    return _recall_vs_exact(spark, sf_dir, q_ann_ivfpq(spark, sf_dir))
+
+
+def _ivfpq_scored_cte(nprobe: int) -> str:
+    """The ADC `scored` CTE with the IVF probe restriction: candidates
+    reach the LUT lookups only through their cell's membership in the
+    query's probe set."""
+    return f"""scored AS (
+  SELECT qq.qid, d.vec_id AS nid,
+         {_PQ_ADC_CASE} AS pq_cos
+  FROM cand d
+  JOIN v_cells vc ON vc.vec_id = d.vec_id
+  JOIN q_cells qc ON qc.cell = vc.cell
+  JOIN qq ON qq.qid = qc.qid
+  {_PQ_LUT_NSQ_JOINS}
+  WHERE d.vec_id <> qq.qid
+)"""
+
+
+SQL_ANN_IVFPQ = f"""
+WITH {_ann_ivf_base_ctes(IVFPQ_NPROBE)},
+{_pq_ctes()},
+{_PQ_CAND_CTE},
+{_ivfpq_scored_cte(IVFPQ_NPROBE)},
+{_pq_rerank_tail(IVFPQ_SHORTLIST)}"""
+
+SQL_ANN_IVFPQ_RECALL = _ann_recall_sql(
+    0,
+    ctes=f"""{_ann_ivf_base_ctes(IVFPQ_NPROBE)},
+{_pq_ctes()},
+{_PQ_CAND_CTE},
+{_ivfpq_scored_cte(IVFPQ_NPROBE)},
+{_pq_short_cte(IVFPQ_SHORTLIST)},
+ivf_hits AS (
+  SELECT qid, nid FROM (
+    SELECT s.qid, s.nid,
+           row_number() OVER (PARTITION BY s.qid
+             ORDER BY round({_cos_sql('q2.qe', 'm.e')}, 6) DESC, s.nid
+           ) AS rank
+    FROM short s
+    JOIN emb m ON m.vec_id = s.nid
+    JOIN qq q2 ON q2.qid = s.qid
+  ) WHERE rank <= {TOPK}
+)""",
+)
 
 
 MMR_POOL = 10  # candidate pool per query (relevance top-N)
@@ -6313,6 +6469,8 @@ QUERIES = {
     "ann_pq": Query(q_ann_pq, SQL_ANN_PQ),
     "ann_pq_recall": Query(q_ann_pq_recall, SQL_ANN_PQ_RECALL),
     "ann_pq_persisted": Query(q_ann_pq_persisted, SQL_ANN_PQ_PERSISTED),
+    "ann_ivfpq": Query(q_ann_ivfpq, SQL_ANN_IVFPQ),
+    "ann_ivfpq_recall": Query(q_ann_ivfpq_recall, SQL_ANN_IVFPQ_RECALL),
     "mmr_rerank": Query(q_mmr_rerank, SQL_MMR_RERANK),
     "ann_ivf": Query(q_ann_ivf, SQL_ANN_IVF),
     "ann_ivf_recall": Query(q_ann_ivf_recall, SQL_ANN_IVF_RECALL),
