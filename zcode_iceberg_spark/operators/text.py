@@ -279,8 +279,11 @@ def hashed_features(toks: Column) -> Column:
     feature map (Joulin et al., "Bag of Tricks for Efficient Text
     Classification"), built as a pure array expression: no explode,
     no shuffle, no Python. Bigrams are ``shingles(k=2)`` joined with
-    '_' so the feature space is disjoint from unigrams by
-    construction."""
+    '_', which keeps them distinct from unigrams for ordinary text
+    (a whitespace-split token containing a literal underscore, e.g.
+    'a_b', collides with the bigram of ('a','b') — an accepted
+    hashing-trick-style collision: both engines compute identically,
+    and collisions already share weight slots by design)."""
     return F.concat(toks, shingles(toks, k=2, sep="_"))
 
 

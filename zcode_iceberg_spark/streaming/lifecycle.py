@@ -61,7 +61,11 @@ def alert_table_probe(spark, alert_dir: str) -> Callable[[], bool]:
     point its sink here, and the supervisor restarts the wedged
     pipeline when alerts start arriving. Counting is one cheap
     metadata+count job per poll over a table that is empty in the
-    healthy case. The row count at probe CREATION is the baseline:
+    healthy case — a bare ``limit(1)`` existence check would be
+    strictly tighter but loses the new-since-last-poll delta this
+    probe is defined by (an old, already-acted-on alert must not
+    re-fire a restart), and parquet ``count()`` is satisfied from
+    footer row counts, not a data scan. The row count at probe CREATION is the baseline:
     alert rows a previous supervisor incarnation already acted on
     must not fire a spurious restart on the first poll (restarts are
     a bounded budget)."""
@@ -187,8 +191,9 @@ def supervise(
             # drain the stop before relaunching on the same checkpoint
             try:
                 q.awaitTermination()
-            except Exception:
-                pass
+            except Exception as exc:  # noisy stop of a wedged query is
+                # expected — record it instead of swallowing silently
+                note(f"stop-drain raised: {exc}")
             delay = backoff_sec * (2 ** used())
             time.sleep(delay)
             report["stale_restarts"] += 1

@@ -342,8 +342,10 @@ def quality_filter_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     streams for free — no state store, no watermark, per-row cost
     identical to the batch pass. This is the ingest-time shape: a
     feed scores-and-routes documents in the same micro-batch that
-    lands them (compose with sources/sinks.py:route_quarantine to
-    split keep/drop into separate tables)."""
+    lands them (compose with sources/sinks.py:route_by_flag to
+    split keep/drop into separate tables on the boolean ``keep``
+    column; route_quarantine is the _corrupt_record variant and does
+    not apply here)."""
     from zcode_iceberg_spark.operators import text as tx
 
     raw = (

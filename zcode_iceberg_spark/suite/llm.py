@@ -1891,13 +1891,21 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_feats") > 0,
         F.col("wsum") / (F.lit(1000.0) * F.col("n_feats")),
     ).otherwise(F.lit(0.0))
+    # prob is derived from the ALREADY-ROUNDED logit and quantized to 4
+    # decimals: JVM Math.exp and DuckDB's libm exp can differ by an ulp,
+    # so a round-6 transcendental within 5e-7 of a boundary could flip
+    # the hash gate — feeding both engines the identical rounded double
+    # and widening the quantum makes a flip require an ulp landing
+    # within 5e-5 of a boundary (ADVICE r7). The exact-integer columns
+    # (n_feats, wsum, keep) carry the correctness weight.
+    rlogit = F.round(logit, 6)
     return base.select(
         "doc_id",
         "n_feats",
         "wsum",
-        F.round(logit, 6).alias("logit"),
+        rlogit.alias("logit"),
         F.round(
-            F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-4.0) * logit)), 6
+            F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-4.0) * rlogit)), 4
         ).alias("prob"),
         (F.col("wsum") >= 0).alias("keep"),
     )
@@ -1938,7 +1946,7 @@ lg AS (
 )
 SELECT doc_id, n_feats, wsum,
        round(logit, 6) AS logit,
-       round(1.0 / (1.0 + exp(-4.0 * logit)), 6) AS prob,
+       round(1.0 / (1.0 + exp(-4.0 * round(logit, 6))), 4) AS prob,
        wsum >= 0 AS keep
 FROM lg
 """
