@@ -529,6 +529,23 @@ def test_mmr_rerank_no_driver_loop_no_cartesian(spark, sf_dir):
     assert "LeftAnti" in p
 
 
+def test_mmr_rerank_ann_pool_plan_shape(spark, sf_dir):
+    """mmr_rerank_ann: the ANN pool inherits ann_rp's recorded shape —
+    the shortlist/query sides enter the rerank as broadcasts (BHJ
+    re-fetch of full vectors by id, never a cartesian), and the greedy
+    rounds stay qid-keyed anti-join DAG exactly like the brute pool."""
+    import re
+
+    p = plan(spark, sf_dir, "mmr_rerank_ann")
+    assert "CartesianProduct" not in p
+    # reduced-space pair scoring = query-set broadcast nested loop
+    # (bounded count, as in the brute variant); vector re-fetch is a
+    # BroadcastHashJoin, not a second nested loop over the corpus
+    assert 1 <= len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 2
+    assert "BroadcastHashJoin" in p
+    assert "LeftAnti" in p
+
+
 def test_ann_pq_adc_plan_shape(spark, sf_dir):
     """ann_pq: the ADC pair stage joins NARROW code rows against the
     broadcast query LUTs (one nested loop, same brute-force broadcast

@@ -3826,49 +3826,16 @@ MMR_K = 4  # diversified picks per query
 MMR_LAMBDA = 0.7  # relevance weight; (1-λ) penalizes similarity to picks
 
 
-def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein):
-    from each query's relevance top-{MMR_POOL} pool, greedily pick
-    {MMR_K} results maximizing λ·rel − (1−λ)·max-sim-to-already-picked
-    — the standard diversity pass retrieval stacks run AFTER ANN.
-    Scores are micro-unit integers (round-6 cosines in, one quantize
-    out) with (score desc, nid) tie-break, so the greedy trajectory is
-    deterministic on both engines; the oracle unrolls each pick as a
-    CTE (the k-center protocol), hash-checking every DECISION, not
-    just the final set.
-
-    Scale shape: a static {MMR_K}-round unrolled DAG — NO driver
-    collect in the loop (contrast k-center, which must see the global
-    argmax; here every pick is per-query, so each round is one
-    (qid)-keyed join + groupBy + per-qid window over pool-sized data).
-    All rounds pick for ALL queries at once: cost scales with
-    queries × pool, never with corpus size — the corpus is touched
-    only by the one brute-force pool scan (swap in ann_rp/ann_ivf for
-    the pool at scale; the MMR stage is source-agnostic)."""
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    q = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-    )
-    scored = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            F.col("vec_id").alias("nid"),
-            "embedding",
-            F.round(
-                sim_ops.cosine(F.col("qe"), F.col("embedding")), 6
-            ).alias("rel"),
-        )
-    )
-    wr = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "nid")
-    pool = _reuse(
-        scored.withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") <= MMR_POOL)
-        .drop("rn")
-    )
+def _mmr_greedy(pool: DataFrame) -> DataFrame:
+    """THE shared MMR greedy: a static {MMR_K}-round unrolled DAG over
+    a (qid, nid, embedding, rel) candidate pool — NO driver collect in
+    the loop (contrast k-center, which must see the global argmax;
+    here every pick is per-query, so each round is one (qid)-keyed
+    join + groupBy + per-qid window over pool-sized data). All rounds
+    pick for ALL queries at once: cost scales with queries × pool,
+    never with corpus size. Both the brute-pool (q_mmr_rerank) and
+    ANN-pool (q_mmr_rerank_ann) variants run exactly this DAG — the
+    MMR stage is source-agnostic by construction, not by docstring."""
     lam, inv = F.lit(MMR_LAMBDA), F.lit(1.0 - MMR_LAMBDA)
     mmr1 = F.round(F.lit(1e6) * lam * F.col("rel")).cast("bigint")
     w1 = Window.partitionBy("qid").orderBy(mmr1.desc(), "nid")
@@ -3911,44 +3878,235 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select("qid", F.col("k").cast("int").alias("k"), "nid", "mmr_micro")
 
 
-def _mmr_sql() -> str:
-    lam, inv = MMR_LAMBDA, 1.0 - MMR_LAMBDA
-    parts = [
-        f"""qq AS (
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein):
+    from each query's relevance top-{MMR_POOL} pool, greedily pick
+    {MMR_K} results maximizing λ·rel − (1−λ)·max-sim-to-already-picked
+    — the standard diversity pass retrieval stacks run AFTER ANN.
+    Scores are micro-unit integers (round-6 cosines in, one quantize
+    out) with (score desc, nid) tie-break, so the greedy trajectory is
+    deterministic on both engines; the oracle unrolls each pick as a
+    CTE (the k-center protocol), hash-checking every DECISION, not
+    just the final set.
+
+    The pool here is the brute-force exact top-{MMR_POOL} (the recall
+    ceiling); q_mmr_rerank_ann runs the SAME greedy over an ANN
+    shortlist pool, and q_mmr_ann_overlap measures the pick agreement
+    between the two. Scale shape: see _mmr_greedy — the corpus is
+    touched only by the one pool scan."""
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            "embedding",
+            F.round(
+                sim_ops.cosine(F.col("qe"), F.col("embedding")), 6
+            ).alias("rel"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "nid")
+    pool = _reuse(
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= MMR_POOL)
+        .drop("rn")
+    )
+    return _mmr_greedy(pool)
+
+
+def q_mmr_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR over an ANN pool — the composition a 100 TB retrieval stack
+    actually runs: the candidate pool is the random-projection
+    shortlist + exact rerank of q_ann_rp (the family's measured-best
+    cheap path: recall@5 0.68 at half the brute per-pair cost), cut to
+    the top-{MMR_POOL} by exact cosine, then diversified by the SAME
+    _mmr_greedy DAG as q_mmr_rerank. Proves the "source-agnostic"
+    claim executably: only the pool construction differs; every greedy
+    decision is still hash-checked by the unrolled-CTE oracle.
+
+    Scale shape inherits both components' recorded rules: narrow
+    (qid, nid, score) shortlist rows with a broadcast-hash-join vector
+    re-fetch (the ann_rp 55.7→20.1 s lesson), then greedy rounds that
+    cost queries × pool, never corpus."""
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    red = _reuse(
+        e.select(
+            "vec_id",
+            sim_ops.rp_project(F.col("embedding"), EMB_DIM).alias("rp"),
+        ).withColumn("rnrm", sim_ops.norm(F.col("rp")))
+    )
+    q = red.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("rp").alias("qrp"),
+        F.col("rnrm").alias("qrnrm"),
+    )
+    scored = red.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.round(
+            sim_ops.cosine_with_norms(
+                F.col("qrp"), F.col("rp"), F.col("qrnrm"), F.col("rnrm")
+            ),
+            6,
+        ).alias("rp_cos"),
+    )
+    ws = Window.partitionBy("qid").orderBy(F.col("rp_cos").desc(), "nid")
+    short = (
+        scored.withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= RP_SHORTLIST)
+        .select("qid", "nid")
+    )
+    qfull = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    rer = (
+        e.select(F.col("vec_id").alias("nid"), "embedding")
+        .join(F.broadcast(short), "nid")
+        .join(F.broadcast(qfull), "qid")
+        .select(
+            "qid",
+            "nid",
+            "embedding",
+            F.round(
+                sim_ops.cosine(F.col("qe"), F.col("embedding")), 6
+            ).alias("rel"),
+        )
+    )
+    wp = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "nid")
+    pool = _reuse(
+        rer.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= MMR_POOL)
+        .drop("rn")
+    )
+    return _mmr_greedy(pool)
+
+
+def q_mmr_ann_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pick agreement between brute-pool MMR and ANN-pool MMR, per
+    query: n_overlap of the {MMR_K} diversified picks plus the
+    micro-unit overlap ratio — the executable recall row for the
+    mmr_rerank_ann composition (the ann_*_recall panel protocol,
+    applied to the diversified FINAL picks rather than the raw
+    shortlist, because MMR can legitimately diverge once one pool
+    misses a pick that then changes the similarity penalty of every
+    later round)."""
+    b = q_mmr_rerank(spark, sf_dir).select("qid", "nid")
+    a = q_mmr_rerank_ann(spark, sf_dir).select("qid", "nid")
+    common = (
+        b.join(a, ["qid", "nid"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    novl = F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint")
+    return (
+        b.groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k_picks"))
+        .join(common, "qid", "left")
+        .select(
+            "qid",
+            "k_picks",
+            novl.alias("n_overlap"),
+            F.round(F.lit(1e6) * novl / F.lit(MMR_K))
+            .cast("bigint")
+            .alias("overlap_micro"),
+        )
+    )
+
+
+def _mmr_pool_brute_sql(p: str = "") -> list[str]:
+    """CTE parts building ``{p}pool`` (qid, nid, embedding, rel) as
+    the brute-force exact top-{MMR_POOL} per query."""
+    return [
+        f"""{p}qq AS (
   SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0
 ),
-pool AS (
+{p}pool AS MATERIALIZED (
   SELECT qid, nid, embedding, rel FROM (
     SELECT *, row_number() OVER (PARTITION BY qid
                                  ORDER BY rel DESC, nid) AS rn
     FROM (
-      SELECT qq.qid, e.vec_id AS nid, e.embedding,
-             round({_cos_sql('qq.qe', 'e.embedding')}, 6) AS rel
-      FROM embeddings e CROSS JOIN qq WHERE e.vec_id <> qq.qid
+      SELECT {p}qq.qid, e.vec_id AS nid, e.embedding,
+             round({_cos_sql(f'{p}qq.qe', 'e.embedding')}, 6) AS rel
+      FROM embeddings e CROSS JOIN {p}qq WHERE e.vec_id <> {p}qq.qid
     )
   ) WHERE rn <= {MMR_POOL}
+)"""
+    ]
+
+
+def _mmr_pool_rp_sql(p: str = "") -> list[str]:
+    """CTE parts building ``{p}pool`` from the q_ann_rp shortlist:
+    reduced-cosine top-{RP_SHORTLIST}, exact-rerank, top-{MMR_POOL}.
+    MATERIALIZED throughout — the 32-expression projection re-inlines
+    exponentially otherwise (the PQ-oracle lesson)."""
+    return [
+        f"""{p}red AS MATERIALIZED (
+  SELECT vec_id, embedding, {_rp_sql('embedding')} AS rp FROM embeddings
 ),
-s1 AS (
+{p}q AS (
+  SELECT vec_id AS qid, embedding AS qe, rp AS qrp
+  FROM {p}red WHERE vec_id % 100 = 0
+),
+{p}short AS MATERIALIZED (
+  SELECT qid, nid, embedding, qe FROM (
+    SELECT q.qid, r.vec_id AS nid, r.embedding, q.qe,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY round({_cos_sql('q.qrp', 'r.rp', sim_ops.RP_DIM)}, 6)
+                      DESC, r.vec_id) AS srank
+    FROM {p}red r CROSS JOIN {p}q q WHERE r.vec_id <> q.qid
+  ) WHERE srank <= {RP_SHORTLIST}
+),
+{p}pool AS MATERIALIZED (
+  SELECT qid, nid, embedding, rel FROM (
+    SELECT qid, nid, embedding, rel,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY rel DESC, nid) AS rn
+    FROM (
+      SELECT qid, nid, embedding,
+             round({_cos_sql('qe', 'embedding')}, 6) AS rel
+      FROM {p}short
+    )
+  ) WHERE rn <= {MMR_POOL}
+)"""
+    ]
+
+
+def _mmr_rounds_sql(p: str = "") -> list[str]:
+    """The unrolled greedy rounds over ``{p}pool``, ending in
+    ``{p}picks`` (qid, k, nid, mmr_micro) — the SQL twin of
+    _mmr_greedy, shared by every MMR oracle."""
+    lam, inv = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    parts = [
+        f"""{p}s1 AS (
   SELECT qid, nid, embedding, mmr_micro, 1 AS k FROM (
     SELECT qid, nid, embedding,
            CAST(round(1e6 * {lam} * rel) AS BIGINT) AS mmr_micro,
            row_number() OVER (PARTITION BY qid
              ORDER BY CAST(round(1e6 * {lam} * rel) AS BIGINT) DESC, nid
            ) AS rn
-    FROM pool
+    FROM {p}pool
   ) WHERE rn = 1
 ),
-a1 AS (SELECT * FROM s1)"""
+{p}a1 AS (SELECT * FROM {p}s1)"""
     ]
     for r in range(2, MMR_K + 1):
         parts.append(
-            f"""m{r} AS (
+            f"""{p}m{r} AS (
   SELECT p.qid, p.nid,
          max(round({_cos_sql('p.embedding', 's.embedding')}, 6)) AS msim
-  FROM pool p JOIN a{r - 1} s ON s.qid = p.qid
+  FROM {p}pool p JOIN {p}a{r - 1} s ON s.qid = p.qid
   GROUP BY p.qid, p.nid
 ),
-s{r} AS (
+{p}s{r} AS (
   SELECT qid, nid, embedding, mmr_micro, {r} AS k FROM (
     SELECT p.qid, p.nid, p.embedding,
            CAST(round(1e6 * ({lam} * p.rel - {inv} * m.msim)) AS BIGINT)
@@ -3957,22 +4115,57 @@ s{r} AS (
              ORDER BY CAST(round(1e6 * ({lam} * p.rel - {inv} * m.msim))
                            AS BIGINT) DESC, p.nid
            ) AS rn
-    FROM pool p JOIN m{r} m ON p.qid = m.qid AND p.nid = m.nid
+    FROM {p}pool p JOIN {p}m{r} m ON p.qid = m.qid AND p.nid = m.nid
     WHERE NOT EXISTS (
-      SELECT 1 FROM a{r - 1} x WHERE x.qid = p.qid AND x.nid = p.nid
+      SELECT 1 FROM {p}a{r - 1} x WHERE x.qid = p.qid AND x.nid = p.nid
     )
   ) WHERE rn = 1
 ),
-a{r} AS (SELECT * FROM a{r - 1} UNION ALL SELECT * FROM s{r})"""
+{p}a{r} AS (SELECT * FROM {p}a{r - 1} UNION ALL SELECT * FROM {p}s{r})"""
         )
-    union = "\nUNION ALL\n".join(
-        f"SELECT qid, CAST(k AS INT) AS k, nid, mmr_micro FROM s{r}"
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT qid, CAST(k AS INT) AS k, nid, mmr_micro FROM {p}s{r}"
         for r in range(1, MMR_K + 1)
     )
-    return "WITH " + ",\n".join(parts) + "\n" + union
+    parts.append(f"{p}picks AS (\n  {union}\n)")
+    return parts
 
 
-SQL_MMR_RERANK = _mmr_sql()
+SQL_MMR_RERANK = (
+    "WITH "
+    + ",\n".join(_mmr_pool_brute_sql() + _mmr_rounds_sql())
+    + "\nSELECT qid, k, nid, mmr_micro FROM picks"
+)
+
+SQL_MMR_RERANK_ANN = (
+    "WITH "
+    + ",\n".join(_mmr_pool_rp_sql() + _mmr_rounds_sql())
+    + "\nSELECT qid, k, nid, mmr_micro FROM picks"
+)
+
+SQL_MMR_ANN_OVERLAP = (
+    "WITH "
+    + ",\n".join(
+        _mmr_pool_brute_sql("b_")
+        + _mmr_rounds_sql("b_")
+        + _mmr_pool_rp_sql("n_")
+        + _mmr_rounds_sql("n_")
+    )
+    + f""",
+common AS (
+  SELECT b.qid, count(*) AS n_common
+  FROM b_picks b JOIN n_picks n ON n.qid = b.qid AND n.nid = b.nid
+  GROUP BY b.qid
+),
+base AS (
+  SELECT qid, CAST(count(*) AS BIGINT) AS k_picks FROM b_picks GROUP BY qid
+)
+SELECT base.qid, base.k_picks,
+       CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_overlap,
+       CAST(round(1e6 * coalesce(c.n_common, 0) / {MMR_K}) AS BIGINT)
+         AS overlap_micro
+FROM base LEFT JOIN common c ON c.qid = base.qid"""
+)
 
 
 ANN_MAX_CELL = 32  # cells above this are LSH-sub-sliced before probing
@@ -6480,6 +6673,8 @@ QUERIES = {
     "ann_ivfpq": Query(q_ann_ivfpq, SQL_ANN_IVFPQ),
     "ann_ivfpq_recall": Query(q_ann_ivfpq_recall, SQL_ANN_IVFPQ_RECALL),
     "mmr_rerank": Query(q_mmr_rerank, SQL_MMR_RERANK),
+    "mmr_rerank_ann": Query(q_mmr_rerank_ann, SQL_MMR_RERANK_ANN),
+    "mmr_ann_overlap": Query(q_mmr_ann_overlap, SQL_MMR_ANN_OVERLAP),
     "ann_ivf": Query(q_ann_ivf, SQL_ANN_IVF),
     "ann_ivf_recall": Query(q_ann_ivf_recall, SQL_ANN_IVF_RECALL),
     "ann_ivf_recall_probe4": Query(
