@@ -290,3 +290,70 @@ def test_progress_stale_probe_logic():
     assert probe() is True  # no new progress past the threshold
     q.lastProgress = {"timestamp": "t2"}
     assert probe() is False  # recovered
+
+
+def test_h7_processing_time_cadence_matches_available_now(
+    spark, sf_dir, tmp_path
+):
+    """H7: the production trigger cadence, observed. A processingTime
+    trigger fires micro-batches on interval ticks (the reference's
+    50 ms strategy throttle, main.py:128-132 → trigger interval), and
+    composes with the H9 supervisor via the until-condition. Asserts
+    ≥2 data batches on distinct interval ticks AND that the triggered
+    run lands exactly the rows an availableNow drain does."""
+    import datetime
+
+    from zcode_iceberg_spark.streaming.lifecycle import run_processing_time
+    from zcode_iceberg_spark.streaming.pipeline import run_available_now
+
+    src = str(tmp_path / "src")
+    want_ids = _write_shards(spark, sf_dir, src, n=3)
+
+    def stream():
+        return (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("doc_id", F.length("text").alias("n_chars"))
+        )
+
+    res = run_processing_time(
+        stream(),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+        interval="1 second",
+        min_data_batches=3,  # all shards → full drain, comparable below
+        timeout_sec=90.0,
+    )
+    assert res["timed_out"] is False
+    assert res["report"]["completed"] is True
+    data = [p for p in res["progress"] if p["numInputRows"] > 0]
+    assert len(data) >= 3  # one per shard (maxFilesPerTrigger=1)
+
+    stamps = sorted(
+        datetime.datetime.fromisoformat(
+            p["timestamp"].replace("Z", "+00:00")
+        ).timestamp()
+        for p in data
+    )
+    # tick-aligned cadence: batches land on distinct interval ticks,
+    # and consecutive ALIGNED batches (skip the unaligned first
+    # trigger) are spaced at least ~one interval apart
+    assert len({int(s) for s in stamps}) >= 2
+    gaps = [b - a for a, b in zip(stamps[1:], stamps[2:])]
+    assert all(g >= 0.8 for g in gaps), gaps
+
+    # cadence changes WHEN rows land, never WHICH rows land
+    run_available_now(
+        stream(), str(tmp_path / "out2"), str(tmp_path / "ck2")
+    )
+    got = {
+        (r["doc_id"], r["n_chars"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_chars"])
+        for r in spark.read.parquet(str(tmp_path / "out2")).collect()
+    }
+    assert got == want
+    assert {i for i, _ in got} == want_ids

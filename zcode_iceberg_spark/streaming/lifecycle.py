@@ -104,6 +104,7 @@ def supervise(
     poll_sec: float = 0.25,
     stale_probe: Callable[[], bool] | None = None,
     on_event: Callable[[str], None] | None = None,
+    until: Callable[[StreamingQuery], bool] | None = None,
 ) -> dict:
     """Run a streaming query under crash/staleness supervision until it
     terminates cleanly or the restart budget is spent.
@@ -114,6 +115,13 @@ def supervise(
     exponential backoff (``backoff_sec * 2**k``, reference cadence:
     3 retries); a True from ``stale_probe`` stops the wedged query
     and restarts it, drawing from the same budget.
+
+    ``until`` is the completion condition for CONTINUOUS-trigger
+    queries (processingTime cadence — they never terminate on their
+    own): polled each round with the live query, and when it returns
+    True the query is stopped cleanly and the run reported completed.
+    This is how a production-cadence run composes with the same
+    supervisor as a drain-to-done run (H7 + H9 in one lifecycle).
 
     Returns a report dict:
     ``{"completed": bool, "restarts": int, "stale_restarts": int,
@@ -180,6 +188,15 @@ def supervise(
             if q is None:
                 return report
             continue
+        if until is not None and until(q):
+            note("until-condition met; stopping cleanly")
+            q.stop()
+            try:
+                q.awaitTermination()
+            except Exception as exc:  # noisy stop is expected — record
+                note(f"stop-drain raised: {exc}")
+            report["completed"] = True
+            return report
         if stale_probe is not None and stale_probe():
             if used() >= max_restarts:
                 report["failures"].append("stale and restart budget exhausted")
@@ -200,3 +217,75 @@ def supervise(
             q = try_start()
             if q is None:
                 return report
+
+
+def run_processing_time(
+    df,
+    out_dir: str,
+    checkpoint: str,
+    interval: str = "1 second",
+    min_data_batches: int = 2,
+    timeout_sec: float = 120.0,
+    poll_sec: float = 0.1,
+    max_restarts: int = 3,
+    on_event: Callable[[str], None] | None = None,
+) -> dict:
+    """H7: the production trigger cadence, executable. The reference
+    throttles its per-message callbacks so the strategy evaluates at
+    most every 50 ms (main.py:128-132, config.py:37); the Spark-first
+    mapping is ``trigger(processingTime=...)`` — micro-batches fire on
+    interval ticks regardless of message arrival rate, which IS the
+    throttle (per-message work is absorbed into the next tick's batch).
+
+    Runs the sink under :func:`supervise` with an ``until`` condition,
+    so cadence and lifecycle compose: crashes restart on the same
+    checkpoint, and the run completes once ``min_data_batches``
+    micro-batches that actually carried rows have committed (or
+    ``timeout_sec`` elapses — reported, never hung).
+
+    Returns ``{"report": supervise-report, "progress": [progress dicts
+    by batchId], "timed_out": bool}``; the progress list carries each
+    batch's trigger ``timestamp`` so callers can assert the cadence
+    (tests/test_lifecycle.py does — ≥2 data batches on distinct
+    interval ticks, same rows as an ``availableNow`` drain)."""
+    seen: dict[int, dict] = {}
+    deadline = time.monotonic() + timeout_sec
+    timed_out = [False]
+
+    def factory() -> StreamingQuery:
+        return (
+            df.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(processingTime=interval)
+            .start()
+        )
+
+    def until(q: StreamingQuery) -> bool:
+        # harvest progress BEFORE deciding: recentProgress is a
+        # bounded ring buffer, so poll-time capture is the only way
+        # to hand the full trajectory back to the caller
+        for prog in q.recentProgress:
+            if prog is not None:
+                seen[prog["batchId"]] = prog
+        n_data = sum(1 for p in seen.values() if p["numInputRows"] > 0)
+        if n_data >= min_data_batches:
+            return True
+        if time.monotonic() > deadline:
+            timed_out[0] = True
+            return True
+        return False
+
+    report = supervise(
+        factory,
+        max_restarts=max_restarts,
+        poll_sec=poll_sec,
+        on_event=on_event,
+        until=until,
+    )
+    return {
+        "report": report,
+        "progress": [seen[b] for b in sorted(seen)],
+        "timed_out": timed_out[0],
+    }
