@@ -43,12 +43,24 @@ def test_priority_window_contract():
     assert list(REG)[:WINDOW] == PRIORITY
 
 
+# The ONLY queries allowed to ship without a DuckDB oracle: genuinely
+# non-SQL-expressible ops, each named here with its replacement
+# verification so the exemption can never silently grow.
+NON_SQL_EXPRESSIBLE = {
+    # BPTT training; pinned by numerical gradient checks + seeded
+    # golden trajectory + distributed-forward agreement
+    # (tests/test_lstm_training.py)
+    "trend_lstm_training",
+}
+
+
 def test_readme_oracle_figures():
     """README's oracle-coverage claim is an invariant, not a number:
     EVERY suite query ships a DuckDB oracle (the stochastic/sketch
-    ones via deterministic audit views). Asserting the invariant
-    instead of a pinned count means it can never go stale when the
-    registry grows."""
-    total = len(REG)
-    with_oracle = sum(1 for q in REG.values() if q.oracle)
-    assert total == with_oracle == len(ORACLE_NAMES) > 0, (total, with_oracle)
+    ones via deterministic audit views) EXCEPT the explicitly-listed
+    non-SQL-expressible ops, which must carry test-based verification
+    instead. Asserting the invariant instead of a pinned count means
+    it can never go stale when the registry grows."""
+    no_oracle = {n for n, q in REG.items() if not q.oracle}
+    assert no_oracle == NON_SQL_EXPRESSIBLE, no_oracle
+    assert len(ORACLE_NAMES) == len(REG) - len(NON_SQL_EXPRESSIBLE) > 0

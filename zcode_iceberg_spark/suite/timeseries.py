@@ -533,6 +533,64 @@ FROM full_seqs
 """
 
 
+LSTM_WARMUP_BARS = 400  # bounded warmup window (reference: ≤ ~1000 bars)
+
+
+def q_trend_lstm_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 training half, end-to-end: train the reference's 1→64×2
+    TrendLSTM (data_manager.py:886-929) with pure-numpy BPTT +
+    full-batch Adam on a BOUNDED warmup window of one key's closes,
+    collected driver-side — the reference trains on ≤ ~1000 bars of
+    one symbol, so collect-then-train IS the faithful shape
+    (operators/lstm.py; the distributed-aggregate trainer for
+    unbounded data is trend_probe_training). The trained blob
+    persists through the npz seam and is then SERVED distributively
+    over every sequence window via the broadcast-weights pandas_udf
+    forward (operators/timeseries.py:lstm_trend_scores).
+
+    BPTT is not SQL-expressible, so this entry carries no DuckDB
+    oracle (the driver records a rows-only check — the one such row
+    in the registry); the gradient math is pinned instead by
+    numerical gradient checks + a seeded golden trajectory
+    (tests/test_lstm_training.py) and a distributed-vs-driver forward
+    agreement test."""
+    import hashlib
+    import os
+    import tempfile
+
+    from zcode_iceberg_spark.operators import lstm as lstm_ops
+
+    ticks = events_ticks(spark, sf_dir)
+    # O(1)/O(bars) driver scalars: one aggregate for the key choice,
+    # one bounded TakeOrdered for the warmup closes — never the corpus
+    key0 = ticks.agg(F.min("user_id").alias("k")).collect()[0]["k"]
+    closes = [
+        r["price"]
+        for r in ticks.filter(F.col("user_id") == key0)
+        .orderBy("ts", "event_id")
+        .select("price")
+        .limit(LSTM_WARMUP_BARS)
+        .collect()
+    ]
+    params, mean, std, losses = lstm_ops.train_trend_lstm(
+        closes, seq_len=10, horizon=5, epochs=8, seed=7
+    )
+    assert losses[-1] < losses[0], "training diverged on warmup window"
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/zspark_lstm_{tag}_p{os.getpid()}.npz"
+    lstm_ops.save_trend_lstm(params, mean, std, path)
+    s = ops.sequence_windows(ticks, seq_len=10, horizon=5)
+    out = ops.lstm_trend_scores(s, weights_path=path)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("p_down", 6).alias("p_down"),
+        F.round("p_range", 6).alias("p_range"),
+        F.round("p_up", 6).alias("p_up"),
+        "trend_pred",
+    )
+
+
 def q_trend_probe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H10 train-once, oracle-checked end-to-end: {ops.TRAIN_ITERS}
     full-batch gradient-descent epochs of the UP-vs-rest probe run as
@@ -632,6 +690,7 @@ QUERIES = {
     "trend_probe_training": Query(
         q_trend_probe_training, SQL_TREND_PROBE_TRAINING
     ),
+    "trend_lstm_training": Query(q_trend_lstm_training, None),
     "atr_1h": Query(q_atr_1h, SQL_ATR_1H),
     "realized_vol": Query(q_realized_vol, SQL_REALIZED_VOL),
     "liquidity_velocity": Query(q_liquidity_velocity, SQL_LIQUIDITY_VELOCITY),
