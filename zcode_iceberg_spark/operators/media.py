@@ -2,15 +2,20 @@
 metadata, decoded/feature-extracted via Arrow-batched ``mapInPandas``.
 
 Driver-mandated extension (BASELINE north star). The container has no
-image/audio libraries, so the DECODE step is stubbed two ways:
+image/audio libraries, so the DECODE step has three tiers:
 
-- ``use_real_decoder=True`` raises ``NotImplementedError`` at the
-  exact seam where PIL/ffmpeg would plug in (clearly-marked stub);
-- the default path derives deterministic fake metadata from the
-  payload bytes, so the Spark-side plumbing — binary schema, Arrow
-  batch shape, partition-parallel UDF execution — is REAL and
-  oracle-checkable (the fake decode is pure byte arithmetic DuckDB
-  can reproduce from the same md5 bytes).
+- ``use_real_decoder=True`` decodes for real: PIL when importable,
+  else the pure-Python BMP/PPM codec (operators/imagecodec.py — the
+  Avro-codec precedent applied to images), so the real path executes
+  LIVE in this container on BMP/PPM payloads;
+  ``NotImplementedError`` now marks only formats neither backend
+  covers (JPEG/PNG/audio/video without PIL/ffmpeg);
+- the default auto mode stays PIL-probed, so the oracle fixtures
+  (md5 bytes, not image files) keep taking the fake path here;
+- the fake path derives deterministic metadata from the payload
+  bytes, so the Spark-side plumbing — binary schema, Arrow batch
+  shape, partition-parallel UDF execution — is REAL and
+  oracle-checkable (pure byte arithmetic DuckDB can reproduce).
 
 Operators here are payload-agnostic: they consume any frame with
 ``(doc_id, payload: binary, media_type: string)`` columns. The
@@ -85,8 +90,10 @@ def decode_media(
     ``use_real_decoder=None`` (default) auto-selects: PIL decode when
     the codec is importable, else the deterministic fake. ``False``
     pins the fake (what the oracle suite uses — its fixture payloads
-    are md5 bytes, not image files); ``True`` demands the real codec
-    and raises ``NotImplementedError`` where it is absent.
+    are md5 bytes, not image files); ``True`` demands a real codec:
+    PIL when importable, else the built-in pure-Python BMP/PPM
+    decoder — ``NotImplementedError`` only for formats neither
+    backend covers.
 
     Fake decode: width/height/channels derived from payload bytes —
     deterministic, oracle-checkable byte arithmetic. Real decode:
@@ -99,19 +106,19 @@ def decode_media(
         Image = _pil_image() if real else None
         for pdf in batches:
             if real:
-                if Image is None:
-                    raise NotImplementedError(
-                        "real media decoding requires PIL (not installed)"
-                    )
                 import io  # noqa: PLC0415
+
+                from zcode_iceberg_spark.operators import (  # noqa: PLC0415
+                    imagecodec,
+                )
 
                 rows = []
                 for doc_id, payload, mtype in zip(
                     pdf["doc_id"], pdf["payload"], pdf["media_type"]
                 ):
                     if mtype != "image":
-                        # PIL can only decode images; audio/video rows
-                        # keep their identity/length metadata and null
+                        # only images decode; audio/video rows keep
+                        # their identity/length metadata and null
                         # decode fields (same 1→1 cardinality as the
                         # fake path, which is modality-agnostic)
                         rows.append(
@@ -119,16 +126,21 @@ def decode_media(
                              None, None, None, None)
                         )
                         continue
-                    im = Image.open(io.BytesIO(payload))
-                    px = im.tobytes()
+                    if Image is not None:
+                        im = Image.open(io.BytesIO(payload))
+                        w, h, nch = im.width, im.height, len(im.getbands())
+                        px = im.tobytes()
+                    else:  # pure-Python BMP/PPM fallback; raises
+                        # NotImplementedError on uncovered formats
+                        w, h, nch, px = imagecodec.decode_image(payload)
                     rows.append(
                         (
                             int(doc_id),
                             mtype,
                             len(payload),
-                            im.width,
-                            im.height,
-                            len(im.getbands()),
+                            w,
+                            h,
+                            nch,
                             float(sum(px)) / len(px) if px else 0.0,
                         )
                     )
@@ -186,12 +198,14 @@ def resize_media(
     integer) and mean.
 
     Real-decoder seam (``use_real_decoder=None`` auto-probes PIL like
-    ``decode_media``): the real path opens the payload, converts to
-    grayscale, ``Image.resize((out_w, out_h), NEAREST)`` and sums the
-    thumbnail pixels — same output contract; raises
-    ``NotImplementedError`` when ``True`` is pinned without PIL. The
+    ``decode_media``): with PIL the real path opens the payload,
+    converts to grayscale, ``Image.resize((out_w, out_h), NEAREST)``
+    and sums the thumbnail pixels; without PIL the built-in BMP/PPM
+    codec decodes and the shared integer-luma NN thumbnail does the
+    same (operators/imagecodec.py:gray_nearest_thumb) —
+    ``NotImplementedError`` only for formats neither covers. The
     Arrow batch shape, per-split parallelism, and N→M row contraction
-    are the real thing on both paths.
+    are the real thing on all paths.
     """
     real = _resolve_real(use_real_decoder)
 
@@ -199,11 +213,11 @@ def resize_media(
         Image = _pil_image() if real else None
         for pdf in batches:
             if real:
-                if Image is None:
-                    raise NotImplementedError(
-                        "real image resizing requires PIL (not installed)"
-                    )
                 import io  # noqa: PLC0415
+
+                from zcode_iceberg_spark.operators import (  # noqa: PLC0415
+                    imagecodec,
+                )
 
                 rows = []
                 for doc_id, payload, mtype in zip(
@@ -211,9 +225,17 @@ def resize_media(
                 ):
                     if mtype != "image":
                         continue
-                    im = Image.open(io.BytesIO(payload)).convert("L")
-                    thumb = im.resize((out_w, out_h), Image.NEAREST)
-                    total = sum(thumb.tobytes())
+                    if Image is not None:
+                        im = Image.open(io.BytesIO(payload)).convert("L")
+                        thumb = im.resize((out_w, out_h), Image.NEAREST)
+                        total = sum(thumb.tobytes())
+                    else:
+                        w, h, nch, px = imagecodec.decode_image(payload)
+                        total = sum(
+                            imagecodec.gray_nearest_thumb(
+                                w, h, nch, px, out_w, out_h
+                            )
+                        )
                     rows.append(
                         (
                             int(doc_id),
