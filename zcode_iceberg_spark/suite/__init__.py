@@ -42,70 +42,70 @@ class Query:
 WINDOW = 50
 
 PRIORITY = [
-    # tool-generated rotation (tools/rotate_priority.py over r1-r6
-    # history), round 7: the 23 never-driver-checked round-7 queries
-    # (trend_classifier_weights, trend_probe_training,
-    # dedup_incremental_persisted, neardup_incremental_persisted,
-    # ann_ivf_incremental_persisted, ann_ivf_recall{,_probe4},
-    # ann_ivf_bounded{,_recall}, dedup_cc_twostar, coreset_kcenter,
-    # lm_perplexity, the four format round-trips csv/jsonl/orc/avro,
-    # and the late-round-7 additions quality_classifier,
-    # dedup_canonical, ann_rp{,_recall}, mmr_rerank, ann_pq{,_recall})
-    # plus the stalest greens — media_features (r3) and the r4 block.
-    # Displaced r4/r6 greens (incl. quality_sample, decon_overlap_hll,
-    # semantic_dedup, corpus_shuffle, temperature_mix, pii_scan,
-    # doc_repetition) hold green rows and stay oracle-checked at
-    # sf0.001 on every pytest run (tests/test_oracle_suite.py).
-    "gap_fill_1h",
-    "trend_classifier_weights",
-    "realized_vol",
-    "iceberg_refill",
-    "wall_strength",
-    "pricing_summary",
-    "price_percentiles",
-    "price_percentiles_approx",
-    "star_revenue",
-    "top_customers_per_nation",
-    "priority_with_discounted",
-    "customers_without_orders",
-    "rollup_sales",
-    "distinct_parts_per_supplier",
-    "approx_distinct_parts",
-    "trade_params",
-    "mc_win_prob",
-    "dedup_exact",
-    "dup_spans",
-    "training_export",
-    "simhash",
-    "lang_id",
-    "text_quality",
-    "token_counts",
-    "token_histogram",
-    "bpe_merges",
-    "bpe_segment",
-    "dedup_incremental_persisted",
-    "media_features",
-    "csv_roundtrip",
-    "jsonl_roundtrip",
-    "orc_roundtrip",
-    "avro_roundtrip",
-    "trend_probe_training",
-    "dedup_cc_twostar",
-    "coreset_kcenter",
-    "lm_perplexity",
-    "neardup_incremental_persisted",
-    "ann_ivf_incremental_persisted",
-    "ann_ivf_recall",
-    "ann_ivf_recall_probe4",
-    "ann_ivf_bounded",
-    "ann_ivf_bounded_recall",
-    "quality_classifier",
-    "dedup_canonical",
-    "ann_rp",
-    "ann_rp_recall",
+    # Round-8 rotation (tools/rotate_priority.py over r1-r7 history +
+    # the this-round delta): first the new/changed queries — the three
+    # never-driver-checked late-r7 additions (ann_pq_persisted,
+    # ann_ivfpq{,_recall}), the four new round-8 queries
+    # (mmr_rerank_ann, mmr_ann_overlap, trend_lstm_training — the
+    # registry's single rows-only entry — and the oracle-refactored
+    # mmr_rerank), and quality_classifier (prob-quantization oracle
+    # change, ADVICE r7). Then the full r4-stale block (12) and the
+    # stalest r5 greens, closing VERDICT r7 task #2 (max staleness
+    # ≤ 2 rounds for everything displaced). Displaced greens stay
+    # oracle-checked at sf0.001 on every pytest run
+    # (tests/test_oracle_suite.py).
+    "ann_pq_persisted",
+    "ann_ivfpq",
+    "ann_ivfpq_recall",
     "mmr_rerank",
-    "ann_pq",
-    "ann_pq_recall",
+    "mmr_rerank_ann",
+    "mmr_ann_overlap",
+    "trend_lstm_training",
+    "quality_classifier",
+    # r4-stale block
+    "pii_scan",
+    "doc_repetition",
+    "temperature_mix",
+    "quality_sample",
+    "decon_overlap_hll",
+    "semantic_dedup",
+    "corpus_shuffle",
+    "ledger_drawdown",
+    "wp_calibration",
+    "ledger_daily_summary",
+    "ledger_exit_stats",
+    "modality_interleave",
+    # stalest r5 greens (registry order, per the rotation tool)
+    "ticks_normalize",
+    "funnel_conversion",
+    "cohort_retention",
+    "event_transitions",
+    "robust_outliers",
+    "cusum_alarm",
+    "volume_hhi",
+    "session_paths",
+    "sessionize",
+    "delta_zscore",
+    "cvd",
+    "volume_factor",
+    "rolling_corr",
+    "ohlc_1h",
+    "bar_dod_change",
+    "sequence_labels",
+    "trend_classifier",
+    "atr_1h",
+    "liquidity_velocity",
+    "hurst",
+    "bos_1h",
+    "ema",
+    "book_topk",
+    "best_quotes",
+    "imbalance",
+    "asof_trade_quote",
+    "range_join_flow",
+    "rfm_segments",
+    "cumulative_customer_value",
+    "daily_order_summary",
 ]
 
 
