@@ -1,0 +1,133 @@
+"""Physical twin of the zorder_layout model query: write REAL parquet
+files in z-order vs linear-time order, then prune row groups on their
+footer min/max statistics — the exact mechanism a 100 TB scan uses.
+The model query (suite/flow.py:q_zorder_layout) prices layouts with
+bucket bounding boxes; this test checks the model's verdict against
+parquet metadata produced by each physical sort."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from zcode_iceberg_spark.sources.tables import load_table
+from zcode_iceberg_spark.suite.flow import (
+    ZP_HI,
+    ZP_LO,
+    _grid16_sql,
+    _zvalue_sql,
+    q_zorder_layout,
+)
+
+ROW_GROUP = 16  # small groups so sf0.001's ~1000 rows give ~60 zone maps
+
+
+def _grid_pdf(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(
+            F.col("ts").cast("timestamp_ntz").cast("timestamp")
+        ).alias("tus"),
+    )
+    stats = ev.agg(
+        F.min("tus").alias("mnt"),
+        F.max("tus").alias("mxt"),
+        F.min("user_id").alias("mnu"),
+        F.max("user_id").alias("mxu"),
+    )
+    g = ev.crossJoin(F.broadcast(stats)).select(
+        F.expr(_grid16_sql("tus", "mnt", "mxt", "DIV")).alias("t16"),
+        F.expr(_grid16_sql("user_id", "mnu", "mxu", "DIV")).alias("u16"),
+    )
+    return g.withColumn(
+        "z", F.expr(_zvalue_sql("t16", "u16", "DIV"))
+    ).toPandas()
+
+
+def _groups_scanned(path: str, t_rng, u_rng) -> tuple[int, int]:
+    """(row groups intersecting the box, total row groups) from the
+    parquet footer stats of (t16, u16) — zone-map pruning, verbatim."""
+    md = pq.ParquetFile(path).metadata
+    names = {md.schema.column(j).name: j for j in range(md.num_columns)}
+    scanned = 0
+    for i in range(md.num_row_groups):
+        ts = md.row_group(i).column(names["t16"]).statistics
+        us = md.row_group(i).column(names["u16"]).statistics
+        if (
+            ts.min <= t_rng[1]
+            and ts.max >= t_rng[0]
+            and us.min <= u_rng[1]
+            and us.max >= u_rng[0]
+        ):
+            scanned += 1
+    return scanned, md.num_row_groups
+
+
+def _write_sorted(pdf, by: str, path: str) -> None:
+    ordered = pdf.sort_values([by, "t16", "u16"]).reset_index(drop=True)
+    pq.write_table(
+        pa.Table.from_pandas(ordered[["t16", "u16"]], preserve_index=False),
+        path,
+        row_group_size=ROW_GROUP,
+    )
+
+
+def test_zorder_rowgroup_pruning_beats_linear_on_2d_box(
+    spark, sf_dir, tmp_path
+):
+    pdf = _grid_pdf(spark, sf_dir)
+    zpath = str(tmp_path / "z.parquet")
+    lpath = str(tmp_path / "lin.parquet")
+    _write_sorted(pdf, "z", zpath)
+    _write_sorted(pdf, "t16", lpath)
+
+    box = (ZP_LO, ZP_HI)
+    z_scan, z_total = _groups_scanned(zpath, box, box)
+    l_scan, l_total = _groups_scanned(lpath, box, box)
+    assert z_total == l_total
+    # The 2-D predicate is the z-order case: interleaving tightens the
+    # user_id boxes enough to beat the time-sorted layout outright.
+    assert z_scan < l_scan, (z_scan, l_scan)
+    # Both layouts must scan at least every row group that holds a
+    # matching row (zone maps never produce false negatives).
+    n_match = int(
+        (
+            pdf["t16"].between(*box) & pdf["u16"].between(*box)
+        ).sum()
+    )
+    assert z_scan * ROW_GROUP >= n_match
+    assert l_scan * ROW_GROUP >= n_match
+
+
+def test_linear_layout_wins_pure_time_predicate(spark, sf_dir, tmp_path):
+    """The honest trade-off: on a time-ONLY predicate the time-sorted
+    layout is optimal and z-order pays for the key bits it interleaved
+    — the model is a decision between workloads, not a free win."""
+    pdf = _grid_pdf(spark, sf_dir)
+    zpath = str(tmp_path / "z.parquet")
+    lpath = str(tmp_path / "lin.parquet")
+    _write_sorted(pdf, "z", zpath)
+    _write_sorted(pdf, "t16", lpath)
+
+    t_box = (ZP_LO, ZP_HI)
+    u_all = (0, 1 << 16)  # no key predicate
+    z_scan, _ = _groups_scanned(zpath, t_box, u_all)
+    l_scan, _ = _groups_scanned(lpath, t_box, u_all)
+    assert l_scan <= z_scan, (l_scan, z_scan)
+
+
+def test_model_query_orders_layouts(spark, sf_dir):
+    """The audit query's modeled scan fractions must order the layouts
+    the way the physical test does: zorder < linear_time < unclustered
+    on the 2-D box, with identical rows_matched across layouts."""
+    rows = {r["layout"]: r for r in q_zorder_layout(spark, sf_dir).collect()}
+    assert set(rows) == {"zorder", "linear_time", "unclustered"}
+    assert (
+        rows["zorder"]["scan_fraction"]
+        < rows["linear_time"]["scan_fraction"]
+        < rows["unclustered"]["scan_fraction"]
+    )
+    matched = {r["rows_matched"] for r in rows.values()}
+    assert len(matched) == 1

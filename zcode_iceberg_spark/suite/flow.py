@@ -842,8 +842,194 @@ FROM paths GROUP BY path
 """
 
 
+# ------------------------------------------------------- z-order layout
+
+ZGRID_BITS = 16  # per-dimension grid resolution
+ZGRID_MAX = (1 << ZGRID_BITS) - 1  # 65535
+ZNB_SHIFT = 2 * ZGRID_BITS - 6  # 64 equal-width buckets over the 32-bit z key
+ZLIN_SHIFT = ZGRID_BITS - 6  # 64 equal-width buckets over one dimension
+ZNB = 64
+# predicate box = the middle eighth of each dimension's grid range
+ZP_LO = (1 << ZGRID_BITS) * 7 // 16  # 28672
+ZP_HI = (1 << ZGRID_BITS) * 9 // 16 - 1  # 36863
+
+
+def _grid16_sql(x: str, mn: str, mx: str, idiv: str) -> str:
+    """Affine map of ``x`` onto the {ZGRID_BITS}-bit grid with EXACT
+    integer arithmetic (the product can exceed 2^53, so float division
+    is not an option); ``idiv`` is the dialect's integer-division
+    operator (Spark ``DIV``, DuckDB ``//``)."""
+    return f"(({x} - {mn}) * {ZGRID_MAX} {idiv} greatest({mx} - {mn}, 1))"
+
+
+def _zvalue_sql(t: str, u: str, idiv: str) -> str:
+    """Bit-interleaved Morton/Z value of two grid coordinates as pure
+    arithmetic — bit b of x is (x idiv 2^b) % 2 — so both engines
+    evaluate the identical formula with no dialect bit operators."""
+    terms = []
+    for b in range(ZGRID_BITS):
+        terms.append(f"(({t} {idiv} {1 << b}) % 2) * {1 << (2 * b)}")
+        terms.append(f"(({u} {idiv} {1 << b}) % 2) * {1 << (2 * b + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data layout audit: how much of the table a
+    (time-range AND key-range) predicate must scan under three file
+    layouts — Z-ORDER (bit-interleaved (ts, user_id) sort: the
+    OPTIMIZE-ZORDER technique), LINEAR-TIME (sort by ts alone: the
+    default append layout), and UNCLUSTERED (hash scatter). Both
+    dimensions are mapped onto a {ZGRID_BITS}-bit grid with exact
+    integer arithmetic, rows fall into {ZNB} equal-width key-range
+    buckets per layout (a bucket models one file/row-group), and a
+    bucket must be scanned iff its (min,max) bounding box in BOTH
+    dimensions intersects the predicate box — exactly the min/max
+    zone-map pruning parquet footers give a 100 TB scan. Output: one
+    row per layout with buckets_scanned / rows_scanned /
+    scan_fraction against identical rows_matched, which IS the
+    layout decision (z-order pays a slightly looser time box to make
+    the key box ~{ZNB}× tighter; the measured physical-row-group twin
+    of this model is tests/test_zorder.py, which writes real parquet
+    in each order and prunes on footer stats).
+
+    Scale shape: grid + z-value are map-side expressions on the scan
+    (the 'model' is two min/max pairs from one aggregate pass,
+    broadcast back); the three layouts are ONE explode (3 rows per
+    event, each a narrow (layout, bucket, t16, u16) tuple) feeding ONE
+    (layout, bucket) hash aggregate with map-side partials, then a
+    {3 * ZNB}-row final rollup — one scan, one shuffle, no sort (at
+    write time the real layout IS a sort; this query only prices it)."""
+    from zcode_iceberg_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(
+            F.col("ts").cast("timestamp_ntz").cast("timestamp")
+        ).alias("tus"),
+    )
+    stats = ev.agg(
+        F.min("tus").alias("mnt"),
+        F.max("tus").alias("mxt"),
+        F.min("user_id").alias("mnu"),
+        F.max("user_id").alias("mxu"),
+    )
+    g = ev.crossJoin(F.broadcast(stats)).select(
+        "event_id",
+        F.expr(_grid16_sql("tus", "mnt", "mxt", "DIV")).alias("t16"),
+        F.expr(_grid16_sql("user_id", "mnu", "mxu", "DIV")).alias("u16"),
+    )
+    zb = F.expr(_zvalue_sql("t16", "u16", "DIV") + f" DIV {1 << ZNB_SHIFT}")
+    tb = F.expr(f"t16 DIV {1 << ZLIN_SHIFT}")
+    hb = F.col("event_id") % ZNB
+    rows = g.select(
+        "t16",
+        "u16",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"), zb.cast("long").alias("bucket")
+                ),
+                F.struct(
+                    F.lit("linear_time").alias("layout"),
+                    tb.cast("long").alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("unclustered").alias("layout"),
+                    hb.cast("long").alias("bucket"),
+                ),
+            )
+        ).alias("lb"),
+    ).select(F.col("lb.layout").alias("layout"), F.col("lb.bucket").alias("bucket"), "t16", "u16")
+    matched = (
+        F.col("t16").between(ZP_LO, ZP_HI) & F.col("u16").between(ZP_LO, ZP_HI)
+    ).cast("long")
+    boxes = rows.groupBy("layout", "bucket").agg(
+        F.min("t16").alias("t_lo"),
+        F.max("t16").alias("t_hi"),
+        F.min("u16").alias("u_lo"),
+        F.max("u16").alias("u_hi"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(matched).alias("n_match"),
+    )
+    scanned = (
+        (F.col("t_lo") <= ZP_HI)
+        & (F.col("t_hi") >= ZP_LO)
+        & (F.col("u_lo") <= ZP_HI)
+        & (F.col("u_hi") >= ZP_LO)
+    )
+    return (
+        boxes.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(scanned.cast("long")).alias("buckets_scanned"),
+            F.sum(F.when(scanned, F.col("n_rows")).otherwise(0)).alias(
+                "rows_scanned"
+            ),
+            F.sum("n_match").alias("rows_matched"),
+            F.round(
+                F.sum(F.when(scanned, F.col("n_rows")).otherwise(0))
+                / F.sum("n_rows"),
+                6,
+            ).alias("scan_fraction"),
+        )
+    )
+
+
+SQL_ZORDER_LAYOUT = f"""
+WITH stats AS MATERIALIZED (
+  SELECT min(epoch_us(ts)) AS mnt, max(epoch_us(ts)) AS mxt,
+         min(user_id) AS mnu, max(user_id) AS mxu
+  FROM events
+),
+g AS MATERIALIZED (
+  SELECT event_id,
+         {_grid16_sql('epoch_us(ts)', 'mnt', 'mxt', '//')} AS t16,
+         {_grid16_sql('user_id', 'mnu', 'mxu', '//')} AS u16
+  FROM events CROSS JOIN stats
+),
+rows_l AS (
+  SELECT 'zorder' AS layout,
+         CAST({_zvalue_sql('t16', 'u16', '//')} // {1 << ZNB_SHIFT} AS BIGINT)
+           AS bucket, t16, u16
+  FROM g
+  UNION ALL
+  SELECT 'linear_time', CAST(t16 // {1 << ZLIN_SHIFT} AS BIGINT), t16, u16
+  FROM g
+  UNION ALL
+  SELECT 'unclustered', CAST(event_id % {ZNB} AS BIGINT), t16, u16 FROM g
+),
+boxes AS (
+  SELECT layout, bucket,
+         min(t16) AS t_lo, max(t16) AS t_hi,
+         min(u16) AS u_lo, max(u16) AS u_hi,
+         count(*) AS n_rows,
+         sum(CASE WHEN t16 BETWEEN {ZP_LO} AND {ZP_HI}
+                   AND u16 BETWEEN {ZP_LO} AND {ZP_HI}
+                  THEN 1 ELSE 0 END) AS n_match
+  FROM rows_l GROUP BY layout, bucket
+)
+SELECT layout,
+       count(*) AS n_buckets,
+       CAST(sum(CASE WHEN t_lo <= {ZP_HI} AND t_hi >= {ZP_LO}
+                 AND u_lo <= {ZP_HI} AND u_hi >= {ZP_LO}
+                THEN 1 ELSE 0 END) AS BIGINT) AS buckets_scanned,
+       CAST(sum(CASE WHEN t_lo <= {ZP_HI} AND t_hi >= {ZP_LO}
+                 AND u_lo <= {ZP_HI} AND u_hi >= {ZP_LO}
+                THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(sum(n_match) AS BIGINT) AS rows_matched,
+       round(sum(CASE WHEN t_lo <= {ZP_HI} AND t_hi >= {ZP_LO}
+                       AND u_lo <= {ZP_HI} AND u_hi >= {ZP_LO}
+                      THEN n_rows ELSE 0 END) / CAST(sum(n_rows) AS DOUBLE), 6)
+         AS scan_fraction
+FROM boxes
+GROUP BY layout
+"""
+
+
 QUERIES = {
     "ticks_normalize": Query(q_ticks_normalize, SQL_TICKS_NORMALIZE),
+    "zorder_layout": Query(q_zorder_layout, SQL_ZORDER_LAYOUT),
     "funnel_conversion": Query(q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "cohort_retention": Query(q_cohort_retention, SQL_COHORT_RETENTION),
     "event_transitions": Query(q_event_transitions, SQL_EVENT_TRANSITIONS),
