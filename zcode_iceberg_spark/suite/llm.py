@@ -5409,6 +5409,230 @@ FROM memb
 """
 
 
+# ------------------------------------------------- source overlap via KMV
+
+KMV_K = 128  # k-minimum-values sketch size; rsd ≈ 1/√(k−1) ≈ 8.9%
+
+
+def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix estimated from K-minimum-values
+    sketches — the corpus-mix planning question ("how much of source A
+    already lives in source B?") answered with O(sources · {KMV_K})
+    state instead of an all-pairs gram join. Element universe = hashed
+    word-{DECON_N}-grams (the decontaminate stream); per source the
+    sketch is its {KMV_K} smallest distinct gram hashes, |A| est =
+    (k−1)·P/h₍ₖ₎ when the sketch is full (exact count when not), the
+    pair-union sketch is the {KMV_K} smallest of the two sketches'
+    union (Beyer et al.), and Jaccard comes from inclusion–exclusion.
+    Every estimate is a pure function of order statistics of integer
+    hashes, so the oracle replays it bit-exactly; exact n_a/n_b/
+    n_both/jaccard columns sit beside the estimates as the audit
+    yardstick (the decon_overlap_hll pattern).
+
+    Scale shape: gram hashing + distinct is the one corpus-sized pass
+    (hash agg on (source, gram)); the per-source top-{KMV_K} is a
+    WindowGroupLimit (per-partition heaps, no global sort); everything
+    after — pair frame, union sketches, estimates — touches only
+    sources²·{KMV_K} rows. The exact-audit intersection join is the
+    piece a 100 TB run drops (or samples): it is quadratic in DISTINCT
+    grams shared across sources, while the sketch path never reads the
+    corpus again."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("source", tx.tokens(F.col("text")).alias("w"))
+    grams = base.select(
+        "source",
+        F.explode(
+            F.transform(
+                tx.shingles(F.col("w"), DECON_N), lambda s: tx.word_hash(s)
+            )
+        ).alias("g"),
+    )
+    dist = grams.distinct()
+    counts = dist.groupBy("source").agg(F.count(F.lit(1)).alias("m"))
+    wsk = Window.partitionBy("source").orderBy("g")
+    sk = (
+        dist.withColumn("rk", F.row_number().over(wsk))
+        .filter(F.col("rk") <= KMV_K)
+        .select("source", "g")
+    )
+
+    def kmv_est(msk: Column, kth: Column) -> Column:
+        return F.when(
+            msk < KMV_K, msk.cast("double")
+        ).otherwise(F.lit(float(KMV_K - 1)) * F.lit(float(P)) / kth)
+
+    est_src = sk.groupBy("source").agg(
+        F.count(F.lit(1)).alias("msk"), F.max("g").alias("kth")
+    ).select("source", kmv_est(F.col("msk"), F.col("kth")).alias("est"))
+
+    srcs = dist.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+    )
+    pv = (
+        pairs.join(
+            sk.select(F.col("source").alias("src_a"), "g"), "src_a"
+        ).select("src_a", "src_b", "g")
+        .union(
+            pairs.join(
+                sk.select(F.col("source").alias("src_b"), "g"), "src_b"
+            ).select("src_a", "src_b", "g")
+        )
+        .distinct()
+    )
+    wu = Window.partitionBy("src_a", "src_b").orderBy("g")
+    uest = (
+        pv.withColumn("rk", F.row_number().over(wu))
+        .filter(F.col("rk") <= KMV_K)
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("msk"), F.max("g").alias("kth"))
+        .select(
+            "src_a", "src_b", kmv_est(F.col("msk"), F.col("kth")).alias("est_u")
+        )
+    )
+    inter = (
+        dist.alias("x")
+        .join(
+            dist.alias("y"),
+            (F.col("x.g") == F.col("y.g"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    out = (
+        pairs.join(uest, ["src_a", "src_b"])
+        .join(inter, ["src_a", "src_b"], "left")
+        .join(
+            est_src.select(
+                F.col("source").alias("src_a"), F.col("est").alias("est_a")
+            ),
+            "src_a",
+        )
+        .join(
+            est_src.select(
+                F.col("source").alias("src_b"), F.col("est").alias("est_b")
+            ),
+            "src_b",
+        )
+        .join(
+            counts.select(
+                F.col("source").alias("src_a"), F.col("m").alias("n_a")
+            ),
+            "src_a",
+        )
+        .join(
+            counts.select(
+                F.col("source").alias("src_b"), F.col("m").alias("n_b")
+            ),
+            "src_b",
+        )
+        .withColumn("n_both", F.coalesce(F.col("n_both"), F.lit(0)))
+    )
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    est_inter = F.col("est_a") + F.col("est_b") - F.col("est_u")
+    return out.select(
+        "src_a",
+        "src_b",
+        F.round("est_a", 6).alias("est_a"),
+        F.round("est_b", 6).alias("est_b"),
+        F.round("est_u", 6).alias("est_union"),
+        F.round(F.greatest(F.lit(0.0), est_inter / F.col("est_u")), 6).alias(
+            "est_jaccard"
+        ),
+        "n_a",
+        "n_b",
+        "n_both",
+        n_union.alias("n_union"),
+        F.round(F.col("n_both") / n_union, 6).alias("exact_jaccard"),
+    )
+
+
+_KMV_EST_SQL = (
+    f"CASE WHEN msk < {KMV_K} THEN CAST(msk AS DOUBLE) "
+    f"ELSE {float(KMV_K - 1)!r} * {float(P)!r} / kth END"
+)
+
+SQL_SOURCE_OVERLAP_KMV = f"""
+WITH {TOKS_CTE},
+grams AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(
+           CASE WHEN len(w) >= {DECON_N}
+                THEN generate_series(1, len(w) - {DECON_N - 1})
+                ELSE [] END,
+           i -> {_GRAM_HASH_SQL})) AS g
+  FROM toks
+),
+counts AS (SELECT source, count(*) AS m FROM grams GROUP BY source),
+sk AS (
+  SELECT source, g FROM (
+    SELECT source, g,
+           row_number() OVER (PARTITION BY source ORDER BY g) AS rk
+    FROM grams
+  ) WHERE rk <= {KMV_K}
+),
+est_src AS (
+  SELECT source, {_KMV_EST_SQL} AS est FROM (
+    SELECT source, count(*) AS msk, max(g) AS kth FROM sk GROUP BY source
+  )
+),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM (SELECT DISTINCT source FROM grams) a
+  JOIN (SELECT DISTINCT source FROM grams) b ON a.source < b.source
+),
+pv AS (
+  SELECT DISTINCT src_a, src_b, g FROM (
+    SELECT p.src_a, p.src_b, s.g FROM pairs p JOIN sk s ON s.source = p.src_a
+    UNION ALL
+    SELECT p.src_a, p.src_b, s.g FROM pairs p JOIN sk s ON s.source = p.src_b
+  )
+),
+uest AS (
+  SELECT src_a, src_b, {_KMV_EST_SQL} AS est_u FROM (
+    SELECT src_a, src_b, count(*) AS msk, max(g) AS kth FROM (
+      SELECT src_a, src_b, g,
+             row_number() OVER (PARTITION BY src_a, src_b ORDER BY g) AS rk
+      FROM pv
+    ) WHERE rk <= {KMV_K}
+    GROUP BY src_a, src_b
+  )
+),
+inter AS (
+  SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_both
+  FROM grams x JOIN grams y ON x.g = y.g AND x.source < y.source
+  GROUP BY x.source, y.source
+)
+SELECT p.src_a, p.src_b,
+       round(ea.est, 6) AS est_a,
+       round(eb.est, 6) AS est_b,
+       round(u.est_u, 6) AS est_union,
+       round(greatest(0.0, (ea.est + eb.est - u.est_u) / u.est_u), 6)
+         AS est_jaccard,
+       ca.m AS n_a,
+       cb.m AS n_b,
+       coalesce(i.n_both, 0) AS n_both,
+       ca.m + cb.m - coalesce(i.n_both, 0) AS n_union,
+       round(coalesce(i.n_both, 0)
+             / CAST(ca.m + cb.m - coalesce(i.n_both, 0) AS DOUBLE), 6)
+         AS exact_jaccard
+FROM pairs p
+JOIN uest u ON u.src_a = p.src_a AND u.src_b = p.src_b
+LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+JOIN est_src ea ON ea.source = p.src_a
+JOIN est_src eb ON eb.source = p.src_b
+JOIN counts ca ON ca.source = p.src_a
+JOIN counts cb ON cb.source = p.src_b
+"""
+
+
 # -------------------------------------------------------- sequence packing
 
 PACK_BUDGET = 256  # tokens per training sequence
@@ -6851,6 +7075,7 @@ QUERIES = {
     "quality_sample": Query(q_quality_sample, SQL_QUALITY_SAMPLE),
     "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),
     "decon_overlap_hll": Query(q_decon_overlap_hll, SQL_DECON_OVERLAP_HLL),
+    "source_overlap_kmv": Query(q_source_overlap_kmv, SQL_SOURCE_OVERLAP_KMV),
     "daily_uniques_rollup": Query(q_daily_uniques_rollup, SQL_DAILY_UNIQUES_ROLLUP),
     "daily_quantiles_rollup": Query(
         q_daily_quantiles_rollup, SQL_DAILY_QUANTILES_ROLLUP
