@@ -272,6 +272,167 @@ FROM sums
 """
 
 
+# ------------------------------------------------------- return moments
+
+ACF_LAGS = [1, 2, 3]
+
+
+def q_return_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution shape of per-key tick returns: mean, population
+    sd, skewness, EXCESS kurtosis, and the autocorrelation function at
+    lags {ACF_LAGS} — the regime-characterization battery behind the
+    reference's Hurst/realized-vol block (fat tails → kurtosis,
+    asymmetric moves → skew, momentum/mean-reversion → ACF sign).
+    Returns are ARITHMETIC (price/prev − 1): pure IEEE arithmetic both
+    engines, no transcendental whose ulp could flip a rounded hash
+    (the ln() trap the quality-classifier advice documented).
+
+    Float determinism: moments are raw power sums S1..S4 folded
+    LEFT-TO-RIGHT over the (ts, event_id)-ordered return list
+    (F.aggregate ↔ list_reduce, the rolling_corr rule), centered via
+    the standard central-moment identities; ACF folds the centered
+    list against its lag-shifted self. Shape: one lag window per key
+    for returns, one groupBy collecting the per-key list (bounded by
+    per-key tick depth — the FIXTURES key-cardinality contract), then
+    everything is per-row expression work; no definition ambiguity
+    because NEITHER engine's builtin skewness/kurtosis is used."""
+    t = events_ticks(spark, sf_dir)
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = (F.col("price") / F.lag("price").over(wl) - 1).alias("r")
+    rets = t.select("user_id", "ts", "event_id", r).filter(
+        F.col("r").isNotNull()
+    )
+    lists = rets.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "r"))),
+            lambda s: s["r"],
+        ).alias("lr")
+    )
+
+    def fold(arr, f):
+        return F.aggregate(arr, F.lit(0.0), f)
+
+    n = F.size("lr").cast("bigint")
+    s1 = fold(F.col("lr"), lambda a, x: a + x)
+    s2 = fold(F.col("lr"), lambda a, x: a + x * x)
+    s3 = fold(F.col("lr"), lambda a, x: a + x * x * x)
+    s4 = fold(F.col("lr"), lambda a, x: a + x * x * x * x)
+    sums = lists.select(
+        "user_id", "lr", n.alias("n"),
+        s1.alias("s1"), s2.alias("s2"), s3.alias("s3"), s4.alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    cent = sums.withColumn("mu", mu).withColumn(
+        "c", F.transform(F.col("lr"), lambda x: x - F.col("mu"))
+    )
+    m2 = F.col("s2") / F.col("n") - F.col("mu") * F.col("mu")
+    m3 = (
+        F.col("s3") / F.col("n")
+        - 3 * F.col("mu") * (F.col("s2") / F.col("n"))
+        + 2 * F.col("mu") * F.col("mu") * F.col("mu")
+    )
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * F.col("mu") * (F.col("s3") / F.col("n"))
+        + 6 * F.col("mu") * F.col("mu") * (F.col("s2") / F.col("n"))
+        - 3 * F.col("mu") * F.col("mu") * F.col("mu") * F.col("mu")
+    )
+    den = fold(F.col("c"), lambda a, x: a + x * x)
+    acf_cols = {}
+    for lag in ACF_LAGS:
+        ln = F.greatest(F.size("c") - lag, F.lit(0))
+        num = fold(
+            F.zip_with(
+                F.slice(F.col("c"), 1, ln),
+                F.slice(F.col("c"), lag + 1, ln),
+                lambda a, b: a * b,
+            ),
+            lambda a, x: a + x,
+        )
+        acf_cols[f"acf{lag}"] = (
+            F.round(F.when(den > 0, num / den), 6) + F.lit(0.0)
+        ).alias(f"acf{lag}")
+    pos = F.col("n") > 0
+    var_ok = m2 > 0
+    return cent.select(
+        "user_id",
+        F.col("n").alias("n_returns"),
+        (F.round(F.when(pos, mu), 6) + F.lit(0.0)).alias("mean_r"),
+        (F.round(F.when(var_ok, F.sqrt(m2)), 6) + F.lit(0.0)).alias("sd_r"),
+        # m2·√m2 instead of pow(m2, 1.5): sqrt is correctly rounded
+        # IEEE in both engines, pow is not
+        (F.round(F.when(var_ok, m3 / (m2 * F.sqrt(m2))), 6) + F.lit(0.0)).alias(
+            "skewness"
+        ),
+        (F.round(F.when(var_ok, m4 / (m2 * m2) - 3), 6) + F.lit(0.0)).alias(
+            "ex_kurtosis"
+        ),
+        *acf_cols.values(),
+    )
+
+
+_RM_FOLD = "list_reduce(list_prepend(0.0, {arr}), (a, x) -> a + x)"
+
+
+def _rm_acf_sql(lag: int) -> str:
+    prod = (
+        f"list_transform(generate_series(1, greatest(len(c) - {lag}, 0)), "
+        f"i -> c[i] * c[i + {lag}])"
+    )
+    return (
+        f"round(CASE WHEN {_RM_FOLD.format(arr='list_transform(c, x -> x * x)')}"
+        f" > 0 THEN {_RM_FOLD.format(arr=prod)} / "
+        f"{_RM_FOLD.format(arr='list_transform(c, x -> x * x)')} END, 6) + 0.0"
+        f" AS acf{lag}"
+    )
+
+
+SQL_RETURN_MOMENTS = f"""
+{TICKS_CTE},
+rets AS (
+  SELECT user_id, ts, event_id,
+         price / lag(price) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) - 1 AS r
+  FROM ticks
+),
+lists AS (
+  SELECT user_id, list(r ORDER BY ts, event_id) AS lr
+  FROM rets WHERE r IS NOT NULL GROUP BY user_id
+),
+sums AS (
+  SELECT user_id, lr, CAST(len(lr) AS BIGINT) AS n,
+         {_RM_FOLD.format(arr='lr')} AS s1,
+         {_RM_FOLD.format(arr='list_transform(lr, x -> x * x)')} AS s2,
+         {_RM_FOLD.format(arr='list_transform(lr, x -> x * x * x)')} AS s3,
+         {_RM_FOLD.format(arr='list_transform(lr, x -> x * x * x * x)')} AS s4
+  FROM lists
+),
+cent AS (
+  SELECT *, s1 / n AS mu,
+         list_transform(lr, x -> x - s1 / n) AS c
+  FROM sums
+)
+SELECT user_id,
+       n AS n_returns,
+       round(CASE WHEN n > 0 THEN mu END, 6) + 0.0 AS mean_r,
+       round(CASE WHEN s2 / n - mu * mu > 0
+                  THEN sqrt(s2 / n - mu * mu) END, 6) + 0.0 AS sd_r,
+       round(CASE WHEN s2 / n - mu * mu > 0
+                  THEN (s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu)
+                       / ((s2 / n - mu * mu) * sqrt(s2 / n - mu * mu))
+             END, 6) + 0.0 AS skewness,
+       round(CASE WHEN s2 / n - mu * mu > 0
+                  THEN (s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n)
+                        - 3 * mu * mu * mu * mu)
+                       / ((s2 / n - mu * mu) * (s2 / n - mu * mu)) - 3
+             END, 6) + 0.0 AS ex_kurtosis,
+       {_rm_acf_sql(1)},
+       {_rm_acf_sql(2)},
+       {_rm_acf_sql(3)}
+FROM cent
+"""
+
+
 # ------------------------------------------------- event-sequence analytics
 
 FUNNEL_STAGES = ["view", "click", "purchase"]
@@ -1030,6 +1191,7 @@ GROUP BY layout
 QUERIES = {
     "ticks_normalize": Query(q_ticks_normalize, SQL_TICKS_NORMALIZE),
     "zorder_layout": Query(q_zorder_layout, SQL_ZORDER_LAYOUT),
+    "return_moments": Query(q_return_moments, SQL_RETURN_MOMENTS),
     "funnel_conversion": Query(q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "cohort_retention": Query(q_cohort_retention, SQL_COHORT_RETENTION),
     "event_transitions": Query(q_event_transitions, SQL_EVENT_TRANSITIONS),

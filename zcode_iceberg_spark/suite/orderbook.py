@@ -343,8 +343,125 @@ FROM g WHERE n_events >= 3
 """
 
 
+# ------------------------------------------------------- depth slippage
+
+SLIP_FRACS = [0.1, 0.25, 0.5]  # order sizes as fractions of side depth
+
+
+def q_depth_slippage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-to-fill estimator: walk each (key, side) ladder in price
+    priority, consuming levels until a target size is filled, for a
+    ladder of order sizes ({SLIP_FRACS} of the side's total depth) —
+    expected VWAP fill price, levels touched, and slippage in bps vs
+    the best quote. The liquidity question behind the reference's
+    wall/imbalance metrics ("what does it actually cost to trade
+    size S here"), and the pre-trade check any execution desk runs.
+
+    Scale shape: ONE window family per (key, side) — cumulative depth,
+    side total, and best quote all ride the same price-priority sort
+    (the liquidity_velocity discipline); the {len(SLIP_FRACS)}-size
+    ladder is an explode AFTER the window pass (sizes share the one
+    cumsum instead of re-sorting per size); the fill rollup is a hash
+    agg whose per-level contribution is quantized to integer
+    micro-units so the float sum is partition-order-free (the bm25
+    rule). Buy orders walk asks up, sell orders walk bids down; both
+    slippages are signed positive-away-from-best."""
+    b = _book(spark, sf_dir)
+    sort_key = F.when(F.col("side") == "bid", -F.col("price")).otherwise(
+        F.col("price")
+    )
+    w = Window.partitionBy("user_id", "side").orderBy(sort_key, "event_id")
+    wp = Window.partitionBy("user_id", "side")
+    lv = (
+        b.select("user_id", "side", "price", "qty", "event_id")
+        .withColumn("cum", F.sum("qty").over(w))
+        .withColumn("total", F.sum("qty").over(wp))
+        .withColumn("best", F.first("price").over(w))
+    )
+    fr = lv.select(
+        "*",
+        F.explode(F.array(*[F.lit(x) for x in SLIP_FRACS])).alias("frac"),
+    )
+    t = F.col("frac") * F.col("total")
+    consumed = fr.filter(F.col("cum") - F.col("qty") < t).withColumn(
+        "fill_micro",
+        F.round(
+            F.col("price")
+            * F.least(F.col("qty"), t - (F.col("cum") - F.col("qty")))
+            * 1e6
+        ).cast("bigint"),
+    )
+    agg = consumed.groupBy("user_id", "side", "frac").agg(
+        F.sum("fill_micro").alias("fill_micro"),
+        F.max(t).alias("target_qty"),
+        F.max("best").alias("best_price"),
+        F.count(F.lit(1)).alias("n_levels"),
+    )
+    vwap = F.col("fill_micro") / 1e6 / F.col("target_qty")
+    slip = F.when(
+        F.col("side") == "ask", (vwap / F.col("best_price") - 1) * 1e4
+    ).otherwise((1 - vwap / F.col("best_price")) * 1e4)
+    return agg.select(
+        "user_id",
+        "side",
+        "frac",
+        F.round("target_qty", 6).alias("target_qty"),
+        "n_levels",
+        F.round(vwap, 6).alias("vwap_fill"),
+        F.round("best_price", 6).alias("best_price"),
+        # + 0.0 folds IEEE −0.0 (a sub-half-ulp negative slippage
+        # rounded to zero) onto +0.0 so the bit-compare can't split
+        (F.round(slip, 6) + F.lit(0.0)).alias("slippage_bps"),
+    )
+
+
+_SLIP_T = "(frac * total)"
+_SLIP_FILL = f"least(qty, {_SLIP_T} - (cum - qty))"
+
+SQL_DEPTH_SLIPPAGE = f"""
+{TICKS_CTE},
+{BOOK_CTE},
+lv AS (
+  SELECT user_id, side, price, qty, event_id,
+         sum(qty) OVER w AS cum,
+         sum(qty) OVER (PARTITION BY user_id, side) AS total,
+         first_value(price) OVER w AS best
+  FROM book
+  WINDOW w AS (PARTITION BY user_id, side
+               ORDER BY CASE WHEN side = 'bid' THEN -price ELSE price END,
+                        event_id)
+),
+fr AS (
+  SELECT lv.*, unnest({SLIP_FRACS}) AS frac FROM lv
+),
+consumed AS (
+  SELECT user_id, side, frac, best, {_SLIP_T} AS t,
+         CAST(round(price * {_SLIP_FILL} * 1e6) AS BIGINT) AS fill_micro
+  FROM fr WHERE cum - qty < {_SLIP_T}
+),
+agg AS (
+  SELECT user_id, side, frac,
+         CAST(sum(fill_micro) AS BIGINT) AS fill_micro,
+         max(t) AS target_qty, max(best) AS best_price,
+         count(*) AS n_levels
+  FROM consumed GROUP BY user_id, side, frac
+)
+SELECT user_id, side, frac,
+       round(target_qty, 6) AS target_qty,
+       n_levels,
+       round(fill_micro / 1e6 / target_qty, 6) AS vwap_fill,
+       round(best_price, 6) AS best_price,
+       round(CASE WHEN side = 'ask'
+                  THEN (fill_micro / 1e6 / target_qty / best_price - 1) * 1e4
+                  ELSE (1 - fill_micro / 1e6 / target_qty / best_price) * 1e4
+             END, 6) + 0.0 AS slippage_bps
+FROM agg
+"""
+
+
 QUERIES = {
     "iceberg_refill": Query(q_iceberg_refill, SQL_ICEBERG_REFILL),
+    "depth_slippage": Query(q_depth_slippage, SQL_DEPTH_SLIPPAGE),
     "book_topk": Query(q_book_topk, SQL_BOOK_TOPK),
     "best_quotes": Query(q_best_quotes, SQL_BEST_QUOTES),
     "imbalance": Query(q_imbalance, SQL_IMBALANCE),
