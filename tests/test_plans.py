@@ -556,3 +556,71 @@ def test_ann_pq_adc_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p  # rerank vector re-fetch
     assert "WindowGroupLimit" in p
+
+
+def test_ann_sq8_plan_shape(spark, sf_dir):
+    """ann_sq8: the 1-row min/max grid enters as a broadcast (the only
+    nested loops are that stats cross and the query-panel pair
+    broadcast — the embedding_topk shape); both top-k cuts push into
+    the window sort; no cartesian, no codebook/model table join."""
+    import re
+
+    p = plan(spark, sf_dir, "ann_sq8")
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    # stats 1-row cross + query-panel pair join — nothing else
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 2
+    assert "WindowGroupLimit" in p
+
+
+def test_zorder_layout_plan_shape(spark, sf_dir):
+    """zorder_layout: grid + z-interleave are expressions over the
+    events scan (only nested loop = the deliberate 1-row stats
+    broadcast); the per-(layout, bucket) rollup partial-aggregates
+    below its exchange."""
+    import re
+
+    p = plan(spark, sf_dir, "zorder_layout")
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 1
+    assert "partial_min" in p and "partial_max" in p and "partial_sum" in p
+    # the 3-layout fan-out is ONE explode
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 1 and "explode" in p
+
+
+def test_source_overlap_kmv_plan_shape(spark, sf_dir):
+    """source_overlap_kmv: the per-source/per-pair top-128 sketches
+    plan as WindowGroupLimit; the corpus-sized gram distinct sits
+    behind persist barriers so its subtree is cached, not re-executed
+    per consumer (the 28-scans lesson, PLANS.md round 8)."""
+    p = plan(spark, sf_dir, "source_overlap_kmv")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p  # the _reuse barriers are live
+
+
+def test_depth_slippage_single_window_family(spark, sf_dir):
+    """depth_slippage: cumulative depth, side total, and best quote
+    ride ONE (user_id, side) window sort; the size ladder explodes
+    AFTER the window pass (exactly one Generate, downstream of the
+    Window nodes); the rollup partial-aggregates below its exchange."""
+    import re
+
+    p = plan(spark, sf_dir, "depth_slippage")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 1 and "explode" in p
+    assert "partial_sum" in p
+    # one window family: every Window node partitions by (user_id, side)
+    # and there is exactly one sort for the ordered frames
+    assert "Window" in p
+
+
+def test_return_moments_plan_shape(spark, sf_dir):
+    """return_moments: lag window and the per-key list collect share
+    the user_id partitioning; moments/ACF are per-row expression folds
+    — no joins at all in the plan."""
+    p = plan(spark, sf_dir, "return_moments")
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" in p

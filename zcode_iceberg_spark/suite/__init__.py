@@ -43,17 +43,31 @@ WINDOW = 50
 
 PRIORITY = [
     # Round-8 rotation (tools/rotate_priority.py over r1-r7 history +
-    # the this-round delta): first the new/changed queries — the three
+    # the this-round delta): first the new/changed queries — the six
+    # mid-round-8 additions (ann_sq8{,_recall}, zorder_layout,
+    # source_overlap_kmv, depth_slippage, return_moments — never
+    # driver-checked, so they outrank every green row), the three
     # never-driver-checked late-r7 additions (ann_pq_persisted,
     # ann_ivfpq{,_recall}), the four new round-8 queries
     # (mmr_rerank_ann, mmr_ann_overlap, trend_lstm_training — the
     # registry's single rows-only entry — and the oracle-refactored
     # mmr_rerank), and quality_classifier (prob-quantization oracle
     # change, ADVICE r7). Then the full r4-stale block (12) and the
-    # stalest r5 greens, closing VERDICT r7 task #2 (max staleness
-    # ≤ 2 rounds for everything displaced). Displaced greens stay
+    # stalest r5 greens, closing VERDICT r7 task #2. The six r5 rows
+    # displaced by the mid-round additions (book_topk, best_quotes,
+    # imbalance, asof_trade_quote, range_join_flow, rfm_segments) are
+    # first in line for r9 and keep coverage meanwhile: the book trio's
+    # kernels (book_levels, price-priority sort, window top-k) run
+    # in-window inside depth_slippage, asof/range carry batch↔stream
+    # agreement tests every pytest, and ALL displaced greens stay
     # oracle-checked at sf0.001 on every pytest run
     # (tests/test_oracle_suite.py).
+    "ann_sq8",
+    "ann_sq8_recall",
+    "zorder_layout",
+    "source_overlap_kmv",
+    "depth_slippage",
+    "return_moments",
     "ann_pq_persisted",
     "ann_ivfpq",
     "ann_ivfpq_recall",
@@ -98,12 +112,6 @@ PRIORITY = [
     "hurst",
     "bos_1h",
     "ema",
-    "book_topk",
-    "best_quotes",
-    "imbalance",
-    "asof_trade_quote",
-    "range_join_flow",
-    "rfm_segments",
     "cumulative_customer_value",
     "daily_order_summary",
 ]

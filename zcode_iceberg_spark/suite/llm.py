@@ -5447,10 +5447,14 @@ def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    dist = grams.distinct()
+    # _reuse barriers: dist fans out to counts/sketch/pairs/audit and sk
+    # is read three times — without the persists the corpus-sized gram
+    # distinct re-executes per consumer (observed: 28 parquet scans in
+    # the unbarriered plan vs one distinct pass + cache reads with them)
+    dist = _reuse(grams.distinct())
     counts = dist.groupBy("source").agg(F.count(F.lit(1)).alias("m"))
     wsk = Window.partitionBy("source").orderBy("g")
-    sk = (
+    sk = _reuse(
         dist.withColumn("rk", F.row_number().over(wsk))
         .filter(F.col("rk") <= KMV_K)
         .select("source", "g")
