@@ -624,3 +624,26 @@ def test_return_moments_plan_shape(spark, sf_dir):
     assert "Join" not in p
     assert "CartesianProduct" not in p
     assert "Window" in p
+
+
+def test_scd2_versions_plan_shape(spark, sf_dir):
+    """scd2_versions: gaps-and-islands + run rollup + lead() all ride
+    the user_id partitioning — no self-joins, no per-version scans."""
+    p = plan(spark, sf_dir, "scd2_versions")
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+
+
+def test_rrf_fusion_bounded_pools(spark, sf_dir):
+    """rrf_fusion: each ranker arm keeps its pool through a bounded
+    TakeOrderedAndProject (never a global sort of the corpus); the
+    only nested loops are 1-row seed-vector Cross builds (the seed
+    subtree recurs in the pool/rank/filter branches)."""
+    import re
+
+    p = plan(spark, sf_dir, "rrf_fusion")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    bnlj = re.findall(r"BroadcastNestedLoopJoin (\w+)", p)
+    assert bnlj and all(t == "Cross" for t in bnlj), bnlj

@@ -68,6 +68,13 @@ PRIORITY = [
     "source_overlap_kmv",
     "depth_slippage",
     "return_moments",
+    # second mid-round-8 batch: SCD2 dimension build + hybrid RRF
+    # fusion (both never driver-checked); they displace
+    # sequence_labels/trend_classifier, whose kernels (sequence-window
+    # builder, classifier seam) execute in-window inside
+    # trend_lstm_training
+    "scd2_versions",
+    "rrf_fusion",
     "ann_pq_persisted",
     "ann_ivfpq",
     "ann_ivfpq_recall",
@@ -105,8 +112,6 @@ PRIORITY = [
     "rolling_corr",
     "ohlc_1h",
     "bar_dod_change",
-    "sequence_labels",
-    "trend_classifier",
     "atr_1h",
     "liquidity_velocity",
     "hurst",

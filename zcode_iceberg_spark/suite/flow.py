@@ -433,6 +433,92 @@ FROM cent
 """
 
 
+# --------------------------------------------------------- SCD2 versions
+
+
+def q_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change log: per
+    user, collapse consecutive runs of the tracked attribute
+    (event_type as the stand-in segment) into versioned rows with
+    [valid_from, valid_to) ranges, a per-key version number, and an
+    is_current flag — the MERGE-free way a warehouse derives a
+    versioned dimension from CDC events, and the temporal complement
+    of the as-of join (D1): `asof` answers "which version was live at
+    ts", this builds the version table it probes.
+
+    Scale shape: gaps-and-islands under ONE user_id sort (lag →
+    change flag → running sum = island id, the sessionize/hysteresis
+    discipline), a per-island min/count aggregate riding the same
+    partitioning, then lead() for valid_to on the (user, island)
+    frame — no self-joins, no per-version scans. valid_to is NULL on
+    the open (current) version; timestamps leave as strings per the
+    suite's no-raw-TIMESTAMP rule."""
+    ev = events_ticks(spark, sf_dir).select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("attr")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("attr").over(w).isNull()
+        | (F.col("attr") != F.lag("attr").over(w)),
+        1,
+    ).otherwise(0)
+    isl = ev.withColumn("isl", F.sum(chg).over(w))
+    runs = isl.groupBy("user_id", "isl").agg(
+        # attr is constant within an island by construction — min is
+        # just the deterministic spelling of "the" value
+        F.min("attr").alias("attr"),
+        F.min("ts").alias("start_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("isl")
+    out = runs.select(
+        "user_id",
+        F.col("isl").alias("version"),
+        "attr",
+        "n_events",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(
+            F.lead("start_ts").over(wv), "yyyy-MM-dd HH:mm:ss"
+        ).alias("valid_to"),
+        F.lead("start_ts").over(wv).isNull().alias("is_current"),
+    )
+    return out
+
+
+SQL_SCD2_VERSIONS = f"""
+{TICKS_CTE},
+flagged AS (
+  SELECT user_id, ts, event_id, event_type AS attr,
+         CASE WHEN lag(event_type) OVER w IS NULL
+               OR event_type <> lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM ticks
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+isl AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS isl
+  FROM flagged
+),
+runs AS (
+  SELECT user_id, isl,
+         min(attr) AS attr,
+         min(ts) AS start_ts,
+         count(*) AS n_events
+  FROM isl GROUP BY user_id, isl
+)
+SELECT user_id,
+       CAST(isl AS BIGINT) AS version,
+       attr,
+       n_events,
+       strftime(start_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(start_ts) OVER wv, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       lead(start_ts) OVER wv IS NULL AS is_current
+FROM runs
+WINDOW wv AS (PARTITION BY user_id ORDER BY isl)
+"""
+
+
 # ------------------------------------------------- event-sequence analytics
 
 FUNNEL_STAGES = ["view", "click", "purchase"]
@@ -1192,6 +1278,7 @@ QUERIES = {
     "ticks_normalize": Query(q_ticks_normalize, SQL_TICKS_NORMALIZE),
     "zorder_layout": Query(q_zorder_layout, SQL_ZORDER_LAYOUT),
     "return_moments": Query(q_return_moments, SQL_RETURN_MOMENTS),
+    "scd2_versions": Query(q_scd2_versions, SQL_SCD2_VERSIONS),
     "funnel_conversion": Query(q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "cohort_retention": Query(q_cohort_retention, SQL_COHORT_RETENTION),
     "event_transitions": Query(q_event_transitions, SQL_EVENT_TRANSITIONS),

@@ -5911,22 +5911,11 @@ BM25_B = 0.75
 BM25_TOPK = 20
 
 
-def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{BM25_TOPK} documents by Okapi BM25 against a fixed query
-    term set — the retrieval-side scorer that pairs with the TF-IDF
-    feature pass (a training-data pipeline uses exactly this shape to
-    mine topical subsets from a corpus).
-
-    Scale shape: the corpus fans out to full parallelism before the
-    token explode (one-file inputs otherwise tokenize on a single
-    task); term frequencies collapse map-side and only the
-    query-term rows survive the filter (|Q| rows per doc, not the
-    vocabulary); document frequencies and the (N, total_dl) corpus
-    stats are tiny broadcasts; the per-doc score sum happens in
-    integer nano-units (each term contribution quantized to 1e-9
-    before the groupBy sum) so the result is partition-order-free
-    (repo determinism rule — same trick as pagerank); the final top-k
-    is a bounded TakeOrderedAndProject, never a global sort."""
+def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared BM25 per-doc scorer (doc_id, score_u, n_terms) in
+    integer nano-units — consumed by q_bm25_scores (head) and
+    q_rrf_fusion (lexical ranking arm). Mechanical extraction; the
+    plan/semantics are unchanged from q_bm25_scores' original body."""
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -5957,10 +5946,29 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .withColumn("term_u", F.round(term * 1e9).cast("bigint"))
     )
-    per_doc = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.sum("term_u").alias("score_u"),
         F.count(F.lit(1)).alias("n_terms"),
     )
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BM25_TOPK} documents by Okapi BM25 against a fixed query
+    term set — the retrieval-side scorer that pairs with the TF-IDF
+    feature pass (a training-data pipeline uses exactly this shape to
+    mine topical subsets from a corpus).
+
+    Scale shape: the corpus fans out to full parallelism before the
+    token explode (one-file inputs otherwise tokenize on a single
+    task); term frequencies collapse map-side and only the
+    query-term rows survive the filter (|Q| rows per doc, not the
+    vocabulary); document frequencies and the (N, total_dl) corpus
+    stats are tiny broadcasts; the per-doc score sum happens in
+    integer nano-units (each term contribution quantized to 1e-9
+    before the groupBy sum) so the result is partition-order-free
+    (repo determinism rule — same trick as pagerank); the final top-k
+    is a bounded TakeOrderedAndProject, never a global sort."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
     return (
         per_doc.orderBy(F.col("score_u").desc(), "doc_id")
         .limit(BM25_TOPK)
@@ -5974,8 +5982,7 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
-SQL_BM25_SCORES = f"""
-WITH {TOKS_CTE},
+_BM25_CORE_CTES = f"""{TOKS_CTE},
 tok AS (SELECT doc_id, t.token FROM toks, unnest(w) AS t(token)),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
 tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
@@ -5993,12 +6000,139 @@ scored AS (
          AS BIGINT) AS term_u
   FROM tf JOIN dl ON tf.doc_id = dl.doc_id
   JOIN dfreq USING (token), stats
-)
+),
+per_doc AS (
+  SELECT doc_id, CAST(sum(term_u) AS BIGINT) AS score_u,
+         count(*) AS n_terms
+  FROM scored GROUP BY doc_id
+)"""
+
+SQL_BM25_SCORES = f"""
+WITH {_BM25_CORE_CTES}
 SELECT doc_id,
-       round(CAST(sum(term_u) AS BIGINT) / 1e9, 6) AS bm25,
-       count(*) AS n_terms
-FROM scored GROUP BY doc_id
-ORDER BY CAST(sum(term_u) AS BIGINT) DESC, doc_id LIMIT {BM25_TOPK}
+       round(score_u / 1e9, 6) AS bm25,
+       n_terms
+FROM per_doc
+ORDER BY score_u DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+
+# -------------------------------------------- hybrid retrieval (RRF fusion)
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+RRF_POOL = 500  # candidates kept per ranker before fusion
+RRF_TOPK = 10
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse a LEXICAL ranking (BM25 over the fixed
+    query-term set) with a SEMANTIC ranking (cosine to a
+    pseudo-relevance-feedback seed: the best BM25-scoring document
+    that has an embedding) via reciprocal-rank fusion —
+    rrf(d) = Σ_r 1/({RRF_K} + rank_r(d)) (Cormack et al.), the
+    standard way production search combines keyword and vector
+    arms without score calibration. Completes the retrieval stack:
+    bm25_scores (lexical) + ann_* (vector) + mmr_rerank (diversity)
+    now compose through one fusion head.
+
+    Scale shape: each arm keeps only its top {RRF_POOL} candidates
+    through a bounded TakeOrderedAndProject (ranks past the pool
+    contribute < 1/{RRF_K + RRF_POOL} and are dropped — the
+    documented cutoff, not a silent one); the fusion is a full outer
+    join of two ≤{RRF_POOL}-row frames plus one bounded head. Ranks
+    are positions over integer nano-unit scores (lexical) and
+    6dp-rounded cosines (semantic), so both engines order
+    identically."""
+    lexpool = (
+        _bm25_per_doc(spark, sf_dir)
+        .orderBy(F.col("score_u").desc(), "doc_id")
+        .limit(RRF_POOL)
+    )
+    wl = Window.orderBy(F.col("score_u").desc(), "doc_id")
+    lex = lexpool.select(
+        "doc_id", F.row_number().over(wl).alias("r_lex")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    seed = (
+        lexpool.join(e.select(F.col("vec_id").alias("doc_id")), "doc_id")
+        .orderBy(F.col("score_u").desc(), "doc_id")
+        .limit(1)
+        .select(F.col("doc_id").alias("seed_id"))
+    )
+    qe = seed.join(
+        e.select(F.col("vec_id").alias("seed_id"), F.col("embedding").alias("qe")),
+        "seed_id",
+    )
+    semscored = e.crossJoin(F.broadcast(qe)).filter(
+        F.col("vec_id") != F.col("seed_id")
+    ).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(sim_ops.cosine(F.col("qe"), F.col("embedding")), 6).alias(
+            "cs"
+        ),
+    )
+    sempool = semscored.orderBy(F.col("cs").desc(), "doc_id").limit(RRF_POOL)
+    ws = Window.orderBy(F.col("cs").desc(), "doc_id")
+    sem = sempool.select("doc_id", F.row_number().over(ws).alias("r_sem"))
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_sem",
+        (
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_sem")), F.lit(0.0))
+        ).alias("rrf_raw"),
+    )
+    return (
+        fused.orderBy(F.col("rrf_raw").desc(), "doc_id")
+        .limit(RRF_TOPK)
+        .select(
+            "doc_id", "r_lex", "r_sem", F.round("rrf_raw", 6).alias("rrf")
+        )
+    )
+
+
+SQL_RRF_FUSION = f"""
+WITH {_BM25_CORE_CTES},
+lexpool AS (
+  SELECT doc_id, score_u FROM per_doc
+  ORDER BY score_u DESC, doc_id LIMIT {RRF_POOL}
+),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_u DESC, doc_id) AS r_lex
+  FROM lexpool
+),
+seed AS (
+  SELECT l.doc_id AS seed_id FROM lexpool l
+  JOIN embeddings e ON e.vec_id = l.doc_id
+  ORDER BY l.score_u DESC, l.doc_id LIMIT 1
+),
+qe AS (
+  SELECT e.embedding AS qe, s.seed_id FROM embeddings e
+  JOIN seed s ON e.vec_id = s.seed_id
+),
+semscored AS (
+  SELECT e.vec_id AS doc_id,
+         round({_cos_sql('q.qe', 'e.embedding')}, 6) AS cs
+  FROM embeddings e CROSS JOIN qe q
+  WHERE e.vec_id <> q.seed_id
+),
+sempool AS (
+  SELECT doc_id, cs FROM semscored ORDER BY cs DESC, doc_id LIMIT {RRF_POOL}
+),
+sem AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id) AS r_sem
+  FROM sempool
+),
+fused AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.r_lex, s.r_sem,
+         coalesce(1.0 / ({RRF_K} + l.r_lex), 0.0)
+           + coalesce(1.0 / ({RRF_K} + s.r_sem), 0.0) AS rrf_raw
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, r_lex, r_sem, round(rrf_raw, 6) AS rrf
+FROM fused ORDER BY rrf_raw DESC, doc_id LIMIT {RRF_TOPK}
 """
 
 
@@ -7091,6 +7225,7 @@ QUERIES = {
     "doc_chunks": Query(q_doc_chunks, SQL_DOC_CHUNKS),
     "tf_idf": Query(q_tf_idf, SQL_TF_IDF),
     "bm25_scores": Query(q_bm25_scores, SQL_BM25_SCORES),
+    "rrf_fusion": Query(q_rrf_fusion, SQL_RRF_FUSION),
     "trigram_lm": Query(q_trigram_lm, SQL_TRIGRAM_LM),
     "lm_perplexity": Query(q_lm_perplexity, SQL_LM_PERPLEXITY),
     "stratified_sample": Query(q_stratified_sample, SQL_STRATIFIED_SAMPLE),
