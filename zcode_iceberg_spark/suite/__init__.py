@@ -75,6 +75,9 @@ PRIORITY = [
     # trend_lstm_training
     "scd2_versions",
     "rrf_fusion",
+    # k-anonymity ladder (never driver-checked); displaces
+    # bar_dod_change, whose OHLC-bar kernel stays in-window via ohlc_1h
+    "k_anonymity",
     "ann_pq_persisted",
     "ann_ivfpq",
     "ann_ivfpq_recall",
@@ -111,7 +114,6 @@ PRIORITY = [
     "volume_factor",
     "rolling_corr",
     "ohlc_1h",
-    "bar_dod_change",
     "atr_1h",
     "liquidity_velocity",
     "hurst",

@@ -5637,6 +5637,89 @@ JOIN counts cb ON cb.source = p.src_b
 """
 
 
+# ---------------------------------------------------- k-anonymity ladder
+
+KANON_K = 10  # minimum anonymity-set size
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity generalization ladder (Samarati/Sweeney) over the
+    corpus quasi-identifiers (lang, source): rows whose
+    (lang, source) group is smaller than k={KANON_K} escalate to
+    (lang, *); still-small groups escalate to (*, *); a final group
+    under k is flagged suppressed — the release audit a training-data
+    publisher runs before shipping per-document metadata. Output is
+    one row per surviving anonymity set: generalization level,
+    (possibly starred) quasi-identifiers, set size, and the ok flag.
+
+    Scale shape: level-0 sizes are ONE hash aggregate on the QI pair;
+    escalation is a broadcast join of the (small) under-k group list
+    back onto the QI-pair aggregate — NOT onto the corpus: every
+    later level re-aggregates the level's group rows (bounded by
+    distinct QI combos, not documents), so the corpus is scanned
+    once. Exact integer counts; no row-level data leaves the plan."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "source")
+    c0 = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    ok0 = c0.filter(F.col("n") >= KANON_K).select(
+        F.lit(0).alias("level"),
+        "lang",
+        "source",
+        F.col("n").alias("n_rows"),
+    )
+    esc0 = c0.filter(F.col("n") < KANON_K)
+    c1 = esc0.groupBy("lang").agg(F.sum("n").alias("n"))
+    ok1 = c1.filter(F.col("n") >= KANON_K).select(
+        F.lit(1).alias("level"),
+        "lang",
+        F.lit("*").alias("source"),
+        F.col("n").cast("bigint").alias("n_rows"),
+    )
+    esc1 = c1.filter(F.col("n") < KANON_K)
+    c2 = esc1.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n")).filter(
+        F.col("n") > 0
+    )
+    lvl2 = c2.select(
+        F.lit(2).alias("level"),
+        F.lit("*").alias("lang"),
+        F.lit("*").alias("source"),
+        F.col("n").cast("bigint").alias("n_rows"),
+    )
+    out = ok0.unionAll(ok1).unionAll(lvl2)
+    return out.select(
+        "level", "lang", "source", "n_rows",
+        (F.col("n_rows") >= KANON_K).alias("ok"),
+    )
+
+
+SQL_K_ANONYMITY = f"""
+WITH c0 AS (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+),
+ok0 AS (
+  SELECT 0 AS level, lang, source, n AS n_rows FROM c0 WHERE n >= {KANON_K}
+),
+c1 AS (
+  SELECT lang, CAST(sum(n) AS BIGINT) AS n FROM c0
+  WHERE n < {KANON_K} GROUP BY lang
+),
+ok1 AS (
+  SELECT 1 AS level, lang, '*' AS source, n AS n_rows
+  FROM c1 WHERE n >= {KANON_K}
+),
+c2 AS (
+  SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n FROM c1
+  WHERE n < {KANON_K}
+),
+lvl2 AS (
+  SELECT 2 AS level, '*' AS lang, '*' AS source, n AS n_rows
+  FROM c2 WHERE n > 0
+)
+SELECT level, lang, source, n_rows, n_rows >= {KANON_K} AS ok
+FROM (SELECT * FROM ok0 UNION ALL SELECT * FROM ok1
+      UNION ALL SELECT * FROM lvl2)
+"""
+
+
 # -------------------------------------------------------- sequence packing
 
 PACK_BUDGET = 256  # tokens per training sequence
@@ -7200,6 +7283,7 @@ QUERIES = {
     "vocab_topk": Query(q_vocab_topk, SQL_VOCAB_TOPK),
     "doc_split": Query(q_doc_split, SQL_DOC_SPLIT),
     "pii_scan": Query(q_pii_scan, SQL_PII_SCAN),
+    "k_anonymity": Query(q_k_anonymity, SQL_K_ANONYMITY),
     "doc_repetition": Query(q_doc_repetition, SQL_DOC_REPETITION),
     "dedup_incremental": Query(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_incremental_persisted": Query(
