@@ -78,6 +78,10 @@ PRIORITY = [
     # k-anonymity ladder (never driver-checked); displaces
     # bar_dod_change, whose OHLC-bar kernel stays in-window via ohlc_1h
     "k_anonymity",
+    # incremental SCD2 apply (never driver-checked; oracle = the batch
+    # rebuild); displaces volume_factor, whose flow kernels stay
+    # in-window via cvd/delta_zscore
+    "scd2_incremental",
     "ann_pq_persisted",
     "ann_ivfpq",
     "ann_ivfpq_recall",
@@ -111,7 +115,6 @@ PRIORITY = [
     "sessionize",
     "delta_zscore",
     "cvd",
-    "volume_factor",
     "rolling_corr",
     "ohlc_1h",
     "atr_1h",

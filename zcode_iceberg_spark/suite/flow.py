@@ -456,6 +456,13 @@ def q_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_ticks(spark, sf_dir).select(
         "user_id", "ts", "event_id", F.col("event_type").alias("attr")
     )
+    return _scd2_finalize(_scd2_runs(ev))
+
+
+def _scd2_runs(ev: DataFrame) -> DataFrame:
+    """Gaps-and-islands run collapse: (user_id, version, attr,
+    start_ts, n_events) — shared by the batch build and the
+    incremental apply."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     chg = F.when(
         F.lag("attr").over(w).isNull()
@@ -463,17 +470,22 @@ def q_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
     ).otherwise(0)
     isl = ev.withColumn("isl", F.sum(chg).over(w))
-    runs = isl.groupBy("user_id", "isl").agg(
+    return isl.groupBy("user_id", F.col("isl").alias("version")).agg(
         # attr is constant within an island by construction — min is
         # just the deterministic spelling of "the" value
         F.min("attr").alias("attr"),
         F.min("ts").alias("start_ts"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    wv = Window.partitionBy("user_id").orderBy("isl")
-    out = runs.select(
+
+
+def _scd2_finalize(runs: DataFrame) -> DataFrame:
+    """Close validity ranges over the (small) version table: lead()
+    per key for valid_to, NULL-lead = current, timestamps to strings."""
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return runs.select(
         "user_id",
-        F.col("isl").alias("version"),
+        "version",
         "attr",
         "n_events",
         F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
@@ -482,7 +494,6 @@ def q_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         F.lead("start_ts").over(wv).isNull().alias("is_current"),
     )
-    return out
 
 
 SQL_SCD2_VERSIONS = f"""
@@ -517,6 +528,93 @@ SELECT user_id,
 FROM runs
 WINDOW wv AS (PARTITION BY user_id ORDER BY isl)
 """
+
+
+SCD2_SPLIT = 0.8  # events before this fraction of the ts range = history
+
+
+def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 apply (the CDC MERGE a warehouse runs per
+    batch): the change log is split at a TIME cut ({SCD2_SPLIT} of the
+    ts range — per-key in-order arrival, the CDC contract), the
+    historical version table is built once, and the arriving batch is
+    APPLIED to it — a batch run that continues a key's open version
+    extends it (same attr: n_events grows, version number and
+    valid_from survive), otherwise the open version closes at the
+    run's start and new numbered versions append. Output is the full
+    post-apply version table, and the ORACLE is the from-scratch
+    batch rebuild over all events — the apply is correct iff it is
+    indistinguishable from rebuilding, hash-checked row by row (the
+    dedup_incremental contract applied to dimension maintenance).
+
+    Scale shape: the batch side touches only batch rows (runs built
+    per arriving key); history enters through the version TABLE
+    (keys × versions, not events) — one broadcast-size open-version
+    join per batch key, never a rescan of historical events; the
+    fragment merge is a hash agg on (key, version) over the version
+    table. In production the version table persists via the
+    maintenance layer (merge_upsert — the dedup_incremental_persisted
+    layout); this query rebuilds it in-plan so the oracle can replay
+    everything from the raw table."""
+    t = events_ticks(spark, sf_dir).select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("attr")
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp_ntz").cast("timestamp"))
+    rng = t.agg(
+        F.min(us).alias("mnt"), F.max(us).alias("mxt")
+    ).select(
+        (
+            F.col("mnt")
+            + F.floor(F.lit(SCD2_SPLIT) * (F.col("mxt") - F.col("mnt")))
+        ).alias("cut_us")
+    )
+    tt = t.withColumn("us", us).crossJoin(F.broadcast(rng))
+    hist = tt.filter(F.col("us") < F.col("cut_us")).drop("us", "cut_us")
+    batch = tt.filter(F.col("us") >= F.col("cut_us")).drop("us", "cut_us")
+
+    hist_runs = _scd2_runs(hist)
+    wl = Window.partitionBy("user_id")
+    open_v = (
+        hist_runs.withColumn("maxv", F.max("version").over(wl))
+        .filter(F.col("version") == F.col("maxv"))
+        .select(
+            "user_id",
+            F.col("version").alias("open_version"),
+            F.col("attr").alias("open_attr"),
+        )
+    )
+    batch_runs = _scd2_runs(batch).join(open_v, "user_id", "left")
+    # does this key's FIRST batch run continue the open version?
+    cont = (F.col("version") == 1) & (F.col("attr") == F.col("open_attr"))
+    # coalesce: keys with no history have NULL open_attr → cont NULL
+    key_cont = F.max(F.coalesce(cont.cast("int"), F.lit(0))).over(
+        Window.partitionBy("user_id")
+    )  # constant per key: 1 iff the first run merged
+    adj = batch_runs.withColumn("key_cont", key_cont).select(
+        "user_id",
+        (
+            F.coalesce(F.col("open_version"), F.lit(0))
+            + F.col("version")
+            - F.col("key_cont")
+        ).alias("version"),
+        "attr",
+        # a merged first run keeps the open version's start; realized
+        # by emitting it as a FRAGMENT of that version (start_ts = min,
+        # n_events = sum in the merge aggregate below)
+        "start_ts",
+        "n_events",
+    )
+    merged = (
+        hist_runs.select("user_id", "version", "attr", "start_ts", "n_events")
+        .unionAll(adj)
+        .groupBy("user_id", "version")
+        .agg(
+            F.min("attr").alias("attr"),
+            F.min("start_ts").alias("start_ts"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+    return _scd2_finalize(merged)
 
 
 # ------------------------------------------------- event-sequence analytics
@@ -1279,6 +1377,9 @@ QUERIES = {
     "zorder_layout": Query(q_zorder_layout, SQL_ZORDER_LAYOUT),
     "return_moments": Query(q_return_moments, SQL_RETURN_MOMENTS),
     "scd2_versions": Query(q_scd2_versions, SQL_SCD2_VERSIONS),
+    # the incremental apply must be indistinguishable from rebuilding:
+    # same oracle as the batch build, over ALL events
+    "scd2_incremental": Query(q_scd2_incremental, SQL_SCD2_VERSIONS),
     "funnel_conversion": Query(q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "cohort_retention": Query(q_cohort_retention, SQL_COHORT_RETENTION),
     "event_transitions": Query(q_event_transitions, SQL_EVENT_TRANSITIONS),
