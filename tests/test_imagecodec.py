@@ -170,3 +170,27 @@ def test_real_decode_path_runs_in_spark(spark):
     for did in (1, 2):
         assert thumbs[did]["resized_sum"] == want
         assert thumbs[did]["resized_mean"] == want / 4.0
+
+
+def test_real_dhash_path_runs_in_spark(spark):
+    """dhash_media's use_real_decoder=True path executes LIVE on real
+    BMP/PPM bytes: both encodings of the same pixels produce the SAME
+    hash (format-invariance — the point of a perceptual hash), and it
+    equals the hash computed independently from the known pixels via
+    the shared grayscale-thumbnail kernel."""
+    from zcode_iceberg_spark.operators.media import _dhash_bits, dhash_media
+
+    bmp = encode_bmp(4, 2, PIXELS)
+    ppm = encode_ppm(4, 2, PIXELS)
+    df = spark.createDataFrame(
+        [(1, bmp, "image"), (2, ppm, "image"), (3, b"zz", "audio")],
+        "doc_id long, payload binary, media_type string",
+    ).repartition(2)
+    got = {
+        r["doc_id"]: (r["dh_lo"], r["dh_hi"])
+        for r in dhash_media(df, use_real_decoder=True).collect()
+    }
+    grid = list(C.gray_nearest_thumb(4, 2, 3, FLAT, 9, 8))
+    want = _dhash_bits(grid)
+    assert set(got) == {1, 2}  # audio row dropped
+    assert got[1] == got[2] == want

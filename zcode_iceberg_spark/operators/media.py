@@ -287,6 +287,90 @@ def resize_media(
     return media.mapInPandas(resize, RESIZE_SCHEMA)
 
 
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dh_lo", T.LongType()),
+        T.StructField("dh_hi", T.LongType()),
+    ]
+)
+
+
+def _dhash_bits(grid: list[int]) -> tuple[int, int]:
+    """64-bit difference hash from a 9×8 grayscale grid (row-major,
+    9 columns): bit (y·8 + x) = 1 iff g[y][x] > g[y][x+1]. Returned as
+    two unsigned 32-bit halves so neither engine touches the sign bit."""
+    lo = hi = 0
+    for b in range(64):
+        y, x = b // 8, b % 8
+        if grid[y * 9 + x] > grid[y * 9 + x + 1]:
+            if b < 32:
+                lo |= 1 << b
+            else:
+                hi |= 1 << (b - 32)
+    return lo, hi
+
+
+def dhash_media(
+    media: DataFrame, use_real_decoder: bool | None = None
+) -> DataFrame:
+    """Perceptual difference-hash (dHash, Krawetz) for image payloads:
+    grayscale → 9×8 nearest-neighbor grid → adjacent-pixel compare →
+    64-bit hash carried as two 32-bit halves — the standard cheap
+    image near-dup fingerprint (robust to rescale/recompress; Hamming
+    distance ≈ perceptual distance). One row per image via the same
+    Arrow-batched ``mapInPandas`` seam as decode/resize; the fake
+    path's virtual image is the identical pixel rule ``resize_media``
+    uses, so the oracle replays the hash from payload bytes."""
+    real = _resolve_real(use_real_decoder)
+    out_w, out_h = 9, 8
+
+    def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _pil_image() if real else None
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, mtype in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mtype != "image":
+                    continue
+                if real:
+                    import io  # noqa: PLC0415
+
+                    from zcode_iceberg_spark.operators import (  # noqa: PLC0415
+                        imagecodec,
+                    )
+
+                    if Image is not None:
+                        im = Image.open(io.BytesIO(payload)).convert("L")
+                        grid = list(
+                            im.resize((out_w, out_h), Image.NEAREST).tobytes()
+                        )
+                    else:
+                        w, h, nch, px = imagecodec.decode_image(payload)
+                        grid = list(
+                            imagecodec.gray_nearest_thumb(
+                                w, h, nch, px, out_w, out_h
+                            )
+                        )
+                else:
+                    n = len(payload)
+                    w = 64 + payload[0] % 192
+                    h = 64 + payload[1] % 192
+                    grid = [
+                        payload[
+                            (((y * h) // out_h) * w + ((x * w) // out_w)) % n
+                        ]
+                        for y in range(out_h)
+                        for x in range(out_w)
+                    ]
+                lo, hi = _dhash_bits(grid)
+                rows.append((int(doc_id), lo, hi))
+            yield pd.DataFrame(rows, columns=["doc_id", "dh_lo", "dh_hi"])
+
+    return media.mapInPandas(dhash, DHASH_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
     """Frame-sampling stub for video payloads: one row per sampled
     byte offset (stand-in for frame extraction at stride n) —

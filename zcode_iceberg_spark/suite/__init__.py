@@ -82,6 +82,10 @@ PRIORITY = [
     # rebuild); displaces volume_factor, whose flow kernels stay
     # in-window via cvd/delta_zscore
     "scd2_incremental",
+    # perceptual-hash image near-dup (never driver-checked); displaces
+    # ticks_normalize, whose EVENTS_TICKS_SQL substrate every remaining
+    # in-window ticks oracle exercises transitively
+    "media_dhash",
     "ann_pq_persisted",
     "ann_ivfpq",
     "ann_ivfpq_recall",
@@ -104,7 +108,6 @@ PRIORITY = [
     "ledger_exit_stats",
     "modality_interleave",
     # stalest r5 greens (registry order, per the rotation tool)
-    "ticks_normalize",
     "funnel_conversion",
     "cohort_retention",
     "event_transitions",

@@ -242,8 +242,176 @@ FROM samp
 """
 
 
+# ------------------------------------------------ perceptual-hash near-dup
+
+DHASH_MAX_HAM = 6  # near-dup threshold (standard dHash operating point)
+
+
+def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup by perceptual difference hash: each image's
+    64-bit dHash (operators/media.py:dhash_media — 9×8 grayscale grid,
+    adjacent-pixel compares, via the Arrow mapInPandas seam) is split
+    into four 16-bit BANDS; candidate pairs are an EQUI-join on
+    (band_idx, band_val) — the Hamming-space twin of the MinHash LSH
+    banding (any pair within Hamming {DHASH_MAX_HAM} of the threshold
+    band profile collides in ≥1 band when the differing bits miss a
+    band; exact duplicates collide in all four) — then rescored with
+    the EXACT Hamming distance and flagged at ≤{DHASH_MAX_HAM}. The
+    multimodal member of the dedup family: same
+    bucket-join-then-rescore shape as lsh_candidates → dedup_near.
+
+    Scale shape: hashes are one mapInPandas pass over the image scan
+    (no shuffle); the band join keys on 16-bit buckets so only
+    colliding candidates pair; the Hamming rescore is pure arithmetic
+    (bit-extraction folds, no dialect bit operators) on the ≤K
+    candidate rows. Exact-integer columns throughout."""
+    docs = load_table(spark, sf_dir, "documents")
+    # fake decode pinned (md5-byte fixture payloads, like media_resize)
+    dh = md.dhash_media(with_payload(docs), use_real_decoder=False)
+    bands = dh.select(
+        "doc_id",
+        "dh_lo",
+        "dh_hi",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_idx"),
+                    (F.col("dh_lo") % 65536).alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_idx"),
+                    (F.col("dh_lo") / F.lit(65536)).cast("long").alias(
+                        "band_val"
+                    ),
+                ),
+                F.struct(
+                    F.lit(2).alias("band_idx"),
+                    (F.col("dh_hi") % 65536).alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(3).alias("band_idx"),
+                    (F.col("dh_hi") / F.lit(65536)).cast("long").alias(
+                        "band_val"
+                    ),
+                ),
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id", "dh_lo", "dh_hi",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_val").alias("band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.dh_lo").alias("lo1"),
+            F.col("a.dh_hi").alias("hi1"),
+            F.col("b.dh_lo").alias("lo2"),
+            F.col("b.dh_hi").alias("hi2"),
+        )
+        .distinct()
+    )
+    ham = F.expr(
+        _ham32_sql("lo1", "lo2", "DIV") + " + " + _ham32_sql("hi1", "hi2", "DIV")
+    )
+    return pairs.select(
+        "doc1",
+        "doc2",
+        ham.cast("int").alias("hamming"),
+        (ham <= DHASH_MAX_HAM).alias("is_near_dup"),
+    )
+
+
+def _ham32_sql(a: str, b: str, idiv: str) -> str:
+    """Hamming distance of two unsigned-32-bit-in-BIGINT values as
+    pure arithmetic — bit b of x is (x idiv 2^b) % 2, XOR is sum mod
+    2 — so both engines evaluate one identical formula (no dialect
+    bit operators; the zorder_layout convention)."""
+    terms = [
+        f"((({a} {idiv} {1 << k}) % 2 + ({b} {idiv} {1 << k}) % 2) % 2)"
+        for k in range(32)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _dhash_sql_cte() -> str:
+    """dHash from the md5-byte fixture payloads in SQL: the same 9×8
+    virtual-image grid rule the fake decoder uses, bits packed into
+    two 32-bit halves with integer shifts."""
+    grid = (
+        "list_transform(generate_series(0, 71), i -> "
+        "pb[1 + ((((i // 9) * h) // 8) * w + (((i % 9) * w) // 9)) % 16])"
+    )
+
+    def half(lo_bit: int) -> str:
+        terms = []
+        for b in range(lo_bit, lo_bit + 32):
+            y, x = b // 8, b % 8
+            terms.append(
+                f"CASE WHEN g[{y * 9 + x + 1}] > g[{y * 9 + x + 2}] "
+                f"THEN CAST({1 << (b - lo_bit)} AS BIGINT) ELSE 0 END"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""px AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+           i -> CAST(concat('0x', substr(md5(text), 2 * i + 1, 2))
+                     AS INTEGER)) AS pb
+  FROM documents WHERE doc_id % 3 = 0
+),
+dims AS (
+  SELECT doc_id, pb, 64 + pb[1] % 192 AS w, 64 + pb[2] % 192 AS h FROM px
+),
+grids AS (
+  SELECT doc_id, {grid} AS g FROM dims
+),
+dh AS (
+  SELECT doc_id, {half(0)} AS dh_lo, {half(32)} AS dh_hi FROM grids
+)"""
+
+
+SQL_MEDIA_DHASH = f"""
+WITH {_dhash_sql_cte()},
+bands AS (
+  SELECT doc_id, dh_lo, dh_hi, 0 AS band_idx, dh_lo % 65536 AS band_val
+  FROM dh
+  UNION ALL
+  SELECT doc_id, dh_lo, dh_hi, 1, dh_lo // 65536 FROM dh
+  UNION ALL
+  SELECT doc_id, dh_lo, dh_hi, 2, dh_hi % 65536 FROM dh
+  UNION ALL
+  SELECT doc_id, dh_lo, dh_hi, 3, dh_hi // 65536 FROM dh
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+         a.dh_lo AS lo1, a.dh_hi AS hi1, b.dh_lo AS lo2, b.dh_hi AS hi2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc1, doc2,
+       CAST({_ham32_sql('lo1', 'lo2', '//')}
+            + {_ham32_sql('hi1', 'hi2', '//')} AS INTEGER) AS hamming,
+       ({_ham32_sql('lo1', 'lo2', '//')}
+        + {_ham32_sql('hi1', 'hi2', '//')}) <= {DHASH_MAX_HAM}
+         AS is_near_dup
+FROM pairs
+"""
+
+
 QUERIES = {
     "media_features": Query(q_media_features, SQL_MEDIA_FEATURES),
+    "media_dhash": Query(q_media_dhash, SQL_MEDIA_DHASH),
     "media_frames": Query(q_media_frames, SQL_MEDIA_FRAMES),
     "media_resize": Query(q_media_resize, SQL_MEDIA_RESIZE),
     "modality_interleave": Query(q_modality_interleave, SQL_MODALITY_INTERLEAVE),
