@@ -568,8 +568,12 @@ def test_ann_sq8_plan_shape(spark, sf_dir):
     p = plan(spark, sf_dir, "ann_sq8")
     assert "BroadcastExchange" in p
     assert "CartesianProduct" not in p
-    # stats 1-row cross + query-panel pair join — nothing else
-    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 2
+    # every nested loop must be a deliberate broadcast build: the 1-row
+    # stats Cross and the query-panel Inner pair join (how many times
+    # each subtree PRINTS varies with the persist's cache state, so the
+    # pin is on join types, not node counts)
+    types = re.findall(r"BroadcastNestedLoopJoin (\w+)", p)
+    assert types and all(t in ("Cross", "Inner") for t in types), types
     assert "WindowGroupLimit" in p
 
 
