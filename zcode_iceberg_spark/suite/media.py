@@ -245,6 +245,8 @@ FROM samp
 # ------------------------------------------------ perceptual-hash near-dup
 
 DHASH_MAX_HAM = 6  # near-dup threshold (standard dHash operating point)
+DHASH_MAX_BUCKET = 64  # band buckets above this sub-slice (hot-block rule)
+DHASH_SLICE_BITS = 4  # 16 sub-slices per hot bucket
 
 
 def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,7 +270,7 @@ def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # fake decode pinned (md5-byte fixture payloads, like media_resize)
     dh = md.dhash_media(with_payload(docs), use_real_decoder=False)
-    bands = dh.select(
+    raw_bands = dh.select(
         "doc_id",
         "dh_lo",
         "dh_hi",
@@ -301,6 +303,26 @@ def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.band_idx").alias("band_idx"),
         F.col("b.band_val").alias("band_val"),
     )
+    # Hot-bucket bound (the embedding_neardup/hot_block_slice rule for
+    # Hamming space): dHash is KNOWN to degenerate on flat/gradient
+    # images — alternating-bit bands (0xAAAA/0x5555) collect thousands
+    # of members at corpus scale (measured: 2.4k-member buckets on the
+    # 100× replica → tens of millions of candidate pairs, 43 s).
+    # Buckets above DHASH_MAX_BUCKET sub-slice by the OPPOSITE half's
+    # top {DHASH_SLICE_BITS} bits, so a near-dup pair keeps colliding
+    # in the sliced band unless one of its ≤{DHASH_MAX_HAM} differing
+    # bits lands in those slice bits — and it still has the other
+    # three bands regardless (recall ≤ the unsliced join's by
+    # construction, the ann_ivf_bounded monotonicity discipline).
+    wb = Window.partitionBy("band_idx", "band_val")
+    sub = F.when(
+        F.count(F.lit(1)).over(wb) > DHASH_MAX_BUCKET,
+        F.expr(
+            f"(CASE WHEN band_idx <= 1 THEN dh_hi ELSE dh_lo END) "
+            f"DIV {1 << (32 - DHASH_SLICE_BITS)}"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    bands = raw_bands.withColumn("sub", sub)
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
@@ -308,6 +330,7 @@ def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.sub") == F.col("b.sub"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -382,7 +405,7 @@ dh AS (
 
 SQL_MEDIA_DHASH = f"""
 WITH {_dhash_sql_cte()},
-bands AS (
+raw_bands AS (
   SELECT doc_id, dh_lo, dh_hi, 0 AS band_idx, dh_lo % 65536 AS band_val
   FROM dh
   UNION ALL
@@ -392,11 +415,21 @@ bands AS (
   UNION ALL
   SELECT doc_id, dh_lo, dh_hi, 3, dh_hi // 65536 FROM dh
 ),
+bands AS (
+  SELECT doc_id, dh_lo, dh_hi, band_idx, band_val,
+         CASE WHEN count(*) OVER (PARTITION BY band_idx, band_val)
+                   > {DHASH_MAX_BUCKET}
+              THEN (CASE WHEN band_idx <= 1 THEN dh_hi ELSE dh_lo END)
+                   // {1 << (32 - DHASH_SLICE_BITS)}
+              ELSE CAST(0 AS BIGINT) END AS sub
+  FROM raw_bands
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
          a.dh_lo AS lo1, a.dh_hi AS hi1, b.dh_lo AS lo2, b.dh_hi AS hi2
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.sub = b.sub
    AND a.doc_id < b.doc_id
 )
 SELECT doc1, doc2,
