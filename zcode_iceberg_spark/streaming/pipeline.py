@@ -31,7 +31,7 @@ import pandas as pd
 
 from pyspark.errors import AnalysisException
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -541,6 +541,137 @@ def ann_index_step(
         .select("vec_id", "embedding", "nrm", "cell")
     )
     assigned.write.mode("overwrite").parquet(f"{index_dir}/epoch={epoch_id}")
+
+
+def scd2_step(batch_df: DataFrame, epoch_id: int, table_dir: str) -> None:
+    """One streaming SCD2-apply epoch (module-level so tests can
+    replay an epoch and pin overwrite-idempotence, the passage-ledger
+    discipline): the arriving micro-batch's attribute runs merge onto
+    the persisted version table — a run continuing a key's open
+    version rewrites THAT version's row (summed n_events, original
+    start_ts/number), other runs append as new numbered versions.
+    Epoch partitions overwrite on replay; reads resolve each
+    (key, version) to its latest epoch, so a crashed epoch's rows are
+    superseded, never double-counted. Only versions the batch TOUCHES
+    are written — state I/O is proportional to arriving keys, and
+    historical events are never rescanned (the same contract
+    q_scd2_incremental proves against the batch-rebuild oracle)."""
+    from zcode_iceberg_spark.suite.flow import _scd2_runs
+
+    s = batch_df.sparkSession
+    ev = batch_df.select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("attr")
+    )
+    new_runs = _scd2_runs(ev)
+    try:
+        prior = s.read.parquet(table_dir).filter(F.col("epoch") < epoch_id)
+        wv = Window.partitionBy("user_id", "version").orderBy(
+            F.col("epoch").desc()
+        )
+        cur = (
+            prior.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "version", "attr", "start_ts", "n_events")
+        )
+    except AnalysisException:  # first batch: empty state
+        cur = s.createDataFrame(
+            [],
+            "user_id long, version bigint, attr string, "
+            "start_ts timestamp, n_events bigint",
+        )
+    wu = Window.partitionBy("user_id")
+    open_v = (
+        cur.withColumn("maxv", F.max("version").over(wu))
+        .filter(F.col("version") == F.col("maxv"))
+        .select(
+            "user_id",
+            F.col("version").alias("open_version"),
+            F.col("attr").alias("open_attr"),
+            F.col("start_ts").alias("open_start"),
+            F.col("n_events").alias("open_n"),
+        )
+    )
+    br = new_runs.join(open_v, "user_id", "left")
+    cont = (F.col("version") == 1) & (F.col("attr") == F.col("open_attr"))
+    key_cont = F.max(F.coalesce(cont.cast("int"), F.lit(0))).over(
+        Window.partitionBy("user_id")
+    )
+    out = br.withColumn("is_cont", cont).withColumn(
+        "key_cont", key_cont
+    ).select(
+        "user_id",
+        F.when(F.col("is_cont"), F.col("open_version"))
+        .otherwise(
+            F.coalesce(F.col("open_version"), F.lit(0))
+            + F.col("version")
+            - F.col("key_cont")
+        )
+        .alias("version"),
+        "attr",
+        F.when(F.col("is_cont"), F.col("open_start"))
+        .otherwise(F.col("start_ts"))
+        .alias("start_ts"),
+        F.when(
+            F.col("is_cont"), F.col("open_n") + F.col("n_events")
+        )
+        .otherwise(F.col("n_events"))
+        .cast("bigint")
+        .alias("n_events"),
+    )
+    out.write.mode("overwrite").parquet(f"{table_dir}/epoch={epoch_id}")
+
+
+def scd2_state(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Resolve the epoch-partitioned SCD2 state to the live version
+    table: per (key, version), the row from the latest epoch wins."""
+    prior = spark.read.parquet(table_dir)
+    wv = Window.partitionBy("user_id", "version").orderBy(
+        F.col("epoch").desc()
+    )
+    return (
+        prior.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "version", "attr", "start_ts", "n_events")
+    )
+
+
+def scd2_versions_from_state(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Finalized view of the streamed state — same output schema as
+    the batch q_scd2_versions (valid_from/valid_to strings, is_current)."""
+    from zcode_iceberg_spark.suite.flow import _scd2_finalize
+
+    return _scd2_finalize(scd2_state(spark, table_dir))
+
+
+def scd2_stream(
+    spark: SparkSession, src_dir: str, table_dir: str, checkpoint: str
+):
+    """Streaming twin of the SCD2 apply: each micro-batch of events
+    merges onto the persisted version table via ``scd2_step``. CDC
+    contract: per-key in-order arrival (file source replays
+    time-split files oldest-first). Returns the started query."""
+    raw = _sniffed_parquet_stream(spark, src_dir)
+    ev = (
+        normalize_ts(raw)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .filter(
+            (F.col("value") > 0)
+            & F.col("ts").isNotNull()
+            & F.get_json_object("props", "$.k").cast("double").isNotNull()
+            & (F.get_json_object("props", "$.k").cast("double") > 0)
+        )
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        scd2_step(batch_df, epoch_id, table_dir)
+
+    return (
+        ev.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def dedup_stream_bounded(spark: SparkSession, src_dir: str) -> DataFrame:
