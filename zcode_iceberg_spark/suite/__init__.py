@@ -86,6 +86,10 @@ PRIORITY = [
     # ticks_normalize, whose EVENTS_TICKS_SQL substrate every remaining
     # in-window ticks oracle exercises transitively
     "media_dhash",
+    # compaction planner (never driver-checked); displaces
+    # session_paths, whose gaps-and-islands kernel stays in-window via
+    # sessionize and scd2_versions
+    "compaction_plan",
     "ann_pq_persisted",
     "ann_ivfpq",
     "ann_ivfpq_recall",
@@ -114,7 +118,6 @@ PRIORITY = [
     "robust_outliers",
     "cusum_alarm",
     "volume_hhi",
-    "session_paths",
     "sessionize",
     "delta_zscore",
     "cvd",

@@ -1372,9 +1372,135 @@ GROUP BY layout
 """
 
 
+# ------------------------------------------------------ compaction plan
+
+COMPACT_GROUPS = 8  # target rewritten-file count = total/8 rows each
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE half of table
+    maintenance): the {ZNB} z-order buckets of `zorder_layout` stand
+    in for data files; files are assigned IN KEY ORDER to rewrite
+    groups by cumulative row count (group = cum_before div target,
+    target = total/{COMPACT_GROUPS}) — key-adjacent merging, so the
+    rewrite preserves the clustering the layout bought. A group is
+    worth rewriting iff it holds >1 file and at least one file is
+    under a quarter of target (the small-file trigger every
+    lakehouse compactor uses). Output: one row per planned group
+    with its file count, rows, small-file count, and rewrite flag.
+
+    Scale shape: the per-file stats are the zorder bucket aggregate
+    (one scan + one {ZNB}-row hash agg); the plan itself is window
+    arithmetic over {ZNB} rows — planning cost is metadata-sized, the
+    defining property of a compaction planner (at 100 TB the file
+    ledger is the input; the data is only touched by the rewrite
+    jobs this plan emits)."""
+    from zcode_iceberg_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(
+            F.col("ts").cast("timestamp_ntz").cast("timestamp")
+        ).alias("tus"),
+    )
+    stats = ev.agg(
+        F.min("tus").alias("mnt"),
+        F.max("tus").alias("mxt"),
+        F.min("user_id").alias("mnu"),
+        F.max("user_id").alias("mxu"),
+    )
+    g = ev.crossJoin(F.broadcast(stats)).select(
+        F.expr(_grid16_sql("tus", "mnt", "mxt", "DIV")).alias("t16"),
+        F.expr(_grid16_sql("user_id", "mnu", "mxu", "DIV")).alias("u16"),
+    )
+    zb = F.expr(_zvalue_sql("t16", "u16", "DIV") + f" DIV {1 << ZNB_SHIFT}")
+    files = g.select(zb.cast("long").alias("file_id")).groupBy(
+        "file_id"
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    wtot = Window.partitionBy()
+    wcum = Window.orderBy("file_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # explicit floor() before the integer cast on BOTH sides: Spark's
+    # cast(double as long) truncates but DuckDB's CAST rounds half-even
+    total = F.sum("n_rows").over(wtot)
+    target = F.greatest(
+        F.floor(total / COMPACT_GROUPS).cast("long"), F.lit(1)
+    )
+    planned = files.select(
+        "file_id",
+        "n_rows",
+        target.alias("target"),
+        F.floor(F.coalesce(F.sum("n_rows").over(wcum), F.lit(0)) / target)
+        .cast("long")
+        .alias("group_id"),
+    )
+    return (
+        planned.groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").alias("total_rows"),
+            F.sum(
+                (F.col("n_rows") * 4 < F.col("target")).cast("long")
+            ).alias("n_small_files"),
+        )
+        .select(
+            "group_id",
+            "n_files",
+            "total_rows",
+            "n_small_files",
+            ((F.col("n_files") > 1) & (F.col("n_small_files") > 0)).alias(
+                "rewrite"
+            ),
+        )
+    )
+
+
+SQL_COMPACTION_PLAN = f"""
+WITH stats AS MATERIALIZED (
+  SELECT min(epoch_us(ts)) AS mnt, max(epoch_us(ts)) AS mxt,
+         min(user_id) AS mnu, max(user_id) AS mxu
+  FROM events
+),
+g AS (
+  SELECT {_grid16_sql('epoch_us(ts)', 'mnt', 'mxt', '//')} AS t16,
+         {_grid16_sql('user_id', 'mnu', 'mxu', '//')} AS u16
+  FROM events CROSS JOIN stats
+),
+files AS (
+  SELECT CAST({_zvalue_sql('t16', 'u16', '//')} // {1 << ZNB_SHIFT} AS BIGINT)
+           AS file_id,
+         count(*) AS n_rows
+  FROM g GROUP BY 1
+),
+planned AS (
+  SELECT file_id, n_rows,
+         greatest(CAST(floor(sum(n_rows) OVER () / {COMPACT_GROUPS})
+                       AS BIGINT), 1) AS target,
+         CAST(floor(coalesce(sum(n_rows) OVER (ORDER BY file_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / greatest(CAST(floor(sum(n_rows) OVER () / {COMPACT_GROUPS})
+                              AS BIGINT), 1)) AS BIGINT) AS group_id
+  FROM files
+)
+SELECT group_id,
+       count(*) AS n_files,
+       CAST(sum(n_rows) AS BIGINT) AS total_rows,
+       CAST(sum(CASE WHEN n_rows * 4 < target THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_files,
+       count(*) > 1
+         AND sum(CASE WHEN n_rows * 4 < target THEN 1 ELSE 0 END) > 0
+         AS rewrite
+FROM planned GROUP BY group_id
+"""
+
+
+
 QUERIES = {
     "ticks_normalize": Query(q_ticks_normalize, SQL_TICKS_NORMALIZE),
     "zorder_layout": Query(q_zorder_layout, SQL_ZORDER_LAYOUT),
+    "compaction_plan": Query(q_compaction_plan, SQL_COMPACTION_PLAN),
     "return_moments": Query(q_return_moments, SQL_RETURN_MOMENTS),
     "scd2_versions": Query(q_scd2_versions, SQL_SCD2_VERSIONS),
     # the incremental apply must be indistinguishable from rebuilding:
