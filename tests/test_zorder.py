@@ -11,11 +11,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
-from zcode_iceberg_spark.sources.tables import load_table
 from zcode_iceberg_spark.suite.flow import (
     ZP_HI,
     ZP_LO,
-    _grid16_sql,
+    _zgrid,
     _zvalue_sql,
     q_zorder_layout,
 )
@@ -24,26 +23,12 @@ ROW_GROUP = 16  # small groups so sf0.001's ~1000 rows give ~60 zone maps
 
 
 def _grid_pdf(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        F.unix_micros(
-            F.col("ts").cast("timestamp_ntz").cast("timestamp")
-        ).alias("tus"),
+    return (
+        _zgrid(spark, sf_dir)
+        .select("t16", "u16")
+        .withColumn("z", F.expr(_zvalue_sql("t16", "u16", "DIV")))
+        .toPandas()
     )
-    stats = ev.agg(
-        F.min("tus").alias("mnt"),
-        F.max("tus").alias("mxt"),
-        F.min("user_id").alias("mnu"),
-        F.max("user_id").alias("mxu"),
-    )
-    g = ev.crossJoin(F.broadcast(stats)).select(
-        F.expr(_grid16_sql("tus", "mnt", "mxt", "DIV")).alias("t16"),
-        F.expr(_grid16_sql("user_id", "mnu", "mxu", "DIV")).alias("u16"),
-    )
-    return g.withColumn(
-        "z", F.expr(_zvalue_sql("t16", "u16", "DIV"))
-    ).toPandas()
 
 
 def _groups_scanned(path: str, t_rng, u_rng) -> tuple[int, int]:

@@ -556,7 +556,11 @@ def scd2_step(batch_df: DataFrame, epoch_id: int, table_dir: str) -> None:
     are written — state I/O is proportional to arriving keys, and
     historical events are never rescanned (the same contract
     q_scd2_incremental proves against the batch-rebuild oracle)."""
-    from zcode_iceberg_spark.suite.flow import _scd2_runs
+    from zcode_iceberg_spark.suite.flow import (
+        _scd2_open,
+        _scd2_renumber,
+        _scd2_runs,
+    )
 
     s = batch_df.sparkSession
     ev = batch_df.select(
@@ -579,34 +583,14 @@ def scd2_step(batch_df: DataFrame, epoch_id: int, table_dir: str) -> None:
             "user_id long, version bigint, attr string, "
             "start_ts timestamp, n_events bigint",
         )
-    wu = Window.partitionBy("user_id")
-    open_v = (
-        cur.withColumn("maxv", F.max("version").over(wu))
-        .filter(F.col("version") == F.col("maxv"))
-        .select(
-            "user_id",
-            F.col("version").alias("open_version"),
-            F.col("attr").alias("open_attr"),
-            F.col("start_ts").alias("open_start"),
-            F.col("n_events").alias("open_n"),
-        )
-    )
-    br = new_runs.join(open_v, "user_id", "left")
-    cont = (F.col("version") == 1) & (F.col("attr") == F.col("open_attr"))
-    key_cont = F.max(F.coalesce(cont.cast("int"), F.lit(0))).over(
-        Window.partitionBy("user_id")
-    )
-    out = br.withColumn("is_cont", cont).withColumn(
-        "key_cont", key_cont
-    ).select(
+    # shared renumber core (suite/flow.py:_scd2_renumber) — the stream
+    # step differs from the batch apply only in HOW a merged run
+    # lands: here the open version's row is REWRITTEN (latest epoch
+    # wins at read), vs the batch apply's fragment-emit + merge agg
+    br = _scd2_renumber(new_runs.join(_scd2_open(cur), "user_id", "left"))
+    out = br.select(
         "user_id",
-        F.when(F.col("is_cont"), F.col("open_version"))
-        .otherwise(
-            F.coalesce(F.col("open_version"), F.lit(0))
-            + F.col("version")
-            - F.col("key_cont")
-        )
-        .alias("version"),
+        F.col("new_version").alias("version"),
         "attr",
         F.when(F.col("is_cont"), F.col("open_start"))
         .otherwise(F.col("start_ts"))
@@ -650,16 +634,15 @@ def scd2_stream(
     merges onto the persisted version table via ``scd2_step``. CDC
     contract: per-key in-order arrival (file source replays
     time-split files oldest-first). Returns the started query."""
-    raw = _sniffed_parquet_stream(spark, src_dir)
+    # stream_events carries the SAME normalization/validity projection
+    # as the batch loader (events_ticks), so the streamed version table
+    # sees byte-identical inputs to the q_scd2_versions oracle — the
+    # one rule events_ticks adds on top (ts IS NOT NULL) is restated
+    # here because the watermark does not filter batch rows inside
+    # foreachBatch
     ev = (
-        normalize_ts(raw)
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-        .filter(
-            (F.col("value") > 0)
-            & F.col("ts").isNotNull()
-            & F.get_json_object("props", "$.k").cast("double").isNotNull()
-            & (F.get_json_object("props", "$.k").cast("double") > 0)
-        )
+        stream_events(spark, src_dir)
+        .filter(F.col("ts").isNotNull())
         .select("event_id", "ts", "user_id", "event_type")
     )
 

@@ -90,6 +90,10 @@ PRIORITY = [
     # session_paths, whose gaps-and-islands kernel stays in-window via
     # sessionize and scd2_versions
     "compaction_plan",
+    # data-quality expectations audit (never driver-checked); displaces
+    # volume_hhi, whose concentration-agg archetype stays covered by the
+    # in-window relational aggregates
+    "table_expectations",
     "ann_pq_persisted",
     "ann_ivfpq",
     "ann_ivfpq_recall",
@@ -117,7 +121,6 @@ PRIORITY = [
     "event_transitions",
     "robust_outliers",
     "cusum_alarm",
-    "volume_hhi",
     "sessionize",
     "delta_zscore",
     "cvd",

@@ -479,6 +479,50 @@ def _scd2_runs(ev: DataFrame) -> DataFrame:
     )
 
 
+def _scd2_open(runs: DataFrame) -> DataFrame:
+    """Open (latest) version per key from a runs/state frame, renamed
+    for the apply join — shared by the batch incremental apply and the
+    streaming step."""
+    wu = Window.partitionBy("user_id")
+    return (
+        runs.withColumn("maxv", F.max("version").over(wu))
+        .filter(F.col("version") == F.col("maxv"))
+        .select(
+            "user_id",
+            F.col("version").alias("open_version"),
+            F.col("attr").alias("open_attr"),
+            F.col("start_ts").alias("open_start"),
+            F.col("n_events").alias("open_n"),
+        )
+    )
+
+
+def _scd2_renumber(br: DataFrame) -> DataFrame:
+    """Shared CDC renumbering core over batch runs LEFT-joined with
+    the open-version frame: ``is_cont`` marks a first batch run that
+    continues the key's open version (same attr); ``new_version`` is
+    the global number — coalesce(open, 0) + version − key_cont, which
+    lands cont rows exactly on the open version. The three-valued
+    NULL-open_attr handling lives HERE only (batch apply and stream
+    step both build on this, so the apply == rebuild invariant has a
+    single implementation to keep true)."""
+    cont = (F.col("version") == 1) & (F.col("attr") == F.col("open_attr"))
+    # coalesce: keys with no history have NULL open_attr → cont NULL
+    key_cont = F.max(F.coalesce(cont.cast("int"), F.lit(0))).over(
+        Window.partitionBy("user_id")
+    )
+    return (
+        br.withColumn("is_cont", F.coalesce(cont, F.lit(False)))
+        .withColumn("key_cont", key_cont)
+        .withColumn(
+            "new_version",
+            F.coalesce(F.col("open_version"), F.lit(0))
+            + F.col("version")
+            - F.col("key_cont"),
+        )
+    )
+
+
 def _scd2_finalize(runs: DataFrame) -> DataFrame:
     """Close validity ranges over the (small) version table: lead()
     per key for valid_to, NULL-lead = current, timestamps to strings."""
@@ -573,30 +617,12 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = tt.filter(F.col("us") >= F.col("cut_us")).drop("us", "cut_us")
 
     hist_runs = _scd2_runs(hist)
-    wl = Window.partitionBy("user_id")
-    open_v = (
-        hist_runs.withColumn("maxv", F.max("version").over(wl))
-        .filter(F.col("version") == F.col("maxv"))
-        .select(
-            "user_id",
-            F.col("version").alias("open_version"),
-            F.col("attr").alias("open_attr"),
-        )
+    br = _scd2_renumber(
+        _scd2_runs(batch).join(_scd2_open(hist_runs), "user_id", "left")
     )
-    batch_runs = _scd2_runs(batch).join(open_v, "user_id", "left")
-    # does this key's FIRST batch run continue the open version?
-    cont = (F.col("version") == 1) & (F.col("attr") == F.col("open_attr"))
-    # coalesce: keys with no history have NULL open_attr → cont NULL
-    key_cont = F.max(F.coalesce(cont.cast("int"), F.lit(0))).over(
-        Window.partitionBy("user_id")
-    )  # constant per key: 1 iff the first run merged
-    adj = batch_runs.withColumn("key_cont", key_cont).select(
+    adj = br.select(
         "user_id",
-        (
-            F.coalesce(F.col("open_version"), F.lit(0))
-            + F.col("version")
-            - F.col("key_cont")
-        ).alias("version"),
+        F.col("new_version").alias("version"),
         "attr",
         # a merged first run keeps the open version's start; realized
         # by emitting it as a FRAGMENT of that version (start_ts = min,
@@ -1203,8 +1229,19 @@ def _grid16_sql(x: str, mn: str, mx: str, idiv: str) -> str:
     """Affine map of ``x`` onto the {ZGRID_BITS}-bit grid with EXACT
     integer arithmetic (the product can exceed 2^53, so float division
     is not an option); ``idiv`` is the dialect's integer-division
-    operator (Spark ``DIV``, DuckDB ``//``)."""
-    return f"(({x} - {mn}) * {ZGRID_MAX} {idiv} greatest({mx} - {mn}, 1))"
+    operator (Spark ``DIV``, DuckDB ``//``). Overflow guard: spans
+    above 2^46 (≈4.5 years of microseconds, or snowflake-style id
+    ranges) pre-divide both coordinate and span by q = span/2^46 + 1
+    so the ·{ZGRID_MAX} product stays under 2^63 — Spark's non-ANSI
+    multiply would otherwise WRAP silently while DuckDB errors, and
+    the engines would diverge. q = 1 at any span below 2^46, leaving
+    small-span grids bit-identical to the unguarded formula."""
+    span = f"({mx} - {mn})"
+    q = f"({span} {idiv} {1 << 46} + 1)"
+    return (
+        f"(({x} - {mn}) {idiv} {q} * {ZGRID_MAX} "
+        f"{idiv} greatest({span} {idiv} {q}, 1))"
+    )
 
 
 def _zvalue_sql(t: str, u: str, idiv: str) -> str:
@@ -1216,6 +1253,33 @@ def _zvalue_sql(t: str, u: str, idiv: str) -> str:
         terms.append(f"(({t} {idiv} {1 << b}) % 2) * {1 << (2 * b)}")
         terms.append(f"(({u} {idiv} {1 << b}) % 2) * {1 << (2 * b + 1)}")
     return "(" + " + ".join(terms) + ")"
+
+
+def _zgrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (event_id, t16, u16) grid frame — the single home of the
+    events→stats→grid construction used by q_zorder_layout,
+    q_compaction_plan, and the physical row-group test (three copies
+    of the unix_micros/overflow-guard subtleties would drift)."""
+    from zcode_iceberg_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(
+            F.col("ts").cast("timestamp_ntz").cast("timestamp")
+        ).alias("tus"),
+    )
+    stats = ev.agg(
+        F.min("tus").alias("mnt"),
+        F.max("tus").alias("mxt"),
+        F.min("user_id").alias("mnu"),
+        F.max("user_id").alias("mxu"),
+    )
+    return ev.crossJoin(F.broadcast(stats)).select(
+        "event_id",
+        F.expr(_grid16_sql("tus", "mnt", "mxt", "DIV")).alias("t16"),
+        F.expr(_grid16_sql("user_id", "mnu", "mxu", "DIV")).alias("u16"),
+    )
 
 
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1244,26 +1308,7 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     (layout, bucket) hash aggregate with map-side partials, then a
     {3 * ZNB}-row final rollup — one scan, one shuffle, no sort (at
     write time the real layout IS a sort; this query only prices it)."""
-    from zcode_iceberg_spark.sources.tables import load_table
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        F.unix_micros(
-            F.col("ts").cast("timestamp_ntz").cast("timestamp")
-        ).alias("tus"),
-    )
-    stats = ev.agg(
-        F.min("tus").alias("mnt"),
-        F.max("tus").alias("mxt"),
-        F.min("user_id").alias("mnu"),
-        F.max("user_id").alias("mxu"),
-    )
-    g = ev.crossJoin(F.broadcast(stats)).select(
-        "event_id",
-        F.expr(_grid16_sql("tus", "mnt", "mxt", "DIV")).alias("t16"),
-        F.expr(_grid16_sql("user_id", "mnu", "mxu", "DIV")).alias("u16"),
-    )
+    g = _zgrid(spark, sf_dir)
     zb = F.expr(_zvalue_sql("t16", "u16", "DIV") + f" DIV {1 << ZNB_SHIFT}")
     tb = F.expr(f"t16 DIV {1 << ZLIN_SHIFT}")
     hb = F.col("event_id") % ZNB
@@ -1395,25 +1440,7 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     defining property of a compaction planner (at 100 TB the file
     ledger is the input; the data is only touched by the rewrite
     jobs this plan emits)."""
-    from zcode_iceberg_spark.sources.tables import load_table
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        F.unix_micros(
-            F.col("ts").cast("timestamp_ntz").cast("timestamp")
-        ).alias("tus"),
-    )
-    stats = ev.agg(
-        F.min("tus").alias("mnt"),
-        F.max("tus").alias("mxt"),
-        F.min("user_id").alias("mnu"),
-        F.max("user_id").alias("mxu"),
-    )
-    g = ev.crossJoin(F.broadcast(stats)).select(
-        F.expr(_grid16_sql("tus", "mnt", "mxt", "DIV")).alias("t16"),
-        F.expr(_grid16_sql("user_id", "mnu", "mxu", "DIV")).alias("u16"),
-    )
+    g = _zgrid(spark, sf_dir)
     zb = F.expr(_zvalue_sql("t16", "u16", "DIV") + f" DIV {1 << ZNB_SHIFT}")
     files = g.select(zb.cast("long").alias("file_id")).groupBy(
         "file_id"

@@ -6126,7 +6126,11 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     are positions over integer nano-unit scores (lexical) and
     6dp-rounded cosines (semantic), so both engines order
     identically."""
-    lexpool = (
+    # _reuse: lexpool feeds BOTH the lexical-rank branch and the
+    # seed/semantic branch — without the barrier the full BM25 corpus
+    # pipeline plans and executes twice (measured: 8 documents scans
+    # vs the 4 of one bm25_scores pass; the source_overlap_kmv lesson)
+    lexpool = _reuse(
         _bm25_per_doc(spark, sf_dir)
         .orderBy(F.col("score_u").desc(), "doc_id")
         .limit(RRF_POOL)

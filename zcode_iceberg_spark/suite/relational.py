@@ -1906,7 +1906,144 @@ GROUP BY s_name, n_name
 """
 
 
+# --------------------------------------------------- data-quality audit
+
+EXP_QTY_LO, EXP_QTY_HI = 1.0, 50.0  # TPC-H l_quantity contract
+EXP_DISC_LO, EXP_DISC_HI = 0.0, 0.1  # l_discount contract
+
+
+def q_table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the Deequ/expectations
+    archetype): completeness, value-range, primary-key-uniqueness, and
+    referential-integrity checks over lineitem, each emitted as one
+    (check, value, ok) row — the validation gate a 100 TB ingest runs
+    before publishing a partition.
+
+    Scale shape: every ROW-level check folds into ONE map-side
+    conditional aggregate over a single lineitem scan (adding a check
+    adds a column, not a pass); the two set-level checks are the
+    irreducible extras — PK uniqueness is one exact distinct-count on
+    the key pair (hash agg on the natural clustering key), and the FK
+    orphan check is a left-anti join against the orders keys (no
+    row-level trick can see across rows). Output is a fixed ~6-row
+    audit frame; ok booleans are exact-integer decisions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    row = li.agg(
+        n.alias("n"),
+        F.sum(F.col("l_shipdate").isNull().cast("long")).alias("null_ship"),
+        F.sum(
+            (~F.col("l_quantity").between(EXP_QTY_LO, EXP_QTY_HI)).cast("long")
+        ).alias("qty_viol"),
+        F.sum(
+            (~F.col("l_discount").between(EXP_DISC_LO, EXP_DISC_HI)).cast(
+                "long"
+            )
+        ).alias("disc_viol"),
+        # null-safe struct: multi-arg count_distinct DROPS rows where any
+        # key column is NULL, but DuckDB's count(DISTINCT (a, b)) counts
+        # NULL-field structs — a struct wrapper matches both the oracle
+        # and the intended "duplicate PK" semantics
+        F.count_distinct(
+            F.struct(F.col("l_orderkey"), F.col("l_linenumber"))
+        ).alias("n_keys"),
+    )
+    orphans = (
+        li.select("l_orderkey")
+        .join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    j = row.crossJoin(F.broadcast(orphans))
+
+    def check(name: str, value, ok) -> DataFrame:
+        return j.select(
+            F.lit(name).alias("check"),
+            F.round(value.cast("double"), 6).alias("value"),
+            ok.alias("ok"),
+        )
+
+    nn = F.col("n")
+    return (
+        check("row_count", nn, nn > 0)
+        .unionAll(
+            check(
+                "shipdate_completeness",
+                (nn - F.col("null_ship")) / nn,
+                F.col("null_ship") == 0,
+            )
+        )
+        .unionAll(
+            check(
+                "quantity_in_range_frac",
+                (nn - F.col("qty_viol")) / nn,
+                F.col("qty_viol") == 0,
+            )
+        )
+        .unionAll(
+            check(
+                "discount_in_range_frac",
+                (nn - F.col("disc_viol")) / nn,
+                F.col("disc_viol") == 0,
+            )
+        )
+        .unionAll(
+            check(
+                "pk_duplicate_rows",
+                nn - F.col("n_keys"),
+                nn == F.col("n_keys"),
+            )
+        )
+        .unionAll(
+            check("fk_orphan_rows", F.col("n_orphans"), F.col("n_orphans") == 0)
+        )
+    )
+
+
+SQL_TABLE_EXPECTATIONS = f"""
+WITH row_agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_ship,
+         CAST(sum(CASE WHEN l_quantity NOT BETWEEN {EXP_QTY_LO} AND {EXP_QTY_HI}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS qty_viol,
+         CAST(sum(CASE WHEN l_discount NOT BETWEEN {EXP_DISC_LO} AND {EXP_DISC_HI}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS disc_viol,
+         count(DISTINCT (l_orderkey, l_linenumber)) AS n_keys
+  FROM lineitem
+),
+orph AS (
+  SELECT count(*) AS n_orphans
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey IS NULL
+),
+j AS (SELECT * FROM row_agg CROSS JOIN orph)
+SELECT 'row_count' AS check, round(CAST(n AS DOUBLE), 6) AS value, n > 0 AS ok
+FROM j
+UNION ALL
+SELECT 'shipdate_completeness',
+       round((n - null_ship) / CAST(n AS DOUBLE), 6), null_ship = 0 FROM j
+UNION ALL
+SELECT 'quantity_in_range_frac',
+       round((n - qty_viol) / CAST(n AS DOUBLE), 6), qty_viol = 0 FROM j
+UNION ALL
+SELECT 'discount_in_range_frac',
+       round((n - disc_viol) / CAST(n AS DOUBLE), 6), disc_viol = 0 FROM j
+UNION ALL
+SELECT 'pk_duplicate_rows',
+       round(CAST(n - n_keys AS DOUBLE), 6), n = n_keys FROM j
+UNION ALL
+SELECT 'fk_orphan_rows',
+       round(CAST(n_orphans AS DOUBLE), 6), n_orphans = 0 FROM j
+"""
+
+
 QUERIES = {
+    "table_expectations": Query(q_table_expectations, SQL_TABLE_EXPECTATIONS),
     "pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY),
     "rfm_segments": Query(q_rfm_segments, SQL_RFM_SEGMENTS),
     "price_percentiles": Query(q_price_percentiles, SQL_PRICE_PERCENTILES),
