@@ -94,6 +94,11 @@ PRIORITY = [
     # volume_hhi, whose concentration-agg archetype stays covered by the
     # in-window relational aggregates
     "table_expectations",
+    # IVF x SQ8 composition (never driver-checked); displaces cvd and
+    # event_transitions, whose conditional-sum / lag-transition kernels
+    # stay in-window via delta_zscore and sessionize/scd2_versions
+    "ann_ivfsq",
+    "ann_ivfsq_recall",
     "ann_pq_persisted",
     "ann_ivfpq",
     "ann_ivfpq_recall",
@@ -118,12 +123,10 @@ PRIORITY = [
     # stalest r5 greens (registry order, per the rotation tool)
     "funnel_conversion",
     "cohort_retention",
-    "event_transitions",
     "robust_outliers",
     "cusum_alarm",
     "sessionize",
     "delta_zscore",
-    "cvd",
     "rolling_corr",
     "ohlc_1h",
     "atr_1h",

