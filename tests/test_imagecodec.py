@@ -138,6 +138,25 @@ def test_roundtrip_random_images():
             assert (dw, dh, nch, px) == (w, h, 3, flat)
 
 
+def _real_gray_thumb(blob, out_w, out_h):
+    """Expected grayscale NN thumbnail pixels for the use_real_decoder
+    path, computed with the SAME backend the executors will pick (PIL
+    when importable, else the builtin codec) — PIL's rounded luma and
+    NEAREST sampling differ from the builtin's floor-luma /
+    (dst*src)//dst map, so expectations must be per-backend (ADVICE
+    r8). Decoded RGB bytes are identical either way (both lossless)."""
+    try:
+        import io  # noqa: PLC0415
+
+        from PIL import Image  # noqa: PLC0415
+
+        im = Image.open(io.BytesIO(blob)).convert("L")
+        return list(im.resize((out_w, out_h), Image.NEAREST).tobytes())
+    except ImportError:
+        w, h, nch, px = C.decode_image(blob)
+        return list(C.gray_nearest_thumb(w, h, nch, px, out_w, out_h))
+
+
 def test_real_decode_path_runs_in_spark(spark):
     """The use_real_decoder=True path executes LIVE on real image
     bytes in this codec-less container (closing the r7 'real-decode
@@ -165,9 +184,9 @@ def test_real_decode_path_runs_in_spark(spark):
         r["doc_id"]: r
         for r in resize_media(df, 2, 2, use_real_decoder=True).collect()
     }
-    want = sum(C.gray_nearest_thumb(4, 2, 3, FLAT, 2, 2))
     assert set(thumbs) == {1, 2}  # audio row dropped by the N→M contract
-    for did in (1, 2):
+    for did, blob in ((1, bmp), (2, ppm)):
+        want = sum(_real_gray_thumb(blob, 2, 2))
         assert thumbs[did]["resized_sum"] == want
         assert thumbs[did]["resized_mean"] == want / 4.0
 
@@ -190,7 +209,6 @@ def test_real_dhash_path_runs_in_spark(spark):
         r["doc_id"]: (r["dh_lo"], r["dh_hi"])
         for r in dhash_media(df, use_real_decoder=True).collect()
     }
-    grid = list(C.gray_nearest_thumb(4, 2, 3, FLAT, 9, 8))
-    want = _dhash_bits(grid)
+    want = _dhash_bits(_real_gray_thumb(bmp, 9, 8))
     assert set(got) == {1, 2}  # audio row dropped
     assert got[1] == got[2] == want

@@ -125,12 +125,45 @@ def test_trained_blob_serves_through_distributed_seam(
     logits, _ = L.lstm_forward(m, params, layers=2)
     e = np.exp(logits - logits.max(axis=1, keepdims=True))
     probs = e / e.sum(axis=1, keepdims=True)
+    # class-id contract: softmax index 0=UP, 1=DOWN, 2=RANGE
+    # (build_lstm_dataset labels — the serving columns must not permute)
     for i, r in enumerate(got):
         assert abs(r["p_down"] + r["p_range"] + r["p_up"] - 1.0) < 1e-9
         assert r["trend_pred"] in ("UP", "DOWN", "RANGE")
-        assert abs(r["p_down"] - probs[i, 0]) < 1e-12
-        assert abs(r["p_range"] - probs[i, 1]) < 1e-12
-        assert abs(r["p_up"] - probs[i, 2]) < 1e-12
+        assert abs(r["p_up"] - probs[i, 0]) < 1e-12
+        assert abs(r["p_down"] - probs[i, 1]) < 1e-12
+        assert abs(r["p_range"] - probs[i, 2]) < 1e-12
+
+
+def test_serving_label_semantics_on_trending_series(spark, tmp_path):
+    """ADVICE r8 (high): a model trained on a strongly trending
+    synthetic series must put its probability mass on the CORRECT
+    named column through the serving seam. Build a monotonically
+    rising close series (every window labels 0=UP), train to near-zero
+    loss, serve a rising normalized sequence, and require argmax on
+    p_up with trend_pred == 'UP' — catches any p_up/p_down/p_range
+    permutation between trainer class ids and serving columns."""
+    from zcode_iceberg_spark.operators import timeseries as ops
+
+    closes = np.array([100.0 * (1.0 + 0.002) ** i for i in range(80)])
+    X, y, mean, std = L.build_lstm_dataset(closes, seq_len=10, horizon=5)
+    assert set(y.tolist()) == {0}  # rising series ⇒ every label is UP(0)
+    params, mean, std, losses = L.train_trend_lstm(
+        closes, hidden=8, layers=1, epochs=60, lr=0.05, seed=3
+    )
+    assert losses[-1] < 0.1, losses  # actually learned "always UP"
+    path = L.save_trend_lstm(params, mean, std, str(tmp_path / "up_lstm"))
+
+    norm = (closes - mean) / std
+    seqs = spark.createDataFrame(
+        [(1, "k", [float(v) for v in norm[-10:]])],
+        "event_id long, user_id string, norm_seq array<double>",
+    )
+    row = ops.lstm_trend_scores(seqs, weights_path=path).collect()[0]
+    assert row["p_up"] > row["p_down"] and row["p_up"] > row["p_range"], (
+        row["p_up"], row["p_down"], row["p_range"],
+    )
+    assert row["trend_pred"] == "UP"
 
 
 def test_registry_query_runs(spark, sf_dir):
@@ -140,7 +173,7 @@ def test_registry_query_runs(spark, sf_dir):
 
     df = q_trend_lstm_training(spark, sf_dir)
     assert [f.name for f in df.schema.fields] == [
-        "event_id", "user_id", "p_down", "p_range", "p_up", "trend_pred",
+        "event_id", "user_id", "p_up", "p_down", "p_range", "trend_pred",
     ]
     rows = df.limit(50).collect()
     assert rows

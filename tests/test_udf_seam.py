@@ -90,11 +90,13 @@ def test_lstm_forward_through_seam(spark, sf_dir):
         e = np.exp(logits - logits.max())
         return (e / e.sum())[0]
 
+    # trained class ids (build_lstm_dataset / reference
+    # data_manager.py:839-884): softmax index 0=UP, 1=DOWN, 2=RANGE
     for r in rows[:25]:
         p = forward(r["norm_seq"])
-        assert abs(r["p_down"] - p[0]) < 1e-9
-        assert abs(r["p_range"] - p[1]) < 1e-9
-        assert abs(r["p_up"] - p[2]) < 1e-9
+        assert abs(r["p_up"] - p[0]) < 1e-9
+        assert abs(r["p_down"] - p[1]) < 1e-9
+        assert abs(r["p_range"] - p[2]) < 1e-9
         assert abs(r["p_down"] + r["p_range"] + r["p_up"] - 1.0) < 1e-9
 
     # determinism across independent runs

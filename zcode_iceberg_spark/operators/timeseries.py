@@ -555,25 +555,32 @@ def lstm_trend_scores(
     seqs: DataFrame, weights_path: str | None = None
 ) -> DataFrame:
     """Full LSTM forward pass through the SAME seam: the reference's
-    1→64×2 TrendLSTM (data_manager.py:34-61) run as vectorized numpy
-    on the executors — broadcast weights, Arrow batches, gates in the
-    torch [i|f|g|o] row layout — plus the fc 64→3 head and softmax.
-    Output columns: p_down/p_range/p_up and the argmax class. This is
-    the drop-in point for real trained weights; the committed fixture
-    proves the I/O contract (shape round-trip + determinism,
-    tests/test_udf_seam.py), not model quality. Not SQL-expressible,
-    so it carries no DuckDB oracle — the agreement test recomputes
-    the forward pass driver-side and pins equality."""
+    TrendLSTM (data_manager.py:34-61; HTF 1→64×2, LTF 1→32×1 — the
+    layer count is read from the blob's own keys) run as vectorized
+    numpy on the executors — broadcast weights, Arrow batches, gates
+    in the torch [i|f|g|o] row layout — plus the fc hidden→3 head and
+    softmax. Output columns p_up/p_down/p_range follow the TRAINED
+    class ids (0=UP, 1=DOWN, 2=RANGE — build_lstm_dataset labels,
+    reference data_manager.py:839-884), and trend_pred is the argmax
+    with torch's first-max-wins tie-break over that id order. The
+    committed fixture proves the I/O contract (shape round-trip +
+    determinism, tests/test_udf_seam.py), not model quality. The
+    64×2 forward is not economically SQL-expressible; the seam's
+    bit-exactness is hash-oracled by the micro-shaped
+    ``lstm_trend_micro`` registry query instead."""
     from pyspark.sql.functions import pandas_udf
 
     w = load_trend_weights(weights_path)
-    bw = seqs.sparkSession.sparkContext.broadcast(w)
+    n_layers = sum(1 for k in w if k.startswith("weight_ih_l"))
+    bw = seqs.sparkSession.sparkContext.broadcast((w, n_layers))
 
-    def _forward(m: np.ndarray, w: dict[str, np.ndarray]) -> np.ndarray:
+    def _forward(
+        m: np.ndarray, w: dict[str, np.ndarray], n_layers: int
+    ) -> np.ndarray:
         """(rows, seq_len) normalized sequences → (rows, 3) probs."""
         n, seq_len = m.shape
         x = m[:, :, None]  # input_size = 1
-        for layer in (0, 1):
+        for layer in range(n_layers):
             wi = w[f"weight_ih_l{layer}"]
             wh = w[f"weight_hh_l{layer}"]
             b = w[f"bias_ih_l{layer}"] + w[f"bias_hh_l{layer}"]
@@ -595,13 +602,14 @@ def lstm_trend_scores(
         e = np.exp(logits - logits.max(axis=1, keepdims=True))
         return e / e.sum(axis=1, keepdims=True)
 
-    @pandas_udf("p_down double, p_range double, p_up double")
+    @pandas_udf("p_up double, p_down double, p_range double")
     def probs_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-        wts = bw.value  # once per worker
+        wts, nl = bw.value  # once per worker
         for seq_batch in it:
-            p = _forward(np.vstack(seq_batch.to_numpy()), wts)
+            p = _forward(np.vstack(seq_batch.to_numpy()), wts, nl)
+            # trained class ids: 0=UP, 1=DOWN, 2=RANGE
             yield pd.DataFrame(
-                {"p_down": p[:, 0], "p_range": p[:, 1], "p_up": p[:, 2]}
+                {"p_up": p[:, 0], "p_down": p[:, 1], "p_range": p[:, 2]}
             )
 
     out = seqs.withColumn("probs", probs_udf(F.col("norm_seq"))).select(

@@ -695,19 +695,23 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stage_counts[1:]:
         u = u.unionByName(s)
     w = Window.orderBy("stage_idx").rowsBetween(Window.unboundedPreceding, 0)
+    # guard 0-user denominators: Spark yields NULL for 0/0 while DuckDB
+    # yields NaN/Inf, so an empty stage must produce NULL on BOTH sides
+    # explicitly (ADVICE r8)
+    d_first = F.first("n_users").over(w)
+    d_prev = F.coalesce(
+        F.lag("n_users", 1).over(Window.orderBy("stage_idx")), F.col("n_users")
+    )
     return u.select(
         "stage_idx",
         "stage",
         "n_users",
-        F.round(F.col("n_users") / F.first("n_users").over(w), 6).alias(
+        F.when(d_first > 0, F.round(F.col("n_users") / d_first, 6)).alias(
             "conv_from_first"
         ),
-        F.round(
-            F.col("n_users")
-            / F.coalesce(F.lag("n_users", 1).over(Window.orderBy("stage_idx")),
-                         F.col("n_users")),
-            6,
-        ).alias("conv_from_prev"),
+        F.when(d_prev > 0, F.round(F.col("n_users") / d_prev, 6)).alias(
+            "conv_from_prev"
+        ),
     )
 
 
@@ -738,10 +742,16 @@ u AS (
   SELECT 3, 'purchase', count(*) FROM s3
 )
 SELECT stage_idx, stage, n_users,
-       round(n_users / CAST(first_value(n_users) OVER (ORDER BY stage_idx)
-                            AS DOUBLE), 6) AS conv_from_first,
-       round(n_users / CAST(coalesce(lag(n_users) OVER (ORDER BY stage_idx),
-                                     n_users) AS DOUBLE), 6) AS conv_from_prev
+       CASE WHEN first_value(n_users) OVER (ORDER BY stage_idx) > 0
+            THEN round(n_users /
+                       CAST(first_value(n_users) OVER (ORDER BY stage_idx)
+                            AS DOUBLE), 6) END AS conv_from_first,
+       CASE WHEN coalesce(lag(n_users) OVER (ORDER BY stage_idx),
+                          n_users) > 0
+            THEN round(n_users /
+                       CAST(coalesce(lag(n_users) OVER (ORDER BY stage_idx),
+                                     n_users) AS DOUBLE), 6)
+            END AS conv_from_prev
 FROM u
 """
 
