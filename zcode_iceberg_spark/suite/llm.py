@@ -2761,23 +2761,77 @@ SELECT id1, id2, label, cos_sim FROM pairs WHERE cos_sim >= {NEARDUP_MIN_COS}
 
 NLIST = 16  # IVF cells
 NPROBE = 2  # cells probed per query
+IVF_KM_ITERS = 2  # Lloyd rounds for the coarse-quantizer fit
+
+
+def _l2_sql(e: str, c: str) -> str:
+    """Squared-L2 between two double lists as a left-to-right fold —
+    bit-identical to Spark's ``zip_with``+``aggregate`` spelling."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {EMB_DIM}), "
+        f"i -> ({e}[i] - {c}[i]) * ({e}[i] - {c}[i]))), (acc, x) -> acc + x)"
+    )
 
 
 def _ivf_cents(e: DataFrame) -> DataFrame:
-    """The deterministic coarse-centroid head shared by every IVF
-    path (plain/bounded probe, persisted build, tests): the NLIST
-    lowest-vec_id rows of ``e`` as (cell, ce, cnrm). ``e`` must carry
-    (vec_id, embedding, nrm)."""
-    w16 = Window.orderBy("vec_id")
-    return (
-        e.orderBy("vec_id")
-        .limit(NLIST)
-        .select(
-            (F.row_number().over(w16) - 1).alias("cell"),
-            F.col("embedding").alias("ce"),
-            F.col("nrm").alias("cnrm"),
-        )
+    """The Lloyd-TRAINED coarse-centroid head shared by every IVF path
+    (plain/bounded probe, persisted build, streaming ingest, tests):
+    seed = the NLIST lowest-vec_id embeddings, then IVF_KM_ITERS
+    Lloyd rounds on squared L2 over double-cast vectors — the
+    ``q_kmeans`` trainer composed with the IVF head (VERDICT r8 #5;
+    a production IVF at NLIST≈√N wants the trained quantizer, and the
+    recall panels price the difference). Per round one broadcast-assign
+    scan + one vec_id-ordered-fold groupBy; only NLIST×dim doubles
+    cross the driver, so the fit shape is unchanged at 100 TB. Returns
+    (cell, ce, cnrm); ``e`` must carry (vec_id, embedding, nrm).
+
+    Determinism: seeds collect exactly (doubles), member folds run in
+    vec_id order, so the oracle's unrolled-Lloyd CTEs
+    (``_ivf_cent_ctes``) reproduce every centroid bit-for-bit."""
+    spark = e.sparkSession
+    emb = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    ).localCheckpoint()  # every Lloyd round re-reads this frame
+    cents = _lloyd_cents(emb, NLIST, IVF_KM_ITERS)
+    cdf = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents], "cell int, ce array<double>"
     )
+    return cdf.select("cell", "ce", sim_ops.norm(F.col("ce")).alias("cnrm"))
+
+
+def _ivf_cent_ctes(where: str = "") -> str:
+    """Unrolled-Lloyd CTE chain ending in ``cents(cell, ce)`` — the
+    SQL twin of ``_ivf_cents`` (k=NLIST, IVF_KM_ITERS rounds, seeds =
+    lowest vec_ids, vec_id-ordered member folds). ``where`` filters
+    the TRAINING population (the persisted build trains on history
+    only)."""
+    w = f" WHERE {where}" if where else ""
+    parts = [
+        f"""iemb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings{w})""",
+        f"""icent0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, e AS c
+  FROM (SELECT vec_id, e FROM iemb ORDER BY vec_id LIMIT {NLIST}))""",
+    ]
+    for it in range(IVF_KM_ITERS):
+        n = it + 1
+        parts.append(f"""ia{n} AS (
+  SELECT vec_id, e, cid, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+  FROM (SELECT m.vec_id, m.e, c.cid, {_l2_sql('m.e', 'c.c')} AS dist
+        FROM iemb m CROSS JOIN icent{it} c))""")
+        parts.append(f"""icent{n} AS (
+  SELECT cid, list_transform(generate_series(1, {EMB_DIM}), d ->
+           list_reduce(list_prepend(0.0, list_transform(ms, e -> e[d])),
+                       (acc, x) -> acc + x) / n) AS c
+  FROM (SELECT cid, list(e ORDER BY vec_id) AS ms, count(*) AS n
+        FROM ia{n} WHERE rk = 1 GROUP BY cid))""")
+    parts.append(
+        f"cents AS (SELECT cid AS cell, c AS ce FROM icent{IVF_KM_ITERS})"
+    )
+    return ",\n".join(parts)
 
 
 def _ivf_probe_topk(pool: DataFrame, q_cells: DataFrame) -> DataFrame:
@@ -2817,13 +2871,12 @@ def q_ann_ivf(
     vector to its nearest of NLIST coarse centroids, probe the
     ``nprobe`` nearest cells per query, brute-force only inside them.
 
-    Centroids here are the NLIST lowest-vec_id embeddings — a
-    deterministic stand-in for a k-means fit (``q_kmeans`` IS that
-    trainer, same broadcast-assign shape; the fit is offline
-    "model training"; the ENGINE part is the assign/probe dataflow,
-    which is what scales: one broadcast of nlist·dim floats, one
+    Centroids are Lloyd-TRAINED (``_ivf_cents``: NLIST seeds →
+    IVF_KM_ITERS k-means rounds — ``q_kmeans``'s kernel composed with
+    the IVF head). The ENGINE part is the assign/probe dataflow,
+    which is what scales: one broadcast of nlist·dim doubles, one
     map-side argmax per vector, then an equi-join on cell id — the
-    fact table is never shuffled by anything bigger than its cell).
+    fact table is never shuffled by anything bigger than its cell.
     Cell ranks use round-6 cosine so Spark/DuckDB float folds agree.
     """
     e = load_table(spark, sf_dir, "embeddings").select(
@@ -2848,11 +2901,9 @@ def _ann_ivf_base_ctes(nprobe: int) -> str:
     """CTE chain up to cell assignment: ``v_cells`` (every vector in
     its nearest cell) and ``q_cells`` (the query panel × its nprobe
     nearest cells) — shared by the plain, bounded, and recall
-    oracles."""
-    return f"""cents AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS ce
-  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {NLIST})
-),
+    oracles. Centroids = the unrolled Lloyd fit (``_ivf_cent_ctes``),
+    matching the trained Spark head."""
+    return f"""{_ivf_cent_ctes()},
 scored_cells AS (
   SELECT e.vec_id, e.embedding, c.cell,
          round({_cos_sql('e.embedding', 'c.ce')}, 6) AS ccos
@@ -4692,11 +4743,11 @@ def build_ivf_state(
     :func:`build_neardup_state` = LSH bands). Embed once, index
     incrementally:
 
-    1. centroid fit on the HISTORICAL side: the NLIST deterministic
-       coarse centroids (same stand-in as ``q_ann_ivf``; ``q_kmeans``
-       is the offline trainer). NLIST ≪ cut, so this equals the
-       full-table head the self-contained oracle uses. At 100 TB the
-       centroid table is the tiny "model" every ingest day broadcasts;
+    1. centroid fit on the HISTORICAL side: the Lloyd-trained NLIST
+       coarse centroids (``_ivf_cents`` — the ``q_kmeans`` kernel),
+       trained on vec_id < cut only so later ingest days never retrain
+       (the oracle trains on the same WHERE). At 100 TB the centroid
+       table is the tiny "model" every ingest day broadcasts;
     2. day-0 ingest: assign the older historical half to cells, write
        the initial assignment table (vector travels WITH its cell row
        so probes never re-read raw history);
@@ -4828,10 +4879,7 @@ WITH cut AS (
   SELECT CAST(floor({INCR_SPLIT_FRAC} * (max(vec_id) + 1)) AS BIGINT) AS c
   FROM embeddings
 ),
-cents AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS ce
-  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {NLIST})
-),
+{_ivf_cent_ctes(where="vec_id < (SELECT c FROM cut)")},
 scored_cells AS (
   SELECT e.vec_id, e.embedding, c.cell,
          round({_cos_sql('e.embedding', 'c.ce')}, 6) AS ccos
@@ -6658,12 +6706,25 @@ def _km_fit_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         # measured 7.0 -> 3.4 s cold at sf0.1)
         .localCheckpoint()
     )
+    cents = _lloyd_cents(emb, KM_K, KM_ITERS)
+    return _km_assign(emb, cents).select("vec_id", "e", "cid", "dist")
+
+
+def _lloyd_cents(
+    emb: DataFrame, k: int, iters: int
+) -> list[tuple[int, list[float]]]:
+    """The Lloyd centroid loop shared by ``q_kmeans``/``q_semantic_dedup``
+    (k=KM_K) and the IVF coarse-quantizer head (k=NLIST): seeds = the
+    k lowest-vec_id vectors, per round one broadcast-assign scan +
+    one vec_id-ordered-fold groupBy. ``emb`` must carry
+    (vec_id, e array<double>) and should be checkpointed by the
+    caller — every round re-reads it."""
     seeds = sorted(
-        emb.orderBy("vec_id").limit(KM_K).collect(), key=lambda r: r["vec_id"]
+        emb.orderBy("vec_id").limit(k).collect(), key=lambda r: r["vec_id"]
     )
     cents = [(i, list(r["e"])) for i, r in enumerate(seeds)]
     dim = len(cents[0][1])
-    for _ in range(KM_ITERS):
+    for _ in range(iters):
         assign = _km_assign(emb, cents)
         members = assign.groupBy("cid").agg(
             F.sort_array(F.collect_list(F.struct("vec_id", "e"))).alias("ms"),
@@ -6680,7 +6741,7 @@ def _km_fit_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = members.select("cid", new_c.alias("c")).collect()
         cents = sorted((r["cid"], list(r["c"])) for r in rows)
-    return _km_assign(emb, cents).select("vec_id", "e", "cid", "dist")
+    return cents
 
 
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
