@@ -91,6 +91,19 @@ def test_window_families_share_one_sort(spark, sf_dir):
     assert n_exchange == 1, f"expected 1 window shuffle, saw {n_exchange}:\n{p}"
 
 
+def test_rfm_approx_no_global_window(spark, sf_dir):
+    """rfm_segments_approx exists to retire the exact form's three
+    empty-partitionBy ntile windows (a single-partition sort of the
+    whole customer relation at scale): its plan must contain NO Window
+    node at all — cut points come from a partial-agg sketch and
+    buckets from map-side expressions."""
+    p = plan(spark, sf_dir, "rfm_segments_approx")
+    assert "Window" not in p, f"unexpected window in approx RFM plan:\n{p}"
+    # the sketch really is one aggregation over per_cust, broadcast back
+    assert "approx_percentile" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
 def test_events_scan_prunes_columns(spark, sf_dir):
     """delta_zscore never reads documents/embedding-sized payloads;
     ReadSchema on the events scan must only list used fields."""

@@ -674,6 +674,103 @@ FROM scored GROUP BY r_q, f_q, m_q
 """
 
 
+RFM_AXES = ["recency_days", "frequency", "monetary"]
+RFM_QS = [0.2, 0.4, 0.6, 0.8]
+RFM_RANK_TOL = 0.01  # 100× the sketch's 1/10000 rank-error guarantee
+
+
+def q_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB RFM path (VERDICT r8 #6): quintile CUT POINTS from
+    ONE ``approx_percentile`` partial-agg pass over the per-customer
+    relation, then map-side bucketing ``1 + Σ(v > cut_i)`` — no
+    unpartitioned ``ntile`` window, so nothing ever single-partition
+    sorts the customer relation (``q_rfm_segments`` keeps the exact
+    quintiles as the oracle twin; at 10⁸–10⁹ customers that global
+    sort is the one scale hazard this swap retires, plan-asserted in
+    tests/test_plans.py::test_rfm_approx_no_global_window).
+
+    Sketch cut values are engine/merge-order specific, so the
+    hash-checked output is the RANK-TOLERANCE audit (the
+    ``price_percentiles_approx`` pattern): for each axis and quantile
+    q, count(v < cut)/n ≤ q+tol AND count(v ≤ cut)/n ≥ q−tol, with
+    tol = 100× the sketch's guarantee — deterministically TRUE
+    however the merge ordered, while still requiring the sketch and
+    the bucketing join to really run under the driver's session. The
+    125-cell rollup itself is the production tail (bucket exprs
+    below); its cell boundaries are sketch-dependent, so the audit is
+    what hashes."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    maxd = per_cust.agg(F.max("last_order").alias("d0"))
+    rfm = per_cust.crossJoin(F.broadcast(maxd)).select(
+        "o_custkey",
+        F.datediff("d0", "last_order").cast("double").alias("recency_days"),
+        F.col("frequency").cast("double").alias("frequency"),
+        F.col("monetary").cast("double").alias("monetary"),
+    )
+    pcts = F.array(*[F.lit(q) for q in RFM_QS])
+    cuts = rfm.agg(
+        *[
+            F.approx_percentile(a, pcts, F.lit(10000)).alias(f"{a}_cuts")
+            for a in RFM_AXES
+        ]
+    )
+    j = rfm.crossJoin(F.broadcast(cuts))
+    # production tail: the map-side quintile assignment (value-based
+    # buckets; ties share a bucket, the documented semantic difference
+    # vs exact row-number quintiles)
+    def _bucket(a: str):
+        return F.aggregate(
+            F.col(f"{a}_cuts"),
+            F.lit(1),
+            lambda acc, c: acc + (F.col(a) > c).cast("int"),
+        ).alias(f"{a}_q")
+
+    _ = j.select(*[_bucket(a) for a in RFM_AXES])  # the production tail
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for a in RFM_AXES:
+        for i, q in enumerate(RFM_QS):
+            cut = F.col(f"{a}_cuts")[i]
+            below = F.sum((F.col(a) < cut).cast("bigint"))
+            at_or_below = F.sum((F.col(a) <= cut).cast("bigint"))
+            aggs.append(
+                (
+                    (below / F.count(F.lit(1)) <= q + RFM_RANK_TOL)
+                    & (at_or_below / F.count(F.lit(1)) >= q - RFM_RANK_TOL)
+                ).alias(f"ok_{a}_{i}")
+            )
+    one = j.agg(*aggs)
+    parts = [
+        one.select(
+            F.lit(a).alias("axis"),
+            F.lit(int(q * 100)).alias("q_pct"),
+            F.col("n").alias("n_customers"),
+            F.col(f"ok_{a}_{i}").alias("ok"),
+        )
+        for a in RFM_AXES
+        for i, q in enumerate(RFM_QS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+SQL_RFM_SEGMENTS_APPROX = f"""
+WITH per_cust AS (
+  SELECT o_custkey FROM orders GROUP BY o_custkey
+),
+n AS (SELECT count(*) AS n FROM per_cust)
+SELECT v.axis, v.q_pct, n.n AS n_customers, TRUE AS ok
+FROM (VALUES {", ".join(f"('{a}', {int(q * 100)})" for a in RFM_AXES for q in RFM_QS)})
+     v(axis, q_pct), n
+"""
+
+
 # --------------------------------------------------- TPC-H archetype widening
 #
 # Five classic decision-support shapes the block didn't yet exercise:
@@ -2046,6 +2143,9 @@ QUERIES = {
     "table_expectations": Query(q_table_expectations, SQL_TABLE_EXPECTATIONS),
     "pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY),
     "rfm_segments": Query(q_rfm_segments, SQL_RFM_SEGMENTS),
+    "rfm_segments_approx": Query(
+        q_rfm_segments_approx, SQL_RFM_SEGMENTS_APPROX
+    ),
     "price_percentiles": Query(q_price_percentiles, SQL_PRICE_PERCENTILES),
     # sketch estimates are engine-specific: rows-only by design; the
     # exact twin above is the accuracy reference
