@@ -595,6 +595,171 @@ def q_trend_lstm_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MICRO_WEIGHTS_PATH = str(
+    __import__("pathlib").Path(ops.__file__).resolve().parent.parent
+    / "models" / "trend_lstm_micro.npz"
+)
+
+
+def q_lstm_trend_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 serving half, HASH-ORACLED (VERDICT r8 #4): the committed
+    1→4×2 micro TrendLSTM (tools/make_micro_weights.py — really
+    trained by the gradient-checked BPTT trainer) served over every
+    sequence window through the IDENTICAL broadcast-weights
+    pandas_udf seam the reference-shaped 64×2 model uses
+    (operators/timeseries.py:lstm_trend_scores — same gate math, same
+    torch [i|f|g|o] row layout, same softmax + first-max argmax). The
+    oracle unrolls the full 10-step × 2-layer forward into
+    lateral-alias scalar SQL whose constants are read from the SAME
+    npz, so a green hash proves the seam delivers the file's
+    parameters and the LSTM recurrence bit-exactly at round-6 — only
+    the BPTT training trajectory itself remains rows-only."""
+    s = ops.sequence_windows(events_ticks(spark, sf_dir), seq_len=10, horizon=5)
+    out = ops.lstm_trend_scores(s, weights_path=MICRO_WEIGHTS_PATH)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("p_up", 6).alias("p_up"),
+        F.round("p_down", 6).alias("p_down"),
+        F.round("p_range", 6).alias("p_range"),
+        "trend_pred",
+    )
+
+
+def _lstm_micro_sql() -> str:
+    """Unroll the micro LSTM forward into a chain of MATERIALIZED
+    per-timestep CTE levels — the DuckDB twin of
+    ``lstm_trend_scores``'s numpy forward, term order mirrored (input
+    dot + recurrent dot + summed bias; zero initial state folded away
+    at t=1, where adding exact 0.0 is a bit-level no-op). Levels, not
+    lateral aliases: DuckDB INLINES lateral column aliases, so a flat
+    spelling re-expands each state's full history exponentially;
+    separate projection levels evaluate every gate exactly once."""
+    w = ops.load_trend_weights(MICRO_WEIGHTS_PATH)
+    n_h = int(w["weight_hh_l0"].shape[1])
+    n_t = 10
+
+    def lit(x) -> str:
+        return repr(float(x))
+
+    def tanh(z: str) -> str:
+        # DuckDB 1.0 has no tanh(); the exp identity is exact at the
+        # saturated ends and within ~1 ulp elsewhere for the bounded
+        # pre-activations a trained LSTM produces (round-6 absorbs it)
+        return f"(1.0 - 2.0 / (exp(2.0 * ({z})) + 1.0))"
+
+    x_cols = ", ".join(
+        f"(CASE WHEN seq_std > 0 THEN (seq[{t}] - seq_mean) / seq_std "
+        f"ELSE 0.0 END) AS x_{t}"
+        for t in range(1, n_t + 1)
+    )
+    ctes = [f"s0 AS (SELECT event_id, user_id, {x_cols} FROM full_seqs)"]
+    prev = "s0"
+    for layer in (0, 1):
+        wi = w[f"weight_ih_l{layer}"]
+        wh = w[f"weight_hh_l{layer}"]
+        b = w[f"bias_ih_l{layer}"] + w[f"bias_hh_l{layer}"]
+        in_dim = int(wi.shape[1])
+        for t in range(1, n_t + 1):
+            gates = []
+            for g, gname in enumerate("ifgo"):
+                for j in range(n_h):
+                    row = g * n_h + j
+                    if layer == 0:
+                        a_term = f"x_{t} * {lit(wi[row, 0])}"
+                    else:
+                        dot = " + ".join(
+                            f"h0_{t}_{k} * {lit(wi[row, k])}"
+                            for k in range(in_dim)
+                        )
+                        a_term = f"({dot})"
+                    if t > 1:
+                        rec = " + ".join(
+                            f"h{layer}_{t - 1}_{k} * {lit(wh[row, k])}"
+                            for k in range(n_h)
+                        )
+                        z = f"{a_term} + ({rec}) + {lit(b[row])}"
+                    else:
+                        z = f"{a_term} + {lit(b[row])}"
+                    name = f"{gname}{layer}_{t}_{j}"
+                    if gname == "g":
+                        gates.append(f"{tanh(z)} AS {name}")
+                    else:
+                        gates.append(f"1.0 / (1.0 + exp(-({z}))) AS {name}")
+            lvl_g = f"g{layer}t{t}"
+            ctes.append(
+                f"{lvl_g} AS (SELECT *, " + ", ".join(gates) + f" FROM {prev})"
+            )
+            c_cols = []
+            for j in range(n_h):
+                if t > 1:
+                    c = (
+                        f"f{layer}_{t}_{j} * c{layer}_{t - 1}_{j} + "
+                        f"i{layer}_{t}_{j} * g{layer}_{t}_{j}"
+                    )
+                else:
+                    c = f"i{layer}_{t}_{j} * g{layer}_{t}_{j}"
+                c_cols.append(f"{c} AS c{layer}_{t}_{j}")
+            lvl_c = f"c{layer}t{t}"
+            ctes.append(
+                f"{lvl_c} AS (SELECT *, " + ", ".join(c_cols) + f" FROM {lvl_g})"
+            )
+            h_cols = [
+                f"o{layer}_{t}_{j} * {tanh(f'c{layer}_{t}_{j}')} "
+                f"AS h{layer}_{t}_{j}"
+                for j in range(n_h)
+            ]
+            prev = f"h{layer}t{t}"
+            ctes.append(
+                f"{prev} AS (SELECT *, " + ", ".join(h_cols) + f" FROM {lvl_c})"
+            )
+    fcw, fcb = w["fc_weight"], w["fc_bias"]
+    logit_cols = []
+    for k in range(3):
+        dot = " + ".join(
+            f"h1_{n_t}_{j} * {lit(fcw[k, j])}" for j in range(n_h)
+        )
+        logit_cols.append(f"({dot}) + {lit(fcb[k])} AS logit_{k}")
+    ctes.append(f"fc AS (SELECT *, {', '.join(logit_cols)} FROM {prev})")
+    lmax = "greatest(logit_0, logit_1, logit_2)"
+    e_cols = ", ".join(
+        f"exp(logit_{k} - {lmax}) AS e_{k}" for k in range(3)
+    )
+    ctes.append(f"sm AS (SELECT *, {e_cols} FROM fc)")
+    # trained class ids: 0=UP, 1=DOWN, 2=RANGE; argmax compares the
+    # DIVIDED probabilities exactly as the Spark side does (division
+    # by the shared positive sum is order-preserving either way)
+    p_cols = ", ".join(
+        f"e_{k} / (e_0 + e_1 + e_2) AS {nm}"
+        for k, nm in ((0, "p_up"), (1, "p_down"), (2, "p_range"))
+    )
+    ctes.append(f"ps AS (SELECT *, {p_cols} FROM sm)")
+    chain = ",\n".join(ctes)
+    return f"""{TICKS_CTE},
+{SEQ_CTE},
+{chain}
+SELECT event_id, user_id,
+       round(p_up, 6) AS p_up,
+       round(p_down, 6) AS p_down,
+       round(p_range, 6) AS p_range,
+       CASE WHEN p_up >= p_down AND p_up >= p_range THEN 'UP'
+            WHEN p_down >= p_range THEN 'DOWN'
+            ELSE 'RANGE' END AS trend_pred
+FROM ps
+"""
+
+
+# a missing/corrupt micro fixture must break ONLY this query, never
+# the suite import (same guard as the probe-weights oracle)
+try:
+    SQL_LSTM_TREND_MICRO = _lstm_micro_sql()
+except Exception as _micro_err:  # noqa: BLE001
+    SQL_LSTM_TREND_MICRO = (
+        f"SELECT error('micro weights fixture unreadable: "
+        f"{type(_micro_err).__name__}')"
+    )
+
+
 def q_trend_probe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H10 train-once, oracle-checked end-to-end: {ops.TRAIN_ITERS}
     full-batch gradient-descent epochs of the UP-vs-rest probe run as
@@ -695,6 +860,7 @@ QUERIES = {
         q_trend_probe_training, SQL_TREND_PROBE_TRAINING
     ),
     "trend_lstm_training": Query(q_trend_lstm_training, None),
+    "lstm_trend_micro": Query(q_lstm_trend_micro, SQL_LSTM_TREND_MICRO),
     "atr_1h": Query(q_atr_1h, SQL_ATR_1H),
     "realized_vol": Query(q_realized_vol, SQL_REALIZED_VOL),
     "liquidity_velocity": Query(q_liquidity_velocity, SQL_LIQUIDITY_VELOCITY),
