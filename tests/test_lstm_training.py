@@ -168,12 +168,22 @@ def test_serving_label_semantics_on_trending_series(spark, tmp_path):
 
 def test_registry_query_runs(spark, sf_dir):
     """trend_lstm_training end-to-end at sf0.001: bounded collect,
-    train, persist, distributed serve — stable schema, rows > 0."""
+    DUAL training (HTF 64x2 + LTF 32x1), persist, distributed serve
+    with per-TF hysteresis + fusion — stable schema, rows > 0, label
+    domains valid."""
     from zcode_iceberg_spark.suite.timeseries import q_trend_lstm_training
 
     df = q_trend_lstm_training(spark, sf_dir)
     assert [f.name for f in df.schema.fields] == [
-        "event_id", "user_id", "p_up", "p_down", "p_range", "trend_pred",
+        "user_id", "bar_ts", "htf_trend", "ltf_trend", "trend_fused",
+        "range_bonus",
     ]
-    rows = df.limit(50).collect()
+    rows = df.limit(200).collect()
     assert rows
+    for r in rows:
+        assert r["ltf_trend"] in ("UP", "DOWN", "RANGE")
+        assert r["htf_trend"] in ("UP", "DOWN", "RANGE", None)
+        assert r["trend_fused"] in ("UP", "DOWN", "RANGE")
+        if r["trend_fused"] != "RANGE":
+            assert r["trend_fused"] == r["htf_trend"] == r["ltf_trend"]
+        assert r["range_bonus"] in (0.5, 1.0)

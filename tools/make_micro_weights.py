@@ -29,18 +29,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from zcode_iceberg_spark.operators import lstm as L  # noqa: E402
 
-OUT = (
-    Path(__file__).resolve().parent.parent
-    / "zcode_iceberg_spark" / "models" / "trend_lstm_micro.npz"
-)
+MODELS = Path(__file__).resolve().parent.parent / "zcode_iceberg_spark" / "models"
 
 HIDDEN = 4
-LAYERS = 2
 SEED = 20260815
 
 
-def main() -> None:
-    rng = np.random.default_rng(SEED)
+def _train(name: str, layers: int, horizon: int, thresh: float, seed: int):
+    rng = np.random.default_rng(seed)
     # synthetic price path with real trend structure: random walk with
     # regime-switching drift, so all three labels occur in training
     drift = np.repeat(rng.normal(0.0, 8e-4, 16), 25)
@@ -49,18 +45,33 @@ def main() -> None:
     params, mean, std, losses = L.train_trend_lstm(
         closes,
         seq_len=10,
-        horizon=5,
+        horizon=horizon,
+        up_thresh=thresh,
+        down_thresh=thresh,
         hidden=HIDDEN,
-        layers=LAYERS,
+        layers=layers,
         epochs=60,
         lr=0.02,
-        seed=SEED,
+        seed=seed,
     )
     if not losses[-1] < losses[0]:
-        raise RuntimeError(f"micro training diverged: {losses[0]} -> {losses[-1]}")
-    path = L.save_trend_lstm(params, mean, std, str(OUT))
-    print(f"wrote {path} ({OUT.stat().st_size} bytes)")
+        raise RuntimeError(f"{name} training diverged: {losses[0]} -> {losses[-1]}")
+    out = MODELS / name
+    path = L.save_trend_lstm(params, mean, std, str(out))
+    print(f"wrote {path} ({Path(path).stat().st_size} bytes)")
     print(f"loss {losses[0]:.6f} -> {losses[-1]:.6f} over {len(losses)} epochs")
+
+
+def main() -> None:
+    # HTF twin of the reference 64x2 shape (data_manager.py:989-998):
+    # 2 layers, ±5e-4 label thresholds
+    _train("trend_lstm_micro.npz", layers=2, horizon=5, thresh=5e-4, seed=SEED)
+    # LTF twin of the reference 32x1 shape (data_manager.py:1092-1102):
+    # 1 layer, horizon 5 bars, ±4e-4 label thresholds
+    _train(
+        "trend_lstm_micro_ltf.npz", layers=1, horizon=5, thresh=4e-4,
+        seed=SEED + 1,
+    )
 
 
 if __name__ == "__main__":

@@ -7,9 +7,10 @@ DuckDB `date_trunc('hour')`), scaled to the events table's cadence
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from zcode_iceberg_spark.operators import stateful as st_ops
 from zcode_iceberg_spark.operators import timeseries as ops
 from zcode_iceberg_spark.sources.tables import EVENTS_TICKS_SQL, events_ticks
 from zcode_iceberg_spark.suite import Query
@@ -535,25 +536,127 @@ FROM full_seqs
 
 LSTM_WARMUP_BARS = 400  # bounded warmup window (reference: ≤ ~1000 bars)
 
+# Dual-timeframe trend constants (reference data_manager.py):
+# HTF = 5m closes → our 60m bars; LTF = 1m closes → our 15m bars (the
+# events table's cadence scaling every bar query in this suite uses).
+HTF_MINUTES, LTF_MINUTES = 60, 15
+HTF_HORIZON, LTF_HORIZON = 3, 5  # label horizons (:989-998, :1092-1102)
+HTF_CONFIRM_K, LTF_CONFIRM_K = 1, 2  # hysteresis flips (:1051-1067, :1155-1170)
+VOL_BASELINE_BARS = 15  # recent-vs-baseline volume responsiveness window
+BASE_PROB = 0.6  # base prob_threshold; floor 0.4 (:1033-1036)
+
+
+def _tf_trend(
+    spark: SparkSession,
+    sf_dir: str,
+    minutes: int,
+    horizon: int,
+    weights_path: str,
+    confirm_k: int,
+) -> DataFrame:
+    """One timeframe of the dual-trend pipeline (reference
+    get_htf_trend/get_ltf_trend, data_manager.py:1020-1170): OHLC bars
+    → close-sequence windows → LSTM forward through the REAL serving
+    seam (broadcast npz, pandas_udf) → volume-responsive probability
+    threshold (vol spike lowers the flip threshold, never changes the
+    model) → k-confirmation hysteresis fold. Returns one row per bar
+    with (user_id, bar_ts, raw_label, confirmed_label)."""
+    t = events_ticks(spark, sf_dir)
+    bars = ops.ohlc_bars(t, minutes=minutes)
+    b = bars.select(
+        "user_id",
+        F.col("bar_ts").alias("ts"),
+        F.unix_timestamp("bar_ts").alias("event_id"),
+        F.col("close").alias("price"),
+        "volume",
+    )
+    s = ops.sequence_windows(b, seq_len=10, horizon=horizon)
+    scored = ops.lstm_trend_scores(s, weights_path=weights_path)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(VOL_BASELINE_BARS - 1), 0)
+    )
+    baseline = F.avg("volume").over(wb)
+    vf = F.when(
+        baseline > 0,
+        F.least(F.lit(2.0), F.greatest(F.lit(0.5), F.col("volume") / baseline)),
+    ).otherwise(F.lit(1.0))
+    scored = scored.withColumn("vol_factor", vf)
+    thr = F.greatest(
+        F.lit(0.4), F.lit(BASE_PROB) / F.greatest(F.lit(1.0), F.col("vol_factor"))
+    )
+    maxp = F.greatest("p_up", "p_down", "p_range")
+    lab = scored.withColumn(
+        "raw_label",
+        F.when(maxp < thr, F.lit("RANGE")).otherwise(F.col("trend_pred")),
+    )
+    h = st_ops.hysteresis(lab, label_col="raw_label", confirm_k=confirm_k)
+    return h.select(
+        "user_id",
+        F.col("event_id").cast("timestamp").alias("bar_ts"),
+        "raw_label",
+        "confirmed_label",
+    )
+
+
+def _dual_fuse(htf: DataFrame, ltf: DataFrame) -> DataFrame:
+    """Fuse the two hysterized trend streams the way the strategy
+    consumes them (strategy.py:381-400 fetches both into
+    build_inputs; :493-497 applies the RANGE bonus on HTF): each LTF
+    bar joins the HTF bar of its hour (left — early LTF bars predate
+    the first full HTF sequence), trend_fused = the agreed non-RANGE
+    direction else RANGE (the dual-TF confirmation filter per-TF
+    hysteresis exists to feed), range_bonus = 0.5 when HTF says RANGE
+    (config.RANGE_BONUS_HIGH; regime split not modeled here)."""
+    h = htf.select(
+        "user_id",
+        F.col("bar_ts").alias("htf_ts"),
+        F.col("confirmed_label").alias("htf_trend"),
+    )
+    l = ltf.select(
+        "user_id", "bar_ts", F.col("confirmed_label").alias("ltf_trend")
+    ).withColumn("htf_ts", F.date_trunc("hour", F.col("bar_ts")))
+    j = l.join(h, ["user_id", "htf_ts"], "left")
+    fused = F.when(
+        (F.col("htf_trend") == F.col("ltf_trend"))
+        & (F.col("htf_trend") != "RANGE"),
+        F.col("htf_trend"),
+    ).otherwise(F.lit("RANGE"))
+    bonus = F.when(F.col("htf_trend") == "RANGE", F.lit(0.5)).otherwise(
+        F.lit(1.0)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("bar_ts", "yyyy-MM-dd HH:mm:ss").alias("bar_ts"),
+        "htf_trend",
+        "ltf_trend",
+        fused.alias("trend_fused"),
+        bonus.alias("range_bonus"),
+    )
+
 
 def q_trend_lstm_training(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I1 training half, end-to-end: train the reference's 1→64×2
-    TrendLSTM (data_manager.py:886-929) with pure-numpy BPTT +
-    full-batch Adam on a BOUNDED warmup window of one key's closes,
-    collected driver-side — the reference trains on ≤ ~1000 bars of
-    one symbol, so collect-then-train IS the faithful shape
-    (operators/lstm.py; the distributed-aggregate trainer for
-    unbounded data is trend_probe_training). The trained blob
-    persists through the npz seam and is then SERVED distributively
-    over every sequence window via the broadcast-weights pandas_udf
-    forward (operators/timeseries.py:lstm_trend_scores).
+    """I1 training half, end-to-end and DUAL-timeframe (VERDICT r8
+    #3): train BOTH reference TrendLSTM shapes — HTF 1→64×2 and LTF
+    1→32×1 (data_manager.py:989-998, 1092-1102) — with pure-numpy
+    BPTT + full-batch Adam on a BOUNDED warmup window of one key's
+    closes, collected driver-side (the reference trains on ≤ ~1000
+    bars of one symbol, so collect-then-train IS the faithful shape;
+    the distributed-aggregate trainer for unbounded data is
+    trend_probe_training). Both blobs persist through the npz seam
+    and are then SERVED distributively over their own bar timeframes
+    with per-TF hysteresis (HTF k=1, LTF k=2) and fused exactly like
+    ``trend_dual_fusion`` — which is this query's HASH-ORACLED twin
+    (same `_tf_trend`/`_dual_fuse` pipeline, committed micro blobs).
 
     BPTT is not SQL-expressible, so this entry carries no DuckDB
     oracle (the driver records a rows-only check — the one such row
-    in the registry); the gradient math is pinned instead by
-    numerical gradient checks + a seeded golden trajectory
-    (tests/test_lstm_training.py) and a distributed-vs-driver forward
-    agreement test."""
+    in the registry); the gradient math is pinned by numerical
+    gradient checks + a seeded golden trajectory
+    (tests/test_lstm_training.py), and every serving stage downstream
+    of training is hash-checked via lstm_trend_micro +
+    trend_dual_fusion."""
     import hashlib
     import os
     import tempfile
@@ -572,33 +675,193 @@ def q_trend_lstm_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(LSTM_WARMUP_BARS)
         .collect()
     ]
-    params, mean, std, losses = lstm_ops.train_trend_lstm(
-        closes, seq_len=10, horizon=5, epochs=8, seed=7
-    )
-    if not losses[-1] < losses[0]:  # real guard — assert strips under -O
-        raise RuntimeError(
-            f"LSTM training diverged on warmup window: loss "
-            f"{losses[0]:.6f} -> {losses[-1]:.6f}"
-        )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = f"{tempfile.gettempdir()}/zspark_lstm_{tag}_p{os.getpid()}.npz"
-    lstm_ops.save_trend_lstm(params, mean, std, path)
-    s = ops.sequence_windows(ticks, seq_len=10, horizon=5)
-    out = ops.lstm_trend_scores(s, weights_path=path)
-    return out.select(
-        "event_id",
-        "user_id",
-        F.round("p_up", 6).alias("p_up"),
-        F.round("p_down", 6).alias("p_down"),
-        F.round("p_range", 6).alias("p_range"),
-        "trend_pred",
+    paths = {}
+    for name, hidden, layers, thresh, horizon in (
+        ("htf", 64, 2, 5e-4, HTF_HORIZON),
+        ("ltf", 32, 1, 4e-4, LTF_HORIZON),
+    ):
+        params, mean, std, losses = lstm_ops.train_trend_lstm(
+            closes,
+            seq_len=10,
+            horizon=horizon,
+            up_thresh=thresh,
+            down_thresh=thresh,
+            hidden=hidden,
+            layers=layers,
+            epochs=8,
+            seed=7,
+        )
+        if not losses[-1] < losses[0]:  # real guard — assert strips under -O
+            raise RuntimeError(
+                f"{name} LSTM training diverged on warmup window: loss "
+                f"{losses[0]:.6f} -> {losses[-1]:.6f}"
+            )
+        p = f"{tempfile.gettempdir()}/zspark_lstm_{name}_{tag}_p{os.getpid()}.npz"
+        paths[name] = lstm_ops.save_trend_lstm(params, mean, std, p)
+    htf = _tf_trend(
+        spark, sf_dir, HTF_MINUTES, HTF_HORIZON, paths["htf"], HTF_CONFIRM_K
     )
+    ltf = _tf_trend(
+        spark, sf_dir, LTF_MINUTES, LTF_HORIZON, paths["ltf"], LTF_CONFIRM_K
+    )
+    return _dual_fuse(htf, ltf)
 
 
 MICRO_WEIGHTS_PATH = str(
     __import__("pathlib").Path(ops.__file__).resolve().parent.parent
     / "models" / "trend_lstm_micro.npz"
 )
+MICRO_LTF_WEIGHTS_PATH = str(
+    __import__("pathlib").Path(ops.__file__).resolve().parent.parent
+    / "models" / "trend_lstm_micro_ltf.npz"
+)
+
+
+def q_trend_dual_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-timeframe trend fusion, HASH-ORACLED end-to-end (VERDICT
+    r8 #3/#4): the committed micro blobs (HTF 4×2, LTF 4×1 —
+    tools/make_micro_weights.py) run the COMPLETE composed pipeline
+    the reference's strategy consumes — per-TF OHLC bars → sequence
+    windows → LSTM forward through the real serving seam →
+    volume-responsive probability threshold → per-TF hysteresis (HTF
+    k=1, LTF k=2) → hour-aligned fusion with the RANGE bonus. The
+    oracle replays every stage in SQL: unrolled LSTM forwards
+    (``_lstm_fwd_ctes``, constants from the same npz files) and the
+    gaps-and-islands hysteresis equivalence (the trend_hysteresis
+    precedent). ``trend_lstm_training`` is the identical pipeline
+    with freshly-trained full-size (64×2 / 32×1) blobs."""
+    htf = _tf_trend(
+        spark, sf_dir, HTF_MINUTES, HTF_HORIZON, MICRO_WEIGHTS_PATH,
+        HTF_CONFIRM_K,
+    )
+    ltf = _tf_trend(
+        spark, sf_dir, LTF_MINUTES, LTF_HORIZON, MICRO_LTF_WEIGHTS_PATH,
+        LTF_CONFIRM_K,
+    )
+    return _dual_fuse(htf, ltf)
+
+
+def _bar_seq_ctes(tag: str, minutes: int, horizon: int) -> str:
+    """Per-timeframe bar + sequence-window CTE chain ending in
+    ``fbseq_{tag}`` — the SQL twin of ``ohlc_bars`` (close = price at
+    max (ts, event_id)) + ``sequence_windows`` over bar closes
+    (volume carried through for the responsiveness threshold)."""
+    bucket = f"time_bucket(INTERVAL {minutes} MINUTE, ts)"
+    return f"""rk_{tag} AS (
+  SELECT user_id, {bucket} AS bar_ts, price, qty, ts, event_id,
+         row_number() OVER (PARTITION BY user_id, {bucket}
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM ticks
+),
+bars_{tag} AS (
+  SELECT user_id, bar_ts,
+         max(CASE WHEN rn_d = 1 THEN price END) AS close,
+         sum(qty) AS volume
+  FROM rk_{tag} GROUP BY user_id, bar_ts
+),
+bret_{tag} AS (
+  SELECT *, CASE WHEN lag(close) OVER wo > 0
+                 THEN (close - lag(close) OVER wo) / lag(close) OVER wo
+            END AS ret
+  FROM bars_{tag}
+  WINDOW wo AS (PARTITION BY user_id ORDER BY bar_ts)
+),
+bseq_{tag} AS (
+  SELECT user_id, bar_ts, volume,
+         list(close) OVER wp AS seq,
+         avg(close) OVER wp AS seq_mean,
+         stddev_pop(close) OVER wp AS seq_std,
+         count(ret) OVER wf AS n_fut
+  FROM bret_{tag}
+  WINDOW
+    wp AS (PARTITION BY user_id ORDER BY bar_ts
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY user_id ORDER BY bar_ts
+           ROWS BETWEEN 1 FOLLOWING AND {horizon} FOLLOWING)
+),
+fbseq_{tag} AS (SELECT * FROM bseq_{tag} WHERE len(seq) = 10 AND n_fut >= 1)"""
+
+
+def _tf_label_hyst_ctes(tag: str, fwd_final: str, confirm_k: int) -> str:
+    """Volume-responsive raw label + gaps-and-islands hysteresis (the
+    SQL_TREND_HYSTERESIS equivalence, k parameterized) over a
+    timeframe's forward-pass CTE — ends in ``conf_{tag}``."""
+    return f"""base_{tag} AS (
+  SELECT user_id, bar_ts, volume, p_up, p_down, p_range,
+         avg(volume) OVER (PARTITION BY user_id ORDER BY bar_ts
+                           ROWS BETWEEN {VOL_BASELINE_BARS - 1} PRECEDING
+                           AND CURRENT ROW) AS baseline
+  FROM {fwd_final}
+),
+vf_{tag} AS (
+  SELECT *, CASE WHEN baseline > 0
+                 THEN least(2.0, greatest(0.5, volume / baseline))
+                 ELSE 1.0 END AS vol_factor
+  FROM base_{tag}
+),
+lab_{tag} AS (
+  SELECT user_id, bar_ts,
+         CASE WHEN greatest(p_up, p_down, p_range) <
+                   greatest(0.4, {BASE_PROB} / greatest(1.0, vol_factor))
+              THEN 'RANGE' ELSE {ARGMAX_SQL} END AS raw_label
+  FROM vf_{tag}
+),
+edges_{tag} AS (
+  SELECT *,
+         CASE WHEN raw_label IS DISTINCT FROM
+                   lag(raw_label) OVER (PARTITION BY user_id
+                                        ORDER BY bar_ts)
+              THEN 1 ELSE 0 END AS is_new
+  FROM lab_{tag}
+),
+runs_{tag} AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY bar_ts) AS rid
+  FROM edges_{tag}
+),
+pos_{tag} AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, rid
+                               ORDER BY bar_ts) AS run_pos
+  FROM runs_{tag}
+),
+conf_{tag} AS (
+  SELECT *,
+         coalesce(
+           last_value(CASE WHEN run_pos = {confirm_k} THEN raw_label END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY bar_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           'RANGE') AS confirmed_label
+  FROM pos_{tag}
+)"""
+
+
+def _dual_fusion_sql() -> str:
+    w_htf = ops.load_trend_weights(MICRO_WEIGHTS_PATH)
+    w_ltf = ops.load_trend_weights(MICRO_LTF_WEIGHTS_PATH)
+    htf_fwd, htf_final = _lstm_fwd_ctes(w_htf, "fbseq_ht", "ht")
+    ltf_fwd, ltf_final = _lstm_fwd_ctes(w_ltf, "fbseq_lt", "lt")
+    htf_chain = ",\n".join(htf_fwd)
+    ltf_chain = ",\n".join(ltf_fwd)
+    return f"""{TICKS_CTE},
+{_bar_seq_ctes('ht', HTF_MINUTES, HTF_HORIZON)},
+{htf_chain},
+{_tf_label_hyst_ctes('ht', htf_final, HTF_CONFIRM_K)},
+{_bar_seq_ctes('lt', LTF_MINUTES, LTF_HORIZON)},
+{ltf_chain},
+{_tf_label_hyst_ctes('lt', ltf_final, LTF_CONFIRM_K)}
+SELECT l.user_id,
+       strftime(l.bar_ts, '%Y-%m-%d %H:%M:%S') AS bar_ts,
+       h.confirmed_label AS htf_trend,
+       l.confirmed_label AS ltf_trend,
+       CASE WHEN h.confirmed_label = l.confirmed_label
+                 AND h.confirmed_label <> 'RANGE'
+            THEN h.confirmed_label ELSE 'RANGE' END AS trend_fused,
+       CASE WHEN h.confirmed_label = 'RANGE' THEN 0.5 ELSE 1.0 END
+         AS range_bonus
+FROM conf_lt l LEFT JOIN conf_ht h
+  ON h.user_id = l.user_id AND h.bar_ts = date_trunc('hour', l.bar_ts)
+"""
 
 
 def q_lstm_trend_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,17 +889,25 @@ def q_lstm_trend_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lstm_micro_sql() -> str:
-    """Unroll the micro LSTM forward into a chain of MATERIALIZED
-    per-timestep CTE levels — the DuckDB twin of
-    ``lstm_trend_scores``'s numpy forward, term order mirrored (input
-    dot + recurrent dot + summed bias; zero initial state folded away
-    at t=1, where adding exact 0.0 is a bit-level no-op). Levels, not
-    lateral aliases: DuckDB INLINES lateral column aliases, so a flat
-    spelling re-expands each state's full history exponentially;
-    separate projection levels evaluate every gate exactly once."""
-    w = ops.load_trend_weights(MICRO_WEIGHTS_PATH)
+def _lstm_fwd_ctes(
+    w: dict, src: str, tag: str
+) -> tuple[list[str], str]:
+    """Unroll an LSTM forward (layer count read from the blob's keys,
+    like the serving seam does) into a chain of per-timestep CTE
+    projection levels over ``src`` — a CTE providing (seq, seq_mean,
+    seq_std, passthrough cols). Term order mirrors
+    ``lstm_trend_scores``'s numpy forward (input dot + recurrent dot +
+    summed bias; zero initial state folded away at t=1, where adding
+    exact 0.0 is a bit-level no-op). Levels, not lateral aliases:
+    DuckDB INLINES lateral column aliases, so a flat spelling
+    re-expands each state's full history exponentially; separate
+    projection levels evaluate every gate exactly once. Returns
+    (ctes, final_name); the final CTE carries p_up/p_down/p_range
+    (trained class ids 0=UP, 1=DOWN, 2=RANGE) plus all passthrough
+    columns. ``tag`` uniquifies CTE names so two forwards coexist in
+    one query (the dual-timeframe fusion)."""
     n_h = int(w["weight_hh_l0"].shape[1])
+    n_layers = sum(1 for k in w if str(k).startswith("weight_ih_l"))
     n_t = 10
 
     def lit(x) -> str:
@@ -653,9 +924,9 @@ def _lstm_micro_sql() -> str:
         f"ELSE 0.0 END) AS x_{t}"
         for t in range(1, n_t + 1)
     )
-    ctes = [f"s0 AS (SELECT event_id, user_id, {x_cols} FROM full_seqs)"]
-    prev = "s0"
-    for layer in (0, 1):
+    ctes = [f"{tag}s0 AS (SELECT *, {x_cols} FROM {src})"]
+    prev = f"{tag}s0"
+    for layer in range(n_layers):
         wi = w[f"weight_ih_l{layer}"]
         wh = w[f"weight_hh_l{layer}"]
         b = w[f"bias_ih_l{layer}"] + w[f"bias_hh_l{layer}"]
@@ -669,7 +940,7 @@ def _lstm_micro_sql() -> str:
                         a_term = f"x_{t} * {lit(wi[row, 0])}"
                     else:
                         dot = " + ".join(
-                            f"h0_{t}_{k} * {lit(wi[row, k])}"
+                            f"h{layer - 1}_{t}_{k} * {lit(wi[row, k])}"
                             for k in range(in_dim)
                         )
                         a_term = f"({dot})"
@@ -686,7 +957,7 @@ def _lstm_micro_sql() -> str:
                         gates.append(f"{tanh(z)} AS {name}")
                     else:
                         gates.append(f"1.0 / (1.0 + exp(-({z}))) AS {name}")
-            lvl_g = f"g{layer}t{t}"
+            lvl_g = f"{tag}g{layer}t{t}"
             ctes.append(
                 f"{lvl_g} AS (SELECT *, " + ", ".join(gates) + f" FROM {prev})"
             )
@@ -700,7 +971,7 @@ def _lstm_micro_sql() -> str:
                 else:
                     c = f"i{layer}_{t}_{j} * g{layer}_{t}_{j}"
                 c_cols.append(f"{c} AS c{layer}_{t}_{j}")
-            lvl_c = f"c{layer}t{t}"
+            lvl_c = f"{tag}c{layer}t{t}"
             ctes.append(
                 f"{lvl_c} AS (SELECT *, " + ", ".join(c_cols) + f" FROM {lvl_g})"
             )
@@ -709,31 +980,46 @@ def _lstm_micro_sql() -> str:
                 f"AS h{layer}_{t}_{j}"
                 for j in range(n_h)
             ]
-            prev = f"h{layer}t{t}"
+            prev = f"{tag}h{layer}t{t}"
             ctes.append(
                 f"{prev} AS (SELECT *, " + ", ".join(h_cols) + f" FROM {lvl_c})"
             )
     fcw, fcb = w["fc_weight"], w["fc_bias"]
+    top = n_layers - 1
     logit_cols = []
     for k in range(3):
         dot = " + ".join(
-            f"h1_{n_t}_{j} * {lit(fcw[k, j])}" for j in range(n_h)
+            f"h{top}_{n_t}_{j} * {lit(fcw[k, j])}" for j in range(n_h)
         )
         logit_cols.append(f"({dot}) + {lit(fcb[k])} AS logit_{k}")
-    ctes.append(f"fc AS (SELECT *, {', '.join(logit_cols)} FROM {prev})")
+    ctes.append(f"{tag}fc AS (SELECT *, {', '.join(logit_cols)} FROM {prev})")
     lmax = "greatest(logit_0, logit_1, logit_2)"
     e_cols = ", ".join(
         f"exp(logit_{k} - {lmax}) AS e_{k}" for k in range(3)
     )
-    ctes.append(f"sm AS (SELECT *, {e_cols} FROM fc)")
-    # trained class ids: 0=UP, 1=DOWN, 2=RANGE; argmax compares the
-    # DIVIDED probabilities exactly as the Spark side does (division
-    # by the shared positive sum is order-preserving either way)
+    ctes.append(f"{tag}sm AS (SELECT *, {e_cols} FROM {tag}fc)")
+    # trained class ids: 0=UP, 1=DOWN, 2=RANGE; argmax downstream
+    # compares the DIVIDED probabilities exactly as the Spark side does
+    # (division by the shared positive sum is order-preserving)
     p_cols = ", ".join(
         f"e_{k} / (e_0 + e_1 + e_2) AS {nm}"
         for k, nm in ((0, "p_up"), (1, "p_down"), (2, "p_range"))
     )
-    ctes.append(f"ps AS (SELECT *, {p_cols} FROM sm)")
+    ctes.append(f"{tag}ps AS (SELECT *, {p_cols} FROM {tag}sm)")
+    return ctes, f"{tag}ps"
+
+
+ARGMAX_SQL = (
+    "CASE WHEN p_up >= p_down AND p_up >= p_range THEN 'UP' "
+    "WHEN p_down >= p_range THEN 'DOWN' ELSE 'RANGE' END"
+)
+
+
+def _lstm_micro_sql() -> str:
+    """The serving-seam oracle: micro forward over the tick sequence
+    windows, probabilities and first-max argmax rounded at the edge."""
+    w = ops.load_trend_weights(MICRO_WEIGHTS_PATH)
+    ctes, final = _lstm_fwd_ctes(w, "full_seqs", "m")
     chain = ",\n".join(ctes)
     return f"""{TICKS_CTE},
 {SEQ_CTE},
@@ -742,10 +1028,8 @@ SELECT event_id, user_id,
        round(p_up, 6) AS p_up,
        round(p_down, 6) AS p_down,
        round(p_range, 6) AS p_range,
-       CASE WHEN p_up >= p_down AND p_up >= p_range THEN 'UP'
-            WHEN p_down >= p_range THEN 'DOWN'
-            ELSE 'RANGE' END AS trend_pred
-FROM ps
+       {ARGMAX_SQL} AS trend_pred
+FROM {final}
 """
 
 
@@ -757,6 +1041,14 @@ except Exception as _micro_err:  # noqa: BLE001
     SQL_LSTM_TREND_MICRO = (
         f"SELECT error('micro weights fixture unreadable: "
         f"{type(_micro_err).__name__}')"
+    )
+
+try:
+    SQL_TREND_DUAL_FUSION = _dual_fusion_sql()
+except Exception as _dual_err:  # noqa: BLE001
+    SQL_TREND_DUAL_FUSION = (
+        f"SELECT error('micro weights fixture unreadable: "
+        f"{type(_dual_err).__name__}')"
     )
 
 
@@ -861,6 +1153,7 @@ QUERIES = {
     ),
     "trend_lstm_training": Query(q_trend_lstm_training, None),
     "lstm_trend_micro": Query(q_lstm_trend_micro, SQL_LSTM_TREND_MICRO),
+    "trend_dual_fusion": Query(q_trend_dual_fusion, SQL_TREND_DUAL_FUSION),
     "atr_1h": Query(q_atr_1h, SQL_ATR_1H),
     "realized_vol": Query(q_realized_vol, SQL_REALIZED_VOL),
     "liquidity_velocity": Query(q_liquidity_velocity, SQL_LIQUIDITY_VELOCITY),
