@@ -1126,3 +1126,111 @@ def test_quality_route_by_flag_end_to_end(spark, sf_dir, raw_docs_dir, tmp):
     want_drop = {r["doc_id"] for r in batch if not r["keep"]}
     assert got_keep == want_keep and got_drop == want_drop
     assert got_keep and got_drop  # both routes exercised
+
+
+def test_zscore_stream_agreement(spark, sf_dir, raw_events_dir, tmp):
+    """The live feature battery: per-tick delta z computed IN-STREAM
+    with carried GroupState (trailing window buffer + delta ring) must
+    equal the batch window-frame z at round-6 on every tick, across
+    micro-batch boundaries where the buffers carried state."""
+    from zcode_iceberg_spark.operators.flow import delta_zscore
+    from zcode_iceberg_spark.streaming.pipeline import zscore_stream
+
+    got = {
+        (r["user_id"], r["event_id"]): round(r["z"], 6)
+        for r in _drain(
+            spark, zscore_stream(stream_events(spark, raw_events_dir)),
+            tmp, "zs",
+        ).collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"]): round(r["z"], 6)
+        for r in delta_zscore(
+            events_ticks(spark, sf_dir), window_sec=600, pop_rows=50,
+            min_pop=30,
+        ).select("user_id", "event_id", "z").collect()
+    }
+    assert len(got) == len(want) > 0
+    diffs = {k for k in want if got[k] != want[k]}
+    assert not diffs, f"{len(diffs)} z mismatches, e.g. {sorted(diffs)[:3]}"
+
+
+def test_live_pipeline_supervised_end_to_end(spark, sf_dir, raw_events_dir, tmp):
+    """VERDICT r8 #2: the reference's full live tick path as ONE
+    supervised streaming job — stream → in-stream feature battery →
+    warmup-frozen signal-score gate → FSM → ledger + daily-summary
+    sinks, processing-time trigger, run under lifecycle.supervise.
+    Closed trades must equal the batch-composed twin
+    (q_live_pipeline_ledger) minus its EOD close-outs, across
+    micro-batch boundaries; the daily summary must equal the ledger's
+    own rollup."""
+    from zcode_iceberg_spark.streaming.lifecycle import supervise
+    from zcode_iceberg_spark.streaming.pipeline import live_tick_pipeline
+    from zcode_iceberg_spark.suite.stateful import q_live_pipeline_ledger
+
+    start, ledger_dir, summary_dir = live_tick_pipeline(
+        spark, raw_events_dir, sf_dir, str(tmp / "live"), trigger_sec=0.5
+    )
+
+    def until(q):
+        data = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        idle = q.lastProgress is not None and (
+            q.lastProgress["numInputRows"] == 0
+        )
+        return len(data) >= 3 and idle  # all 3 source files + drained
+
+    report = supervise(start, until=until)
+    assert report["completed"] is True
+    assert report["failures"] == []
+
+    got = {
+        (r["user_id"], r["trade_seq"]): (
+            r["side"], round(r["entry_price"], 6), round(r["exit_price"], 6),
+            r["exit_reason"], round(r["pnl"], 6),
+        )
+        for r in spark.read.parquet(ledger_dir).collect()
+    }
+    want_rows = [
+        r for r in q_live_pipeline_ledger(spark, sf_dir).collect()
+        if r["exit_reason"] != "EOD"
+    ]
+    want = {
+        (r["user_id"], r["trade_seq"]): (
+            r["side"], round(r["entry_price"], 6), round(r["exit_price"], 6),
+            r["exit_reason"], round(r["pnl"], 6),
+        )
+        for r in want_rows
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
+
+    # the gate really gates: some users trade in position_ledger but
+    # not here (their entry_signal is closed)
+    from zcode_iceberg_spark.suite.stateful import q_position_ledger
+
+    ungated_users = {
+        r["user_id"] for r in q_position_ledger(spark, sf_dir).collect()
+    }
+    gated_users = {u for (u, _) in want}
+    assert gated_users < ungated_users  # strictly fewer
+
+    # daily-summary sink: upserted rollup equals the ledger's own
+    led = spark.read.parquet(ledger_dir)
+    roll = {
+        r["day"]: (r["n_trades"], r["n_wins"])
+        for r in led.groupBy(
+            F.date_format("exit_ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
+            F.sum(F.when(F.col("pnl") > 0, 1).otherwise(0)).alias("n_wins"),
+        )
+        .collect()
+    }
+    summ = {
+        # the day partition column reads back as DATE; the rollup keys
+        # are strings — compare canonically
+        str(r["day"]): (r["n_trades"], r["n_wins"])
+        for r in spark.read.parquet(summary_dir).collect()
+    }
+    assert summ == roll and len(summ) > 0

@@ -693,6 +693,330 @@ FSM_STATE_SCHEMA = T.StructType(
 )
 
 
+ZS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("win_ts", T.ArrayType(T.LongType())),
+        T.StructField("win_sq", T.ArrayType(T.DoubleType())),
+        T.StructField("ring", T.ArrayType(T.DoubleType())),
+    ]
+)
+ZS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("z", T.DoubleType()),
+    ]
+)
+
+ZS_WINDOW_SEC = 600
+ZS_POP_ROWS = 50
+ZS_MIN_POP = 30
+
+
+def _zscore_step(
+    pdf: pd.DataFrame,
+    state: tuple[list, list, list],
+    window_sec: int = ZS_WINDOW_SEC,
+    pop_rows: int = ZS_POP_ROWS,
+    min_pop: int = ZS_MIN_POP,
+) -> tuple[list[float], tuple[list, list, list]]:
+    """Per-key trailing delta-z kernel — the streaming twin of
+    operators/flow.py:delta_zscore's window math, shared by
+    ``zscore_stream`` and the fused live pipeline. Carried state:
+    the trailing ``window_sec`` (ts_us, signed qty) buffer plus the
+    last ``pop_rows`` deltas. ``pdf`` must be sorted by (ts, event_id)
+    and carry ts/qty/is_buy; returns one z per row.
+
+    Float discipline mirrors the batch plan exactly: the RANGE frame
+    is value-inclusive (all same-ts rows share one delta, computed
+    AFTER the whole ts-group enters the window), the delta is a fresh
+    left-to-right sum per ts (Spark's sliding frames re-aggregate per
+    row), avg = plain sum/n, and stddev_pop is Spark's Welford-style
+    central-moment update — so stream z ≡ batch z at round-6 (pinned
+    by tests/test_streaming.py)."""
+    import math
+
+    win_ts, win_sq, ring = list(state[0]), list(state[1]), list(state[2])
+    zs: list[float] = []
+    ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+    sq = [
+        float(q) if b else -float(q)
+        for q, b in zip(pdf["qty"], pdf["is_buy"])
+    ]
+    i = 0
+    n_rows = len(pdf)
+    while i < n_rows:
+        j = i
+        while j < n_rows and ts_us[j] == ts_us[i]:
+            j += 1
+        # the whole ts-group enters before any of its deltas evaluate
+        for k in range(i, j):
+            win_ts.append(int(ts_us[k]))
+            win_sq.append(sq[k])
+        lo = int(ts_us[i]) - window_sec * 1_000_000
+        drop = 0
+        while drop < len(win_ts) and win_ts[drop] < lo:
+            drop += 1
+        if drop:
+            win_ts = win_ts[drop:]
+            win_sq = win_sq[drop:]
+        delta = 0.0
+        for v in win_sq:
+            delta += v
+        for _ in range(i, j):
+            ring.append(delta)
+            if len(ring) > pop_rows:
+                ring = ring[-pop_rows:]
+            n = len(ring)
+            s = 0.0
+            for v in ring:
+                s += v
+            mu = s / n
+            mean = 0.0
+            m2 = 0.0
+            cnt = 0
+            for v in ring:
+                cnt += 1
+                d = v - mean
+                mean += d / cnt
+                m2 += d * (v - mean)
+            sigma = math.sqrt(m2 / n)
+            zs.append((delta - mu) / sigma if n >= min_pop and sigma > 0 else 0.0)
+        i = j
+    return zs, (win_ts, win_sq, ring)
+
+
+def zscore_stream(ticks: DataFrame) -> DataFrame:
+    """E3+E4 streaming twin: the per-tick taker-delta z-score computed
+    LIVE with carried GroupState (trailing time-window buffer + delta
+    ring) — the feature battery stage of the composed live pipeline.
+    State is bounded by window_sec of ticks + pop_rows doubles per
+    key, the exact information content of the batch window frames."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        st = state.get if state.exists else ([], [], [])
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            zs, st = _zscore_step(pdf, st)
+            out = pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"].values,
+                    "ts": pdf["ts"].values,
+                    "event_id": pdf["event_id"].values,
+                    "price": pdf["price"].values,
+                    "z": zs,
+                }
+            )
+        else:
+            out = pd.DataFrame(columns=[f.name for f in ZS_OUT_SCHEMA.fields])
+        state.update((list(st[0]), list(st[1]), list(st[2])))
+        yield out
+
+    return ticks.select(
+        "user_id", "ts", "event_id", "price", "qty", "is_buy"
+    ).groupBy("user_id").applyInPandasWithState(
+        fn,
+        ZS_OUT_SCHEMA,
+        ZS_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+LIVE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("win_ts", T.ArrayType(T.LongType())),
+        T.StructField("win_sq", T.ArrayType(T.DoubleType())),
+        T.StructField("ring", T.ArrayType(T.DoubleType())),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("qty", T.DoubleType()),
+        T.StructField("side", T.StringType()),
+        T.StructField("entry_ts_us", T.LongType()),
+        T.StructField("entry_price", T.DoubleType()),
+    ]
+)
+
+
+def live_decisions_fsm_stream(gated_ticks: DataFrame) -> DataFrame:
+    """The composed live tick path as ONE stateful operator: per key
+    and micro-batch, the z-score kernel (`_zscore_step`) runs first,
+    the signal-score entry gate masks z (the ``entry_signal`` column,
+    broadcast-joined upstream from the warmup score table), and the
+    SAME ``_fsm_step`` kernel the batch fold uses walks the decisions
+    — feature battery → gate → FSM in one GroupState row, one
+    shuffle. Emits closed-trade ledger rows as they happen.
+
+    Fusing (rather than chaining two applyInPandasWithState stages)
+    is also the scale-correct plan: both stages key on user_id, so a
+    chain would re-shuffle the tick stream between them for nothing.
+    """
+    from zcode_iceberg_spark.operators.stateful import (
+        LEDGER_SCHEMA,
+        _fsm_step,
+    )
+
+    cols = [f.name for f in LEDGER_SCHEMA.fields]
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        uid = int(key[0])
+        if state.exists:
+            win_ts, win_sq, ring, seq, qty, side, ets_us, epx = state.get
+            zst = (list(win_ts), list(win_sq), list(ring))
+            pos = (
+                None
+                if side == ""
+                else {
+                    "side": side,
+                    "entry_ts": pd.Timestamp(ets_us * 1000),
+                    "entry_price": epx,
+                }
+            )
+            fst = {"uid": uid, "seq": seq, "qty": None if qty < 0 else qty,
+                   "pos": pos}
+        else:
+            zst = ([], [], [])
+            fst = {"uid": uid, "seq": 0, "qty": None, "pos": None}
+        rows: list[tuple] = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            zs, zst = _zscore_step(pdf, zst)
+            gate = pdf["entry_signal"].fillna(False).to_numpy()
+            dec = pd.DataFrame(
+                {
+                    "ts": pdf["ts"].values,
+                    "event_id": pdf["event_id"].values,
+                    "price": pdf["price"].values,
+                    "z": [z if g else 0.0 for z, g in zip(zs, gate)],
+                }
+            )
+            rows.extend(
+                _fsm_step(
+                    dec,
+                    fst,
+                    z_entry=1.5,
+                    tp_pct=0.01,
+                    sl_pct=0.01,
+                    max_hold_secs=86400.0,
+                    margin=50.0,
+                    leverage=25.0,
+                )
+            )
+        yield pd.DataFrame(rows, columns=cols)
+        pos = fst["pos"]
+        state.update(
+            (
+                list(zst[0]),
+                list(zst[1]),
+                list(zst[2]),
+                int(fst["seq"]),
+                -1.0 if fst["qty"] is None else float(fst["qty"]),
+                pos["side"] if pos else "",
+                int(pd.Timestamp(pos["entry_ts"]).value // 1000) if pos else 0,
+                float(pos["entry_price"]) if pos else 0.0,
+            )
+        )
+
+    return gated_ticks.groupBy("user_id").applyInPandasWithState(
+        fn,
+        LEDGER_SCHEMA,
+        LIVE_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def live_tick_pipeline(
+    spark: SparkSession,
+    src_dir: str,
+    sf_dir: str,
+    out_dir: str,
+    trigger_sec: float = 1.0,
+):
+    """A1→A11 composed: THE reference product as one supervised
+    streaming job (main.py:122-142 → strategy.py:334-443): normalized
+    tick stream → stateful per-tick feature battery (trailing delta
+    z) → warmup-frozen signal-score entry gate (q_signal_scores over
+    the warmup corpus, broadcast into the stream — the reference
+    computes its score state from warmup-backfilled history the same
+    way it trains its models there) → position FSM with carried
+    GroupState → ledger sink (day-partitioned append, A6/A7) +
+    daily-summary upsert (A8), one writeStream under the H7
+    processing-time trigger. Returns (start_fn, ledger_dir,
+    summary_dir): pass ``start_fn`` to lifecycle.supervise for the
+    H9 crash/staleness lifecycle — restarts resume from the
+    checkpoint, and foreachBatch replays are idempotent per epoch
+    for the summary (partition overwrite) while the ledger append
+    relies on the FSM's exactly-once state commits.
+
+    Batch twin (hash-oracled registry entry): suite/stateful.py:
+    q_live_pipeline_ledger — same gate, same kernels."""
+    from zcode_iceberg_spark.sources.sinks import (
+        upsert_daily_partitions,
+        write_partitioned_append,
+    )
+    from zcode_iceberg_spark.suite.scoring import live_entry_gates
+
+    ledger_dir = f"{out_dir}/ledger"
+    summary_dir = f"{out_dir}/daily_summary"
+    checkpoint = f"{out_dir}/checkpoint"
+    # warmup phase: the per-key score table (k rows) — frozen and
+    # broadcast, exactly like the trained model blobs
+    gates = live_entry_gates(spark, sf_dir)
+    ticks = stream_events(spark, src_dir)
+    gated = ticks.join(F.broadcast(gates), "user_id").select(
+        "user_id", "ts", "event_id", "price", "qty", "is_buy", "entry_signal"
+    )
+    ledger = live_decisions_fsm_stream(gated)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        b = batch_df.persist()
+        try:
+            if b.count() == 0:
+                return
+            write_partitioned_append(b, ledger_dir, "exit_ts")
+            # cumulative per-day rollup over everything appended so far,
+            # upserted into ONLY the days this batch touched (A8)
+            days = [r["day"] for r in b.select(
+                F.date_format("exit_ts", "yyyy-MM-dd").alias("day")
+            ).distinct().collect()]
+            led = b.sparkSession.read.parquet(ledger_dir).filter(
+                F.col("day").isin(days)
+            )
+            daily = led.groupBy("day").agg(
+                F.count(F.lit(1)).alias("n_trades"),
+                F.sum(F.when(F.col("pnl") > 0, 1).otherwise(0)).alias("n_wins"),
+                F.sum(F.round(F.col("pnl") * 1e6).cast("bigint")).alias(
+                    "pnl_micro"
+                ),
+            )
+            upsert_daily_partitions(daily, summary_dir)
+        finally:
+            b.unpersist()
+
+    def start():
+        return (
+            ledger.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(processingTime=f"{trigger_sec} seconds")
+            .start()
+        )
+
+    return start, ledger_dir, summary_dir
+
+
 def position_fsm_stream(
     decisions: DataFrame,
     z_entry: float = 1.5,

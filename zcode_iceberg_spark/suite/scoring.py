@@ -272,6 +272,33 @@ def q_signal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Live-pipeline entry gate, fixture-scaled: the reference pair is
+# total > SCORE_ENTRY_THRESHOLD(0.75) AND wp > WINPROB_ENTRY_THRESHOLD
+# (0.6) (strategy.py:540-545), but the synthetic fixture's total_score
+# tops out near 0.59 (the reference thresholds never fire), so the
+# live-pipeline twin gates at 0.45/0.6 — the trade_params/risk_limits
+# scaling precedent; both open and closed branches occur at every SF.
+# Gates compare the ROUND-6 published scores so Spark and the oracle
+# agree bit-for-bit at the boundary.
+LIVE_TOTAL_GATE = 0.45
+LIVE_WP_GATE = 0.6
+
+
+def live_entry_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, entry_signal) — the warmup-frozen per-key entry gate
+    shared by the batch-composed live pipeline twin
+    (suite/stateful.py:q_live_pipeline_ledger) and the supervised
+    streaming job (streaming/pipeline.py:live_tick_pipeline)."""
+    s = q_signal_scores(spark, sf_dir)
+    return s.select(
+        "user_id",
+        (
+            (F.col("total_score") > LIVE_TOTAL_GATE)
+            & (F.col("win_prob") > LIVE_WP_GATE)
+        ).alias("entry_signal"),
+    )
+
+
 def _phi_score_sql(v: str, thresh: float) -> str:
     inner = f"(({v}) - {thresh!r}) / {thresh / 2.0!r}"
     return (

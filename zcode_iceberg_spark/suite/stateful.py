@@ -309,6 +309,89 @@ FROM closed
 
 SQL_POSITION_LEDGER = _FSM_CLOSED_CTE + _FSM_LEDGER_SELECT
 
+
+def _live_dec_block() -> str:
+    """The live pipeline's decision block: the production ticks→z
+    chain with entries additionally GATED by the per-key signal-score
+    entry decision (total > 0.75 AND win_prob > 0.6 — the reference's
+    SCORE_ENTRY_THRESHOLD/WINPROB_ENTRY_THRESHOLD pair,
+    strategy.py:540-545): z is masked to 0 for keys whose score gate
+    is closed, so the FSM never opens there but exits still see every
+    price. Composed lazily so the scoring module's CTE constants are
+    only touched at registry build (the wp_calibration pattern)."""
+    from zcode_iceberg_spark.suite.scoring import (
+        FEATURES_CTE,
+        LIVE_TOTAL_GATE,
+        LIVE_WP_GATE,
+        _TOTAL,
+        _WP,
+    )
+
+    base = _FSM_DEC_PROD.replace("dec AS (", "dec0 AS (", 1)
+    return f"""{base},
+{FEATURES_CTE},
+gates AS (
+  SELECT user_id, (round({_TOTAL}, 6) > {LIVE_TOTAL_GATE}
+                   AND round({_WP}, 6) > {LIVE_WP_GATE}) AS entry_signal
+  FROM features
+),
+dec AS (
+  SELECT d.user_id, d.ts, d.event_id, d.price,
+         CASE WHEN g.entry_signal THEN d.z ELSE 0.0 END AS z,
+         d.rn
+  FROM dec0 d JOIN gates g ON g.user_id = d.user_id
+)"""
+
+
+def q_live_pipeline_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference product composed end-to-end in one plan (VERDICT
+    r8 #2; main.py:122-142 → strategy.py:334-443): ticks → per-tick
+    feature battery (trailing delta z) → signal-score entry gate
+    (q_signal_scores' entry_signal — total 0.65/0.35 blend > 0.75 AND
+    win-prob overlay > 0.6) → position FSM → closed-trade ledger.
+    This is the BATCH twin of the supervised streaming job
+    (streaming/pipeline.py:live_tick_pipeline — same decision shape,
+    same gate, same `_fsm_step` kernel through GroupState); the
+    multi-batch agreement test (tests/test_streaming.py) pins
+    stream ≡ batch on every closed trade. Oracle = the composed
+    recursive-CTE chain (features + gate + z walk), the composition
+    q_wp_calibration already proved writable."""
+    from zcode_iceberg_spark.suite.scoring import live_entry_gates
+
+    gates = live_entry_gates(spark, sf_dir)
+    d = _decisions(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "price", "z"
+    )
+    d = d.join(F.broadcast(gates), "user_id").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "price",
+        F.when(F.col("entry_signal"), F.col("z"))
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )
+    led = st.position_fsm(d)
+    return led.select(
+        "user_id",
+        "trade_seq",
+        F.format_string("ZS%04d", F.col("trade_seq")).alias("trade_id"),
+        "side",
+        F.date_format("entry_ts", "yyyy-MM-dd HH:mm:ss").alias("entry_ts"),
+        F.date_format("exit_ts", "yyyy-MM-dd HH:mm:ss").alias("exit_ts"),
+        F.round("entry_price", 6).alias("entry_price"),
+        F.round("exit_price", 6).alias("exit_price"),
+        F.round("qty", 6).alias("qty"),
+        (st.micro("pnl") / F.lit(1e6)).alias("pnl"),
+        (st.micro("roi") / F.lit(1e6)).alias("roi"),
+        "exit_reason",
+        F.round("hold_secs", 6).alias("hold_secs"),
+    )
+
+
+def _live_pipeline_sql() -> str:
+    return fsm_closed_cte(_live_dec_block()) + _FSM_LEDGER_SELECT
+
 SQL_LEDGER_DAILY_SUMMARY = f"""{_FSM_CLOSED_CTE},
 g AS (
   SELECT strftime(exit_ts, '%Y-%m-%d') AS day,
@@ -622,6 +705,7 @@ QUERIES = {
     "position_ledger": Query(q_position_ledger, SQL_POSITION_LEDGER),
     "ledger_drawdown": Query(q_ledger_drawdown, SQL_LEDGER_DRAWDOWN),
     "wp_calibration": Query(q_wp_calibration, _wp_calibration_sql()),
+    "live_pipeline_ledger": Query(q_live_pipeline_ledger, _live_pipeline_sql()),
     "risk_limits": Query(q_risk_limits, SQL_RISK_LIMITS),
     "ledger_daily_summary": Query(q_ledger_daily_summary, SQL_LEDGER_DAILY_SUMMARY),
     "ledger_exit_stats": Query(q_ledger_exit_stats, SQL_LEDGER_EXIT_STATS),
