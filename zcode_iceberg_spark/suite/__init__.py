@@ -42,100 +42,71 @@ class Query:
 WINDOW = 50
 
 PRIORITY = [
-    # Round-8 rotation (tools/rotate_priority.py over r1-r7 history +
-    # the this-round delta): first the new/changed queries — the six
-    # mid-round-8 additions (ann_sq8{,_recall}, zorder_layout,
-    # source_overlap_kmv, depth_slippage, return_moments — never
-    # driver-checked, so they outrank every green row), the three
-    # never-driver-checked late-r7 additions (ann_pq_persisted,
-    # ann_ivfpq{,_recall}), the four new round-8 queries
-    # (mmr_rerank_ann, mmr_ann_overlap, trend_lstm_training — the
-    # registry's single rows-only entry — and the oracle-refactored
-    # mmr_rerank), and quality_classifier (prob-quantization oracle
-    # change, ADVICE r7). Then the full r4-stale block (12) and the
-    # stalest r5 greens, closing VERDICT r7 task #2. The six r5 rows
-    # displaced by the mid-round additions (book_topk, best_quotes,
-    # imbalance, asof_trade_quote, range_join_flow, rfm_segments) are
-    # first in line for r9 and keep coverage meanwhile: the book trio's
-    # kernels (book_levels, price-priority sort, window top-k) run
-    # in-window inside depth_slippage, asof/range carry batch↔stream
-    # agreement tests every pytest, and ALL displaced greens stay
-    # oracle-checked at sf0.001 on every pytest run
+    # Round-9 rotation (tools/rotate_priority.py over r1-r8 history +
+    # this round's delta). Front: queries whose RESULTS or ORACLES
+    # changed this round — the four new entries (lstm_trend_micro,
+    # trend_dual_fusion, rfm_segments_approx, live_pipeline_ledger),
+    # the dual-retrained rows-only trend_lstm_training, the 9
+    # IVF-family queries (Lloyd-trained centroids changed every row),
+    # and funnel_conversion (0-denominator guard changed the oracle).
+    # Then the FIFTEEN r5 greens displaced by r8's mid-round additions
+    # (VERDICT r8 task #1 — the stalest driver rows in the registry),
+    # then the next-stalest r5 greens per the rotation tool. Every
+    # query pushed past the window holds a green r8-or-earlier driver
+    # row and stays oracle-checked at sf0.001 on every pytest run
     # (tests/test_oracle_suite.py).
-    "ann_sq8",
-    "ann_sq8_recall",
-    "zorder_layout",
-    "source_overlap_kmv",
-    "depth_slippage",
-    "return_moments",
-    # second mid-round-8 batch: SCD2 dimension build + hybrid RRF
-    # fusion (both never driver-checked); they displace
-    # sequence_labels/trend_classifier, whose kernels (sequence-window
-    # builder, classifier seam) execute in-window inside
-    # trend_lstm_training
-    "scd2_versions",
-    "rrf_fusion",
-    # k-anonymity ladder (never driver-checked); displaces
-    # bar_dod_change, whose OHLC-bar kernel stays in-window via ohlc_1h
-    "k_anonymity",
-    # incremental SCD2 apply (never driver-checked; oracle = the batch
-    # rebuild); displaces volume_factor, whose flow kernels stay
-    # in-window via cvd/delta_zscore
-    "scd2_incremental",
-    # perceptual-hash image near-dup (never driver-checked); displaces
-    # ticks_normalize, whose EVENTS_TICKS_SQL substrate every remaining
-    # in-window ticks oracle exercises transitively
-    "media_dhash",
-    # compaction planner (never driver-checked); displaces
-    # session_paths, whose gaps-and-islands kernel stays in-window via
-    # sessionize and scd2_versions
-    "compaction_plan",
-    # data-quality expectations audit (never driver-checked); displaces
-    # volume_hhi, whose concentration-agg archetype stays covered by the
-    # in-window relational aggregates
-    "table_expectations",
-    # IVF x SQ8 composition (never driver-checked); displaces cvd and
-    # event_transitions, whose conditional-sum / lag-transition kernels
-    # stay in-window via delta_zscore and sessionize/scd2_versions
-    "ann_ivfsq",
-    "ann_ivfsq_recall",
-    "ann_pq_persisted",
+    "trend_lstm_training",
+    "lstm_trend_micro",
+    "trend_dual_fusion",
+    "rfm_segments_approx",
+    "live_pipeline_ledger",
+    "funnel_conversion",
+    "ann_ivf",
+    "ann_ivf_recall",
+    "ann_ivf_bounded",
+    "ann_ivf_bounded_recall",
     "ann_ivfpq",
     "ann_ivfpq_recall",
-    "mmr_rerank",
-    "mmr_rerank_ann",
-    "mmr_ann_overlap",
-    "trend_lstm_training",
-    "quality_classifier",
-    # r4-stale block
-    "pii_scan",
-    "doc_repetition",
-    "temperature_mix",
-    "quality_sample",
-    "decon_overlap_hll",
-    "semantic_dedup",
-    "corpus_shuffle",
-    "ledger_drawdown",
-    "wp_calibration",
-    "ledger_daily_summary",
-    "ledger_exit_stats",
-    "modality_interleave",
-    # stalest r5 greens (registry order, per the rotation tool)
-    "funnel_conversion",
-    "cohort_retention",
-    "robust_outliers",
-    "cusum_alarm",
-    "sessionize",
-    "delta_zscore",
-    "rolling_corr",
-    "ohlc_1h",
-    "atr_1h",
-    "liquidity_velocity",
-    "hurst",
-    "bos_1h",
-    "ema",
-    "cumulative_customer_value",
-    "daily_order_summary",
+    "ann_ivfsq",
+    "ann_ivfsq_recall",
+    "ann_ivf_incremental_persisted",
+    # the 15 displaced r5 greens
+    "ticks_normalize",
+    "event_transitions",
+    "volume_hhi",
+    "session_paths",
+    "cvd",
+    "volume_factor",
+    "bar_dod_change",
+    "sequence_labels",
+    "trend_classifier",
+    "book_topk",
+    "best_quotes",
+    "imbalance",
+    "asof_trade_quote",
+    "range_join_flow",
+    "rfm_segments",
+    # next-stalest r5 greens (rotation-tool order)
+    "segment_share",
+    "cube_corpus",
+    "order_count_distribution",
+    "large_orders",
+    "nation_trade_volume",
+    "market_share",
+    "cheapest_supplier_per_part",
+    "above_customer_avg",
+    "pivot_priority_segment",
+    "unpivot_lineitem_stats",
+    "late_ship_exists",
+    "signal_scores",
+    "passage_dedup",
+    "boilerplate_strip",
+    "corpus_pipeline",
+    "lsh_precision",
+    "lsh_recall",
+    "lsh_recall_rebanded",
+    "bpe_encode",
+    "vocab_topk",
 ]
 
 
