@@ -98,6 +98,23 @@ def main() -> None:
     # were re-measured.
     RERUN_THRESHOLD_SEC = 4.0
 
+    # r01 per-query baselines: a query whose sample exceeds 2x its r01
+    # time is re-measured even when it is cheap in absolute terms —
+    # sub-4s position noise otherwise lands single-sample >=2x ratios
+    # in the record that need manual warm A/Bs to adjudicate
+    # (VERDICT r8 #7). Ratio-triggered entries always collect 3 samples
+    # and the median is recorded beside the min, so the artifact
+    # carries a non-flattering statistic too.
+    import pathlib
+
+    _r01_path = pathlib.Path(__file__).resolve().parent / "BENCH_r01.json"
+    r01_base: dict[str, float] = {}
+    if _r01_path.exists():
+        try:
+            r01_base = json.loads(_r01_path.read_text()).get("queries", {})
+        except Exception:
+            r01_base = {}
+
     def run_once(q) -> float:
         # pending GC from earlier queries otherwise lands inside a later
         # query's measurement (observed: +4-7s on whichever query follows
@@ -108,21 +125,32 @@ def main() -> None:
         return round(time.time() - t0, 3)
 
     times: dict[str, float] = {}
+    medians: dict[str, float] = {}
     reruns: dict[str, int] = {}
     for name, q in sorted(reg.items()):
-        t = run_once(q)
-        attempts = 1
-        while t > RERUN_THRESHOLD_SEC and attempts < 3:
-            t2 = run_once(q)
-            attempts += 1
-            if t2 >= t * 0.9:  # stable: not noise, stop re-measuring
-                t = min(t, t2)
+        samples = [run_once(q)]
+        b = r01_base.get(name)
+        ratio_hot = b is not None and b > 0 and samples[0] > 2.0 * b
+        while len(samples) < 3:
+            t = samples[-1]
+            if ratio_hot:
+                pass  # ratio-triggered: full 3 samples, median matters
+            elif t > RERUN_THRESHOLD_SEC:
+                if len(samples) > 1 and t >= min(samples[:-1]) * 0.9:
+                    break  # stable: real cost, not a host spike
+            else:
                 break
-            t = t2
+            samples.append(run_once(q))
+        t = min(samples)
         times[name] = t
-        if attempts > 1:
-            reruns[name] = attempts
-        print(f"## {name} {t:.3f}s x{attempts}", file=sys.stderr, flush=True)
+        if len(samples) > 1:
+            reruns[name] = len(samples)
+            medians[name] = sorted(samples)[len(samples) // 2]
+        print(
+            f"## {name} {t:.3f}s x{len(samples)}",
+            file=sys.stderr,
+            flush=True,
+        )
 
     total = round(sum(times.values()), 3)
     print(
@@ -138,6 +166,9 @@ def main() -> None:
                 "n_queries": len(times),
                 "sec_per_query": round(total / max(len(times), 1), 3),
                 "reruns": reruns,
+                # median of the collected samples for every re-measured
+                # entry — the non-flattering statistic beside min-of-k
+                "medians": medians,
             }
         )
     )

@@ -167,3 +167,64 @@ def test_scd2_epoch_replay_idempotent(spark, sf_dir, ts_split_events_dir, scd2_t
     scd2_step(replay, last_epoch, table)
     after = {tuple(r) for r in scd2_versions_from_state(spark, table).collect()}
     assert before == after
+
+
+def test_scd2_stream_state_feeds_incremental_query_across_restart(
+    spark, sf_dir, scd2_tmp
+):
+    """VERDICT r8 #8: ingest twin → persisted state → incremental
+    QUERY, across a restart. The version table built by scd2_stream
+    over the HISTORICAL split — fed as two files, drained to
+    termination, then a third file added and the stream RESTARTED on
+    the same checkpoint — must, when the post-cut batch is applied
+    through the shared scd2_apply, equal the oracle-checked
+    q_scd2_incremental output row for row. Proves the replay-
+    idempotent persisted state through the QUERY, not just the sink."""
+    from zcode_iceberg_spark.sources.tables import normalize_ts
+    from zcode_iceberg_spark.streaming.pipeline import scd2_state, scd2_stream
+    from zcode_iceberg_spark.suite.flow import scd2_apply
+
+    hist, batch = _split(spark, sf_dir)
+    cut_ids = {r["event_id"] for r in hist.select("event_id").collect()}
+
+    raw = normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    hist_raw = raw.filter(F.col("event_id").isin(list(cut_ids)))
+    # 3 time-ordered shards of the historical change log
+    qs = hist_raw.approxQuantile("event_id", [0.33, 0.66], 0.0)
+    b0, b1 = int(qs[0]), int(qs[1])
+    shards = [
+        hist_raw.filter(F.col("event_id") <= b0),
+        hist_raw.filter((F.col("event_id") > b0) & (F.col("event_id") <= b1)),
+        hist_raw.filter(F.col("event_id") > b1),
+    ]
+    src = scd2_tmp / "src"
+    src.mkdir()
+
+    def land(i):
+        sub = scd2_tmp / f"shard{i}"
+        shards[i].coalesce(1).write.parquet(str(sub))
+        f = next(Path(sub).glob("*.parquet"))
+        dst = src / f"{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+
+    table = str(scd2_tmp / "state")
+    ck = str(scd2_tmp / "ck")
+    land(0)
+    land(1)
+    q = scd2_stream(spark, str(src), table, ck)
+    q.awaitTermination()
+    epochs_run1 = spark.read.parquet(table).agg(F.max("epoch")).collect()[0][0]
+
+    land(2)  # new data arrives while the job is DOWN
+    q = scd2_stream(spark, str(src), table, ck)  # restart, same checkpoint
+    q.awaitTermination()
+    epochs_run2 = spark.read.parquet(table).agg(F.max("epoch")).collect()[0][0]
+    assert epochs_run2 > epochs_run1  # really resumed, not replayed-from-0
+
+    got = scd2_apply(batch, scd2_state(spark, table))
+    want = q_scd2_incremental(spark, sf_dir)
+    assert got.columns == want.columns
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert want.count() > 0

@@ -522,6 +522,22 @@ def ann_index_stream(
     )
 
 
+def ann_index_state(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Resolve the epoch-partitioned streamed IVF index to the live
+    assignment view (vec_id, embedding, nrm, cell): latest epoch wins
+    per vec_id (a replayed epoch overwrote its own partition, so this
+    is belt-and-braces against a vec_id re-ingested across epochs) —
+    the scd2_state resolver applied to the vector index. This is the
+    frame the incremental ANN query path consumes."""
+    raw = spark.read.parquet(index_dir)
+    wv = Window.partitionBy("vec_id").orderBy(F.col("epoch").desc())
+    return (
+        raw.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "nrm", "cell")
+    )
+
+
 def ann_index_step(
     batch_df: DataFrame, epoch_id: int, cents_dir: str, index_dir: str
 ) -> None:

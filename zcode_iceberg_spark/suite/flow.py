@@ -616,9 +616,22 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = tt.filter(F.col("us") < F.col("cut_us")).drop("us", "cut_us")
     batch = tt.filter(F.col("us") >= F.col("cut_us")).drop("us", "cut_us")
 
-    hist_runs = _scd2_runs(hist)
+    hist_table = _scd2_runs(hist).select(
+        "user_id", "version", "attr", "start_ts", "n_events"
+    )
+    return scd2_apply(batch, hist_table)
+
+
+def scd2_apply(batch: DataFrame, hist_table: DataFrame) -> DataFrame:
+    """Apply a CDC batch onto a version TABLE (user_id, version, attr,
+    start_ts, n_events) → the post-apply finalized version view. THE
+    single apply spelling shared by ``q_scd2_incremental`` (history
+    rebuilt in-plan so the oracle replays it) and the streamed-state
+    composition path (``scd2_stream``'s persisted table read by
+    ``scd2_state`` — tests/test_scd2.py pins stream-state → apply ≡
+    the oracle-checked rebuild across a query restart)."""
     br = _scd2_renumber(
-        _scd2_runs(batch).join(_scd2_open(hist_runs), "user_id", "left")
+        _scd2_runs(batch).join(_scd2_open(hist_table), "user_id", "left")
     )
     adj = br.select(
         "user_id",
@@ -631,7 +644,7 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
     )
     merged = (
-        hist_runs.select("user_id", "version", "attr", "start_ts", "n_events")
+        hist_table.select("user_id", "version", "attr", "start_ts", "n_events")
         .unionAll(adj)
         .groupBy("user_id", "version")
         .agg(
