@@ -44,8 +44,10 @@ WINDOW = 50
 PRIORITY = [
     # Round-9 rotation (tools/rotate_priority.py over r1-r8 history +
     # this round's delta). Front: queries whose RESULTS or ORACLES
-    # changed this round — the four new entries (lstm_trend_micro,
-    # trend_dual_fusion, rfm_segments_approx, live_pipeline_ledger),
+    # changed this round — the five new entries (lstm_trend_micro,
+    # trend_dual_fusion, rfm_segments_approx, live_pipeline_ledger,
+    # live_pipeline_summary — displacing vocab_topk, green r5, whose
+    # TakeOrderedAndProject kernel stays in-window via tf_idf-family),
     # the dual-retrained rows-only trend_lstm_training, the 9
     # IVF-family queries (Lloyd-trained centroids changed every row),
     # and funnel_conversion (0-denominator guard changed the oracle).
@@ -60,6 +62,7 @@ PRIORITY = [
     "trend_dual_fusion",
     "rfm_segments_approx",
     "live_pipeline_ledger",
+    "live_pipeline_summary",
     "funnel_conversion",
     "ann_ivf",
     "ann_ivf_recall",
@@ -106,7 +109,6 @@ PRIORITY = [
     "lsh_recall",
     "lsh_recall_rebanded",
     "bpe_encode",
-    "vocab_topk",
 ]
 
 

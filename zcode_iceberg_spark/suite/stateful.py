@@ -392,7 +392,35 @@ def q_live_pipeline_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _live_pipeline_sql() -> str:
     return fsm_closed_cte(_live_dec_block()) + _FSM_LEDGER_SELECT
 
-SQL_LEDGER_DAILY_SUMMARY = f"""{_FSM_CLOSED_CTE},
+
+def q_live_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed live pipeline's A8 REPORT content, hash-checked:
+    the daily win/loss/profit-factor rollup over the score-GATED FSM
+    ledger — exactly what live_tick_pipeline's daily-summary sink
+    upserts per day (richer columns here; the sink keeps the hot
+    subset). Oracle = the same rollup over the gated recursive walk."""
+    from zcode_iceberg_spark.suite.scoring import live_entry_gates
+
+    gates = live_entry_gates(spark, sf_dir)
+    d = _decisions(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "price", "z"
+    )
+    d = d.join(F.broadcast(gates), "user_id").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "price",
+        F.when(F.col("entry_signal"), F.col("z"))
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )
+    return st.ledger_daily_summary(st.position_fsm(d))
+
+
+def _live_summary_sql() -> str:
+    return fsm_closed_cte(_live_dec_block()) + "," + _DAILY_SUMMARY_TAIL
+
+_DAILY_SUMMARY_TAIL = """
 g AS (
   SELECT strftime(exit_ts, '%Y-%m-%d') AS day,
          count(*) AS n_trades,
@@ -416,6 +444,8 @@ SELECT day, n_trades, n_wins, n_losses, total_pnl, max_win, max_loss,
                   THEN gross_profit / gross_loss END, 6) AS profit_factor
 FROM g
 """
+
+SQL_LEDGER_DAILY_SUMMARY = _FSM_CLOSED_CTE + "," + _DAILY_SUMMARY_TAIL
 
 SQL_LEDGER_EXIT_STATS = f"""{_FSM_CLOSED_CTE},
 g AS (
@@ -706,6 +736,7 @@ QUERIES = {
     "ledger_drawdown": Query(q_ledger_drawdown, SQL_LEDGER_DRAWDOWN),
     "wp_calibration": Query(q_wp_calibration, _wp_calibration_sql()),
     "live_pipeline_ledger": Query(q_live_pipeline_ledger, _live_pipeline_sql()),
+    "live_pipeline_summary": Query(q_live_pipeline_summary, _live_summary_sql()),
     "risk_limits": Query(q_risk_limits, SQL_RISK_LIMITS),
     "ledger_daily_summary": Query(q_ledger_daily_summary, SQL_LEDGER_DAILY_SUMMARY),
     "ledger_exit_stats": Query(q_ledger_exit_stats, SQL_LEDGER_EXIT_STATS),
