@@ -111,7 +111,15 @@ def main() -> None:
     r01_base: dict[str, float] = {}
     if _r01_path.exists():
         try:
-            r01_base = json.loads(_r01_path.read_text()).get("queries", {})
+            _rec = json.loads(_r01_path.read_text())
+            if "queries" not in _rec and "tail" in _rec:
+                # the driver's record wraps this script's JSON line in
+                # a "tail" capture — unwrap it
+                import re as _re
+
+                _m = _re.search(r'\{"metric".*', _rec["tail"])
+                _rec = json.loads(_m.group(0)) if _m else {}
+            r01_base = _rec.get("queries", {})
         except Exception:
             r01_base = {}
 
