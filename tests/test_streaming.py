@@ -1234,3 +1234,42 @@ def test_live_pipeline_supervised_end_to_end(spark, sf_dir, raw_events_dir, tmp)
         for r in spark.read.parquet(summary_dir).collect()
     }
     assert summ == roll and len(summ) > 0
+
+
+def test_live_pipeline_restart_after_completion_is_idempotent(
+    spark, sf_dir, raw_events_dir, tmp
+):
+    """Restarting the completed live pipeline on the same checkpoint
+    (an operator rerun, or a supervisor restart after the feed went
+    quiet) must leave both sinks byte-identical: no re-appended
+    trades, no double-counted summary days — the epoch-keyed ledger
+    overwrite contract."""
+    from zcode_iceberg_spark.streaming.lifecycle import supervise
+    from zcode_iceberg_spark.streaming.pipeline import live_tick_pipeline
+
+    start, ledger_dir, summary_dir = live_tick_pipeline(
+        spark, raw_events_dir, sf_dir, str(tmp / "live2"), trigger_sec=0.5
+    )
+
+    def until(q):
+        data = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        idle = q.lastProgress is not None and (
+            q.lastProgress["numInputRows"] == 0
+        )
+        return len(data) >= 3 and idle
+
+    assert supervise(start, until=until)["completed"] is True
+    snap = lambda d: sorted(
+        tuple(r) for r in spark.read.parquet(d).collect()
+    )
+    led1, sum1 = snap(ledger_dir), snap(summary_dir)
+
+    def until2(q):
+        return q.lastProgress is not None and (
+            q.lastProgress["numInputRows"] == 0
+        )
+
+    assert supervise(start, until=until2)["completed"] is True
+    assert snap(ledger_dir) == led1
+    assert snap(summary_dir) == sum1
+    assert len(led1) > 0

@@ -972,16 +972,14 @@ def live_tick_pipeline(
     processing-time trigger. Returns (start_fn, ledger_dir,
     summary_dir): pass ``start_fn`` to lifecycle.supervise for the
     H9 crash/staleness lifecycle — restarts resume from the
-    checkpoint, and foreachBatch replays are idempotent per epoch
-    for the summary (partition overwrite) while the ledger append
-    relies on the FSM's exactly-once state commits.
+    checkpoint, and foreachBatch replays are idempotent per epoch on
+    BOTH sinks: the ledger lands as epoch-keyed overwrite partitions
+    (day-partitioned inside, so readers still prune by day) and the
+    summary is a per-day partition overwrite.
 
     Batch twin (hash-oracled registry entry): suite/stateful.py:
     q_live_pipeline_ledger — same gate, same kernels."""
-    from zcode_iceberg_spark.sources.sinks import (
-        upsert_daily_partitions,
-        write_partitioned_append,
-    )
+    from zcode_iceberg_spark.sources.sinks import upsert_daily_partitions
     from zcode_iceberg_spark.suite.scoring import live_entry_gates
 
     ledger_dir = f"{out_dir}/ledger"
@@ -1001,8 +999,18 @@ def live_tick_pipeline(
         try:
             if b.count() == 0:
                 return
-            write_partitioned_append(b, ledger_dir, "exit_ts")
-            # cumulative per-day rollup over everything appended so far,
+            # epoch-keyed overwrite, day-partitioned inside: foreachBatch
+            # is at-least-once, so a crash-replayed epoch REWRITES its own
+            # batch_id partition instead of double-appending trades (the
+            # route_quarantine/passage-ledger sink rule); day stays a
+            # partition column so readers still prune by day
+            (
+                b.withColumn("day", F.date_format("exit_ts", "yyyy-MM-dd"))
+                .write.mode("overwrite")
+                .partitionBy("day")
+                .parquet(f"{ledger_dir}/batch_id={epoch_id}")
+            )
+            # cumulative per-day rollup over everything landed so far,
             # upserted into ONLY the days this batch touched (A8)
             days = [r["day"] for r in b.select(
                 F.date_format("exit_ts", "yyyy-MM-dd").alias("day")
