@@ -46,8 +46,9 @@ PRIORITY = [
     # this round's delta). Front: queries whose RESULTS or ORACLES
     # changed this round — the five new entries (lstm_trend_micro,
     # trend_dual_fusion, rfm_segments_approx, live_pipeline_ledger,
-    # live_pipeline_summary — displacing vocab_topk, green r5, whose
-    # TakeOrderedAndProject kernel stays in-window via tf_idf-family),
+    # live_pipeline_summary, equity_compounding — displacing
+    # vocab_topk and bpe_encode, both green r5; the top-k and
+    # BPE-segment kernels stay pytest-oracled at sf0.001),
     # the dual-retrained rows-only trend_lstm_training, the 9
     # IVF-family queries (Lloyd-trained centroids changed every row),
     # and funnel_conversion (0-denominator guard changed the oracle).
@@ -63,6 +64,7 @@ PRIORITY = [
     "rfm_segments_approx",
     "live_pipeline_ledger",
     "live_pipeline_summary",
+    "equity_compounding",
     "funnel_conversion",
     "ann_ivf",
     "ann_ivf_recall",
@@ -108,7 +110,6 @@ PRIORITY = [
     "lsh_precision",
     "lsh_recall",
     "lsh_recall_rebanded",
-    "bpe_encode",
 ]
 
 

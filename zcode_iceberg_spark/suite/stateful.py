@@ -420,6 +420,154 @@ def q_live_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _live_summary_sql() -> str:
     return fsm_closed_cte(_live_dec_block()) + "," + _DAILY_SUMMARY_TAIL
 
+
+# Vol-regime compounding sizing (reference risk_manager.py:148-178 +
+# config VOL_REGIME_{HIGH,LOW}_SIZE_PCT 15%/20%): each trade's margin
+# comes from the EVOLVING balance, not a constant — the sequential
+# dependency trade_params' static sizing deliberately omits.
+EQ_INIT_BALANCE = 1000.0  # trade_params' balance constant
+EQ_HIGH_PCT, EQ_LOW_PCT = 0.15, 0.20
+EQ_MIN_MARGIN, EQ_MAX_MARGIN = 4.0, 10000.0  # config.py:25-26
+EQ_LEVERAGE = 25.0
+
+
+def q_equity_compounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G13/A11 compounding twin: replay the FSM ledger with the
+    reference's vol-regime COMPOUNDING position sizing
+    (risk_manager.py:148-178): per user, equity starts at the balance
+    constant and every closed trade k sizes from equity_{k-1} —
+    margin = clamp(eq·pct(regime), [MIN, MAX]), qty =
+    max(0.001, round(margin·LEV/entry, 6)), pnl re-scaled by that
+    qty, equity compounds. regime is the per-key ATR% classification
+    trade_params publishes (HIGH → 15 %, else 20 % — reference
+    config: VOL_REGIME_HIGH_SIZE_PCT/VOL_REGIME_LOW_SIZE_PCT).
+
+    Spark shape: a per-key F.aggregate fold over the sort_array'd
+    trade list (the EMA recursion precedent — trades per key are
+    bounded by the one-position-at-a-time FSM), regimes broadcast;
+    pure expressions, no UDF. Oracle: a recursive CTE walks the same
+    trades in trade_seq order (the FSM-walk precedent)."""
+    from zcode_iceberg_spark.suite.scoring import _features
+
+    led = st.position_fsm(_decisions(spark, sf_dir))
+    regime = (
+        F.when(F.col("atr_pct") < 0.05, "LOW")
+        .when(F.col("atr_pct") > 0.30, "HIGH")
+        .otherwise("NEUTRAL")
+    )
+    regimes = _features(spark, sf_dir).select(
+        "user_id", regime.alias("regime")
+    )
+    arr = led.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("trade_seq", "side", "entry_price", "exit_price")
+            )
+        ).alias("ts")
+    )
+    j = arr.join(F.broadcast(regimes), "user_id")
+    pct = F.when(F.col("regime") == "HIGH", F.lit(EQ_HIGH_PCT)).otherwise(
+        F.lit(EQ_LOW_PCT)
+    )
+    out_type = (
+        "array<struct<trade_seq:int,margin:double,qty:double,"
+        "pnl:double,equity:double>>"
+    )
+
+    def step(acc, t):
+        margin = F.greatest(
+            F.lit(EQ_MIN_MARGIN),
+            F.least(acc["eq"] * pct, F.lit(EQ_MAX_MARGIN)),
+        )
+        qty = F.greatest(
+            F.lit(0.001),
+            F.round(margin * F.lit(EQ_LEVERAGE) / t["entry_price"], 6),
+        )
+        dirn = F.when(t["side"] == "LONG", F.lit(1.0)).otherwise(F.lit(-1.0))
+        pnl = (t["exit_price"] - t["entry_price"]) * dirn * qty
+        eq = acc["eq"] + pnl
+        row = F.struct(
+            t["trade_seq"].alias("trade_seq"),
+            margin.alias("margin"),
+            qty.alias("qty"),
+            pnl.alias("pnl"),
+            eq.alias("equity"),
+        )
+        return F.struct(
+            eq.alias("eq"),
+            F.concat(acc["out"], F.array(row)).alias("out"),
+        )
+
+    acc0 = F.struct(
+        F.lit(EQ_INIT_BALANCE).alias("eq"),
+        F.array().cast(out_type).alias("out"),
+    )
+    folded = j.select(
+        "user_id",
+        "regime",
+        F.aggregate("ts", acc0, step)["out"].alias("out"),
+    )
+    r = folded.select("user_id", "regime", F.explode("out").alias("r"))
+    return r.select(
+        "user_id",
+        F.col("r.trade_seq").alias("trade_seq"),
+        "regime",
+        F.round("r.margin", 6).alias("margin"),
+        F.col("r.qty").alias("qty"),
+        (st.micro("r.pnl") / F.lit(1e6)).alias("pnl"),
+        (st.micro("r.equity") / F.lit(1e6)).alias("equity"),
+    )
+
+
+def _equity_compounding_sql() -> str:
+    from zcode_iceberg_spark.suite.scoring import FEATURES_CTE
+
+    pct = f"CASE WHEN t.regime = 'HIGH' THEN {EQ_HIGH_PCT} ELSE {EQ_LOW_PCT} END"
+    margin = (
+        f"greatest({EQ_MIN_MARGIN}, least(w.eq * ({pct}), {EQ_MAX_MARGIN}))"
+    )
+    qty = f"greatest(0.001, round(({margin}) * {EQ_LEVERAGE} / t.entry_price, 6))"
+    dirn = "CASE WHEN t.side = 'LONG' THEN 1.0 ELSE -1.0 END"
+    pnl = f"(t.exit_price - t.entry_price) * ({dirn}) * ({qty})"
+    return f"""{_FSM_CLOSED_CTE},
+{FEATURES_CTE},
+regimes AS (
+  SELECT user_id,
+         CASE WHEN atr_pct < 0.05 THEN 'LOW'
+              WHEN atr_pct > 0.30 THEN 'HIGH'
+              ELSE 'NEUTRAL' END AS regime
+  FROM features
+),
+tr AS (
+  SELECT c.user_id,
+         row_number() OVER (PARTITION BY c.user_id
+                            ORDER BY c.trade_seq) AS k,
+         c.trade_seq, c.side, c.entry_price, c.exit_price, r.regime
+  FROM closed c JOIN regimes r ON r.user_id = c.user_id
+),
+eqwalk AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS k,
+         CAST({EQ_INIT_BALANCE} AS DOUBLE) AS eq,
+         CAST(NULL AS INTEGER) AS trade_seq,
+         CAST(NULL AS VARCHAR) AS regime,
+         CAST(NULL AS DOUBLE) AS margin,
+         CAST(NULL AS DOUBLE) AS qty,
+         CAST(NULL AS DOUBLE) AS pnl
+  FROM (SELECT DISTINCT user_id FROM tr)
+  UNION ALL
+  SELECT w.user_id, t.k, w.eq + ({pnl}),
+         t.trade_seq, t.regime, ({margin}), ({qty}), ({pnl})
+  FROM eqwalk w
+  JOIN tr t ON t.user_id = w.user_id AND t.k = w.k + 1
+)
+SELECT user_id, trade_seq, regime,
+       round(margin, 6) AS margin,
+       qty,
+       CAST(round(pnl * 1e6) AS BIGINT) / 1000000.0 AS pnl,
+       CAST(round(eq * 1e6) AS BIGINT) / 1000000.0 AS equity
+FROM eqwalk WHERE trade_seq IS NOT NULL
+"""
+
 _DAILY_SUMMARY_TAIL = """
 g AS (
   SELECT strftime(exit_ts, '%Y-%m-%d') AS day,
@@ -737,6 +885,9 @@ QUERIES = {
     "wp_calibration": Query(q_wp_calibration, _wp_calibration_sql()),
     "live_pipeline_ledger": Query(q_live_pipeline_ledger, _live_pipeline_sql()),
     "live_pipeline_summary": Query(q_live_pipeline_summary, _live_summary_sql()),
+    "equity_compounding": Query(
+        q_equity_compounding, _equity_compounding_sql()
+    ),
     "risk_limits": Query(q_risk_limits, SQL_RISK_LIMITS),
     "ledger_daily_summary": Query(q_ledger_daily_summary, SQL_LEDGER_DAILY_SUMMARY),
     "ledger_exit_stats": Query(q_ledger_exit_stats, SQL_LEDGER_EXIT_STATS),
