@@ -1273,3 +1273,67 @@ def test_live_pipeline_restart_after_completion_is_idempotent(
     assert snap(ledger_dir) == led1
     assert snap(summary_dir) == sum1
     assert len(led1) > 0
+
+
+def test_live_pipeline_crash_resume_preserves_state(
+    spark, sf_dir, raw_events_dir, tmp, monkeypatch
+):
+    """H9 × H6 for the COMPOSED job: a crash inside the sink of the
+    first trade-bearing epoch (after its ledger partition landed, so
+    the replay truly re-delivers a written epoch) → supervise restarts
+    riding the checkpoint; the fused GroupState (z buffers + open
+    positions + trade numbering) must rehydrate so the final ledger
+    still equals the batch twin exactly — no lost, duplicated, or
+    renumbered trades."""
+    import zcode_iceberg_spark.sources.sinks as sinks
+    from zcode_iceberg_spark.streaming.lifecycle import supervise
+    from zcode_iceberg_spark.streaming.pipeline import live_tick_pipeline
+    from zcode_iceberg_spark.suite.stateful import q_live_pipeline_ledger
+
+    real = sinks.upsert_daily_partitions
+    crashed = {"done": False}
+
+    def flaky(df, path, partition_col="day"):
+        if not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected sink crash")
+        return real(df, path, partition_col)
+
+    monkeypatch.setattr(sinks, "upsert_daily_partitions", flaky)
+    start, ledger_dir, summary_dir = live_tick_pipeline(
+        spark, raw_events_dir, sf_dir, str(tmp / "live3"), trigger_sec=0.5
+    )
+
+    def until(q):
+        # the post-restart query may hold FEWER than 3 pending files
+        # (committed epochs are not re-delivered), so completion is
+        # "processed something, now idle" — an idle batch only fires
+        # once no source files are pending, and a pre-crash first
+        # attempt can never look idle mid-feed
+        data = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        idle = q.lastProgress is not None and (
+            q.lastProgress["numInputRows"] == 0
+        )
+        return bool(data) and idle
+
+    report = supervise(start, max_restarts=3, backoff_sec=0.1, until=until)
+    assert report["completed"] is True
+    assert report["restarts"] == 1
+    assert any("injected sink crash" in f for f in report["failures"])
+
+    key = lambda r: (r["user_id"], r["trade_seq"])
+    val = lambda r: (
+        r["side"], round(r["entry_price"], 6), round(r["exit_price"], 6),
+        r["exit_reason"], round(r["pnl"], 6),
+    )
+    got = {key(r): val(r) for r in spark.read.parquet(ledger_dir).collect()}
+    want = {
+        key(r): val(r)
+        for r in q_live_pipeline_ledger(spark, sf_dir).collect()
+        if r["exit_reason"] != "EOD"
+    }
+    # exactly-once despite the replayed epoch (epoch-keyed overwrite)
+    n_rows = spark.read.parquet(ledger_dir).count()
+    assert n_rows == len(got)  # no duplicate (user, seq) rows on disk
+    assert len(got) == len(want) > 0
+    assert got == want
