@@ -1,0 +1,214 @@
+"""Property + plan tests for the structured-curation block
+(suite/linkage.py): Bloom-gated dedup, Count-Min sketch, blocked
+record linkage, containment near-dup, closed-form OLS.
+
+The cross-engine value agreement is covered per-query by
+tests/test_oracle_suite.py; these tests pin the SEMANTIC guarantees
+the oracle comparison can't see (no false negatives, no undercounts,
+bounded pair generation) and the physical plan shapes the docstrings
+claim."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import numpy as np
+import pandas as pd
+
+from zcode_iceberg_spark.suite import linkage
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = linkage.QUERIES[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ------------------------------------------------------------------ bloom
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """Bloom's one hard guarantee: every exact duplicate is flagged a
+    candidate. A single violation means the bitset build or the probe
+    lost a position."""
+    rows = linkage.QUERIES["dedup_bloom"].fn(spark, sf_dir).collect()
+    assert rows, "batch should be non-empty"
+    for r in rows:
+        if r.is_exact_dup:
+            assert r.bloom_candidate, f"false negative at doc {r.doc_id}"
+
+
+def test_bloom_flags_planted_dup_not_uniques(spark, tmp_path):
+    """Synthetic corpus with a KNOWN cross-split duplicate: the dup is
+    flagged, and the unique batch docs are not (with 4×32-bit lanes
+    over a 2¹⁸-bit filter and a few hundred set bits, a false positive
+    on this fixed corpus would mean the position derivation is wrong,
+    not bad luck — the hashes are deterministic)."""
+    docs = [(i, f"unique hist text {i} padding words") for i in range(80)]
+    docs += [(80 + i, f"unique batch text {i} more words") for i in range(19)]
+    docs.append((99, docs[3][1]))  # doc 99 duplicates hist doc 3
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = str(tmp_path / "synth")
+    df.write.parquet(f"{out}/documents.parquet")
+    rows = {
+        r.doc_id: r
+        for r in linkage.QUERIES["dedup_bloom"].fn(spark, out).collect()
+    }
+    assert rows[99].bloom_candidate and rows[99].is_exact_dup
+    for i in range(80, 99):
+        assert not rows[i].is_exact_dup
+        assert not rows[i].bloom_candidate, f"false positive at {i}"
+
+
+def test_bloom_bitset_is_broadcast(spark, sf_dir):
+    p = _plan(spark, sf_dir, "dedup_bloom")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+# -------------------------------------------------------------------- CMS
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    """min-over-depths of non-negative cell sums ≥ true count — the
+    Count-Min guarantee. An undercount means a lane's positions
+    diverged between build and probe."""
+    rows = linkage.QUERIES["cms_heavy_hitters"].fn(spark, sf_dir).collect()
+    assert len(rows) == linkage.CMS_TOPN
+    for r in rows:
+        assert r.cms_est >= r.exact_cnt, r.tok
+        assert r.overcount == r.cms_est - r.exact_cnt
+
+
+def test_cms_sketch_is_constant_size(spark, sf_dir):
+    """The sketch the estimates join against is ≤ D×W rows regardless
+    of corpus size — the mergeable-sketch contract."""
+    p = _plan(spark, sf_dir, "cms_heavy_hitters")
+    assert "BroadcastHashJoin" in p  # cells side is broadcast
+    assert "CartesianProduct" not in p
+
+
+# ---------------------------------------------------------- record linkage
+
+
+def test_record_linkage_pairs_are_distinct_spellings(spark, sf_dir):
+    rows = linkage.QUERIES["record_linkage"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # stage-1 collapse means lev=0 pairs cannot exist
+        assert 1 <= r.lev_dist <= linkage.LINK_MAX_LEV
+        assert r.name_a < r.name_b
+        # blocking key: same final noun
+        assert r.name_a.split()[-1] == r.name_b.split()[-1]
+        assert r.n_a >= 1 and r.n_b >= 1
+
+
+def test_record_linkage_no_cartesian(spark, sf_dir):
+    p = _plan(spark, sf_dir, "record_linkage")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+# ------------------------------------------------------------- containment
+
+
+def test_containment_bounds_and_order(spark, sf_dir):
+    rows = (
+        linkage.QUERIES["containment_dedup"].fn(spark, sf_dir).collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert linkage.CONT_MIN <= r.containment <= 1.0
+        assert r.inter_cnt >= 1
+
+
+def test_containment_includes_exact_dups(spark, sf_dir):
+    """Exact duplicate docs (the corpus plants them — dedup_exact
+    finds >0) have containment 1.0, so the pair set must contain at
+    least one 1.0 pair if any planted dup shares a rare shingle."""
+    rows = (
+        linkage.QUERIES["containment_dedup"].fn(spark, sf_dir).collect()
+    )
+    assert any(abs(r.containment - 1.0) < 1e-9 for r in rows)
+
+
+def test_containment_no_cartesian(spark, sf_dir):
+    p = _plan(spark, sf_dir, "containment_dedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+# -------------------------------------------------------------------- OLS
+
+
+def test_ols_matches_numpy_lstsq(spark, sf_dir):
+    """The closed-form moment solve must agree with an independent
+    dense least-squares fit (numpy lstsq over the raw rows) — the
+    cross-check that the Cramer algebra is right, not just
+    cross-engine consistent."""
+    row = linkage.QUERIES["ols_regression"].fn(spark, sf_dir).collect()[0]
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    X = np.column_stack(
+        [np.ones(len(li)), li["l_quantity"].values, li["l_discount"].values]
+    )
+    y = li["l_extendedprice"].values
+    beta, _, _, _ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ beta
+    r2 = 1.0 - (resid @ resid) / ((y - y.mean()) @ (y - y.mean()))
+    assert row.n_rows == len(li)
+    assert abs(row.b0 - beta[0]) < 1e-3 * max(1.0, abs(beta[0]))
+    assert abs(row.b1 - beta[1]) < 1e-3 * max(1.0, abs(beta[1]))
+    assert abs(row.b2 - beta[2]) < 1e-3 * max(1.0, abs(beta[2]))
+    assert abs(row.r2 - r2) < 1e-6
+
+
+def test_ols_single_scan_partial_agg(spark, sf_dir):
+    """One pass: exactly one lineitem scan, map-side partial
+    aggregation below the 1-row exchange."""
+    import re
+
+    p = _plan(spark, sf_dir, "ols_regression")
+    # formatted mode prints each node once in the tree and once in the
+    # detail section — count the numbered detail entries only
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+    assert "partial" in p.lower()
+    assert "Exchange" in p
+
+
+# ------------------------------------------------------------ scale smokes
+
+
+def test_bloom_candidate_mass_bounded_under_flood(spark, sf_dir, tmp_path):
+    """100× duplicate flood: replicate the batch's duplicate texts and
+    confirm the bloom probe stays a broadcast join (the byte table
+    size is corpus-bound, M/8 rows max, independent of batch size)."""
+    import pyspark.sql.functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = d.count()
+    # interleave replicas across the id space (rep-major) so every
+    # text lands on BOTH sides of the historical/batch split
+    flood = d.crossJoin(
+        F.broadcast(spark.range(100).select(F.col("id").alias("rep")))
+    ).select(
+        (F.col("rep") * n_docs + F.col("doc_id")).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    out = str(tmp_path / "flood")
+    flood.write.parquet(f"{out}/documents.parquet")
+    for t in ["part", "lineitem"]:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).write.parquet(
+            f"{out}/{t}.parquet"
+        )
+    df = linkage.QUERIES["dedup_bloom"].fn(spark, out)
+    n = df.count()
+    flagged = df.filter("bloom_candidate").count()
+    assert n > 0 and 0 < flagged <= n

@@ -58,6 +58,16 @@ PRIORITY = [
     # query pushed past the window holds a green r8-or-earlier driver
     # row and stays oracle-checked at sf0.001 on every pytest run
     # (tests/test_oracle_suite.py).
+    # Session-2 additions (no driver row yet — new queries lead the
+    # window per the rotation policy; the five tail slots they consume
+    # — boilerplate_strip, corpus_pipeline, lsh_precision, lsh_recall,
+    # lsh_recall_rebanded — all hold green r5 driver rows and stay
+    # oracle-checked at sf0.001 on every pytest run).
+    "dedup_bloom",
+    "cms_heavy_hitters",
+    "record_linkage",
+    "containment_dedup",
+    "ols_regression",
     "trend_lstm_training",
     "lstm_trend_micro",
     "trend_dual_fusion",
@@ -105,11 +115,6 @@ PRIORITY = [
     "late_ship_exists",
     "signal_scores",
     "passage_dedup",
-    "boilerplate_strip",
-    "corpus_pipeline",
-    "lsh_precision",
-    "lsh_recall",
-    "lsh_recall_rebanded",
 ]
 
 
@@ -121,6 +126,7 @@ def registry() -> dict[str, Query]:
         relational,
         scoring,
         llm,
+        linkage,
         stateful,
         media,
         formats,
@@ -128,8 +134,8 @@ def registry() -> dict[str, Query]:
 
     out: dict[str, Query] = {}
     for mod in (
-        flow, timeseries, orderbook, relational, scoring, llm, stateful,
-        media, formats,
+        flow, timeseries, orderbook, relational, scoring, llm, linkage,
+        stateful, media, formats,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:

@@ -1,0 +1,645 @@
+"""Record linkage, Bloom-gated dedup, Count-Min sketching, containment
+near-dup, and closed-form regression — the "structured-data curation"
+suite block. These are the pipeline stages a 100 TB training-data
+build needs BETWEEN the text-dedup family (suite/llm.py) and the
+relational family (suite/relational.py): entity resolution over
+structured records, constant-memory membership/frequency sketches,
+asymmetric (containment) duplicate detection for quote/subset pairs,
+and one-pass model fitting via mergeable moments.
+
+Scale design notes (the point of this block):
+
+- ``dedup_bloom``: the Bloom bitset is built DISTRIBUTEDLY as a
+  byte-indexed table (``pos >> 3`` → ``bit_or`` of lane masks) —
+  at most M/8 rows regardless of corpus size — then broadcast, so
+  membership probing is a map-side broadcast-hash-join + two bit ops
+  per position. History text is hashed once; the probe side never
+  touches historical text. No false negatives by construction (the
+  property test pins it); false positives are priced by the exact
+  verification column. At 100 TB: M grows with the historical key
+  count (n·k/ln2 bits), but the byte table stays millions of rows —
+  broadcastable — while the exact-join alternative would shuffle the
+  full historical hash set per ingest batch.
+- ``cms_heavy_hitters``: the Count-Min sketch is a D×W grid built by
+  one hash-aggregate over (depth, cell) — a partial-agg-friendly,
+  cell-wise-summable (mergeable across days/shards) shape. Estimates
+  upper-bound true counts (min over D cells ≥ exact; pinned by a
+  property test and the overcount audit column).
+- ``record_linkage``: blocking on (name noun, p_type) turns the
+  quadratic all-pairs comparison into per-block equi-join pairs; the
+  edit-distance match runs ONLY inside blocks. At 10⁹ records the
+  production recipe adds a secondary length-bucket key and routes
+  oversized blocks through the LSH family (operators/text.py) — this
+  query is the exact-verification stage that only ever sees candidate
+  pairs.
+- ``containment_dedup``: candidate pairs come from RARE shingles only
+  (2 ≤ doc-frequency ≤ RARE_DF), which bounds candidate generation to
+  O(RARE_DF · Σdf) instead of Σdf² — the hot-shingle analog of the
+  hot-block rule used by the embedding near-dup path. The exact
+  intersection is then computed only for candidates.
+- ``ols_regression``: the normal-equation moments are EXACT decimal
+  sums (one scan, map-side partial agg, 1-row exchange); the 2×2
+  solve is a constant-size scalar expression. This is "ML at 100 TB"
+  in its cheapest honest form: a single pass producing a mergeable
+  sufficient statistic, no iteration, no driver data movement.
+
+Cross-engine determinism: hash positions derive from md5 hex slices
+(the suite-wide convention, suite/llm.py WORD_HASH_SQL); decimal sums
+are exact in both engines before the single cast to double; the
+closed-form arithmetic is the SAME expression text on both sides, so
+IEEE doubles match bit-for-bit before the round(6).
+
+Reference parity: the reference has no structured-record linkage or
+sketch layer (its dedup surface is covered by suite/llm.py); this
+block is part of the driver-mandated LLM-pipeline surface (build
+brief: dedup / text analysis families) — SURVEY.md §2 notes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zcode_iceberg_spark.sources.tables import load_table
+from zcode_iceberg_spark.suite import Query
+from zcode_iceberg_spark.suite.llm import INCR_SPLIT_FRAC, _reuse
+
+# ------------------------------------------------------------------ bloom
+
+BLOOM_M = 1 << 18  # bits in the filter (byte table ≤ 32768 rows)
+# four independent 32-bit hash lanes = disjoint md5 hex slices
+_BLOOM_SLICES = [(1, 8), (9, 8), (17, 8), (25, 8)]
+
+
+def _bloom_pos_spark(col):
+    """k Bloom positions for a string column (Spark side)."""
+    h = F.md5(col)
+    return [
+        (F.conv(F.substring(h, start, width), 16, 10).cast("bigint") % BLOOM_M)
+        for start, width in _BLOOM_SLICES
+    ]
+
+
+def _bloom_pos_sql(x: str) -> list[str]:
+    """Same k positions, DuckDB spelling."""
+    return [
+        f"(CAST(concat('0x', substr(md5({x}), {start}, {width})) AS BIGINT)"
+        f" % {BLOOM_M})"
+        for start, width in _BLOOM_SLICES
+    ]
+
+
+def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated incremental dedup: the newest {1-split} of doc ids
+    play the incoming batch, membership-tested against a Bloom filter
+    of the HISTORICAL corpus's content hashes, then exact-verified.
+
+    Output per new doc: ``bloom_candidate`` (all k bit positions set)
+    and ``is_exact_dup`` (true duplicate). bloom_candidate is a strict
+    superset of is_exact_dup (no false negatives); the gap between the
+    two columns is the filter's measured false-positive mass.
+
+    Scale shape: the bitset is a ≤ M/8-row byte table (pos>>3 →
+    bit_or of 1<<(pos&7)) built by one hash aggregate and BROADCAST;
+    the probe is a map-side broadcast join + bit test. The exact
+    verification join runs only over the (tiny) historical hash set —
+    in production it runs only over bloom-positive rows, so the
+    historical shuffle is proportional to the candidate mass, not the
+    batch."""
+    d = load_table(spark, sf_dir, "documents")
+    cut = d.agg(
+        F.floor(F.lit(INCR_SPLIT_FRAC) * (F.max("doc_id") + 1)).cast("bigint")
+    ).collect()[0][0]
+
+    hashed = d.select("doc_id", F.md5("text").alias("content_hash"))
+    hist = hashed.filter(F.col("doc_id") < cut)
+    new = hashed.filter(F.col("doc_id") >= cut)
+
+    pos_cols = _bloom_pos_spark(F.col("content_hash"))
+    hist_pos = (
+        hist.select(F.explode(F.array(*pos_cols)).alias("pos")).distinct()
+    )
+    bits = hist_pos.select(
+        F.expr("shiftright(pos, 3)").alias("byte_idx"),
+        F.expr("shiftleft(1, CAST(pos & 7 AS INT))").alias("lane"),
+    ).groupBy("byte_idx").agg(F.bit_or("lane").alias("byte_mask"))
+
+    new_pos = new.select(
+        "doc_id",
+        "content_hash",
+        F.explode(F.array_distinct(F.array(*pos_cols))).alias("pos"),
+    )
+    probed = new_pos.join(
+        F.broadcast(bits),
+        F.expr("shiftright(pos, 3)") == F.col("byte_idx"),
+        "left",
+    ).select(
+        "doc_id",
+        "content_hash",
+        F.coalesce(
+            F.expr("(shiftright(byte_mask, CAST(pos & 7 AS INT)) & 1)"),
+            F.lit(0),
+        ).alias("hit"),
+    )
+    cand = probed.groupBy("doc_id", "content_hash").agg(
+        (F.min("hit") == 1).alias("bloom_candidate")
+    )
+    exact = (
+        cand.join(
+            hist.select("content_hash").distinct().withColumn(
+                "in_hist", F.lit(1)
+            ),
+            "content_hash",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "bloom_candidate",
+            F.col("in_hist").isNotNull().alias("is_exact_dup"),
+        )
+    )
+    return exact
+
+
+_BP = _bloom_pos_sql("content_hash")
+SQL_DEDUP_BLOOM = f"""
+WITH cut AS (
+  SELECT CAST(floor({INCR_SPLIT_FRAC} * (max(doc_id) + 1)) AS BIGINT) AS c
+  FROM documents
+),
+hashed AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+hist AS (SELECT h.* FROM hashed h, cut WHERE h.doc_id < cut.c),
+new AS (SELECT h.* FROM hashed h, cut WHERE h.doc_id >= cut.c),
+hist_pos AS (
+  SELECT DISTINCT unnest([{", ".join(_BP)}]) AS pos FROM hist
+),
+bits AS (
+  SELECT pos >> 3 AS byte_idx, bit_or(1 << (pos & 7)) AS byte_mask
+  FROM hist_pos GROUP BY 1
+),
+new_pos AS (
+  SELECT doc_id, content_hash,
+         unnest(list_distinct([{", ".join(_BP)}])) AS pos
+  FROM new
+),
+probed AS (
+  SELECT n.doc_id, n.content_hash,
+         coalesce((b.byte_mask >> CAST(n.pos & 7 AS INT)) & 1, 0) AS hit
+  FROM new_pos n LEFT JOIN bits b ON (n.pos >> 3) = b.byte_idx
+),
+cand AS (
+  SELECT doc_id, content_hash, min(hit) = 1 AS bloom_candidate
+  FROM probed GROUP BY 1, 2
+)
+SELECT c.doc_id, c.bloom_candidate,
+       EXISTS (SELECT 1 FROM hist h WHERE h.content_hash = c.content_hash)
+         AS is_exact_dup
+FROM cand c
+"""
+
+# ------------------------------------------------------------------ CMS
+
+CMS_W = 256  # cells per depth row
+CMS_SEEDS = ["cms0", "cms1", "cms2"]  # depth = 3 independent lanes
+CMS_TOPN = 20
+
+
+def _cms_pos_spark(col, seed: str):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + "-"), col)), 1, 15), 16, 10
+        ).cast("bigint")
+        % CMS_W
+    )
+
+
+def _cms_pos_sql(x: str, seed: str) -> str:
+    return (
+        f"(CAST(concat('0x', substr(md5(concat('{seed}-', {x})), 1, 15)) "
+        f"AS BIGINT) % {CMS_W})"
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch vs exact truth for the corpus's top tokens.
+
+    Builds a D×W CMS over the token stream with ONE hash aggregate
+    (depth, cell) → count — the mergeable shape: tomorrow's sketch
+    adds cell-wise, shards union cell-wise, nothing is rescanned.
+    Then estimates the exact top-{CMS_TOPN} tokens' frequencies from
+    the sketch and reports the per-token overcount (CMS estimates
+    never undercount; property-tested).
+
+    Scale shape: the sketch is {len(CMS_SEEDS)}×{CMS_W} rows TOTAL —
+    constant in corpus size; the token stream is scanned once (reused
+    via a persist barrier for the exact side, which at 100 TB would be
+    replaced by the sketch consumer entirely — the exact side here IS
+    the audit)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _reuse(
+        d.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+        ).filter(F.col("tok") != "")
+    )
+    with_pos = toks.select(
+        "tok",
+        *[
+            _cms_pos_spark(F.col("tok"), s).alias(f"pos{i}")
+            for i, s in enumerate(CMS_SEEDS)
+        ],
+    )
+    lanes = ", ".join(
+        f"{i}, pos{i}" for i in range(len(CMS_SEEDS))
+    )
+    cells = (
+        with_pos.select(
+            F.expr(f"stack({len(CMS_SEEDS)}, {lanes}) AS (d, pos)")
+        )
+        .groupBy("d", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("tok"))
+        .limit(CMS_TOPN)
+    )
+    probe = exact.select(
+        "tok",
+        "exact_cnt",
+        *[
+            _cms_pos_spark(F.col("tok"), s).alias(f"pos{i}")
+            for i, s in enumerate(CMS_SEEDS)
+        ],
+    ).select(
+        "tok",
+        "exact_cnt",
+        F.expr(f"stack({len(CMS_SEEDS)}, {lanes}) AS (d, pos)"),
+    )
+    est = (
+        probe.join(F.broadcast(cells), ["d", "pos"], "left")
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "tok",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+    )
+    return est
+
+
+_CMS_POS = [_cms_pos_sql("tok", s) for s in CMS_SEEDS]
+_CMS_LANES_SQL = " UNION ALL ".join(
+    f"SELECT {i} AS d, {p} AS pos, tok FROM toks"
+    for i, p in enumerate(_CMS_POS)
+)
+SQL_CMS_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT t.tok FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+    FROM documents
+  ) t WHERE t.tok <> ''
+),
+lanes AS ({_CMS_LANES_SQL}),
+cells AS (SELECT d, pos, count(*) AS cnt FROM lanes GROUP BY 1, 2),
+exact AS (
+  SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY 1
+  ORDER BY exact_cnt DESC, tok ASC LIMIT {CMS_TOPN}
+),
+probe AS (
+  {" UNION ALL ".join(
+    f"SELECT tok, exact_cnt, {i} AS d, {p} AS pos FROM exact"
+    for i, p in enumerate(_CMS_POS)
+  )}
+)
+SELECT p.tok, p.exact_cnt, min(c.cnt) AS cms_est,
+       min(c.cnt) - p.exact_cnt AS overcount
+FROM probe p LEFT JOIN cells c ON p.d = c.d AND p.pos = c.pos
+GROUP BY p.tok, p.exact_cnt
+"""
+
+# ------------------------------------------------------------ record linkage
+
+LINK_MAX_LEV = 2
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution over the part catalog, in the
+    two-stage shape that survives scale: (1) EXACT-collapse records to
+    distinct (noun, p_type, p_name) entities — min-key representative
+    + member count — then (2) fuzzy-pair only the DISTINCT spellings
+    inside each (noun, p_type) block, linking edit-distance
+    1..LINK_MAX_LEV variants ('new gear' / 'red gear') while lev=0
+    pairs never exist (they were collapsed in stage 1).
+
+    Scale shape: the pair count scales with distinct SPELLINGS, not
+    records — pairing before collapsing is quadratic in per-name
+    duplicate mass (measured 918 k pairs vs a few hundred at sf0.1).
+    The self-join is an equi-join on the blocking key, never a
+    cartesian; at 10⁹ records the production recipe adds a
+    length-bucket secondary key and spills oversized blocks to the
+    MinHash/LSH candidate path (operators/text.py). Levenshtein is
+    evaluated JVM-side (built-in expression) on the bounded distinct
+    pair set."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_type",
+        F.regexp_extract(F.col("p_name"), r"(\S+)$", 1).alias("noun"),
+    )
+    ents = p.groupBy("noun", "p_type", "p_name").agg(
+        F.min("p_partkey").alias("rep_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    a, b = ents.alias("a"), ents.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_type") == F.col("b.p_type"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.p_type").alias("p_type"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.col("a.rep_id").alias("rep_a"),
+            F.col("b.rep_id").alias("rep_b"),
+            F.col("a.n_members").alias("n_a"),
+            F.col("b.n_members").alias("n_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias(
+                "lev_dist"
+            ),
+        )
+        .filter(F.col("lev_dist") <= LINK_MAX_LEV)
+    )
+
+
+SQL_RECORD_LINKAGE = rf"""
+WITH p AS (
+  SELECT p_partkey, p_name, p_type,
+         regexp_extract(p_name, '(\S+)$', 1) AS noun
+  FROM part
+),
+ents AS (
+  SELECT noun, p_type, p_name,
+         min(p_partkey) AS rep_id, count(*) AS n_members
+  FROM p GROUP BY 1, 2, 3
+)
+SELECT a.p_type AS p_type,
+       a.p_name AS name_a, b.p_name AS name_b,
+       a.rep_id AS rep_a, b.rep_id AS rep_b,
+       a.n_members AS n_a, b.n_members AS n_b,
+       levenshtein(a.p_name, b.p_name) AS lev_dist
+FROM ents a JOIN ents b
+  ON a.noun = b.noun AND a.p_type = b.p_type
+ AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {LINK_MAX_LEV}
+"""
+
+# ------------------------------------------------------------ containment
+
+SHINGLE_W = 3  # words per shingle
+RARE_DF = 8  # shingles rarer than this generate candidates
+CONT_MIN = 0.5
+
+
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: C(A→B) = |S(A)∩S(B)| / |S(A)|
+    over word {SHINGLE_W}-shingles — the quote/subset detector that
+    resemblance Jaccard (ngram_jaccard) misses when a small doc is
+    embedded in a much larger one.
+
+    Scale shape: candidate pairs are generated ONLY from rare shingles
+    (2 ≤ df ≤ {RARE_DF}) — the hot-shingle analog of the embedding
+    path's hot-block rule — bounding candidate generation at
+    O(RARE_DF·Σdf) instead of the Σdf² all-pairs blowup a naive
+    shared-shingle join hits on boilerplate shingles. The exact
+    intersection count then runs only over the candidate pair set."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("w")
+    )
+    sh = _reuse(
+        words.filter(F.size("w") >= SHINGLE_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {SHINGLE_W - 1}), "
+                    "i -> concat_ws(' ', element_at(w, i), "
+                    "element_at(w, i + 1), element_at(w, i + 2)))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = dfreq.filter(
+        (F.col("df") >= 2) & (F.col("df") <= RARE_DF)
+    ).select("shingle")
+    rsh = sh.join(rare, "shingle")
+    cand = (
+        rsh.alias("x")
+        .join(
+            rsh.alias("y"),
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    out = (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_sh", "n_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_sh", "n_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_cnt",
+            F.round(
+                F.col("inter_cnt") / F.least(F.col("n_a"), F.col("n_b")), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONT_MIN)
+    )
+    return out
+
+
+SQL_CONTAINMENT_DEDUP = f"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(w) - {SHINGLE_W - 1}),
+           i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))) AS shingle
+  FROM words WHERE len(w) >= {SHINGLE_W}
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+rare AS (SELECT shingle FROM dfreq WHERE df BETWEEN 2 AND {RARE_DF}),
+rsh AS (SELECT s.* FROM sh s JOIN rare r ON s.shingle = r.shingle),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM rsh x JOIN rsh y
+    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter_cnt
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter_cnt,
+       round(i.inter_cnt / least(za.n_sh, zb.n_sh), 6) AS containment
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE round(i.inter_cnt / least(za.n_sh, zb.n_sh), 6) >= {CONT_MIN}
+"""
+
+# ------------------------------------------------------------------ OLS
+
+# exact decimal moment sums: both engines aggregate the SAME exact
+# decimal lattice, then cast ONCE to double — the closed-form solve
+# below is the identical expression text on both sides, so the IEEE
+# arithmetic matches bit-for-bit before the round(6).
+_OLS_MOMENTS = {
+    "n": "CAST(count(*) AS DOUBLE)",
+    "sx1": "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)",
+    "sx2": "CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)",
+    "sy": "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)",
+    "sx1x1": (
+        "CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * "
+        "CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)"
+    ),
+    "sx2x2": (
+        "CAST(sum(CAST(l_discount AS DECIMAL(4,2)) * "
+        "CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)"
+    ),
+    "sx1x2": (
+        "CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * "
+        "CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)"
+    ),
+    "sx1y": (
+        "CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * "
+        "CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+    ),
+    "sx2y": (
+        "CAST(sum(CAST(l_discount AS DECIMAL(4,2)) * "
+        "CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+    ),
+    "syy": (
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+    ),
+}
+
+def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS (y = extendedprice on quantity, discount) via
+    the normal equations over ONE aggregation pass: exact decimal
+    moment sums → centered 2×2 Gram → Cramer solve → R².
+
+    Scale shape: a single scan with map-side partial aggregation into
+    a 10-number sufficient statistic (mergeable across shards/days —
+    the same contract as the sketch family), then constant scalar
+    arithmetic. No iteration, no driver data, no shuffle beyond the
+    1-row final agg. This is the pattern a 100 TB feature-correlation
+    or calibration fit should use before reaching for an iterative
+    solver."""
+    li = load_table(spark, sf_dir, "lineitem")
+    moments = li.agg(
+        *[F.expr(e).alias(k) for k, e in _OLS_MOMENTS.items()]
+    )
+    # lateral-style chained projections keep each symbol single-eval
+    solve = moments.selectExpr(
+        "*",
+        "sx1x1 - sx1 * sx1 / n AS s11",
+        "sx2x2 - sx2 * sx2 / n AS s22",
+        "sx1x2 - sx1 * sx2 / n AS s12",
+        "sx1y - sx1 * sy / n AS s1y",
+        "sx2y - sx2 * sy / n AS s2y",
+        "syy - sy * sy / n AS syc",
+    ).selectExpr("*", "s11 * s22 - s12 * s12 AS det")
+    coef = solve.selectExpr(
+        "*",
+        "(s22 * s1y - s12 * s2y) / det AS b1",
+        "(s11 * s2y - s12 * s1y) / det AS b2",
+    )
+    return coef.selectExpr(
+        "CAST(n AS BIGINT) AS n_rows",
+        "round((sy - b1 * sx1 - b2 * sx2) / n, 6) AS b0",
+        "round(b1, 6) AS b1",
+        "round(b2, 6) AS b2",
+        "round(1 - (syc - b1 * s1y - b2 * s2y) / syc, 6) AS r2",
+    )
+
+
+_M = ",\n       ".join(f"{e} AS {k}" for k, e in _OLS_MOMENTS.items())
+SQL_OLS_REGRESSION = f"""
+WITH moments AS (
+  SELECT {_M}
+  FROM lineitem
+),
+centered AS (
+  SELECT *,
+         sx1x1 - sx1 * sx1 / n AS s11,
+         sx2x2 - sx2 * sx2 / n AS s22,
+         sx1x2 - sx1 * sx2 / n AS s12,
+         sx1y - sx1 * sy / n AS s1y,
+         sx2y - sx2 * sy / n AS s2y,
+         syy - sy * sy / n AS syc
+  FROM moments
+),
+dets AS (SELECT *, s11 * s22 - s12 * s12 AS det FROM centered),
+coef AS (
+  SELECT *,
+         (s22 * s1y - s12 * s2y) / det AS b1,
+         (s11 * s2y - s12 * s1y) / det AS b2
+  FROM dets
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       round((sy - b1 * sx1 - b2 * sx2) / n, 6) AS b0,
+       round(b1, 6) AS b1,
+       round(b2, 6) AS b2,
+       round(1 - (syc - b1 * s1y - b2 * s2y) / syc, 6) AS r2
+FROM coef
+"""
+
+
+QUERIES = {
+    "dedup_bloom": Query(q_dedup_bloom, SQL_DEDUP_BLOOM),
+    "cms_heavy_hitters": Query(q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
+    "record_linkage": Query(q_record_linkage, SQL_RECORD_LINKAGE),
+    "containment_dedup": Query(q_containment_dedup, SQL_CONTAINMENT_DEDUP),
+    "ols_regression": Query(q_ols_regression, SQL_OLS_REGRESSION),
+}
