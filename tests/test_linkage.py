@@ -212,3 +212,20 @@ def test_bloom_candidate_mass_bounded_under_flood(spark, sf_dir, tmp_path):
     n = df.count()
     flagged = df.filter("bloom_candidate").count()
     assert n > 0 and 0 < flagged <= n
+
+
+def test_bloom_persisted_matches_inline(spark, sf_dir):
+    """The persisted-state variant (maintenance-layer build, OR-merge,
+    in-build replay-idempotence check) must reproduce the inline
+    query's rows exactly."""
+    inline = {
+        tuple(r)
+        for r in linkage.QUERIES["dedup_bloom"].fn(spark, sf_dir).collect()
+    }
+    persisted = {
+        tuple(r)
+        for r in linkage.QUERIES["dedup_bloom_persisted"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert inline == persisted and inline

@@ -1337,3 +1337,79 @@ def test_live_pipeline_crash_resume_preserves_state(
     assert n_rows == len(got)  # no duplicate (user, seq) rows on disk
     assert len(got) == len(want) > 0
     assert got == want
+
+
+# --------------------------------------------------------- bloom ingest twin
+
+
+def test_bloom_stream_state_equals_batch_build(spark, sf_dir, raw_docs_dir, tmp):
+    """The streamed bitset must equal the one-shot batch byte table
+    regardless of how the corpus was split into micro-batches —
+    bitwise-OR is associative and commutative, and both paths run the
+    SAME bloom_byte_table kernel."""
+    from zcode_iceberg_spark.streaming.pipeline import bloom_ingest_stream
+    from zcode_iceberg_spark.suite.linkage import (
+        bloom_byte_table,
+        bloom_table_fingerprint,
+    )
+
+    bits_dir = str(tmp / "bloom_bits")
+    q = bloom_ingest_stream(spark, raw_docs_dir, bits_dir, str(tmp / "bloom_ck"))
+    q.awaitTermination()
+    streamed = bloom_table_fingerprint(spark.read.parquet(bits_dir))
+    batch = bloom_table_fingerprint(
+        bloom_byte_table(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                F.md5("text").alias("content_hash")
+            )
+        )
+    )
+    assert streamed == batch and streamed[0] > 0
+
+
+def test_bloom_epoch_replay_is_idempotent_by_algebra(spark, sf_dir, tmp):
+    """Replaying an epoch (at-least-once crash semantics) must leave
+    the bitset byte-identical — no epoch bookkeeping involved, the
+    OR-semilattice absorbs the replay."""
+    from zcode_iceberg_spark.streaming.pipeline import bloom_ingest_step
+    from zcode_iceberg_spark.suite.linkage import bloom_table_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    b0 = docs.filter(F.col("doc_id") <= mid)
+    b1 = docs.filter(F.col("doc_id") > mid)
+    bits_dir = str(tmp / "bloom_replay_bits")
+    bloom_ingest_step(b0, 0, bits_dir)
+    bloom_ingest_step(b1, 1, bits_dir)
+    before = bloom_table_fingerprint(spark.read.parquet(bits_dir))
+    bloom_ingest_step(b1, 1, bits_dir)  # crash replay of epoch 1
+    after = bloom_table_fingerprint(spark.read.parquet(bits_dir))
+    assert before == after
+
+
+def test_bloom_streamed_state_serves_the_query_path(spark, sf_dir, tmp):
+    """Persisted-state replay-idempotence proven THROUGH the query:
+    stream-ingest the historical half only, then probe the batch half
+    against the streamed bitset — flags must equal the inline
+    dedup_bloom query's."""
+    from zcode_iceberg_spark.streaming.pipeline import bloom_ingest_step
+    from zcode_iceberg_spark.suite import linkage
+
+    hist, new, _ = linkage._bloom_split(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist_docs = docs.join(hist.select("doc_id"), "doc_id", "left_semi")
+    mid = hist_docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    bits_dir = str(tmp / "bloom_query_bits")
+    bloom_ingest_step(hist_docs.filter(F.col("doc_id") <= mid), 0, bits_dir)
+    bloom_ingest_step(hist_docs.filter(F.col("doc_id") > mid), 1, bits_dir)
+    via_stream = {
+        (r.doc_id, r.bloom_candidate)
+        for r in linkage.bloom_probe(
+            new, spark.read.parquet(bits_dir)
+        ).collect()
+    }
+    inline = {
+        (r.doc_id, r.bloom_candidate)
+        for r in linkage.QUERIES["dedup_bloom"].fn(spark, sf_dir).collect()
+    }
+    assert via_stream == inline and via_stream

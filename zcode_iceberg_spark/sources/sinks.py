@@ -239,6 +239,36 @@ def merge_upsert(
     Path(tmp).rename(path)
 
 
+def merge_bitwise_or(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str = "byte_idx",
+    mask: str = "byte_mask",
+) -> None:
+    """MERGE for bitmask tables (Bloom bitsets, presence maps): result
+    = per-key ``bit_or`` of target ∪ updates. Unlike row replacement
+    (:func:`merge_upsert`), OR-merge is a join-semilattice — idempotent
+    (re-merging the same update is a no-op) and commutative — so an
+    at-least-once stream can replay an epoch with NO epoch bookkeeping
+    and the table is unchanged by algebra, not by bookkeeping
+    discipline. Staged to a temp directory and swapped in, same as
+    merge_upsert, because lazily reading and overwriting one path
+    would corrupt the table mid-scan."""
+    import shutil as _shutil
+
+    tgt = spark.read.parquet(path)
+    merged = (
+        tgt.unionByName(updates)
+        .groupBy(key)
+        .agg(F.bit_or(mask).alias(mask))
+    )
+    tmp = path.rstrip("/") + ".__merge_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    _shutil.rmtree(path)
+    Path(tmp).rename(path)
+
+
 def zorder_key(bucket_cols: list, bits: int = 8):
     """Morton (Z-order) key: interleave the bits of per-column integer
     buckets so that sorting by the single key keeps rows close in

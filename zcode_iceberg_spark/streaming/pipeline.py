@@ -487,6 +487,56 @@ EMB_SCHEMA = T.StructType(
 )
 
 
+def bloom_ingest_step(batch_df: DataFrame, epoch_id: int, bits_dir: str) -> None:
+    """One Bloom-ingest epoch: OR-merge the arriving docs' byte table
+    into the persisted bitset. Module-level so tests can replay an
+    epoch directly. NO epoch bookkeeping: bitwise-OR is a
+    join-semilattice, so an at-least-once replay re-ORs the same bits
+    and the table is unchanged by ALGEBRA — contrast the epoch-keyed
+    overwrite the row ledgers (passage_dedup_step, live ledger) need
+    to stay exactly-once."""
+    from pathlib import Path as _Path
+
+    from zcode_iceberg_spark.sources.sinks import merge_bitwise_or
+    from zcode_iceberg_spark.suite.linkage import bloom_byte_table
+
+    tbl = bloom_byte_table(
+        batch_df.select(F.md5("text").alias("content_hash"))
+    )
+    if _Path(bits_dir).exists():
+        merge_bitwise_or(batch_df.sparkSession, bits_dir, tbl)
+    else:
+        tbl.write.parquet(bits_dir)
+
+
+def bloom_ingest_stream(
+    spark: SparkSession, src_dir: str, bits_dir: str, checkpoint: str
+):
+    """Streaming twin of the Bloom-state builder
+    (suite/linkage.py:build_bloom_state): each micro-batch of arriving
+    documents OR-merges its byte table into the persisted bitset via
+    the SAME kernel (bloom_byte_table) the batch path uses. The
+    resulting state is batch-identical regardless of how the corpus
+    was split into batches (OR is associative+commutative) — the
+    agreement test pins it — and crash replay is idempotent by
+    algebra. Returns the started query."""
+    raw = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        bloom_ingest_step(batch_df, epoch_id, bits_dir)
+
+    return (
+        raw.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def ann_index_stream(
     spark: SparkSession,
     src_dir: str,

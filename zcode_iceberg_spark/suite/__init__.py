@@ -59,11 +59,13 @@ PRIORITY = [
     # row and stays oracle-checked at sf0.001 on every pytest run
     # (tests/test_oracle_suite.py).
     # Session-2 additions (no driver row yet — new queries lead the
-    # window per the rotation policy; the five tail slots they consume
-    # — boilerplate_strip, corpus_pipeline, lsh_precision, lsh_recall,
-    # lsh_recall_rebanded — all hold green r5 driver rows and stay
-    # oracle-checked at sf0.001 on every pytest run).
+    # window per the rotation policy; the six tail slots they consume
+    # — passage_dedup, boilerplate_strip, corpus_pipeline,
+    # lsh_precision, lsh_recall, lsh_recall_rebanded — all hold green
+    # r5 driver rows and stay oracle-checked at sf0.001 on every
+    # pytest run).
     "dedup_bloom",
+    "dedup_bloom_persisted",
     "cms_heavy_hitters",
     "record_linkage",
     "containment_dedup",
@@ -114,7 +116,6 @@ PRIORITY = [
     "unpivot_lineitem_stats",
     "late_ship_exists",
     "signal_scores",
-    "passage_dedup",
 ]
 
 

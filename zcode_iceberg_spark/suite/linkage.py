@@ -89,41 +89,30 @@ def _bloom_pos_sql(x: str) -> list[str]:
     ]
 
 
-def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-gated incremental dedup: the newest {1-split} of doc ids
-    play the incoming batch, membership-tested against a Bloom filter
-    of the HISTORICAL corpus's content hashes, then exact-verified.
-
-    Output per new doc: ``bloom_candidate`` (all k bit positions set)
-    and ``is_exact_dup`` (true duplicate). bloom_candidate is a strict
-    superset of is_exact_dup (no false negatives); the gap between the
-    two columns is the filter's measured false-positive mass.
-
-    Scale shape: the bitset is a ≤ M/8-row byte table (pos>>3 →
-    bit_or of 1<<(pos&7)) built by one hash aggregate and BROADCAST;
-    the probe is a map-side broadcast join + bit test. The exact
-    verification join runs only over the (tiny) historical hash set —
-    in production it runs only over bloom-positive rows, so the
-    historical shuffle is proportional to the candidate mass, not the
-    batch."""
-    d = load_table(spark, sf_dir, "documents")
-    cut = d.agg(
-        F.floor(F.lit(INCR_SPLIT_FRAC) * (F.max("doc_id") + 1)).cast("bigint")
-    ).collect()[0][0]
-
-    hashed = d.select("doc_id", F.md5("text").alias("content_hash"))
-    hist = hashed.filter(F.col("doc_id") < cut)
-    new = hashed.filter(F.col("doc_id") >= cut)
-
+def bloom_byte_table(hashed: DataFrame) -> DataFrame:
+    """Bloom bitset over ``content_hash`` rows, as a distributed
+    byte-indexed table: pos>>3 → bit_or of 1<<(pos&7) lane masks —
+    at most M/8 rows whatever the input size. The shared kernel
+    between the batch query, the persisted-state builder, and the
+    streaming ingest twin (one derivation, three consumers)."""
     pos_cols = _bloom_pos_spark(F.col("content_hash"))
-    hist_pos = (
-        hist.select(F.explode(F.array(*pos_cols)).alias("pos")).distinct()
+    return (
+        hashed.select(F.explode(F.array(*pos_cols)).alias("pos"))
+        .distinct()
+        .select(
+            F.expr("shiftright(pos, 3)").alias("byte_idx"),
+            F.expr("shiftleft(1, CAST(pos & 7 AS INT))").alias("lane"),
+        )
+        .groupBy("byte_idx")
+        .agg(F.bit_or("lane").alias("byte_mask"))
     )
-    bits = hist_pos.select(
-        F.expr("shiftright(pos, 3)").alias("byte_idx"),
-        F.expr("shiftleft(1, CAST(pos & 7 AS INT))").alias("lane"),
-    ).groupBy("byte_idx").agg(F.bit_or("lane").alias("byte_mask"))
 
+
+def bloom_probe(new: DataFrame, bits: DataFrame) -> DataFrame:
+    """Membership-test (doc_id, content_hash) rows against a Bloom
+    byte table: broadcast join on byte_idx + two bit ops per position;
+    a doc is a candidate iff ALL its (distinct) positions are set."""
+    pos_cols = _bloom_pos_spark(F.col("content_hash"))
     new_pos = new.select(
         "doc_id",
         "content_hash",
@@ -141,24 +130,147 @@ def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("hit"),
     )
-    cand = probed.groupBy("doc_id", "content_hash").agg(
+    return probed.groupBy("doc_id", "content_hash").agg(
         (F.min("hit") == 1).alias("bloom_candidate")
     )
-    exact = (
-        cand.join(
-            hist.select("content_hash").distinct().withColumn(
-                "in_hist", F.lit(1)
-            ),
-            "content_hash",
-            "left",
-        )
-        .select(
-            "doc_id",
-            "bloom_candidate",
-            F.col("in_hist").isNotNull().alias("is_exact_dup"),
-        )
+
+
+def _bloom_split(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """(historical hashes, batch hashes, cut) under the suite-wide
+    incremental split rule."""
+    d = load_table(spark, sf_dir, "documents")
+    cut = d.agg(
+        F.floor(F.lit(INCR_SPLIT_FRAC) * (F.max("doc_id") + 1)).cast("bigint")
+    ).collect()[0][0]
+    hashed = d.select("doc_id", F.md5("text").alias("content_hash"))
+    return (
+        hashed.filter(F.col("doc_id") < cut),
+        hashed.filter(F.col("doc_id") >= cut),
+        int(cut),
     )
-    return exact
+
+
+def _bloom_exact_verify(cand: DataFrame, hist: DataFrame) -> DataFrame:
+    return cand.join(
+        hist.select("content_hash").distinct().withColumn("in_hist", F.lit(1)),
+        "content_hash",
+        "left",
+    ).select(
+        "doc_id",
+        "bloom_candidate",
+        F.col("in_hist").isNotNull().alias("is_exact_dup"),
+    )
+
+
+def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated incremental dedup: the newest {1-split} of doc ids
+    play the incoming batch, membership-tested against a Bloom filter
+    of the HISTORICAL corpus's content hashes, then exact-verified.
+
+    Output per new doc: ``bloom_candidate`` (all k bit positions set)
+    and ``is_exact_dup`` (true duplicate). bloom_candidate is a strict
+    superset of is_exact_dup (no false negatives); the gap between the
+    two columns is the filter's measured false-positive mass.
+
+    Scale shape: the bitset is a ≤ M/8-row byte table (pos>>3 →
+    bit_or of 1<<(pos&7)) built by one hash aggregate and BROADCAST;
+    the probe is a map-side broadcast join + bit test. The exact
+    verification join runs only over the (tiny) historical hash set —
+    in production it runs only over bloom-positive rows, so the
+    historical shuffle is proportional to the candidate mass, not the
+    batch."""
+    hist, new, _ = _bloom_split(spark, sf_dir)
+    cand = bloom_probe(new, bloom_byte_table(hist))
+    return _bloom_exact_verify(cand, hist)
+
+
+def sweep_dead_bloom_scratch() -> None:
+    from zcode_iceberg_spark.suite.llm import sweep_dead_scratch
+
+    sweep_dead_scratch("zspark_bloom_state_")
+
+
+def _bloom_state_dir(sf_dir: str) -> str:
+    """PID-keyed scratch for the persisted Bloom byte table (same
+    concurrent-process isolation contract as llm._hash_state_dir)."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    sweep_dead_bloom_scratch()
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"{tempfile.gettempdir()}/zspark_bloom_state_{tag}_p{os.getpid()}"
+
+
+def bloom_table_fingerprint(bits: DataFrame) -> tuple:
+    """Order-free fingerprint of a Bloom byte table (row count, mask
+    sum, key-weighted mask sum) — enough to detect ANY single-byte
+    difference between two states."""
+    r = bits.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("byte_mask").alias("s"),
+        F.sum(F.col("byte_idx") * F.col("byte_mask")).alias("w"),
+    ).collect()[0]
+    return (r["n"], r["s"], r["w"])
+
+
+def build_bloom_state(
+    spark: SparkSession, sf_dir: str, state_dir: str
+) -> tuple[str, int]:
+    """Materialize the historical Bloom byte table through the
+    maintenance layer, in the two-day ingest shape of
+    llm.build_incremental_hash_table:
+
+    1. day-0 ingest: the older historical half's byte table is the
+       initial state;
+    2. day-1 ingest: the newer half OR-merges in
+       (sinks.merge_bitwise_or);
+    3. replay day-1: because bitwise-OR is a join-semilattice, the
+       re-merge must leave the table byte-identical — verified by
+       fingerprint here, with a RuntimeError (not assert: survives
+       python -O) on violation. This is idempotence by ALGEBRA, in
+       contrast to the epoch-keyed overwrite discipline the row
+       ledgers need.
+
+    Returns (bits_dir, cut). Rebuilt from scratch per call so the
+    suite query stays deterministic whatever a prior run left."""
+    import shutil as _shutil
+    from pathlib import Path as _Path
+
+    from zcode_iceberg_spark.sources.sinks import merge_bitwise_or
+
+    if _Path(state_dir).exists():
+        _shutil.rmtree(state_dir)
+    hist, _, cut = _bloom_split(spark, sf_dir)
+    day0 = hist.filter(F.col("doc_id") < cut // 2)
+    day1 = hist.filter(F.col("doc_id") >= cut // 2)
+    bits_dir = f"{state_dir}/bits"
+    bloom_byte_table(day0).write.parquet(bits_dir)
+    merge_bitwise_or(spark, bits_dir, bloom_byte_table(day1))
+    before = bloom_table_fingerprint(spark.read.parquet(bits_dir))
+    merge_bitwise_or(spark, bits_dir, bloom_byte_table(day1))  # replay
+    after = bloom_table_fingerprint(spark.read.parquet(bits_dir))
+    if before != after:
+        raise RuntimeError(
+            f"bloom OR-merge not idempotent: {before} != {after}"
+        )
+    return bits_dir, cut
+
+
+def q_dedup_bloom_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_bloom`` with the bitset read from the PERSISTED byte
+    table (built and OR-merged through the maintenance layer by
+    :func:`build_bloom_state`, replay-idempotence verified in-build).
+    Same output contract and oracle as ``dedup_bloom``; what changes
+    is where the bits come from — the batch never touches historical
+    text OR historical hashes for the probe (the exact-verify column
+    remains the audit)."""
+    hist, new, _ = _bloom_split(spark, sf_dir)
+    bits_dir, _ = build_bloom_state(spark, sf_dir, _bloom_state_dir(sf_dir))
+    cand = bloom_probe(new, spark.read.parquet(bits_dir))
+    return _bloom_exact_verify(cand, hist)
 
 
 _BP = _bloom_pos_sql("content_hash")
@@ -638,6 +750,7 @@ FROM coef
 
 QUERIES = {
     "dedup_bloom": Query(q_dedup_bloom, SQL_DEDUP_BLOOM),
+    "dedup_bloom_persisted": Query(q_dedup_bloom_persisted, SQL_DEDUP_BLOOM),
     "cms_heavy_hitters": Query(q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "record_linkage": Query(q_record_linkage, SQL_RECORD_LINKAGE),
     "containment_dedup": Query(q_containment_dedup, SQL_CONTAINMENT_DEDUP),
