@@ -229,3 +229,74 @@ def test_bloom_persisted_matches_inline(spark, sf_dir):
         .collect()
     }
     assert inline == persisted and inline
+
+
+def test_cms_sketches_merge_cellwise(spark, sf_dir):
+    """The mergeability contract: per-source sketches summed cell-wise
+    must equal the whole-corpus sketch EXACTLY (counts add) — the
+    property that lets daily/shard sketches roll up without rescans,
+    same as the HLL/KLL/KMV families."""
+    import pyspark.sql.functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+
+    def cells(df, extra_keys):
+        with_pos = df.select(
+            *extra_keys,
+            *[
+                linkage._cms_pos_spark(F.col("tok"), s).alias(f"pos{i}")
+                for i, s in enumerate(linkage.CMS_SEEDS)
+            ],
+        )
+        lanes = ", ".join(
+            f"{i}, pos{i}" for i in range(len(linkage.CMS_SEEDS))
+        )
+        return (
+            with_pos.selectExpr(
+                *extra_keys,
+                f"stack({len(linkage.CMS_SEEDS)}, {lanes}) AS (d, pos)",
+            )
+            .groupBy(*extra_keys, "d", "pos")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    per_source = cells(toks, ["source"])
+    merged = {
+        (r.d, r.pos): r.total
+        for r in per_source.groupBy("d", "pos")
+        .agg(F.sum("cnt").alias("total"))
+        .collect()
+    }
+    whole = {(r.d, r.pos): r.cnt for r in cells(toks, []).collect()}
+    assert merged == whole and whole
+
+
+def test_ols_by_segment_matches_per_group_numpy(spark, sf_dir):
+    """Grouped moments must reproduce an independent per-group dense
+    fit — one group checked against numpy lstsq end-to-end."""
+    rows = {
+        r.c_mktsegment: r
+        for r in linkage.QUERIES["ols_by_segment"].fn(spark, sf_dir).collect()
+    }
+    assert len(rows) >= 2
+    seg = sorted(rows)[0]
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey").merge(
+        c, left_on="o_custkey", right_on="c_custkey"
+    )
+    j = j[j["c_mktsegment"] == seg]
+    X = np.column_stack(
+        [np.ones(len(j)), j["l_quantity"].values, j["l_discount"].values]
+    )
+    y = j["l_extendedprice"].values
+    beta, _, _, _ = np.linalg.lstsq(X, y, rcond=None)
+    r = rows[seg]
+    assert r.n_rows == len(j)
+    assert abs(r.b1 - beta[1]) < 1e-3 * max(1.0, abs(beta[1]))
+    assert abs(r.b2 - beta[2]) < 1e-3 * max(1.0, abs(beta[2]))

@@ -59,17 +59,18 @@ PRIORITY = [
     # row and stays oracle-checked at sf0.001 on every pytest run
     # (tests/test_oracle_suite.py).
     # Session-2 additions (no driver row yet — new queries lead the
-    # window per the rotation policy; the six tail slots they consume
-    # — passage_dedup, boilerplate_strip, corpus_pipeline,
-    # lsh_precision, lsh_recall, lsh_recall_rebanded — all hold green
-    # r5 driver rows and stay oracle-checked at sf0.001 on every
-    # pytest run).
+    # window per the rotation policy; the seven tail slots they
+    # consume — passage_dedup, signal_scores, boilerplate_strip,
+    # corpus_pipeline, lsh_precision, lsh_recall, lsh_recall_rebanded
+    # — all hold green r5-or-later driver rows and stay oracle-checked
+    # at sf0.001 on every pytest run).
     "dedup_bloom",
     "dedup_bloom_persisted",
     "cms_heavy_hitters",
     "record_linkage",
     "containment_dedup",
     "ols_regression",
+    "ols_by_segment",
     "trend_lstm_training",
     "lstm_trend_micro",
     "trend_dual_fusion",
@@ -115,7 +116,6 @@ PRIORITY = [
     "pivot_priority_segment",
     "unpivot_lineitem_stats",
     "late_ship_exists",
-    "signal_scores",
 ]
 
 

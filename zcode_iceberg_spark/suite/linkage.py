@@ -716,7 +716,92 @@ def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ols_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ols_regression`` partitioned by customer market segment — the
+    demonstration that the sufficient-statistic pattern scales
+    HORIZONTALLY: the same 10 exact-decimal moments accumulate under a
+    groupBy instead of a global agg (map-side partials per segment,
+    one shuffle of 10-number rows), and the per-group Cramer solve is
+    the same constant scalar expression. At 100 TB a per-domain /
+    per-source calibration fit is this exact plan: fact-fact join to
+    attach the group key, then moments, never a per-group data pass.
+
+    The one join (lineitem→orders→customer for the segment key) keeps
+    customer broadcast; lineitem⋈orders is the standard fact-fact
+    sort-merge on the clustered key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    keyed = li.join(
+        o, li.l_orderkey == o.o_orderkey
+    ).join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    moments = keyed.groupBy("c_mktsegment").agg(
+        *[F.expr(e).alias(k) for k, e in _OLS_MOMENTS.items()]
+    )
+    solve = moments.selectExpr(
+        "*",
+        "sx1x1 - sx1 * sx1 / n AS s11",
+        "sx2x2 - sx2 * sx2 / n AS s22",
+        "sx1x2 - sx1 * sx2 / n AS s12",
+        "sx1y - sx1 * sy / n AS s1y",
+        "sx2y - sx2 * sy / n AS s2y",
+        "syy - sy * sy / n AS syc",
+    ).selectExpr("*", "s11 * s22 - s12 * s12 AS det")
+    coef = solve.selectExpr(
+        "*",
+        "(s22 * s1y - s12 * s2y) / det AS b1",
+        "(s11 * s2y - s12 * s1y) / det AS b2",
+    )
+    return coef.selectExpr(
+        "c_mktsegment",
+        "CAST(n AS BIGINT) AS n_rows",
+        "round((sy - b1 * sx1 - b2 * sx2) / n, 6) AS b0",
+        "round(b1, 6) AS b1",
+        "round(b2, 6) AS b2",
+        "round(1 - (syc - b1 * s1y - b2 * s2y) / syc, 6) AS r2",
+    )
+
+
 _M = ",\n       ".join(f"{e} AS {k}" for k, e in _OLS_MOMENTS.items())
+SQL_OLS_BY_SEGMENT = f"""
+WITH keyed AS (
+  SELECT c.c_mktsegment, l.l_quantity, l.l_discount, l.l_extendedprice
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+),
+moments AS (
+  SELECT c_mktsegment, {_M}
+  FROM keyed GROUP BY c_mktsegment
+),
+centered AS (
+  SELECT *,
+         sx1x1 - sx1 * sx1 / n AS s11,
+         sx2x2 - sx2 * sx2 / n AS s22,
+         sx1x2 - sx1 * sx2 / n AS s12,
+         sx1y - sx1 * sy / n AS s1y,
+         sx2y - sx2 * sy / n AS s2y,
+         syy - sy * sy / n AS syc
+  FROM moments
+),
+dets AS (SELECT *, s11 * s22 - s12 * s12 AS det FROM centered),
+coef AS (
+  SELECT *,
+         (s22 * s1y - s12 * s2y) / det AS b1,
+         (s11 * s2y - s12 * s1y) / det AS b2
+  FROM dets
+)
+SELECT c_mktsegment,
+       CAST(n AS BIGINT) AS n_rows,
+       round((sy - b1 * sx1 - b2 * sx2) / n, 6) AS b0,
+       round(b1, 6) AS b1,
+       round(b2, 6) AS b2,
+       round(1 - (syc - b1 * s1y - b2 * s2y) / syc, 6) AS r2
+FROM coef
+"""
+
 SQL_OLS_REGRESSION = f"""
 WITH moments AS (
   SELECT {_M}
@@ -755,4 +840,5 @@ QUERIES = {
     "record_linkage": Query(q_record_linkage, SQL_RECORD_LINKAGE),
     "containment_dedup": Query(q_containment_dedup, SQL_CONTAINMENT_DEDUP),
     "ols_regression": Query(q_ols_regression, SQL_OLS_REGRESSION),
+    "ols_by_segment": Query(q_ols_by_segment, SQL_OLS_BY_SEGMENT),
 }
