@@ -300,3 +300,49 @@ def test_ols_by_segment_matches_per_group_numpy(spark, sf_dir):
     assert r.n_rows == len(j)
     assert abs(r.b1 - beta[1]) < 1e-3 * max(1.0, abs(beta[1]))
     assert abs(r.b2 - beta[2]) < 1e-3 * max(1.0, abs(beta[2]))
+
+
+def test_quality_keeper_one_per_cluster_and_max_quality(spark, sf_dir):
+    """Exactly one keeper per canonical cluster, and no member
+    out-scores it (ties break to the smaller doc_id)."""
+    rows = (
+        linkage.QUERIES["dedup_quality_keeper"].fn(spark, sf_dir).collect()
+    )
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.canonical_id, []).append(r)
+    assert any(len(m) > 1 for m in by_cluster.values())  # real clusters
+    for cid, members in by_cluster.items():
+        keepers = [m for m in members if m.is_keeper]
+        assert len(keepers) == 1, cid
+        k = keepers[0]
+        best = max(m.quality for m in members)
+        assert k.quality == best
+        ties = [m.doc_id for m in members if m.quality == best]
+        assert k.doc_id == min(ties)
+        assert all(m.group_size == len(members) for m in members)
+
+
+def test_token_budget_mix_fills_each_source_budget(spark, sf_dir):
+    """Per source: the selected docs' token mass reaches the budget
+    (every doc STARTING inside the budget is taken whole) and stops
+    within one document of it; unselected docs all start at or past
+    the budget."""
+    import math
+
+    rows = linkage.QUERIES["token_budget_mix"].fn(spark, sf_dir).collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r)
+    assert len(per_src) >= 2
+    for src, members in per_src.items():
+        total = sum(m.n_tokens for m in members)
+        budget = math.floor(linkage.MIX_BUDGET_FRAC * total)
+        sel = [m for m in members if m.selected]
+        unsel = [m for m in members if not m.selected]
+        sel_mass = sum(m.n_tokens for m in sel)
+        assert sel, src
+        assert sel_mass >= budget
+        assert sel_mass - max(m.n_tokens for m in sel) < budget
+        for m in unsel:
+            assert m.cum_before >= budget

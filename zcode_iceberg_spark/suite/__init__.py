@@ -59,11 +59,12 @@ PRIORITY = [
     # row and stays oracle-checked at sf0.001 on every pytest run
     # (tests/test_oracle_suite.py).
     # Session-2 additions (no driver row yet — new queries lead the
-    # window per the rotation policy; the seven tail slots they
-    # consume — passage_dedup, signal_scores, boilerplate_strip,
-    # corpus_pipeline, lsh_precision, lsh_recall, lsh_recall_rebanded
-    # — all hold green r5-or-later driver rows and stay oracle-checked
-    # at sf0.001 on every pytest run).
+    # window per the rotation policy; the nine tail slots they consume
+    # — late_ship_exists, unpivot_lineitem_stats, passage_dedup,
+    # signal_scores, boilerplate_strip, corpus_pipeline, lsh_precision,
+    # lsh_recall, lsh_recall_rebanded — all hold green r5-or-later
+    # driver rows and stay oracle-checked at sf0.001 on every pytest
+    # run).
     "dedup_bloom",
     "dedup_bloom_persisted",
     "cms_heavy_hitters",
@@ -71,6 +72,8 @@ PRIORITY = [
     "containment_dedup",
     "ols_regression",
     "ols_by_segment",
+    "dedup_quality_keeper",
+    "token_budget_mix",
     "trend_lstm_training",
     "lstm_trend_micro",
     "trend_dual_fusion",
@@ -114,8 +117,6 @@ PRIORITY = [
     "cheapest_supplier_per_part",
     "above_customer_avg",
     "pivot_priority_segment",
-    "unpivot_lineitem_stats",
-    "late_ship_exists",
 ]
 
 

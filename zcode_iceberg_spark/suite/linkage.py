@@ -833,6 +833,155 @@ FROM coef
 """
 
 
+# ------------------------------------------------- quality keeper / mixing
+
+
+def q_dedup_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup with a QUALITY keeper policy (the RefinedWeb/
+    FineWeb rule): within each near-dup star cluster (dedup_near's
+    canonical grouping — one-hop min over the LSH candidate graph),
+    keep the highest-quality member, tie-broken by doc_id — instead of
+    the min-id keeper exact dedup uses. Exact duplicates have
+    identical text hence identical quality, which is why this policy
+    only exists for NEAR duplicates, where the members genuinely
+    differ.
+
+    Scale shape: composition of three already-bounded stages — the LSH
+    banding equi-join (never all-pairs), the map-side quality battery
+    (pure expressions), and ONE window family over canonical_id
+    (clusters are small by construction; the window sort is per-group).
+    """
+    from zcode_iceberg_spark.operators.text import quality_metrics
+    from zcode_iceberg_spark.suite.llm import q_dedup_near
+
+    d = load_table(spark, sf_dir, "documents")
+    near = q_dedup_near(spark, sf_dir).select("doc_id", "canonical_id")
+    q = quality_metrics(d).select(
+        "doc_id", F.round("quality", 6).alias("quality")
+    )
+    j = near.join(q, "doc_id")
+    from pyspark.sql import Window
+
+    grp = Window.partitionBy("canonical_id")
+    rank = Window.partitionBy("canonical_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return j.select(
+        "doc_id",
+        "canonical_id",
+        "quality",
+        F.count(F.lit(1)).over(grp).alias("group_size"),
+        (F.row_number().over(rank) == 1).alias("is_keeper"),
+    )
+
+
+def _sql_dedup_quality_keeper() -> str:
+    from zcode_iceberg_spark.suite.llm import SQL_DEDUP_NEAR, SQL_TEXT_QUALITY
+
+    return f"""
+WITH near AS ({SQL_DEDUP_NEAR}),
+q AS ({SQL_TEXT_QUALITY}),
+j AS (
+  SELECT n.doc_id, n.canonical_id, q.quality
+  FROM near n JOIN q ON q.doc_id = n.doc_id
+)
+SELECT doc_id, canonical_id, quality,
+       count(*) OVER (PARTITION BY canonical_id) AS group_size,
+       row_number() OVER (
+         PARTITION BY canonical_id ORDER BY quality DESC, doc_id ASC
+       ) = 1 AS is_keeper
+FROM j
+"""
+
+
+MIX_BUDGET_FRAC = 0.5  # token budget per source = frac × source mass
+MIX_SALT = "mix-v1"
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing: fill each source's token budget
+    (MIX_BUDGET_FRAC of its total token mass) by walking docs in
+    deterministic hash order and keeping those that START inside the
+    budget — the "30% web / 50% code / 20% books, by TOKENS not docs"
+    recipe a training-mix build runs, with md5-hash ordering standing
+    in for the shuffle (same convention as corpus_shuffle: order is a
+    pure function of ids, no RNG state, partition-count independent).
+
+    Scale shape: one narrow projection, one per-source window cumsum
+    (sources are few; each window partition is one source's docs), one
+    broadcast join of the per-source totals. Selection is a map-side
+    comparison; nothing quadratic, nothing driver-side."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.lower(F.col("text")), r"\s+"))
+    skey = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("-", F.lit(MIX_SALT), F.col("doc_id"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    base = d.select(
+        "doc_id", "source", n_tok.alias("n_tokens"), skey.alias("skey")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("skey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = base.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    totals = base.groupBy("source").agg(
+        F.floor(F.lit(MIX_BUDGET_FRAC) * F.sum("n_tokens"))
+        .cast("bigint")
+        .alias("budget")
+    )
+    return (
+        cum.join(F.broadcast(totals), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("cum_before").cast("bigint").alias("cum_before"),
+            (F.col("cum_before") < F.col("budget")).alias("selected"),
+        )
+    )
+
+
+_MIX_KEY = (
+    f"(CAST(concat('0x', substr(md5(concat('{MIX_SALT}', '-', "
+    "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT))"
+)
+SQL_TOKEN_BUDGET_MIX = rf"""
+WITH base AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(lower(text), '\s+')) AS n_tokens,
+         {_MIX_KEY} AS skey
+  FROM documents
+),
+cum AS (
+  SELECT *,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY skey, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM base
+),
+totals AS (
+  SELECT source,
+         CAST(floor({MIX_BUDGET_FRAC} * sum(n_tokens)) AS BIGINT) AS budget
+  FROM base GROUP BY 1
+)
+SELECT c.doc_id, c.source,
+       CAST(c.n_tokens AS BIGINT) AS n_tokens,
+       CAST(c.cum_before AS BIGINT) AS cum_before,
+       c.cum_before < t.budget AS selected
+FROM cum c JOIN totals t ON c.source = t.source
+"""
+
+
 QUERIES = {
     "dedup_bloom": Query(q_dedup_bloom, SQL_DEDUP_BLOOM),
     "dedup_bloom_persisted": Query(q_dedup_bloom_persisted, SQL_DEDUP_BLOOM),
@@ -841,4 +990,8 @@ QUERIES = {
     "containment_dedup": Query(q_containment_dedup, SQL_CONTAINMENT_DEDUP),
     "ols_regression": Query(q_ols_regression, SQL_OLS_REGRESSION),
     "ols_by_segment": Query(q_ols_by_segment, SQL_OLS_BY_SEGMENT),
+    "dedup_quality_keeper": Query(
+        q_dedup_quality_keeper, _sql_dedup_quality_keeper()
+    ),
+    "token_budget_mix": Query(q_token_budget_mix, SQL_TOKEN_BUDGET_MIX),
 }
