@@ -346,3 +346,20 @@ def test_token_budget_mix_fills_each_source_budget(spark, sf_dir):
         assert sel_mass - max(m.n_tokens for m in sel) < budget
         for m in unsel:
             assert m.cum_before >= budget
+
+
+def test_decontaminate_bloom_never_misses_contamination(spark, sf_dir):
+    """Per test doc: bloom hits ≥ exact hits (no false negatives —
+    the property that makes a Bloom screen SAFE for leakage checks),
+    and the flag fires for every doc the exact screen would flag."""
+    rows = (
+        linkage.QUERIES["decontaminate_bloom"].fn(spark, sf_dir).collect()
+    )
+    assert rows
+    from zcode_iceberg_spark.suite.llm import DECON_FLAG
+
+    for r in rows:
+        assert r.n_hit_bloom >= r.n_hit_exact, r.doc_id
+        assert r.bloom_overcount == r.n_hit_bloom - r.n_hit_exact
+        if r.n_hit_exact / r.n_grams >= DECON_FLAG:
+            assert r.flagged, r.doc_id

@@ -59,12 +59,12 @@ PRIORITY = [
     # row and stays oracle-checked at sf0.001 on every pytest run
     # (tests/test_oracle_suite.py).
     # Session-2 additions (no driver row yet — new queries lead the
-    # window per the rotation policy; the nine tail slots they consume
-    # — late_ship_exists, unpivot_lineitem_stats, passage_dedup,
-    # signal_scores, boilerplate_strip, corpus_pipeline, lsh_precision,
-    # lsh_recall, lsh_recall_rebanded — all hold green r5-or-later
-    # driver rows and stay oracle-checked at sf0.001 on every pytest
-    # run).
+    # window per the rotation policy; the ten tail slots they consume
+    # — pivot_priority_segment, late_ship_exists,
+    # unpivot_lineitem_stats, passage_dedup, signal_scores,
+    # boilerplate_strip, corpus_pipeline, lsh_precision, lsh_recall,
+    # lsh_recall_rebanded — all hold green r5-or-later driver rows and
+    # stay oracle-checked at sf0.001 on every pytest run).
     "dedup_bloom",
     "dedup_bloom_persisted",
     "cms_heavy_hitters",
@@ -74,6 +74,7 @@ PRIORITY = [
     "ols_by_segment",
     "dedup_quality_keeper",
     "token_budget_mix",
+    "decontaminate_bloom",
     "trend_lstm_training",
     "lstm_trend_micro",
     "trend_dual_fusion",
@@ -116,7 +117,6 @@ PRIORITY = [
     "market_share",
     "cheapest_supplier_per_part",
     "above_customer_avg",
-    "pivot_priority_segment",
 ]
 
 

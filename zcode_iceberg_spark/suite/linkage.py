@@ -833,6 +833,164 @@ FROM coef
 """
 
 
+# -------------------------------------------------------- bloom decontam
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated benchmark decontamination: the TRAIN split's
+    distinct word n-grams build a Bloom byte table (the same kernel as
+    ``dedup_bloom``), and every TEST document's grams are
+    membership-tested against the BROADCAST bitset — the screen that
+    can NEVER miss contamination (Bloom has no false negatives; it
+    only over-reports, the safe direction for leakage checks). The
+    exact semi-join count rides along as the audit, so the per-doc
+    ``bloom_overcount`` column prices the false-positive mass.
+
+    Scale shape vs the exact ``decontaminate``: the exact form
+    shuffles BOTH gram sides by gram hash; here the train side
+    collapses to a ≤ M/8-row byte table broadcast to the test scan —
+    the test grams never shuffle at all. At a 100 TB train corpus the
+    bitset M grows with the distinct-gram count but stays a byte
+    table; the per-batch eval screen becomes a map-side pass."""
+    from zcode_iceberg_spark.operators import text as tx
+    from zcode_iceberg_spark.suite.llm import (
+        DECON_FLAG,
+        DECON_N,
+        SPLIT_TRAIN,
+        SPLIT_VAL,
+        _hash_u,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        _hash_u(F.col("doc_id"), "").alias("u"),
+        tx.tokens(F.col("text")).alias("w"),
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    grams = _reuse(
+        base.select(
+            "doc_id",
+            "u",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        tx.shingles(F.col("w"), DECON_N),
+                        lambda s: tx.word_hash(s),
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    train_h = (
+        grams.where(F.col("u") < SPLIT_TRAIN)
+        .select(F.col("g").cast("string").alias("content_hash"))
+        .distinct()
+    )
+    test_g = grams.where(F.col("u") >= SPLIT_VAL).select("doc_id", "g")
+    bits = bloom_byte_table(train_h)
+    # bloom_probe keys on (doc_id, content_hash) — per (doc, gram) here
+    probed = bloom_probe(
+        test_g.select("doc_id", F.col("g").cast("string").alias("content_hash")),
+        bits,
+    )
+    per_doc = probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.col("bloom_candidate").cast("int"))
+        .cast("bigint")
+        .alias("n_hit_bloom"),
+    )
+    exact = (
+        test_g.join(
+            grams.where(F.col("u") < SPLIT_TRAIN).select("g").distinct(),
+            "g",
+            "left_semi",
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_exact"))
+    )
+    frac = F.col("n_hit_bloom") / F.col("n_grams")
+    return per_doc.join(exact, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        "n_hit_bloom",
+        F.coalesce("n_hit_exact", F.lit(0)).alias("n_hit_exact"),
+        (F.col("n_hit_bloom") - F.coalesce("n_hit_exact", F.lit(0))).alias(
+            "bloom_overcount"
+        ),
+        F.round(frac, 6).alias("est_contamination"),
+        (frac >= DECON_FLAG).alias("flagged"),
+    )
+
+
+def _sql_decontaminate_bloom() -> str:
+    from zcode_iceberg_spark.suite.llm import (
+        DECON_FLAG,
+        DECON_N,
+        SPLIT_TRAIN,
+        SPLIT_VAL,
+        TOKS_CTE,
+        _GRAM_HASH_SQL,
+        _U_SQL,
+    )
+
+    bp = _bloom_pos_sql("content_hash")
+    return f"""
+WITH {TOKS_CTE},
+tu AS (
+  SELECT doc_id, w, {_U_SQL} AS u FROM toks
+),
+grams AS (
+  SELECT doc_id, u,
+         unnest(list_distinct(list_transform(
+           CASE WHEN len(w) >= {DECON_N}
+                THEN generate_series(1, len(w) - {DECON_N - 1})
+                ELSE [] END,
+           i -> {_GRAM_HASH_SQL}))) AS g
+  FROM tu
+),
+tr AS (SELECT DISTINCT g FROM grams WHERE u < {SPLIT_TRAIN}),
+te AS (SELECT doc_id, g FROM grams WHERE u >= {SPLIT_VAL}),
+trh AS (SELECT CAST(g AS VARCHAR) AS content_hash FROM tr),
+hist_pos AS (
+  SELECT DISTINCT unnest([{", ".join(bp)}]) AS pos FROM trh
+),
+bits AS (
+  SELECT pos >> 3 AS byte_idx, bit_or(1 << (pos & 7)) AS byte_mask
+  FROM hist_pos GROUP BY 1
+),
+tep AS (
+  SELECT doc_id, g,
+         unnest(list_distinct([{", ".join(bp)}])) AS pos
+  FROM (SELECT doc_id, g, CAST(g AS VARCHAR) AS content_hash FROM te) x
+),
+probed AS (
+  SELECT p.doc_id, p.g,
+         coalesce((b.byte_mask >> CAST(p.pos & 7 AS INT)) & 1, 0) AS hit
+  FROM tep p LEFT JOIN bits b ON (p.pos >> 3) = b.byte_idx
+),
+cand AS (
+  SELECT doc_id, g, min(hit) = 1 AS bloom_hit FROM probed GROUP BY 1, 2
+),
+perdoc AS (
+  SELECT doc_id, count(*) AS n_grams,
+         CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hit_bloom
+  FROM cand GROUP BY 1
+),
+exact AS (
+  SELECT doc_id, count(*) AS n_hit_exact FROM te
+  WHERE g IN (SELECT g FROM tr)
+  GROUP BY 1
+)
+SELECT p.doc_id, p.n_grams, p.n_hit_bloom,
+       coalesce(e.n_hit_exact, 0) AS n_hit_exact,
+       p.n_hit_bloom - coalesce(e.n_hit_exact, 0) AS bloom_overcount,
+       round(p.n_hit_bloom / p.n_grams, 6) AS est_contamination,
+       (p.n_hit_bloom / p.n_grams) >= {DECON_FLAG} AS flagged
+FROM perdoc p LEFT JOIN exact e USING (doc_id)
+"""
+
+
 # ------------------------------------------------- quality keeper / mixing
 
 
@@ -994,4 +1152,7 @@ QUERIES = {
         q_dedup_quality_keeper, _sql_dedup_quality_keeper()
     ),
     "token_budget_mix": Query(q_token_budget_mix, SQL_TOKEN_BUDGET_MIX),
+    "decontaminate_bloom": Query(
+        q_decontaminate_bloom, _sql_decontaminate_bloom()
+    ),
 }
