@@ -531,24 +531,31 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-shingle join hits on boilerplate shingles. The exact
     intersection count then runs only over the candidate pair set."""
     d = load_table(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("w")
-    )
-    sh = _reuse(
-        words.filter(F.size("w") >= SHINGLE_W)
+    # per-doc distinct shingles computed MAP-SIDE (array_distinct
+    # before the explode — no global distinct shuffle), with the
+    # per-doc set size attached to every shingle row so the final
+    # containment needs no join-back to a sizes relation
+    base = (
+        d.select("doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("w"))
+        .filter(F.size("w") >= SHINGLE_W)
         .select(
             "doc_id",
-            F.explode(
+            F.array_distinct(
                 F.expr(
                     f"transform(sequence(1, size(w) - {SHINGLE_W - 1}), "
                     "i -> concat_ws(' ', element_at(w, i), "
                     "element_at(w, i + 1), element_at(w, i + 2)))"
                 )
-            ).alias("shingle"),
+            ).alias("shs"),
         )
-        .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh = _reuse(
+        base.select(
+            "doc_id",
+            F.size("shs").alias("n_sh"),
+            F.explode("shs").alias("shingle"),
+        )
+    )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = dfreq.filter(
         (F.col("df") >= 2) & (F.col("df") <= RARE_DF)
@@ -564,6 +571,8 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
+            F.col("x.n_sh").alias("n_a"),
+            F.col("y.n_sh").alias("n_b"),
         )
         .distinct()
     )
@@ -574,23 +583,11 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_b") == F.col("sb.doc_id"))
             & (F.col("sa.shingle") == F.col("sb.shingle")),
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("inter_cnt"))
     )
-    out = (
-        inter.join(
-            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                "n_sh", "n_a"
-            ),
-            "doc_a",
-        )
-        .join(
-            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                "n_sh", "n_b"
-            ),
-            "doc_b",
-        )
-        .select(
+    return (
+        inter.select(
             "doc_a",
             "doc_b",
             "inter_cnt",
@@ -600,7 +597,6 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= CONT_MIN)
     )
-    return out
 
 
 SQL_CONTAINMENT_DEDUP = f"""
