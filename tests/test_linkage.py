@@ -363,3 +363,19 @@ def test_decontaminate_bloom_never_misses_contamination(spark, sf_dir):
         assert r.bloom_overcount == r.n_hit_bloom - r.n_hit_exact
         if r.n_hit_exact / r.n_grams >= DECON_FLAG:
             assert r.flagged, r.doc_id
+
+
+def test_cluster_safe_split_never_straddles(spark, sf_dir):
+    """The invariant the query exists for: every near-dup cluster maps
+    to exactly one split; and on this corpus (planted near-dups) the
+    doc-level naive assignment WOULD have leaked at least one cluster
+    across splits."""
+    rows = (
+        linkage.QUERIES["cluster_safe_split"].fn(spark, sf_dir).collect()
+    )
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.canonical_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert any(r.naive_leak for r in rows)
+    assert {r.split for r in rows} == {"train", "val", "test"}

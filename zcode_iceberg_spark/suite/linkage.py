@@ -987,6 +987,90 @@ FROM perdoc p LEFT JOIN exact e USING (doc_id)
 """
 
 
+# ---------------------------------------------------- cluster-safe split
+
+SPLIT_SALT = "clsplit-v1"
+
+
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test splitting: the split is assigned at
+    NEAR-DUP-CLUSTER granularity (md5 membership on the canonical id,
+    same fractions as doc_split) so near-duplicates can never straddle
+    train and test — the failure mode a doc-level split silently ships
+    (a test doc whose near-copy sits in train). The ``naive_leak``
+    column audits exactly that: whether a doc-level assignment would
+    have scattered this doc's cluster across splits.
+
+    Scale shape: dedup_near's bounded star grouping + two map-side
+    hash assignments + ONE window family over canonical_id for the
+    leak audit. No new shuffles beyond the canonical grouping the
+    dedup path already pays."""
+    from zcode_iceberg_spark.suite.llm import SPLIT_TRAIN, SPLIT_VAL, _hash_u, q_dedup_near
+
+    near = q_dedup_near(spark, sf_dir).select("doc_id", "canonical_id")
+
+    def split_of(u):
+        return (
+            F.when(u < SPLIT_TRAIN, "train")
+            .when(u < SPLIT_VAL, "val")
+            .otherwise("test")
+        )
+
+    assigned = near.select(
+        "doc_id",
+        "canonical_id",
+        split_of(_hash_u(F.col("canonical_id"), SPLIT_SALT)).alias("split"),
+        split_of(_hash_u(F.col("doc_id"), SPLIT_SALT)).alias("naive_split"),
+    )
+    from pyspark.sql import Window
+
+    grp = Window.partitionBy("canonical_id")
+    return assigned.select(
+        "doc_id",
+        "canonical_id",
+        "split",
+        (
+            F.min("naive_split").over(grp) != F.max("naive_split").over(grp)
+        ).alias("naive_leak"),
+    )
+
+
+def _sql_cluster_safe_split() -> str:
+    from zcode_iceberg_spark.suite.llm import (
+        SPLIT_TRAIN,
+        SPLIT_VAL,
+        SQL_DEDUP_NEAR,
+        WORD_HASH_SQL,
+    )
+
+    def u_of(x: str) -> str:
+        h = WORD_HASH_SQL.format(
+            x=f"concat('{SPLIT_SALT}', CAST({x} AS VARCHAR))"
+        )
+        return f"(({h}) % 1000000) / 1000000.0"
+
+    def split_of(u: str) -> str:
+        return (
+            f"CASE WHEN {u} < {SPLIT_TRAIN} THEN 'train' "
+            f"WHEN {u} < {SPLIT_VAL} THEN 'val' ELSE 'test' END"
+        )
+
+    return f"""
+WITH near AS ({SQL_DEDUP_NEAR}),
+assigned AS (
+  SELECT doc_id, canonical_id,
+         {split_of(u_of("canonical_id"))} AS split,
+         {split_of(u_of("doc_id"))} AS naive_split
+  FROM near
+)
+SELECT doc_id, canonical_id, split,
+       min(naive_split) OVER (PARTITION BY canonical_id)
+         <> max(naive_split) OVER (PARTITION BY canonical_id)
+         AS naive_leak
+FROM assigned
+"""
+
+
 # ------------------------------------------------- quality keeper / mixing
 
 
@@ -1150,5 +1234,8 @@ QUERIES = {
     "token_budget_mix": Query(q_token_budget_mix, SQL_TOKEN_BUDGET_MIX),
     "decontaminate_bloom": Query(
         q_decontaminate_bloom, _sql_decontaminate_bloom()
+    ),
+    "cluster_safe_split": Query(
+        q_cluster_safe_split, _sql_cluster_safe_split()
     ),
 }
