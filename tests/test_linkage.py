@@ -379,3 +379,25 @@ def test_cluster_safe_split_never_straddles(spark, sf_dir):
     assert all(len(s) == 1 for s in by_cluster.values())
     assert any(r.naive_leak for r in rows)
     assert {r.split for r in rows} == {"train", "val", "test"}
+
+
+def test_new_curation_plans_no_cartesian(spark, sf_dir):
+    for name in (
+        "token_budget_mix",
+        "ols_by_segment",
+        "decontaminate_bloom",
+        "cluster_safe_split",
+        "dedup_quality_keeper",
+        "dedup_bloom_persisted",
+    ):
+        p = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_decontaminate_bloom_bitset_broadcast(spark, sf_dir):
+    """The train-gram byte table must reach the test probe as a
+    broadcast (the whole point of the Bloom form vs the exact
+    gram-shuffle twin)."""
+    p = _plan(spark, sf_dir, "decontaminate_bloom")
+    assert "BroadcastHashJoin" in p
