@@ -531,13 +531,16 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-shingle join hits on boilerplate shingles. The exact
     intersection count then runs only over the candidate pair set."""
     d = load_table(spark, sf_dir, "documents")
-    # per-doc distinct shingles computed MAP-SIDE (array_distinct
-    # before the explode — no global distinct shuffle), with the
-    # per-doc set size attached to every shingle row so the final
-    # containment needs no join-back to a sizes relation
-    base = (
+    # fan the CPU-heavy shingling out of the single input split BEFORE
+    # the transform (the corpus_pipeline stage-barrier rule — measured
+    # 14 s single-task vs ~1 s fanned at sf0.1); per-doc shingle sets
+    # deduplicate MAP-SIDE (array_distinct, no global distinct
+    # shuffle) and stay as ARRAYS so the candidate intersection is a
+    # map-side array_intersect per pair, never a pair×shingle explode
+    base = _reuse(
         d.select("doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("w"))
         .filter(F.size("w") >= SHINGLE_W)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(
             "doc_id",
             F.array_distinct(
@@ -549,12 +552,10 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shs"),
         )
     )
-    sh = _reuse(
-        base.select(
-            "doc_id",
-            F.size("shs").alias("n_sh"),
-            F.explode("shs").alias("shingle"),
-        )
+    sh = base.select(
+        "doc_id",
+        F.size("shs").alias("n_sh"),
+        F.explode("shs").alias("shingle"),
     )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = dfreq.filter(
@@ -571,29 +572,37 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            F.col("x.n_sh").alias("n_a"),
-            F.col("y.n_sh").alias("n_b"),
         )
         .distinct()
     )
     inter = (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sh.alias("sb"),
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        cand.join(
+            base.select(
+                F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")
+            ),
+            "doc_a",
         )
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+        .join(
+            base.select(
+                F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("inter_cnt"),
+            F.least(F.size("shs_a"), F.size("shs_b")).alias("n_min"),
+        )
     )
     return (
         inter.select(
             "doc_a",
             "doc_b",
             "inter_cnt",
-            F.round(
-                F.col("inter_cnt") / F.least(F.col("n_a"), F.col("n_b")), 6
-            ).alias("containment"),
+            F.round(F.col("inter_cnt") / F.col("n_min"), 6).alias(
+                "containment"
+            ),
         )
         .filter(F.col("containment") >= CONT_MIN)
     )
