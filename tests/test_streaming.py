@@ -1413,3 +1413,46 @@ def test_bloom_streamed_state_serves_the_query_path(spark, sf_dir, tmp):
         for r in linkage.QUERIES["dedup_bloom"].fn(spark, sf_dir).collect()
     }
     assert via_stream == inline and via_stream
+
+
+def test_cms_stream_merged_equals_batch_sketch(spark, sf_dir, raw_docs_dir, tmp):
+    """The cell-wise fold of the streamed per-epoch tables must equal
+    the one-shot batch sketch for any batch split — counts add."""
+    from zcode_iceberg_spark.streaming.pipeline import cms_ingest_stream
+    from zcode_iceberg_spark.suite.linkage import (
+        _cms_tokens,
+        cms_cells,
+        read_cms,
+    )
+
+    cells_dir = str(tmp / "cms_cells")
+    q = cms_ingest_stream(spark, raw_docs_dir, cells_dir, str(tmp / "cms_ck"))
+    q.awaitTermination()
+    streamed = {
+        (r.d, r.pos): r.cnt for r in read_cms(spark, cells_dir).collect()
+    }
+    batch = {
+        (r.d, r.pos): r.cnt
+        for r in cms_cells(
+            _cms_tokens(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        ).collect()
+    }
+    assert streamed == batch and batch
+
+
+def test_cms_epoch_replay_overwrites_not_double_counts(spark, sf_dir, tmp):
+    """COUNT state is not idempotent by algebra — exactly-once comes
+    from the epoch-keyed overwrite: replaying an epoch leaves the
+    merged sketch unchanged."""
+    from zcode_iceberg_spark.streaming.pipeline import cms_ingest_step
+    from zcode_iceberg_spark.suite.linkage import read_cms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    cells_dir = str(tmp / "cms_replay")
+    cms_ingest_step(docs.filter(F.col("doc_id") <= mid), 0, cells_dir)
+    cms_ingest_step(docs.filter(F.col("doc_id") > mid), 1, cells_dir)
+    before = {(r.d, r.pos): r.cnt for r in read_cms(spark, cells_dir).collect()}
+    cms_ingest_step(docs.filter(F.col("doc_id") > mid), 1, cells_dir)  # replay
+    after = {(r.d, r.pos): r.cnt for r in read_cms(spark, cells_dir).collect()}
+    assert before == after

@@ -487,6 +487,44 @@ EMB_SCHEMA = T.StructType(
 )
 
 
+def cms_ingest_step(batch_df: DataFrame, epoch_id: int, cells_dir: str) -> None:
+    """One Count-Min ingest epoch: the arriving docs' D×W cell table
+    lands in its OWN epoch subdirectory with overwrite. COUNT state is
+    NOT replay-idempotent by algebra (counts add, unlike the Bloom
+    byte table's OR) — exactly-once comes from the epoch-keyed
+    overwrite discipline the row ledgers use: a replayed epoch
+    rewrites its partition instead of double-counting. The reader
+    folds all epochs cell-wise (suite/linkage.py:read_cms)."""
+    from zcode_iceberg_spark.suite.linkage import _cms_tokens, cms_cells
+
+    cells = cms_cells(_cms_tokens(batch_df))
+    cells.write.mode("overwrite").parquet(f"{cells_dir}/epoch={epoch_id}")
+
+
+def cms_ingest_stream(
+    spark: SparkSession, src_dir: str, cells_dir: str, checkpoint: str
+):
+    """Streaming twin of the Count-Min sketch builder: each
+    micro-batch appends its epoch's cell table; the merged sketch
+    (cell-wise sum over epochs) equals the one-shot batch sketch for
+    ANY batch split — counts add. Returns the started query."""
+    raw = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        cms_ingest_step(batch_df, epoch_id, cells_dir)
+
+    return (
+        raw.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def bloom_ingest_step(batch_df: DataFrame, epoch_id: int, bits_dir: str) -> None:
     """One Bloom-ingest epoch: OR-merge the arriving docs' byte table
     into the persisted bitset. Module-level so tests can replay an

@@ -332,51 +332,41 @@ def _cms_pos_sql(x: str, seed: str) -> str:
     )
 
 
-def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min sketch vs exact truth for the corpus's top tokens.
+_CMS_LANES = ", ".join(f"{i}, pos{i}" for i in range(len(CMS_SEEDS)))
 
-    Builds a D×W CMS over the token stream with ONE hash aggregate
-    (depth, cell) → count — the mergeable shape: tomorrow's sketch
-    adds cell-wise, shards union cell-wise, nothing is rescanned.
-    Then estimates the exact top-{CMS_TOPN} tokens' frequencies from
-    the sketch and reports the per-token overcount (CMS estimates
-    never undercount; property-tested).
 
-    Scale shape: the sketch is {len(CMS_SEEDS)}×{CMS_W} rows TOTAL —
-    constant in corpus size; the token stream is scanned once (reused
-    via a persist barrier for the exact side, which at 100 TB would be
-    replaced by the sketch consumer entirely — the exact side here IS
-    the audit)."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = _reuse(
-        d.select(
-            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
-        ).filter(F.col("tok") != "")
-    )
+def _cms_tokens(docs: DataFrame) -> DataFrame:
+    """(tok) token stream — the shared input of sketch and audit."""
+    return docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+
+
+def cms_cells(toks: DataFrame) -> DataFrame:
+    """D×W Count-Min cell table over a token stream: one hash
+    aggregate, ≤ D·W rows whatever the input size. The shared kernel
+    between the batch query, the persisted builder, and the streaming
+    ingest twin. Cells MERGE by cell-wise sum (counts add) — the
+    re-aggregation contract the persisted/streaming paths lean on."""
     with_pos = toks.select(
-        "tok",
         *[
             _cms_pos_spark(F.col("tok"), s).alias(f"pos{i}")
             for i, s in enumerate(CMS_SEEDS)
         ],
     )
-    lanes = ", ".join(
-        f"{i}, pos{i}" for i in range(len(CMS_SEEDS))
-    )
-    cells = (
+    return (
         with_pos.select(
-            F.expr(f"stack({len(CMS_SEEDS)}, {lanes}) AS (d, pos)")
+            F.expr(f"stack({len(CMS_SEEDS)}, {_CMS_LANES}) AS (d, pos)")
         )
         .groupBy("d", "pos")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    exact = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .orderBy(F.desc("exact_cnt"), F.asc("tok"))
-        .limit(CMS_TOPN)
-    )
-    probe = exact.select(
+
+
+def _cms_estimate(exact_topk: DataFrame, cells: DataFrame) -> DataFrame:
+    """min-over-depths estimate for each audited token, with the
+    overcount column (estimates never undercount)."""
+    probe = exact_topk.select(
         "tok",
         "exact_cnt",
         *[
@@ -386,9 +376,9 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "tok",
         "exact_cnt",
-        F.expr(f"stack({len(CMS_SEEDS)}, {lanes}) AS (d, pos)"),
+        F.expr(f"stack({len(CMS_SEEDS)}, {_CMS_LANES}) AS (d, pos)"),
     )
-    est = (
+    return (
         probe.join(F.broadcast(cells), ["d", "pos"], "left")
         .groupBy("tok", "exact_cnt")
         .agg(F.min("cnt").alias("cms_est"))
@@ -399,7 +389,85 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
         )
     )
-    return est
+
+
+def _cms_exact_topk(toks: DataFrame) -> DataFrame:
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("tok"))
+        .limit(CMS_TOPN)
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch vs exact truth for the corpus's top tokens.
+
+    Builds a D×W CMS over the token stream with ONE hash aggregate
+    (depth, cell) → count — the mergeable shape: tomorrow's sketch
+    adds cell-wise, shards union cell-wise, nothing is rescanned.
+    Then estimates the exact top-CMS_TOPN tokens' frequencies from
+    the sketch and reports the per-token overcount (CMS estimates
+    never undercount; property-tested).
+
+    Scale shape: the sketch is D×W rows TOTAL — constant in corpus
+    size; the token stream is scanned once (reused via a persist
+    barrier for the exact side, which at 100 TB would be replaced by
+    the sketch consumer entirely — the exact side here IS the
+    audit)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _reuse(_cms_tokens(d))
+    return _cms_estimate(_cms_exact_topk(toks), cms_cells(toks))
+
+
+def _cms_state_dir(sf_dir: str) -> str:
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    from zcode_iceberg_spark.suite.llm import sweep_dead_scratch
+
+    sweep_dead_scratch("zspark_cms_state_")
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"{tempfile.gettempdir()}/zspark_cms_state_{tag}_p{os.getpid()}"
+
+
+def read_cms(spark: SparkSession, cells_dir: str) -> DataFrame:
+    """Fold the per-epoch cell tables into ONE sketch: cell-wise sum
+    over everything under ``cells_dir`` — the re-aggregation that
+    makes daily/shard sketches composable without rescans."""
+    return (
+        spark.read.parquet(cells_dir)
+        .groupBy("d", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def q_cms_heavy_hitters_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cms_heavy_hitters`` with the sketch read from PERSISTED
+    per-epoch cell tables (two "days" of ingest written through
+    streaming/pipeline.py:cms_ingest_step, then folded cell-wise by
+    :func:`read_cms`). Same output and oracle as the inline query —
+    counts add, so any split of the corpus into epochs yields the
+    identical merged sketch. Unlike the Bloom byte table (idempotent
+    by OR-algebra), COUNT state needs the epoch-keyed overwrite
+    discipline: each epoch writes its own subdirectory with overwrite,
+    so an at-least-once replay rewrites rather than double-counts
+    (replay-idempotence pinned in tests/test_streaming.py)."""
+    from zcode_iceberg_spark.streaming.pipeline import cms_ingest_step
+
+    import shutil as _shutil
+    from pathlib import Path as _Path
+
+    state = _cms_state_dir(sf_dir)
+    if _Path(state).exists():
+        _shutil.rmtree(state)
+    d = load_table(spark, sf_dir, "documents")
+    mid = d.agg(F.floor(F.max("doc_id") / 2).cast("bigint")).collect()[0][0]
+    cms_ingest_step(d.filter(F.col("doc_id") <= mid), 0, state)
+    cms_ingest_step(d.filter(F.col("doc_id") > mid), 1, state)
+    toks = _cms_tokens(d)
+    return _cms_estimate(_cms_exact_topk(toks), read_cms(spark, state))
 
 
 _CMS_POS = [_cms_pos_sql("tok", s) for s in CMS_SEEDS]
@@ -1233,6 +1301,9 @@ QUERIES = {
     "dedup_bloom": Query(q_dedup_bloom, SQL_DEDUP_BLOOM),
     "dedup_bloom_persisted": Query(q_dedup_bloom_persisted, SQL_DEDUP_BLOOM),
     "cms_heavy_hitters": Query(q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
+    "cms_heavy_hitters_persisted": Query(
+        q_cms_heavy_hitters_persisted, SQL_CMS_HEAVY_HITTERS
+    ),
     "record_linkage": Query(q_record_linkage, SQL_RECORD_LINKAGE),
     "containment_dedup": Query(q_containment_dedup, SQL_CONTAINMENT_DEDUP),
     "ols_regression": Query(q_ols_regression, SQL_OLS_REGRESSION),
