@@ -389,6 +389,7 @@ def test_new_curation_plans_no_cartesian(spark, sf_dir):
         "cluster_safe_split",
         "dedup_quality_keeper",
         "dedup_bloom_persisted",
+        "cms_heavy_hitters_persisted",
     ):
         p = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in p, name
