@@ -336,10 +336,18 @@ _CMS_LANES = ", ".join(f"{i}, pos{i}" for i in range(len(CMS_SEEDS)))
 
 
 def _cms_tokens(docs: DataFrame) -> DataFrame:
-    """(tok) token stream — the shared input of sketch and audit."""
-    return docs.select(
-        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
-    ).filter(F.col("tok") != "")
+    """(tok) token stream — the shared input of sketch and audit. The
+    explode fans out of the (often single-split) input scan first —
+    the corpus_pipeline stage-barrier rule's fourth sighting."""
+    sc = docs.sparkSession.sparkContext
+    return (
+        docs.select("doc_id", "text")
+        .repartition(sc.defaultParallelism, "doc_id")
+        .select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+    )
 
 
 def cms_cells(toks: DataFrame) -> DataFrame:
