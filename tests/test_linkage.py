@@ -402,3 +402,23 @@ def test_decontaminate_bloom_bitset_broadcast(spark, sf_dir):
     gram-shuffle twin)."""
     p = _plan(spark, sf_dir, "decontaminate_bloom")
     assert "BroadcastHashJoin" in p
+
+
+def test_seasonal_decompose_reconstructs(spark, sf_dir):
+    """Additive decomposition must reconstruct: close = trend +
+    seasonal + resid (within the 1e-6 output rounding), and the
+    seasonal component must mean to ~0 within each (key,
+    hour-of-day) group — the defining property of a fitted seasonal."""
+    from zcode_iceberg_spark.suite import timeseries as tsx
+
+    rows = (
+        tsx.QUERIES["seasonal_decompose"].fn(spark, sf_dir).collect()
+    )
+    assert rows
+    groups = {}
+    for r in rows:
+        assert abs(r.close - (r.trend + r.seasonal + r.resid)) < 3e-6, r
+        hod = r.bar_ts[11:13]
+        groups.setdefault((r.user_id, hod), []).append(r.resid)
+    for k, resids in groups.items():
+        assert abs(sum(resids) / len(resids)) < 1e-4, k

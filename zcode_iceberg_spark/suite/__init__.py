@@ -59,13 +59,13 @@ PRIORITY = [
     # row and stays oracle-checked at sf0.001 on every pytest run
     # (tests/test_oracle_suite.py).
     # Session-2 additions (no driver row yet — new queries lead the
-    # window per the rotation policy; the twelve tail slots they
-    # consume — cheapest_supplier_per_part, above_customer_avg,
-    # pivot_priority_segment, late_ship_exists, unpivot_lineitem_stats,
-    # passage_dedup, signal_scores, boilerplate_strip, corpus_pipeline,
-    # lsh_precision, lsh_recall, lsh_recall_rebanded — all hold green
-    # r5-or-later driver rows and stay oracle-checked at sf0.001 on
-    # every pytest run).
+    # window per the rotation policy; the thirteen tail slots they
+    # consume — market_share, cheapest_supplier_per_part,
+    # above_customer_avg, pivot_priority_segment, late_ship_exists,
+    # unpivot_lineitem_stats, passage_dedup, signal_scores,
+    # boilerplate_strip, corpus_pipeline, lsh_precision, lsh_recall,
+    # lsh_recall_rebanded — all hold green r5-or-later driver rows and
+    # stay oracle-checked at sf0.001 on every pytest run).
     "dedup_bloom",
     "dedup_bloom_persisted",
     "cms_heavy_hitters",
@@ -78,6 +78,7 @@ PRIORITY = [
     "token_budget_mix",
     "decontaminate_bloom",
     "cluster_safe_split",
+    "seasonal_decompose",
     "trend_lstm_training",
     "lstm_trend_micro",
     "trend_dual_fusion",
@@ -117,7 +118,6 @@ PRIORITY = [
     "order_count_distribution",
     "large_orders",
     "nation_trade_volume",
-    "market_share",
 ]
 
 

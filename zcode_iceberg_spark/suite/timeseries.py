@@ -1139,7 +1139,96 @@ SQL_TREND_PROBE_TRAINING = f"""
 """
 
 
+SEAS_HALF = 12  # centered trend window = ±12 hours (25-bar MA)
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the hourly close series:
+    trend = centered ±{SEAS_HALF}h moving average (a RANGE frame on
+    the hour index, so missing hours do not slide the window — the
+    same calendar-correctness rule as bar_dod_change), seasonal =
+    per-(key, hour-of-day) mean of the detrended series, residual =
+    what's left. The additive STL-lite every time-series warehouse
+    ships; close + trend + seasonal + resid reconstruct exactly.
+
+    Cross-engine determinism: the trend mean is CAST(exact-decimal
+    sum AS DOUBLE)/count, NOT engine avg() — Spark keeps decimal
+    averages in decimal while DuckDB returns double, so the division
+    is spelled once and identically on both sides.
+
+    Scale shape: one window family per key (hour index order), one
+    hash agg for the seasonal means re-joined as a window over
+    (key, hour-of-day) — both partition by key; no global sort, no
+    driver state."""
+    b = _bars(spark, sf_dir)
+    h = (F.unix_timestamp("bar_ts") / 3600).cast("bigint")
+    s = b.select(
+        "user_id",
+        "bar_ts",
+        h.alias("h"),
+        F.col("close").cast("double").alias("close"),
+        F.col("close").cast("decimal(18,6)").alias("close_dec"),
+        F.hour("bar_ts").alias("hod"),
+    )
+    wt = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rangeBetween(-SEAS_HALF, SEAS_HALF)
+    )
+    t = s.withColumn(
+        "trend",
+        F.sum("close_dec").over(wt).cast("double")
+        / F.count(F.lit(1)).over(wt),
+    ).withColumn("detrended", F.col("close") - F.col("trend"))
+    ws = Window.partitionBy("user_id", "hod")
+    out = t.withColumn("seasonal", F.avg("detrended").over(ws)).select(
+        "user_id",
+        F.date_format("bar_ts", "yyyy-MM-dd HH:mm:ss").alias("bar_ts"),
+        F.round("close", 6).alias("close"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(
+            F.col("detrended") - F.col("seasonal"), 6
+        ).alias("resid"),
+    )
+    return out
+
+
+SQL_SEASONAL_DECOMPOSE = f"""
+{TICKS_CTE},
+{BARS_CTE},
+s AS (
+  SELECT user_id, bar_ts,
+         CAST(epoch(bar_ts) / 3600 AS BIGINT) AS h,
+         CAST(close AS DOUBLE) AS close,
+         CAST(close AS DECIMAL(18,6)) AS close_dec,
+         CAST(hour(bar_ts) AS INT) AS hod
+  FROM bars
+),
+t AS (
+  SELECT *,
+         CAST(sum(close_dec) OVER w AS DOUBLE)
+           / count(*) OVER w AS trend
+  FROM s
+  WINDOW w AS (PARTITION BY user_id ORDER BY h
+               RANGE BETWEEN {SEAS_HALF} PRECEDING
+                 AND {SEAS_HALF} FOLLOWING)
+),
+dt AS (SELECT *, close - trend AS detrended FROM t)
+SELECT user_id,
+       strftime(bar_ts, '%Y-%m-%d %H:%M:%S') AS bar_ts,
+       round(close, 6) AS close,
+       round(trend, 6) AS trend,
+       round(avg(detrended) OVER (PARTITION BY user_id, hod), 6)
+         AS seasonal,
+       round(detrended - avg(detrended) OVER (PARTITION BY user_id, hod), 6)
+         AS resid
+FROM dt
+"""
+
+
 QUERIES = {
+    "seasonal_decompose": Query(q_seasonal_decompose, SQL_SEASONAL_DECOMPOSE),
     "ohlc_1h": Query(q_ohlc_1h, SQL_OHLC_1H),
     "gap_fill_1h": Query(q_gap_fill_1h, SQL_GAP_FILL_1H),
     "bar_dod_change": Query(q_bar_dod_change, SQL_BAR_DOD_CHANGE),
