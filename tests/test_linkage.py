@@ -422,3 +422,24 @@ def test_seasonal_decompose_reconstructs(spark, sf_dir):
         groups.setdefault((r.user_id, hod), []).append(r.resid)
     for k, resids in groups.items():
         assert abs(sum(resids) / len(resids)) < 1e-4, k
+
+
+def test_attribution_partitions_all_purchases(spark, sf_dir):
+    """Channels partition the purchase set: per-channel counts sum to
+    the total purchase count, revenue to total purchase revenue, and
+    only touch channels + 'direct' appear."""
+    from zcode_iceberg_spark.sources.tables import events_ticks
+    from zcode_iceberg_spark.suite import orderbook as ob
+    import pyspark.sql.functions as F
+
+    rows = (
+        ob.QUERIES["attribution_last_touch"].fn(spark, sf_dir).collect()
+    )
+    assert {r.channel for r in rows} <= {"click", "view", "direct"}
+    t = events_ticks(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    total = t.count()
+    assert sum(r.n_purchases for r in rows) == total
+    rev = t.agg(
+        F.round(F.sum(F.expr("CAST(price AS DECIMAL(18,6))")).cast("double"), 4)
+    ).collect()[0][0]
+    assert abs(sum(r.revenue for r in rows) - rev) < 1e-3

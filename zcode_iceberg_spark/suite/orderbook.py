@@ -459,7 +459,80 @@ FROM agg
 """
 
 
+ATTR_LOOKBACK_H = 24
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-attribution archetype on the D1 as-of kernel: each
+    purchase attributes to the LATEST click/view by the same user at
+    or before it (union + last(ignorenulls) — one shuffle, no range
+    explosion), demoted to the 'direct' channel when the touch is
+    older than the {ATTR_LOOKBACK_H}h lookback or absent. Revenue
+    rolls up per channel as an exact-decimal sum.
+
+    Scale shape: the as-of carry is the same single window family the
+    trade/quote join uses; the rollup is a 3-row hash agg. Oracle:
+    DuckDB's native ASOF LEFT JOIN + the same CASE."""
+    t = events_ticks(spark, sf_dir)
+    purchases = t.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "price"
+    )
+    touches = t.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("touch_ts"),
+    )
+    j = asof_ops.asof_join(
+        purchases, touches, key="user_id", value_cols=["touch_type", "touch_ts"]
+    )
+    channel = F.when(
+        F.col("asof_touch_ts")
+        >= F.col("ts") - F.expr(f"INTERVAL {ATTR_LOOKBACK_H} HOURS"),
+        F.col("asof_touch_type"),
+    ).otherwise(F.lit("direct"))
+    return (
+        j.select(channel.alias("channel"), "price")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.sum(F.expr("CAST(price AS DECIMAL(18,6))")).cast("double"),
+                6,
+            ).alias("revenue"),
+        )
+    )
+
+
+SQL_ATTRIBUTION_LAST_TOUCH = f"""
+{TICKS_CTE},
+purchases AS (
+  SELECT event_id, user_id, ts, price FROM ticks
+  WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, ts AS touch_ts, event_type AS touch_type FROM ticks
+  WHERE event_type IN ('click', 'view')
+),
+attributed AS (
+  SELECT CASE WHEN q.touch_ts >= p.ts - INTERVAL {ATTR_LOOKBACK_H} HOURS
+              THEN q.touch_type ELSE 'direct' END AS channel,
+         p.price
+  FROM purchases p ASOF LEFT JOIN touches q
+    ON p.user_id = q.user_id AND p.ts >= q.touch_ts
+)
+SELECT channel, count(*) AS n_purchases,
+       round(CAST(sum(CAST(price AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS revenue
+FROM attributed GROUP BY channel
+"""
+
+
 QUERIES = {
+    "attribution_last_touch": Query(
+        q_attribution_last_touch, SQL_ATTRIBUTION_LAST_TOUCH
+    ),
     "iceberg_refill": Query(q_iceberg_refill, SQL_ICEBERG_REFILL),
     "depth_slippage": Query(q_depth_slippage, SQL_DEPTH_SLIPPAGE),
     "book_topk": Query(q_book_topk, SQL_BOOK_TOPK),
