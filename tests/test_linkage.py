@@ -443,3 +443,42 @@ def test_attribution_partitions_all_purchases(spark, sf_dir):
         F.round(F.sum(F.expr("CAST(price AS DECIMAL(18,6))")).cast("double"), 4)
     ).collect()[0][0]
     assert abs(sum(r.revenue for r in rows) - rev) < 1e-3
+
+
+def test_holt_matches_python_replay(spark, sf_dir):
+    """Independent replay of the quantized-decimal Holt recursion in
+    Python Decimal arithmetic must reproduce the engine's trajectory
+    for every key — the cross-check that the algebra (not just the
+    cross-engine agreement) is right."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from zcode_iceberg_spark.suite import timeseries as tsx
+
+    rows = tsx.QUERIES["holt_forecast"].fn(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    A, B = Decimal("0.5"), Decimal("0.3")
+    ten = Decimal(1).scaleb(-10)
+    checked = 0
+    for u, rs in list(by_user.items())[:5]:
+        rs.sort(key=lambda r: r.bar_ts)
+        l = t = None
+        for r in rs:
+            x = Decimal(str(r.close))
+            if l is None:
+                l, t, fitted = x, Decimal(0), x
+            else:
+                fitted = l + t
+                l2 = (A * x + (1 - A) * (l + t)).quantize(
+                    ten, rounding=ROUND_HALF_UP
+                )
+                t = (B * (l2 - l) + (1 - B) * t).quantize(
+                    ten, rounding=ROUND_HALF_UP
+                )
+                l = l2
+            assert abs(float(l) - r.level) < 1e-6, (u, r.bar_ts)
+            assert abs(float(t) - r.trend) < 1e-6
+            assert abs(float(fitted) - r.fitted) < 1e-6
+            checked += 1
+    assert checked > 50

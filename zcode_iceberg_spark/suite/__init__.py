@@ -59,8 +59,8 @@ PRIORITY = [
     # row and stays oracle-checked at sf0.001 on every pytest run
     # (tests/test_oracle_suite.py).
     # Session-2 additions (no driver row yet — new queries lead the
-    # window per the rotation policy; the fourteen tail slots they
-    # consume — nation_trade_volume, market_share,
+    # window per the rotation policy; the fifteen tail slots they
+    # consume — large_orders, nation_trade_volume, market_share,
     # cheapest_supplier_per_part, above_customer_avg,
     # pivot_priority_segment, late_ship_exists, unpivot_lineitem_stats,
     # passage_dedup, signal_scores, boilerplate_strip, corpus_pipeline,
@@ -81,6 +81,7 @@ PRIORITY = [
     "cluster_safe_split",
     "seasonal_decompose",
     "attribution_last_touch",
+    "holt_forecast",
     "trend_lstm_training",
     "lstm_trend_micro",
     "trend_dual_fusion",
@@ -118,7 +119,6 @@ PRIORITY = [
     "segment_share",
     "cube_corpus",
     "order_count_distribution",
-    "large_orders",
 ]
 
 

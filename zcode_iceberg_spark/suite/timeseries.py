@@ -1227,8 +1227,149 @@ FROM dt
 """
 
 
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing over the hourly
+    close series — the level+trend recursion the EMA (F1) fold
+    generalizes to: level' = α·x + (1−α)·(level+trend), trend' =
+    β·(level'−level) + (1−β)·trend, one-step-ahead ``fitted`` =
+    level+trend BEFORE absorbing x. Initialization: level=first
+    close, trend=0, fitted=close (exact on the first bar).
+
+    Spark shape: per-key F.aggregate fold over the sort_array'd bar
+    list (the EMA/equity-compounding precedent — bars per key are
+    calendar-bounded); pure double expressions, no UDF. Oracle: a
+    recursive CTE walks the same recursion in bar order (the FSM-walk
+    precedent).
+
+    Cross-engine determinism: the state (level, trend) lives in EXACT
+    DECIMAL(28,10), with the smoothing constants as exact decimals —
+    double arithmetic alone is not enough for an unbounded mul-add
+    recursion (engines drift ulps that eventually straddle a round-6
+    boundary; observed at sf0.01), and double QUANTIZATION per step is
+    worse (α=0.5 over a 1e-10 lattice puts the true value exactly ON
+    the rounding tie half the time, where binary noise decides the
+    digit). Exact decimal ops have no binary noise, and both engines
+    round decimal ties away from zero, so the trajectories are
+    identical by construction; only the OUTPUT casts to double."""
+    DEC = "decimal(28,10)"
+    b = _bars(spark, sf_dir)
+    arr = b.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("bar_ts", F.col("close").cast(DEC).alias("x"))
+            )
+        ).alias("bs")
+    )
+    out_type = (
+        f"array<struct<bar_ts:timestamp,x:{DEC},level:{DEC},"
+        f"trend:{DEC},fitted:{DEC}>>"
+    )
+    a_d = F.expr("CAST(0.5 AS DECIMAL(2,1))")
+    a1_d = F.expr("CAST(0.5 AS DECIMAL(2,1))")
+    b_d = F.expr("CAST(0.3 AS DECIMAL(2,1))")
+    b1_d = F.expr("CAST(0.7 AS DECIMAL(2,1))")
+
+    def step(acc, bar):
+        first = acc["n"] == 0
+        fitted = (
+            F.when(first, bar["x"]).otherwise(acc["l"] + acc["t"]).cast(DEC)
+        )
+        l2 = (
+            F.when(first, bar["x"])
+            .otherwise(
+                F.round(a_d * bar["x"] + a1_d * (acc["l"] + acc["t"]), 10)
+            )
+            .cast(DEC)
+        )
+        t2 = (
+            F.when(first, F.lit(0))
+            .otherwise(F.round(b_d * (l2 - acc["l"]) + b1_d * acc["t"], 10))
+            .cast(DEC)
+        )
+        row = F.struct(
+            bar["bar_ts"].alias("bar_ts"),
+            bar["x"].alias("x"),
+            l2.alias("level"),
+            t2.alias("trend"),
+            fitted.alias("fitted"),
+        )
+        return F.struct(
+            l2.alias("l"),
+            t2.alias("t"),
+            (acc["n"] + 1).alias("n"),
+            F.concat(acc["out"], F.array(row)).alias("out"),
+        )
+
+    acc0 = F.struct(
+        F.lit(0).cast(DEC).alias("l"),
+        F.lit(0).cast(DEC).alias("t"),
+        F.lit(0).alias("n"),
+        F.array().cast(out_type).alias("out"),
+    )
+    folded = arr.select(
+        "user_id", F.aggregate("bs", acc0, step)["out"].alias("out")
+    )
+    r = folded.select("user_id", F.explode("out").alias("r"))
+    # round IN DECIMAL, then cast: the state can land exactly on a
+    # round-6 tie (…7375), where a double-first cast hands the tie to
+    # binary noise — decimal HALF_UP is deterministic on both engines
+    return r.select(
+        "user_id",
+        F.date_format("r.bar_ts", "yyyy-MM-dd HH:mm:ss").alias("bar_ts"),
+        F.round(F.col("r.x"), 6).cast("double").alias("close"),
+        F.round(F.col("r.level"), 6).cast("double").alias("level"),
+        F.round(F.col("r.trend"), 6).cast("double").alias("trend"),
+        F.round(F.col("r.fitted"), 6).cast("double").alias("fitted"),
+    )
+
+
+SQL_HOLT_FORECAST = f"""
+{TICKS_CTE},
+{BARS_CTE},
+bi AS (
+  SELECT user_id, bar_ts, CAST(close AS DECIMAL(28,10)) AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY bar_ts) AS k
+  FROM bars
+),
+walk AS (
+  WITH RECURSIVE w AS (
+    SELECT user_id, bar_ts, x, k,
+           x AS level,
+           CAST(0 AS DECIMAL(28,10)) AS trend,
+           x AS fitted
+    FROM bi WHERE k = 1
+    UNION ALL
+    SELECT b.user_id, b.bar_ts, b.x, b.k,
+           CAST(round(CAST(0.5 AS DECIMAL(2,1)) * b.x
+             + CAST(0.5 AS DECIMAL(2,1)) * (w.level + w.trend), 10)
+             AS DECIMAL(28,10)),
+           CAST(round(CAST(0.3 AS DECIMAL(2,1))
+             * (CAST(round(CAST(0.5 AS DECIMAL(2,1)) * b.x
+                + CAST(0.5 AS DECIMAL(2,1)) * (w.level + w.trend), 10)
+                AS DECIMAL(28,10)) - w.level)
+             + CAST(0.7 AS DECIMAL(2,1)) * w.trend, 10) AS DECIMAL(28,10)),
+           CAST(w.level + w.trend AS DECIMAL(28,10))
+    FROM w JOIN bi b ON b.user_id = w.user_id AND b.k = w.k + 1
+  )
+  SELECT * FROM w
+)
+SELECT user_id,
+       strftime(bar_ts, '%Y-%m-%d %H:%M:%S') AS bar_ts,
+       CAST(round(x, 6) AS DOUBLE) AS close,
+       CAST(round(level, 6) AS DOUBLE) AS level,
+       CAST(round(trend, 6) AS DOUBLE) AS trend,
+       CAST(round(fitted, 6) AS DOUBLE) AS fitted
+FROM walk
+"""
+
+
 QUERIES = {
     "seasonal_decompose": Query(q_seasonal_decompose, SQL_SEASONAL_DECOMPOSE),
+    "holt_forecast": Query(q_holt_forecast, SQL_HOLT_FORECAST),
     "ohlc_1h": Query(q_ohlc_1h, SQL_OHLC_1H),
     "gap_fill_1h": Query(q_gap_fill_1h, SQL_GAP_FILL_1H),
     "bar_dod_change": Query(q_bar_dod_change, SQL_BAR_DOD_CHANGE),
