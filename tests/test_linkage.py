@@ -482,3 +482,23 @@ def test_holt_matches_python_replay(spark, sf_dir):
             assert abs(float(fitted) - r.fitted) < 1e-6
             checked += 1
     assert checked > 50
+
+
+def test_timeseries_additions_plan_shapes(spark, sf_dir):
+    """seasonal_decompose: one window family per key, no cartesian.
+    attribution: the as-of union shape (no range explosion). holt:
+    single fold, no joins beyond the bar groupBy."""
+    import contextlib
+    import io
+
+    from zcode_iceberg_spark.suite import registry
+
+    reg = registry()
+    for name in ("seasonal_decompose", "holt_forecast", "attribution_last_touch"):
+        df = reg[name].fn(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
