@@ -1456,3 +1456,63 @@ def test_cms_epoch_replay_overwrites_not_double_counts(spark, sf_dir, tmp):
     cms_ingest_step(docs.filter(F.col("doc_id") > mid), 1, cells_dir)  # replay
     after = {(r.d, r.pos): r.cnt for r in read_cms(spark, cells_dir).collect()}
     assert before == after
+
+
+# ----------------------------------------------------------- holt forecaster
+
+
+def test_holt_stream_agrees_with_batch(spark, sf_dir, raw_events_dir, tmp):
+    """Every watermark-finalized bar the stream folds must carry
+    exactly the batch query's (level, trend, fitted) — the
+    exact-decimal kernel is shared, so agreement is bit-level on the
+    rounded outputs."""
+    from zcode_iceberg_spark.streaming.pipeline import holt_stream
+    from zcode_iceberg_spark.suite.timeseries import q_holt_forecast
+
+    out, state = str(tmp / "holt_out"), str(tmp / "holt_state")
+    q = holt_stream(spark, raw_events_dir, out, state, str(tmp / "holt_ck"))
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.bar_ts.strftime("%Y-%m-%d %H:%M:%S")): (
+            r.close, r.level, r.trend, r.fitted
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.user_id, r.bar_ts): (r.close, r.level, r.trend, r.fitted)
+        for r in q_holt_forecast(spark, sf_dir).collect()
+    }
+    assert got, "stream produced no finalized bars"
+    assert len(got) > len(want) // 2, "watermark should finalize most bars"
+    for k, v in got.items():
+        assert k in want, k
+        assert v == want[k], (k, v, want[k])
+
+
+def test_holt_stream_replay_safe_both_crash_windows(spark, sf_dir, tmp):
+    """At-least-once discipline: replaying an epoch after EITHER crash
+    window (before state merge: rewrites identical rows; after state
+    merge: skips the write, original partition intact)."""
+    import pyspark.sql.functions as F
+
+    from zcode_iceberg_spark.operators.timeseries import ohlc_bars
+    from zcode_iceberg_spark.sources.tables import events_ticks
+    from zcode_iceberg_spark.streaming.pipeline import holt_stream_step
+
+    bars = ohlc_bars(events_ticks(spark, sf_dir), minutes=60)
+    mid = bars.agg(F.max("bar_ts")).collect()[0][0]
+    b0 = bars.filter(F.col("bar_ts") < mid)
+    b1 = bars.filter(F.col("bar_ts") >= mid)
+    out, state = str(tmp / "hre_out"), str(tmp / "hre_state")
+    holt_stream_step(b0, 0, out, state)
+    snap0 = sorted(map(tuple, spark.read.parquet(out).collect()))
+    state0 = sorted(map(tuple, spark.read.parquet(state).collect()))
+    # crash-after-state-merge: replay epoch 0 — everything already
+    # folded, the original partition must survive untouched
+    holt_stream_step(b0, 0, out, state)
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == snap0
+    assert sorted(map(tuple, spark.read.parquet(state).collect())) == state0
+    # normal progress still works after the replay
+    holt_stream_step(b1, 1, out, state)
+    n_total = spark.read.parquet(out).count()
+    assert n_total == len(snap0) + b1.count()

@@ -636,3 +636,34 @@ def cumulative_sum(df: DataFrame, value: str, order: list[str]) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return df.withColumn(f"cum_{value}", F.sum(value).over(w))
+
+
+# ------------------------------------------------------------------ holt
+
+HOLT_Q10 = "1E-10"  # state lattice (matches the suite's DECIMAL(28,10))
+
+
+def holt_step_dec(level, trend, x):
+    """One Holt's-linear step in EXACT decimal arithmetic — the shared
+    kernel between the streaming forecaster and the batch replay test.
+    Mirrors suite/timeseries.py:q_holt_forecast's Spark-decimal fold
+    bit-for-bit: DECIMAL(2,1) constants, per-step HALF_UP quantization
+    to the 1e-10 lattice (Python Decimal HALF_UP == Spark decimal
+    round == DuckDB decimal round: all away-from-zero on ties).
+
+    (level, trend) are Decimals or None (no state yet); x is the
+    bar's close as a Decimal. Returns (level', trend', fitted)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(HOLT_Q10)
+    a, b = Decimal("0.5"), Decimal("0.3")
+    if level is None:
+        return x, Decimal(0), x
+    fitted = level + trend
+    l2 = (a * x + (1 - a) * (level + trend)).quantize(
+        q, rounding=ROUND_HALF_UP
+    )
+    t2 = (b * (l2 - level) + (1 - b) * trend).quantize(
+        q, rounding=ROUND_HALF_UP
+    )
+    return l2, t2, fitted

@@ -487,6 +487,145 @@ EMB_SCHEMA = T.StructType(
 )
 
 
+HOLT_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("bar_ts", T.TimestampType()),
+        T.StructField("close", T.DoubleType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("fitted", T.DoubleType()),
+        T.StructField("level_s", T.StringType()),  # exact decimal carry
+        T.StructField("trend_s", T.StringType()),
+    ]
+)
+
+
+def holt_stream_step(
+    batch_df: DataFrame, epoch_id: int, out_dir: str, state_dir: str
+) -> None:
+    """One epoch of the live Holt forecaster: fold the arriving
+    FINALIZED bars per key through the exact-decimal kernel
+    (operators/timeseries.py:holt_step_dec — bit-equal to the batch
+    query's Spark-decimal fold), seeded from the persisted state
+    table; append the epoch's trajectory rows and upsert the exact
+    state (level/trend as decimal STRINGS — doubles would re-introduce
+    the binary noise the decimal design removed).
+
+    Replay discipline (at-least-once foreachBatch): bars at or before
+    each key's persisted last_ts are SKIPPED, and the epoch's output
+    partition is (over)written only when the fold produced rows — so
+    a replay after a crash-before-state-merge rewrites identical rows,
+    and a replay after a crash-after-state-merge leaves the original
+    partition untouched instead of clobbering it with the
+    empty re-fold (tests pin both)."""
+    from decimal import ROUND_HALF_UP, Decimal
+    from pathlib import Path as _Path
+
+    import pandas as pd
+
+    from zcode_iceberg_spark.operators.timeseries import holt_step_dec
+    from zcode_iceberg_spark.sources.sinks import merge_upsert
+
+    spark = batch_df.sparkSession
+    have_state = _Path(state_dir).exists()
+    if have_state:
+        st = spark.read.parquet(state_dir)
+    else:
+        st = spark.createDataFrame(
+            [],
+            "user_id long, level_s string, trend_s string, last_ts timestamp",
+        )
+    joined = batch_df.select("user_id", "bar_ts", "close").join(
+        F.broadcast(st), "user_id", "left"
+    )
+    q6 = Decimal("1E-6")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bar_ts", kind="mergesort")
+        lvl_s = pdf["level_s"].iloc[0]
+        lvl = Decimal(lvl_s) if isinstance(lvl_s, str) else None
+        trd = Decimal(pdf["trend_s"].iloc[0]) if lvl is not None else None
+        last_ts = pdf["last_ts"].iloc[0]
+        out = []
+        for r in pdf.itertuples():
+            if last_ts is not None and not pd.isna(last_ts):
+                if r.bar_ts <= last_ts:
+                    continue  # replayed / already-folded bar
+            x = Decimal(repr(float(r.close)))
+            lvl, trd, fitted = holt_step_dec(lvl, trd, x)
+            out.append(
+                {
+                    "user_id": r.user_id,
+                    "bar_ts": r.bar_ts,
+                    "close": float(x.quantize(q6, rounding=ROUND_HALF_UP)),
+                    "level": float(lvl.quantize(q6, rounding=ROUND_HALF_UP)),
+                    "trend": float(trd.quantize(q6, rounding=ROUND_HALF_UP)),
+                    "fitted": float(
+                        fitted.quantize(q6, rounding=ROUND_HALF_UP)
+                    ),
+                    "level_s": str(lvl),
+                    "trend_s": str(trd),
+                }
+            )
+        return pd.DataFrame(
+            out, columns=[f.name for f in HOLT_OUT_SCHEMA.fields]
+        )
+
+    res = joined.groupBy("user_id").applyInPandas(fold, HOLT_OUT_SCHEMA)
+    res = res.localCheckpoint()  # fold once; outputs + state both read it
+    if res.isEmpty():
+        return  # fully-replayed epoch: leave the original partition be
+    res.drop("level_s", "trend_s").write.mode("overwrite").parquet(
+        f"{out_dir}/epoch={epoch_id}"
+    )
+    from pyspark.sql import Window as _W
+
+    last = (
+        res.withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy("user_id").orderBy(F.desc("bar_ts"))
+            ),
+        )
+        .filter("rn = 1")
+        .select(
+            "user_id",
+            "level_s",
+            "trend_s",
+            F.col("bar_ts").alias("last_ts"),
+        )
+    )
+    if have_state:
+        merge_upsert(spark, state_dir, last, "user_id")
+    else:
+        last.write.parquet(state_dir)
+
+
+def holt_stream(
+    spark: SparkSession, src_dir: str, out_dir: str, state_dir: str,
+    checkpoint: str,
+):
+    """Streaming twin of the Holt forecaster (suite q_holt_forecast):
+    watermark-finalized hourly bars flow through the exact-decimal
+    level+trend fold with persisted per-key state — the live
+    forecasting stage of the composed pipeline. Agreement with the
+    batch query on every finalized bar is pinned in
+    tests/test_streaming.py. Returns the started query."""
+    bars = tumbling_ohlc_stream(stream_events(spark, src_dir))
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        holt_stream_step(batch_df, epoch_id, out_dir, state_dir)
+
+    return (
+        bars.writeStream.foreachBatch(step)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def cms_ingest_step(batch_df: DataFrame, epoch_id: int, cells_dir: str) -> None:
     """One Count-Min ingest epoch: the arriving docs' D×W cell table
     lands in its OWN epoch subdirectory with overwrite. COUNT state is
