@@ -502,3 +502,26 @@ def test_timeseries_additions_plan_shapes(spark, sf_dir):
         p = buf.getvalue()
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_seasonal_anomaly_flags_extreme_residuals_only(spark, sf_dir):
+    """Anomalies are exactly the rows whose |z| crosses the threshold,
+    the z-scores standardize (per-key mean ≈ 0), and the flagged
+    fraction is small (the detector runs on residuals, so daily rhythm
+    and trend cannot masquerade as anomalies)."""
+    from zcode_iceberg_spark.suite import timeseries as tsx
+
+    rows = tsx.QUERIES["seasonal_anomaly"].fn(spark, sf_dir).collect()
+    assert rows
+    n_anom = sum(1 for r in rows if r.is_anomaly)
+    assert 0 < n_anom < len(rows) * 0.05
+    for r in rows:
+        # the flag is computed on the UNROUNDED z; tolerate rows whose
+        # rounded z sits within rounding distance of the threshold
+        if abs(abs(r.resid_z) - tsx.ANOM_Z) > 1e-5:
+            assert r.is_anomaly == (abs(r.resid_z) >= tsx.ANOM_Z), r
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.resid_z)
+    for u, zs in by_user.items():
+        assert abs(sum(zs) / len(zs)) < 1e-3, u

@@ -59,14 +59,14 @@ PRIORITY = [
     # row and stays oracle-checked at sf0.001 on every pytest run
     # (tests/test_oracle_suite.py).
     # Session-2 additions (no driver row yet — new queries lead the
-    # window per the rotation policy; the fifteen tail slots they
-    # consume — large_orders, nation_trade_volume, market_share,
-    # cheapest_supplier_per_part, above_customer_avg,
-    # pivot_priority_segment, late_ship_exists, unpivot_lineitem_stats,
-    # passage_dedup, signal_scores, boilerplate_strip, corpus_pipeline,
-    # lsh_precision, lsh_recall, lsh_recall_rebanded — all hold green
-    # r5-or-later driver rows and stay oracle-checked at sf0.001 on
-    # every pytest run).
+    # window per the rotation policy; the sixteen tail slots they
+    # consume — order_count_distribution, large_orders,
+    # nation_trade_volume, market_share, cheapest_supplier_per_part,
+    # above_customer_avg, pivot_priority_segment, late_ship_exists,
+    # unpivot_lineitem_stats, passage_dedup, signal_scores,
+    # boilerplate_strip, corpus_pipeline, lsh_precision, lsh_recall,
+    # lsh_recall_rebanded — all hold green r5-or-later driver rows and
+    # stay oracle-checked at sf0.001 on every pytest run).
     "dedup_bloom",
     "dedup_bloom_persisted",
     "cms_heavy_hitters",
@@ -80,6 +80,7 @@ PRIORITY = [
     "decontaminate_bloom",
     "cluster_safe_split",
     "seasonal_decompose",
+    "seasonal_anomaly",
     "attribution_last_touch",
     "holt_forecast",
     "trend_lstm_training",
@@ -118,7 +119,6 @@ PRIORITY = [
     # next-stalest r5 greens (rotation-tool order)
     "segment_share",
     "cube_corpus",
-    "order_count_distribution",
 ]
 
 

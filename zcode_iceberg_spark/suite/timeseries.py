@@ -1180,15 +1180,25 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("close_dec").over(wt).cast("double")
         / F.count(F.lit(1)).over(wt),
     ).withColumn("detrended", F.col("close") - F.col("trend"))
+    # seasonal mean from EXACT decimal sums, not engine avg(): a double
+    # avg's summation order is plan-dependent (observed: the same
+    # query's resid flipped a round-6 boundary when wrapped as a
+    # subquery of seasonal_anomaly) — quantize detrended at 1e-9 and
+    # divide once, identically on both engines
     ws = Window.partitionBy("user_id", "hod")
-    out = t.withColumn("seasonal", F.avg("detrended").over(ws)).select(
+    ddec = F.col("detrended").cast("decimal(28,9)")
+    out = t.withColumn(
+        "seasonal",
+        F.sum(ddec).over(ws).cast("double")
+        / F.count(F.lit(1)).over(ws),
+    ).select(
         "user_id",
         F.date_format("bar_ts", "yyyy-MM-dd HH:mm:ss").alias("bar_ts"),
         F.round("close", 6).alias("close"),
         F.round("trend", 6).alias("trend"),
         F.round("seasonal", 6).alias("seasonal"),
-        F.round(
-            F.col("detrended") - F.col("seasonal"), 6
+        (
+            F.round(F.col("detrended") - F.col("seasonal"), 6) + F.lit(0.0)
         ).alias("resid"),
     )
     return out
@@ -1214,16 +1224,82 @@ t AS (
                RANGE BETWEEN {SEAS_HALF} PRECEDING
                  AND {SEAS_HALF} FOLLOWING)
 ),
-dt AS (SELECT *, close - trend AS detrended FROM t)
+dt AS (SELECT *, close - trend AS detrended FROM t),
+se AS (
+  SELECT *,
+         CAST(sum(CAST(detrended AS DECIMAL(28,9)))
+              OVER (PARTITION BY user_id, hod) AS DOUBLE)
+           / count(*) OVER (PARTITION BY user_id, hod) AS seasonal
+  FROM dt
+)
 SELECT user_id,
        strftime(bar_ts, '%Y-%m-%d %H:%M:%S') AS bar_ts,
        round(close, 6) AS close,
        round(trend, 6) AS trend,
-       round(avg(detrended) OVER (PARTITION BY user_id, hod), 6)
-         AS seasonal,
-       round(detrended - avg(detrended) OVER (PARTITION BY user_id, hod), 6)
-         AS resid
-FROM dt
+       round(seasonal, 6) AS seasonal,
+       round(detrended - seasonal, 6) + 0.0 AS resid
+FROM se
+"""
+
+
+ANOM_Z = 3.0  # flag threshold on the deseasonalized z-score
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly detection — the natural consumer of
+    the decomposition: a bar is anomalous when its RESIDUAL (close −
+    trend − seasonal) sits ≥ {ANOM_Z}σ from its key's residual
+    distribution. Running the detector on residuals instead of raw
+    closes is the point: daily rhythm and local trend stop masquerading
+    as anomalies.
+
+    Scale shape: the decomposition's window families plus ONE more
+    per-key aggregate (population moments of the residual) broadcast
+    back as a window — everything partitions by key. Determinism: the
+    z denominator is spelled sqrt(sum(r²)/n − (sum(r)/n)²) from
+    EXACT-decimal residual sums on both engines, not engine
+    stddev_pop (whose internal update order differs)."""
+    base = q_seasonal_decompose(spark, sf_dir)
+    # residuals are already rounded to 6 decimals → exact DECIMAL(18,6)
+    rdec = F.col("resid").cast("decimal(18,6)")
+    grp = Window.partitionBy("user_id")
+    withm = (
+        base.withColumn("s1", F.sum(rdec).over(grp).cast("double"))
+        .withColumn("s2", F.sum(rdec * rdec).over(grp).cast("double"))
+        .withColumn("n", F.count(F.lit(1)).over(grp).cast("double"))
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    z = (F.col("resid") - mean) / F.sqrt(var)
+    return withm.select(
+        "user_id",
+        "bar_ts",
+        "close",
+        "resid",
+        (F.round(z, 6) + F.lit(0.0)).alias("resid_z"),
+        (F.abs(z) >= ANOM_Z).alias("is_anomaly"),
+    )
+
+
+def _sql_seasonal_anomaly() -> str:
+    base = SQL_SEASONAL_DECOMPOSE.strip()
+    return f"""
+WITH base AS ({base}),
+m AS (
+  SELECT *,
+         CAST(sum(CAST(resid AS DECIMAL(18,6)))
+              OVER (PARTITION BY user_id) AS DOUBLE) AS s1,
+         CAST(sum(CAST(resid AS DECIMAL(18,6)) * CAST(resid AS DECIMAL(18,6)))
+              OVER (PARTITION BY user_id) AS DOUBLE) AS s2,
+         CAST(count(*) OVER (PARTITION BY user_id) AS DOUBLE) AS n
+  FROM base
+)
+SELECT user_id, bar_ts, close, resid,
+       round((resid - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) + 0.0
+         AS resid_z,
+       abs((resid - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)))
+         >= {ANOM_Z} AS is_anomaly
+FROM m
 """
 
 
@@ -1369,6 +1445,7 @@ FROM walk
 
 QUERIES = {
     "seasonal_decompose": Query(q_seasonal_decompose, SQL_SEASONAL_DECOMPOSE),
+    "seasonal_anomaly": Query(q_seasonal_anomaly, _sql_seasonal_anomaly()),
     "holt_forecast": Query(q_holt_forecast, SQL_HOLT_FORECAST),
     "ohlc_1h": Query(q_ohlc_1h, SQL_OHLC_1H),
     "gap_fill_1h": Query(q_gap_fill_1h, SQL_GAP_FILL_1H),
