@@ -4,7 +4,7 @@ suite block. These are the pipeline stages a 100 TB training-data
 build needs BETWEEN the text-dedup family (suite/llm.py) and the
 relational family (suite/relational.py): entity resolution over
 structured records, constant-memory membership/frequency sketches,
-asymmetric (containment) duplicate detection for quote/subset pairs,
+max-containment duplicate detection for quote/subset pairs,
 and one-pass model fitting via mergeable moments.
 
 Scale design notes (the point of this block):
@@ -96,9 +96,12 @@ def bloom_byte_table(hashed: DataFrame) -> DataFrame:
     between the batch query, the persisted-state builder, and the
     streaming ingest twin (one derivation, three consumers)."""
     pos_cols = _bloom_pos_spark(F.col("content_hash"))
+    # no distinct() before the groupBy: bit_or of repeated lane masks
+    # is idempotent, so deduping positions first would only add a full
+    # extra exchange for nothing (ADVICE r9) — the ONE shuffle here is
+    # the byte_idx hash agg, with map-side partial bit_or combine.
     return (
         hashed.select(F.explode(F.array(*pos_cols)).alias("pos"))
-        .distinct()
         .select(
             F.expr("shiftright(pos, 3)").alias("byte_idx"),
             F.expr("shiftleft(1, CAST(pos & 7 AS INT))").alias("lane"),
@@ -283,7 +286,7 @@ hashed AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
 hist AS (SELECT h.* FROM hashed h, cut WHERE h.doc_id < cut.c),
 new AS (SELECT h.* FROM hashed h, cut WHERE h.doc_id >= cut.c),
 hist_pos AS (
-  SELECT DISTINCT unnest([{", ".join(_BP)}]) AS pos FROM hist
+  SELECT unnest([{", ".join(_BP)}]) AS pos FROM hist
 ),
 bits AS (
   SELECT pos >> 3 AS byte_idx, bit_or(1 << (pos & 7)) AS byte_mask
@@ -595,10 +598,16 @@ CONT_MIN = 0.5
 
 
 def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric containment near-dup: C(A→B) = |S(A)∩S(B)| / |S(A)|
-    over word {SHINGLE_W}-shingles — the quote/subset detector that
-    resemblance Jaccard (ngram_jaccard) misses when a small doc is
-    embedded in a much larger one.
+    """Max-containment near-dup over word {SHINGLE_W}-shingles:
+    C_max(A,B) = |S(A)∩S(B)| / min(|S(A)|, |S(B)|) — i.e. the LARGER
+    of the two directional containments C(A→B), C(B→A), computed
+    symmetrically per unordered pair. This is the quote/subset
+    detector that resemblance Jaccard (ngram_jaccard) misses when a
+    small doc is embedded in a much larger one: if either doc is
+    (mostly) contained in the other, C_max is high regardless of the
+    size ratio. (Per-direction containment is C_max exactly when A is
+    the smaller doc; a consumer needing both directions divides
+    inter_cnt by each side's shingle count instead of the min.)
 
     Scale shape: candidate pairs are generated ONLY from rare shingles
     (2 ≤ df ≤ {RARE_DF}) — the hot-shingle analog of the embedding
@@ -1033,7 +1042,7 @@ tr AS (SELECT DISTINCT g FROM grams WHERE u < {SPLIT_TRAIN}),
 te AS (SELECT doc_id, g FROM grams WHERE u >= {SPLIT_VAL}),
 trh AS (SELECT CAST(g AS VARCHAR) AS content_hash FROM tr),
 hist_pos AS (
-  SELECT DISTINCT unnest([{", ".join(bp)}]) AS pos FROM trh
+  SELECT unnest([{", ".join(bp)}]) AS pos FROM trh
 ),
 bits AS (
   SELECT pos >> 3 AS byte_idx, bit_or(1 << (pos & 7)) AS byte_mask

@@ -470,19 +470,35 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     older than the {ATTR_LOOKBACK_H}h lookback or absent. Revenue
     rolls up per channel as an exact-decimal sum.
 
-    Scale shape: the as-of carry is the same single window family the
-    trade/quote join uses; the rollup is a 3-row hash agg. Oracle:
-    DuckDB's native ASOF LEFT JOIN + the same CASE."""
+    Touches are pre-deduped to ONE row per (user_id, touch_ts) with an
+    explicit deterministic winner (greatest event_id via max_by /
+    arg_max) IN BOTH ENGINES before the as-of join — DuckDB's ASOF
+    JOIN leaves equal-timestamp tie order unspecified, so without the
+    pre-dedup a click and a view at the identical ts could flip
+    channel between engines (ADVICE r9).
+
+    Scale shape: the pre-dedup is a map-side-combinable hash agg; the
+    as-of carry is the same single window family the trade/quote join
+    uses; the rollup is a 3-row hash agg. Oracle: DuckDB's native
+    ASOF LEFT JOIN + the same CASE."""
     t = events_ticks(spark, sf_dir)
     purchases = t.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "price"
     )
-    touches = t.filter(F.col("event_type").isin("click", "view")).select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.col("event_type").alias("touch_type"),
-        F.col("ts").alias("touch_ts"),
+    touches = (
+        t.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.max_by("event_type", "event_id").alias("touch_type"),
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "touch_type",
+            F.col("ts").alias("touch_ts"),
+        )
     )
     j = asof_ops.asof_join(
         purchases, touches, key="user_id", value_cols=["touch_type", "touch_ts"]
@@ -512,8 +528,11 @@ purchases AS (
   WHERE event_type = 'purchase'
 ),
 touches AS (
-  SELECT user_id, ts AS touch_ts, event_type AS touch_type FROM ticks
+  SELECT user_id, ts AS touch_ts,
+         arg_max(event_type, event_id) AS touch_type
+  FROM ticks
   WHERE event_type IN ('click', 'view')
+  GROUP BY 1, 2
 ),
 attributed AS (
   SELECT CASE WHEN q.touch_ts >= p.ts - INTERVAL {ATTR_LOOKBACK_H} HOURS

@@ -1270,14 +1270,21 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("s1") / F.col("n")
     var = F.col("s2") / F.col("n") - mean * mean
-    z = (F.col("resid") - mean) / F.sqrt(var)
+    # Degenerate keys (one bar, or all-equal residuals) have var = 0;
+    # an unguarded divide yields NaN, and NaN compares GREATER than any
+    # value in both engines, silently flagging every such row anomalous.
+    # Guard: var > 0 else resid_z = NULL, is_anomaly = false (ADVICE r9).
+    safe = var > F.lit(0.0)
+    z = F.when(safe, (F.col("resid") - mean) / F.sqrt(var))
     return withm.select(
         "user_id",
         "bar_ts",
         "close",
         "resid",
         (F.round(z, 6) + F.lit(0.0)).alias("resid_z"),
-        (F.abs(z) >= ANOM_Z).alias("is_anomaly"),
+        F.when(safe, F.abs(z) >= ANOM_Z).otherwise(F.lit(False)).alias(
+            "is_anomaly"
+        ),
     )
 
 
@@ -1295,10 +1302,15 @@ m AS (
   FROM base
 )
 SELECT user_id, bar_ts, close, resid,
-       round((resid - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) + 0.0
-         AS resid_z,
-       abs((resid - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)))
-         >= {ANOM_Z} AS is_anomaly
+       CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0
+            THEN round((resid - s1 / n)
+                       / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) + 0.0
+       END AS resid_z,
+       CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0
+            THEN abs((resid - s1 / n)
+                     / sqrt(s2 / n - (s1 / n) * (s1 / n))) >= {ANOM_Z}
+            ELSE false
+       END AS is_anomaly
 FROM m
 """
 
