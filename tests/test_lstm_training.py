@@ -187,3 +187,70 @@ def test_registry_query_runs(spark, sf_dir):
         if r["trend_fused"] != "RANGE":
             assert r["trend_fused"] == r["htf_trend"] == r["ltf_trend"]
         assert r["range_bonus"] in (0.5, 1.0)
+
+
+def test_bptt_emitter_matches_numpy_kernel():
+    """The shared SQL-expression BPTT emitter (suite/timeseries.py:
+    _bptt_epoch_levels — the engine-neutral text behind the
+    hash-oracled lstm_bptt_micro trainer) computes the SAME per-batch
+    gradient sums as the numerically gradient-checked numpy kernel on
+    an identical micro dataset: run the emitted levels in DuckDB over
+    literal rows, compare every unquantized gradient sum (and the CE
+    loss) against lstm_loss_and_grads — this chains the oracle's
+    unrolled math back to the central-difference evidence."""
+    import duckdb
+
+    from zcode_iceberg_spark.suite.timeseries import (
+        _bptt_epoch_levels,
+        _bptt_init,
+        _bptt_param_names,
+        _BPTT_HID,
+        _BPTT_T,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 7
+    X = rng.normal(size=(n, _BPTT_T))
+    y = rng.integers(0, 3, size=n)
+
+    # numpy kernel: mean-scaled grads over the batch (single layer,
+    # combined bias reported on both torch bias rows)
+    p = L.init_lstm_params(hidden=_BPTT_HID, layers=1, seed=7)
+    loss, grads = L.lstm_loss_and_grads(X, y, p, layers=1)
+
+    init = _bptt_init()
+    P = {k: repr(v) for k, v in init.items()}
+    rows_sql = ", ".join(
+        "(" + ", ".join(repr(float(X[i, t])) for t in range(_BPTT_T))
+        + f", {int(y[i])})"
+        for i in range(n)
+    )
+    cols = ", ".join(f"x_{t + 1}" for t in range(_BPTT_T)) + ", y"
+    parts = [f"data AS (SELECT * FROM (VALUES {rows_sql}) AS v({cols}))"]
+    src = "data"
+    for i, lvl in enumerate(_bptt_epoch_levels(P)):
+        parts.append(f"l_{i} AS (SELECT *, " + ", ".join(lvl) + f" FROM {src})")
+        src = f"l_{i}"
+    pn = _bptt_param_names()
+    aggs = ["sum(loss_row) AS loss_sum"] + [
+        f"sum(g_{q}) AS s_{q}" for q in pn
+    ]
+    sql = "WITH " + ",\n".join(parts) + f" SELECT {', '.join(aggs)} FROM {src}"
+    got = duckdb.connect().execute(sql).df().iloc[0]
+
+    assert abs(got["loss_sum"] / n - loss) < 1e-9 * max(1.0, abs(loss))
+    wi, wh = grads["weight_ih_l0"], grads["weight_hh_l0"]
+    bg, fw, fb = grads["bias_ih_l0"], grads["fc_weight"], grads["fc_bias"]
+    for r in range(4 * _BPTT_HID):
+        expect = {f"wi_{r}": wi[r, 0], f"b_{r}": bg[r]}
+        for c in range(_BPTT_HID):
+            expect[f"wh_{r}_{c}"] = wh[r, c]
+        for name, val in expect.items():
+            got_mean = got[f"s_{name}"] / n
+            assert abs(got_mean - val) < 1e-9 * max(1.0, abs(val)), (
+                name, got_mean, val,
+            )
+    for k in range(3):
+        for j in range(_BPTT_HID):
+            assert abs(got[f"s_fw_{k}_{j}"] / n - fw[k, j]) < 1e-9
+        assert abs(got[f"s_fb_{k}"] / n - fb[k]) < 1e-9

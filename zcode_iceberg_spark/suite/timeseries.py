@@ -650,9 +650,12 @@ def q_trend_lstm_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``trend_dual_fusion`` — which is this query's HASH-ORACLED twin
     (same `_tf_trend`/`_dual_fuse` pipeline, committed micro blobs).
 
-    BPTT is not SQL-expressible, so this entry carries no DuckDB
-    oracle (the driver records a rows-only check — the one such row
-    in the registry); the gradient math is pinned by numerical
+    Full-size BPTT is not SQL-expressible at 64×2, so this entry
+    carries no DuckDB oracle (the driver records a rows-only check —
+    the one such row in the registry); but the TRAINING math itself
+    is hash-oracled by ``lstm_bptt_micro`` (identical gate/adjoint
+    recurrences and Adam update at micro shape, unrolled
+    gradient-step CTEs), the gradient math is pinned by numerical
     gradient checks + a seeded golden trajectory
     (tests/test_lstm_training.py), and every serving stage downstream
     of training is hash-checked via lstm_trend_micro +
@@ -1139,6 +1142,426 @@ SQL_TREND_PROBE_TRAINING = f"""
 """
 
 
+# ------------------------------------------------------- BPTT micro
+# Hash-oracled LSTM TRAINING (VERDICT r9 #2): the lstm_trend_micro
+# protocol applied to the training half. A micro TrendLSTM (1 input →
+# 2 hidden × 1 layer → 3 classes, seq_len 4, horizon 2) trains for 2
+# full-batch Adam steps where the per-row forward AND backward (BPTT)
+# math is emitted by ONE expression generator consumed by BOTH
+# engines — Spark runs the levels as chained selectExpr projections
+# (pure JVM scalar math, zero Python in the row path), DuckDB runs
+# the identical text as CTE projection levels. Gradients quantize to
+# integer micro-units before aggregation (the trend_probe_training
+# determinism discipline), so the whole training trajectory is
+# bit-identical under any partitioning and the driver can HASH it.
+# This retires the registry's last rows-only entry: trend_lstm_training
+# remains the full-size faithful pipeline; this is its hash gate.
+
+_BPTT_HID = 2  # hidden units (micro shape; reference HTF uses 64)
+_BPTT_T = 4  # sequence length
+_BPTT_HORIZON = 2
+_BPTT_STEPS = 2  # Adam steps — enough to pin the m/v state recursion
+_BPTT_LR = 0.01  # torch-default Adam, as train_trend_lstm uses
+_BPTT_B1, _BPTT_B2, _BPTT_EPS = 0.9, 0.999, 1e-8
+# bias-correction denominators as Python-evaluated literals so both
+# engines share the EXACT float64 constant (pow() could differ in ulp)
+_BPTT_C1 = 1.0 - _BPTT_B1
+_BPTT_C2 = 1.0 - _BPTT_B2
+_BPTT_D1 = {s: 1.0 - _BPTT_B1**s for s in range(1, _BPTT_STEPS + 1)}
+_BPTT_D2 = {s: 1.0 - _BPTT_B2**s for s in range(1, _BPTT_STEPS + 1)}
+
+
+def _bptt_param_names() -> list[str]:
+    """Flat parameter naming for the micro LSTM, torch [i|f|g|o] gate
+    row order: wi_r (input weights, 8×1), wh_r_c (recurrent, 8×2),
+    b_r (combined bias_ih+bias_hh — their gradients are identical, so
+    training one combined vector is exactly torch's effective
+    update), fw_k_j / fb_k (3-class head)."""
+    h, rows = _BPTT_HID, 4 * _BPTT_HID
+    return (
+        [f"wi_{r}" for r in range(rows)]
+        + [f"wh_{r}_{c}" for r in range(rows) for c in range(h)]
+        + [f"b_{r}" for r in range(rows)]
+        + [f"fw_{k}_{j}" for k in range(3) for j in range(h)]
+        + [f"fb_{k}" for k in range(3)]
+    )
+
+
+def _bptt_init() -> dict[str, float]:
+    """Seeded init through the SAME torch-scheme initializer the
+    full-size trainer uses (operators/lstm.py:init_lstm_params,
+    seed 7) so the micro training step exercises the real init
+    contract, flattened to the shared scalar naming."""
+    from zcode_iceberg_spark.operators import lstm as lstm_ops
+
+    p = lstm_ops.init_lstm_params(
+        hidden=_BPTT_HID, layers=1, n_classes=3, input_size=1, seed=7
+    )
+    wi, wh = p["weight_ih_l0"], p["weight_hh_l0"]
+    b = p["bias_ih_l0"] + p["bias_hh_l0"]
+    fw, fb = p["fc_weight"], p["fc_bias"]
+    out: dict[str, float] = {}
+    for r in range(4 * _BPTT_HID):
+        out[f"wi_{r}"] = float(wi[r, 0])
+        for c in range(_BPTT_HID):
+            out[f"wh_{r}_{c}"] = float(wh[r, c])
+        out[f"b_{r}"] = float(b[r])
+    for k in range(3):
+        for j in range(_BPTT_HID):
+            out[f"fw_{k}_{j}"] = float(fw[k, j])
+        out[f"fb_{k}"] = float(fb[k])
+    return out
+
+
+def _bptt_epoch_levels(P: dict[str, str]) -> list[list[str]]:
+    """The shared BPTT emitter: projection levels ("expr AS name"
+    strings, valid in BOTH Spark SQL and DuckDB) computing, per
+    dataset row (x_1..x_T, y): the forward LSTM pass, softmax + CE
+    loss_row, and the full backprop-through-time per-parameter
+    gradient columns g_<param>. ``P`` maps parameter name → the SQL
+    snippet standing for it (a repr'd literal on the Spark side, a
+    w-CTE column in the oracle) — the only difference between the two
+    engines' text. The adjoint recurrence mirrors the gradient-checked
+    numpy kernel (operators/lstm.py:lstm_loss_and_grads) term by term,
+    including its descending-t accumulation order; tanh is spelled via
+    the exp identity on BOTH sides so no engine-native tanh ulp can
+    leak into the quantized sums. Levels (not one flat projection)
+    keep each gate evaluated exactly once in DuckDB, which inlines
+    single-use CTEs."""
+    H, T = _BPTT_HID, _BPTT_T
+    rows = 4 * H
+
+    def sig(z: str) -> str:
+        return f"1.0 / (1.0 + exp(-({z})))"
+
+    def tanh(z: str) -> str:
+        return f"(1.0 - 2.0 / (exp(2.0 * ({z})) + 1.0))"
+
+    levels: list[list[str]] = []
+    # ---- forward
+    for t in range(1, T + 1):
+        gates = []
+        for r in range(rows):
+            g, j = "ifgo"[r // H], r % H
+            z = f"x_{t} * {P[f'wi_{r}']}"
+            if t > 1:
+                rec = " + ".join(
+                    f"h_{t - 1}_{c} * {P[f'wh_{r}_{c}']}" for c in range(H)
+                )
+                z = f"{z} + {rec}"
+            z = f"{z} + {P[f'b_{r}']}"
+            body = tanh(z) if g == "g" else sig(z)
+            gates.append(f"{body} AS {g}_{t}_{j}")
+        levels.append(gates)
+        levels.append(
+            [
+                (
+                    f"i_{t}_{j} * g_{t}_{j} AS c_{t}_{j}"
+                    if t == 1
+                    else f"f_{t}_{j} * c_{t - 1}_{j} + i_{t}_{j} * g_{t}_{j}"
+                    f" AS c_{t}_{j}"
+                )
+                for j in range(H)
+            ]
+        )
+        levels.append(
+            [f"{tanh(f'c_{t}_{j}')} AS tc_{t}_{j}" for j in range(H)]
+        )
+        levels.append(
+            [f"o_{t}_{j} * tc_{t}_{j} AS h_{t}_{j}" for j in range(H)]
+        )
+    # ---- head: logits, stable softmax, per-row CE loss
+    levels.append(
+        [
+            " + ".join(f"h_{T}_{j} * {P[f'fw_{k}_{j}']}" for j in range(H))
+            + f" + {P[f'fb_{k}']} AS lg_{k}"
+            for k in range(3)
+        ]
+    )
+    lmax = "greatest(lg_0, lg_1, lg_2)"
+    levels.append([f"exp(lg_{k} - {lmax}) AS e_{k}" for k in range(3)])
+    levels.append([f"e_{k} / (e_0 + e_1 + e_2) AS p_{k}" for k in range(3)])
+    levels.append(
+        [
+            "-ln((CASE WHEN y = 0 THEN p_0 WHEN y = 1 THEN p_1"
+            " ELSE p_2 END) + 1e-300) AS loss_row"
+        ]
+    )
+    # ---- backward: head adjoint, then BPTT t = T..1
+    levels.append(
+        [
+            f"p_{k} - (CASE WHEN y = {k} THEN 1.0 ELSE 0.0 END) AS dl_{k}"
+            for k in range(3)
+        ]
+    )
+    levels.append(
+        [
+            " + ".join(f"dl_{k} * {P[f'fw_{k}_{j}']}" for k in range(3))
+            + f" AS dht_{j}"
+            for j in range(H)
+        ]
+    )
+    for t in range(T, 0, -1):
+        src = "dht" if t == T else f"dhn_{t}"
+        levels.append([f"{src}_{j} AS dh_{t}_{j}" for j in range(H)])
+        dc = []
+        for j in range(H):
+            e = f"dh_{t}_{j} * o_{t}_{j} * (1.0 - tc_{t}_{j} * tc_{t}_{j})"
+            if t < T:
+                e = f"{e} + dcn_{t}_{j}"
+            dc.append(f"{e} AS dc_{t}_{j}")
+        levels.append(dc)
+        dz = []
+        for r in range(rows):
+            g, j = "ifgo"[r // H], r % H
+            if g == "i":
+                e = f"dc_{t}_{j} * g_{t}_{j} * i_{t}_{j} * (1.0 - i_{t}_{j})"
+            elif g == "f":
+                e = (
+                    "0.0"
+                    if t == 1  # c_prev = 0 at t=1: forget-gate grad is 0
+                    else f"dc_{t}_{j} * c_{t - 1}_{j} * f_{t}_{j}"
+                    f" * (1.0 - f_{t}_{j})"
+                )
+            elif g == "g":
+                e = f"dc_{t}_{j} * i_{t}_{j} * (1.0 - g_{t}_{j} * g_{t}_{j})"
+            else:
+                e = f"dh_{t}_{j} * tc_{t}_{j} * o_{t}_{j} * (1.0 - o_{t}_{j})"
+            dz.append(f"{e} AS dz_{r}_{t}")
+        levels.append(dz)
+        if t > 1:
+            nxt = [
+                " + ".join(
+                    f"dz_{r}_{t} * {P[f'wh_{r}_{j}']}" for r in range(rows)
+                )
+                + f" AS dhn_{t - 1}_{j}"
+                for j in range(H)
+            ]
+            nxt += [
+                f"dc_{t}_{j} * f_{t}_{j} AS dcn_{t - 1}_{j}"
+                for j in range(H)
+            ]
+            levels.append(nxt)
+    # ---- per-row gradient columns (descending-t accumulation, like
+    # the numpy kernel's reverse loop)
+    grads = []
+    for r in range(rows):
+        grads.append(
+            " + ".join(f"dz_{r}_{t} * x_{t}" for t in range(T, 0, -1))
+            + f" AS g_wi_{r}"
+        )
+        for c in range(H):
+            grads.append(
+                " + ".join(
+                    f"dz_{r}_{t} * h_{t - 1}_{c}" for t in range(T, 1, -1)
+                )
+                + f" AS g_wh_{r}_{c}"
+            )
+        grads.append(
+            " + ".join(f"dz_{r}_{t}" for t in range(T, 0, -1))
+            + f" AS g_b_{r}"
+        )
+    for k in range(3):
+        for j in range(H):
+            grads.append(f"dl_{k} * h_{T}_{j} AS g_fw_{k}_{j}")
+        grads.append(f"dl_{k} AS g_fb_{k}")
+    levels.append(grads)
+    return levels
+
+
+def _bptt_agg_exprs() -> list[str]:
+    """Shared epoch aggregates: row count, micro-unit CE loss sum, and
+    one micro-unit-quantized gradient sum per parameter — integer
+    sums, so bit-deterministic under any partitioning/merge order."""
+    return (
+        [
+            "count(*) AS n",
+            "CAST(sum(round(loss_row * 1e6)) AS BIGINT) AS loss_micro",
+        ]
+        + [
+            f"CAST(sum(round(g_{p} * 1e6)) AS BIGINT) AS s_{p}"
+            for p in _bptt_param_names()
+        ]
+    )
+
+
+def q_lstm_bptt_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 training half, HASH-ORACLED (VERDICT r9 #2 — retires the
+    registry's last rows-only row): {_BPTT_STEPS} full-batch Adam/BPTT
+    steps of the micro TrendLSTM over the per-window-normalized
+    sequence dataset (the serving seam's own normalization), run as
+    DISTRIBUTED Spark scalar expressions — the per-row forward +
+    backward levels from the shared emitter, one integer-micro-unit
+    gradient aggregate per epoch (≈{4 * _BPTT_HID * (2 + _BPTT_HID) + 9}
+    bigints per partition crossing the wire), driver applies the Adam
+    update to the parameter scalars. No data ever leaves the
+    executors; the model (41 floats) is the only driver state — the
+    data-parallel shape a 100 TB trainer actually uses. Output = the
+    training TRAJECTORY (per-step loss + every post-update parameter),
+    which the oracle re-derives from fully unrolled forward+backward
+    gradient-step CTEs; a green hash means the distributed BPTT
+    matched the sequential replay bit-for-bit on every step. The
+    gradient formulas themselves are pinned to the numerically
+    gradient-checked numpy kernel by tests/test_lstm_training.py's
+    micro-parity test."""
+    import math
+
+    s = ops.sequence_windows(
+        events_ticks(spark, sf_dir),
+        seq_len=_BPTT_T,
+        horizon=_BPTT_HORIZON,
+    )
+    feats = (
+        s.select(
+            *[
+                F.col("norm_seq")[i].alias(f"x_{i + 1}")
+                for i in range(_BPTT_T)
+            ],
+            F.when(F.col("label") == "UP", 0)
+            .when(F.col("label") == "DOWN", 1)
+            .otherwise(2)
+            .cast("int")
+            .alias("y"),
+        )
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+    pn = _bptt_param_names()
+    try:
+        params = _bptt_init()
+        m = dict.fromkeys(pn, 0.0)
+        v = dict.fromkeys(pn, 0.0)
+        out_rows: list[tuple] = []
+        for step in range(1, _BPTT_STEPS + 1):
+            P = {k: repr(val) for k, val in params.items()}
+            df = feats
+            for level in _bptt_epoch_levels(P):
+                df = df.selectExpr("*", *level)
+            row = df.selectExpr(*_bptt_agg_exprs()).collect()[0]
+            n = row["n"]
+            if n == 0:
+                raise ValueError("lstm_bptt_micro: no training windows")
+            d1, d2 = _BPTT_D1[step], _BPTT_D2[step]
+            for p in pn:
+                # EXACT mirror of the oracle's update spelling —
+                # operand-for-operand, so float64 streams agree
+                g = row[f"s_{p}"] / (1e6 * n)
+                m[p] = _BPTT_B1 * m[p] + _BPTT_C1 * g
+                v[p] = _BPTT_B2 * v[p] + _BPTT_C2 * (g * g)
+                params[p] = params[p] - _BPTT_LR * (m[p] / d1) / (
+                    math.sqrt(v[p] / d2) + _BPTT_EPS
+                )
+            out_rows.append((step, "loss", float(row["loss_micro"])))
+            out_rows += [(step, p, round(params[p], 6)) for p in pn]
+    finally:
+        feats.unpersist()
+    return spark.createDataFrame(
+        out_rows, "iter int, param string, value double"
+    )
+
+
+def _bptt_micro_sql() -> str:
+    """The training oracle: seq-{_BPTT_T} dataset CTEs, then per step
+    an inlined-level forward+backward chain over data × w{{k-1}}, a
+    materialized gradient aggregate, and a 1-row Adam-update CTE;
+    the final select unnests the trajectory to (iter, param, value)."""
+    pn = _bptt_param_names()
+    init = _bptt_init()
+    H, T = _BPTT_HID, _BPTT_T
+    x_cols = ", ".join(
+        f"CASE WHEN seq_std > 0 THEN (seq[{t}] - seq_mean) / seq_std"
+        f" ELSE 0.0 END AS x_{t}"
+        for t in range(1, T + 1)
+    )
+    parts = [
+        f"""rets4 AS (
+  SELECT event_id, user_id, ts, price,
+         (price - lag(price) OVER wo) / lag(price) OVER wo AS ret
+  FROM ticks
+  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+seqs4 AS (
+  SELECT event_id, user_id,
+         list(price) OVER wp AS seq,
+         avg(price) OVER wp AS seq_mean,
+         stddev_pop(price) OVER wp AS seq_std,
+         avg(ret) OVER wf AS fut_mean_ret,
+         count(ret) OVER wf AS n_fut
+  FROM rets4
+  WINDOW
+    wp AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {T - 1} PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND {_BPTT_HORIZON} FOLLOWING)
+),
+data AS MATERIALIZED (
+  SELECT {x_cols},
+         CASE WHEN fut_mean_ret > 5e-4 THEN 0
+              WHEN fut_mean_ret < -5e-4 THEN 1 ELSE 2 END AS y
+  FROM seqs4 WHERE len(seq) = {T} AND n_fut >= 1
+)""",
+        "w0 AS (SELECT "
+        + ", ".join(
+            f"{init[p]!r} AS p_{p}, 0.0 AS m_{p}, 0.0 AS v_{p}" for p in pn
+        )
+        + ")",
+    ]
+    P = {p: f"p_{p}" for p in pn}
+    levels = _bptt_epoch_levels(P)
+    for k in range(1, _BPTT_STEPS + 1):
+        src = f"data d CROSS JOIN w{k - 1} w"
+        for i, lvl in enumerate(levels):
+            head = "d.*, w.*, " if i == 0 else "*, "
+            parts.append(
+                f"l{k}_{i} AS (SELECT {head}" + ", ".join(lvl) + f" FROM {src})"
+            )
+            src = f"l{k}_{i}"
+        parts.append(
+            f"g{k} AS MATERIALIZED (SELECT "
+            + ", ".join(_bptt_agg_exprs())
+            + f" FROM {src})"
+        )
+        upd = []
+        d1, d2 = _BPTT_D1[k], _BPTT_D2[k]
+        for p in pn:
+            g = f"(g.s_{p} / (1e6 * g.n))"
+            m2 = f"({_BPTT_B1!r} * w.m_{p} + {_BPTT_C1!r} * {g})"
+            v2 = f"({_BPTT_B2!r} * w.v_{p} + {_BPTT_C2!r} * ({g} * {g}))"
+            upd.append(f"{m2} AS m_{p}")
+            upd.append(f"{v2} AS v_{p}")
+            upd.append(
+                f"w.p_{p} - {_BPTT_LR!r} * ({m2} / {d1!r})"
+                f" / (sqrt({v2} / {d2!r}) + {_BPTT_EPS!r}) AS p_{p}"
+            )
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT "
+            + ", ".join(upd)
+            + f" FROM g{k} g CROSS JOIN w{k - 1} w)"
+        )
+    names = ", ".join(["'loss'"] + [f"'{p}'" for p in pn])
+    selects = [
+        f"SELECT {k} AS iter, unnest([{names}]) AS param, "
+        "unnest([CAST(g.loss_micro AS DOUBLE), "
+        + ", ".join(f"round(w.p_{p}, 6)" for p in pn)
+        + f"]) AS value FROM g{k} g, w{k} w"
+        for k in range(1, _BPTT_STEPS + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+# a broken emitter must break ONLY this query, never the suite import
+try:
+    SQL_LSTM_BPTT_MICRO = f"""
+{TICKS_CTE},
+{_bptt_micro_sql()}
+"""
+except Exception as _bptt_err:  # noqa: BLE001
+    SQL_LSTM_BPTT_MICRO = (
+        f"SELECT error('bptt oracle build failed: "
+        f"{type(_bptt_err).__name__}')"
+    )
+
+
 SEAS_HALF = 12  # centered trend window = ±12 hours (25-bar MA)
 
 
@@ -1470,6 +1893,7 @@ QUERIES = {
     "trend_probe_training": Query(
         q_trend_probe_training, SQL_TREND_PROBE_TRAINING
     ),
+    "lstm_bptt_micro": Query(q_lstm_bptt_micro, SQL_LSTM_BPTT_MICRO),
     "trend_lstm_training": Query(q_trend_lstm_training, None),
     "lstm_trend_micro": Query(q_lstm_trend_micro, SQL_LSTM_TREND_MICRO),
     "trend_dual_fusion": Query(q_trend_dual_fusion, SQL_TREND_DUAL_FUSION),
