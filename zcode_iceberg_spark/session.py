@@ -53,6 +53,23 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # RocksDB state store for every stateful stream (VERDICT r9
+        # #3): the default HDFS-backed provider keeps ALL state as JVM
+        # objects on-heap — at the live pipeline's per-key GroupState
+        # volume that is a driver/executor-memory + GC hazard on a
+        # real cluster. RocksDB spills state off-heap/to disk, bounds
+        # GC, and with changelog checkpointing ships only the delta
+        # per micro-batch instead of snapshotting the full store.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

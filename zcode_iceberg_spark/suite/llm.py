@@ -3980,10 +3980,35 @@ def q_ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     historical raw embeddings — the PQ member of the
     persisted-ingest-state family (exact hash table → LSH band table
     → IVF index → PQ codes). Kills the per-call training tax
-    `q_ann_pq` pays by contract (85 s of its 100× smoke)."""
-    state = _pq_state_dir(sf_dir)
-    books_dir, codes_dir, cut = build_pq_state(spark, sf_dir, state)
+    `q_ann_pq` pays by contract (85 s of its 100× smoke).
+
+    The index build is memoized per (session, corpus) — production
+    builds an index ONCE and queries it daily, so re-paying the build
+    on every call both misrepresents the probe path's cost and masks
+    probe regressions under build noise (VERDICT r9 #5). The build's
+    own cost is priced by its own registry entry,
+    ``ann_pq_index_build`` (fresh build + hash-oracled digest)."""
+    books_dir, codes_dir, cut = _memoized_state(
+        "pq", spark, sf_dir, build_pq_state, _pq_state_dir
+    )
     return pq_search_against(spark, sf_dir, books_dir, codes_dir, cut)
+
+
+_PERSISTED_STATE_MEMO: dict[tuple, tuple] = {}
+
+
+def _memoized_state(kind, spark, sf_dir, builder, dir_fn) -> tuple:
+    """Build-once memo for persisted index state, keyed by
+    (applicationId, kind, corpus) like ``_IVF_CENT_MEMO`` — a fresh
+    session rebuilds (its scratch dirs are pid-scoped and swept), a
+    repeat call inside one session reuses the already-materialized
+    index exactly as a production ingest day would."""
+    key = (spark.sparkContext.applicationId, kind, sf_dir)
+    got = _PERSISTED_STATE_MEMO.get(key)
+    if got is None:
+        got = builder(spark, sf_dir, dir_fn(sf_dir))
+        _PERSISTED_STATE_MEMO[key] = got
+    return got
 
 
 SQL_ANN_PQ_PERSISTED = f"""
@@ -4000,6 +4025,107 @@ WITH cutt AS MATERIALIZED (
     ),
 )},
 {_PQ_SEARCH_TAIL}"""
+
+
+def q_ann_pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted PQ index BUILD as its own priced, hash-oracled
+    entry (VERDICT r9 #5: split build from probe so the probe path's
+    true cost is visible and regressions in either aren't masked by
+    the other). Runs the REAL maintenance-layer build fresh
+    (codebook Lloyd training on the sampled history, day-0 write,
+    day-1 merge_upsert, compaction) into a build-scoped scratch dir,
+    then reads back the PERSISTED artifacts and digests them: one row
+    per (subspace, codeword position) with the historical member
+    count, centroid L2 norm, and first centroid component. Positions
+    (1-based, cid-sorted) rather than raw cids keep the digest
+    surviving-set-aligned with the oracle even if Lloyd ever empties
+    a cluster. A green hash certifies the trained codebooks AND the
+    merged+compacted code table byte-for-byte at round-6 — the full
+    build output, not just the search that consumes it."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    state = f"{_tf.gettempdir()}/zspark_pq_build_{tag}_p{_os.getpid()}"
+    books_dir, codes_dir, _cut = build_pq_state(spark, sf_dir, state)
+    wpos = Window.partitionBy("s").orderBy("cid")
+    bk = (
+        spark.read.parquet(books_dir)
+        .withColumn("pos", F.row_number().over(wpos))
+        .select(
+            "s",
+            "pos",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.transform("c", lambda x: x * x),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ),
+                6,
+            ).alias("c_norm"),
+            F.round(F.element_at("c", 1), 6).alias("c_first"),
+        )
+    )
+    cnt = (
+        spark.read.parquet(codes_dir)
+        .select(
+            F.posexplode(
+                F.array(*[F.col(f"p{s}") for s in range(PQ_M)])
+            ).alias("s", "pos")
+        )
+        .groupBy("s", "pos")
+        .agg(F.count(F.lit(1)).alias("n_hist"))
+    )
+    return bk.join(cnt, ["s", "pos"], "left").select(
+        "s",
+        "pos",
+        F.coalesce("n_hist", F.lit(0)).cast("bigint").alias("n_hist"),
+        "c_norm",
+        "c_first",
+    )
+
+
+def _pq_build_digest_sql() -> str:
+    norm = (
+        "round(sqrt(list_reduce(list_prepend(0.0, "
+        "list_transform(c, x -> x * x)), (acc, x) -> acc + x)), 6)"
+    )
+    bdig = "\nUNION ALL\n".join(
+        f"SELECT {s} AS s, CAST(row_number() OVER (ORDER BY cid) AS INT)"
+        f" AS pos, {norm} AS c_norm, round(c[1], 6) AS c_first"
+        f" FROM pc{PQ_ITERS}_{s}"
+        for s in range(PQ_M)
+    )
+    hist = "\nUNION ALL\n".join(
+        f"SELECT {s} AS s, b.pos, cs.vec_id FROM codes_{s} cs"
+        f" JOIN (SELECT cid, CAST(row_number() OVER (ORDER BY cid) AS INT)"
+        f" AS pos FROM pc{PQ_ITERS}_{s}) b ON b.cid = cs.k{s}"
+        f" WHERE cs.vec_id < (SELECT c FROM cutt)"
+        for s in range(PQ_M)
+    )
+    return f"""
+WITH cutt AS MATERIALIZED (
+  SELECT CAST(floor({INCR_SPLIT_FRAC} * (max(vec_id) + 1)) AS BIGINT) AS c
+  FROM embeddings
+),
+{_pq_ctes(
+    train_where=(
+        f"vec_id % {PQ_SAMPLE_MOD} = 0 AND vec_id < (SELECT c FROM cutt)"
+    ),
+    q_where="FALSE",
+)},
+bdig AS ({bdig}),
+hist AS ({hist}),
+hcnt AS (SELECT s, pos, count(*) AS n_hist FROM hist GROUP BY 1, 2)
+SELECT d.s, d.pos, coalesce(h.n_hist, 0) AS n_hist, d.c_norm, d.c_first
+FROM bdig d LEFT JOIN hcnt h ON h.s = d.s AND h.pos = d.pos
+"""
+
+
+SQL_ANN_PQ_INDEX_BUILD = _pq_build_digest_sql()
 
 
 # ------------------------------------------------------- IVFADC (IVF × PQ)
@@ -4327,9 +4453,25 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist pool, and q_mmr_ann_overlap measures the pick agreement
     between the two. Scale shape: see _mmr_greedy — the corpus is
     touched only by the one pool scan."""
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
+    return _mmr_greedy(_mmr_pool_brute(_mmr_embeddings(spark, sf_dir)))
+
+
+def _mmr_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE persisted embeddings scan every MMR pool builder
+    consumes (VERDICT r9 #4): each arm reads it 2-3 times (probe side
+    + broadcast query side + rerank re-fetch) and the overlap audit
+    composes BOTH arms — without the barrier the parquet scan and the
+    repartition exchange re-run once per consumer."""
+    return _reuse(
+        load_table(spark, sf_dir, "embeddings").repartition(
+            spark.sparkContext.defaultParallelism
+        )
     )
+
+
+def _mmr_pool_brute(e: DataFrame) -> DataFrame:
+    """Brute-force exact top-{MMR_POOL} relevance pool per query over
+    a (shared, persisted) embeddings frame — the recall ceiling."""
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
@@ -4346,12 +4488,11 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wr = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "nid")
-    pool = _reuse(
+    return _reuse(
         scored.withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") <= MMR_POOL)
         .drop("rn")
     )
-    return _mmr_greedy(pool)
 
 
 def q_mmr_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4368,9 +4509,12 @@ def q_mmr_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     (qid, nid, score) shortlist rows with a broadcast-hash-join vector
     re-fetch (the ann_rp 55.7→20.1 s lesson), then greedy rounds that
     cost queries × pool, never corpus."""
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    return _mmr_greedy(_mmr_pool_ann(_mmr_embeddings(spark, sf_dir)))
+
+
+def _mmr_pool_ann(e: DataFrame) -> DataFrame:
+    """RP-shortlist + exact-rerank top-{MMR_POOL} pool per query over
+    a (shared, persisted) embeddings frame — the cheap scale path."""
     red = _reuse(
         e.select(
             "vec_id",
@@ -4415,12 +4559,11 @@ def q_mmr_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wp = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "nid")
-    pool = _reuse(
+    return _reuse(
         rer.withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= MMR_POOL)
         .drop("rn")
     )
-    return _mmr_greedy(pool)
 
 
 def q_mmr_ann_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4431,9 +4574,15 @@ def q_mmr_ann_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied to the diversified FINAL picks rather than the raw
     shortlist, because MMR can legitimately diverge once one pool
     misses a pick that then changes the similarity penalty of every
-    later round)."""
-    b = q_mmr_rerank(spark, sf_dir).select("qid", "nid")
-    a = q_mmr_rerank_ann(spark, sf_dir).select("qid", "nid")
+    later round).
+
+    Both arms are built over ONE shared persisted embeddings scan
+    (_mmr_embeddings — VERDICT r9 #4: previously each arm re-read and
+    re-repartitioned the parquet independently, ~5 redundant scans in
+    the composed audit)."""
+    e = _mmr_embeddings(spark, sf_dir)
+    b = _mmr_greedy(_mmr_pool_brute(e)).select("qid", "nid")
+    a = _mmr_greedy(_mmr_pool_ann(e)).select("qid", "nid")
     common = (
         b.join(a, ["qid", "nid"])
         .groupBy("qid")
@@ -4898,9 +5047,14 @@ def q_ann_ivf_incremental_persisted(
     the vector-search member of the persisted-ingest-state family
     (exact hash table → LSH band table → IVF index). Queries are the
     batch's vec_id % {ANN_INCR_QMOD} == 0 vectors; neighbors may come
-    from history or the batch itself."""
-    state = _ivf_state_dir(sf_dir)
-    cents_dir, assign_dir, cut = build_ivf_state(spark, sf_dir, state)
+    from history or the batch itself.
+
+    Build memoized per (session, corpus) — same accounting rationale
+    as ``q_ann_pq_persisted``; the build is priced separately by
+    ``ann_ivf_index_build``."""
+    cents_dir, assign_dir, cut = _memoized_state(
+        "ivf", spark, sf_dir, build_ivf_state, _ivf_state_dir
+    )
     return incremental_ann_against(spark, sf_dir, cents_dir, assign_dir, cut)
 
 
@@ -4936,6 +5090,78 @@ SELECT qid, nid, cell, cos_sim, rank FROM (
                                ORDER BY cos_sim DESC, nid) AS rank
   FROM scored
 ) WHERE rank <= {TOPK}
+"""
+
+
+def q_ann_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF index BUILD as its own priced, hash-oracled
+    entry (VERDICT r9 #5, IVF member — see ``q_ann_pq_index_build``):
+    fresh maintenance-layer build (history-trained Lloyd centroids,
+    day-0 assignment write, day-1 merge_upsert, compaction) into a
+    build-scoped scratch dir, digested from the PERSISTED artifacts
+    as one row per cell: historical member count, centroid L2 norm,
+    first centroid component."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    state = f"{_tf.gettempdir()}/zspark_ivf_build_{tag}_p{_os.getpid()}"
+    cents_dir, assign_dir, _cut = build_ivf_state(spark, sf_dir, state)
+    cents = spark.read.parquet(cents_dir).select(
+        "cell",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("ce", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        ).alias("c_norm"),
+        F.round(F.element_at("ce", 1), 6).alias("c_first"),
+    )
+    cnt = (
+        spark.read.parquet(assign_dir)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_hist"))
+    )
+    return cents.join(cnt, "cell", "left").select(
+        "cell",
+        F.coalesce("n_hist", F.lit(0)).cast("bigint").alias("n_hist"),
+        "c_norm",
+        "c_first",
+    )
+
+
+SQL_ANN_IVF_INDEX_BUILD = f"""
+WITH cut AS (
+  SELECT CAST(floor({INCR_SPLIT_FRAC} * (max(vec_id) + 1)) AS BIGINT) AS c
+  FROM embeddings
+),
+{_ivf_cent_ctes(where="vec_id < (SELECT c FROM cut)")},
+scored_cells AS (
+  SELECT e.vec_id, c.cell,
+         round({_cos_sql('e.embedding', 'c.ce')}, 6) AS ccos
+  FROM embeddings e CROSS JOIN cents c
+  WHERE e.vec_id < (SELECT c FROM cut)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY ccos DESC, cell) AS crank
+  FROM scored_cells
+),
+hcnt AS (
+  SELECT cell, count(*) AS n_hist FROM ranked WHERE crank = 1 GROUP BY 1
+)
+SELECT c.cell,
+       coalesce(h.n_hist, 0) AS n_hist,
+       round(sqrt(list_reduce(list_prepend(0.0,
+             list_transform(c.ce, x -> x * x)), (acc, x) -> acc + x)), 6)
+         AS c_norm,
+       round(c.ce[1], 6) AS c_first
+FROM cents c LEFT JOIN hcnt h ON h.cell = c.cell
 """
 
 
@@ -7569,6 +7795,12 @@ QUERIES = {
     "ann_pq": Query(q_ann_pq, SQL_ANN_PQ),
     "ann_pq_recall": Query(q_ann_pq_recall, SQL_ANN_PQ_RECALL),
     "ann_pq_persisted": Query(q_ann_pq_persisted, SQL_ANN_PQ_PERSISTED),
+    "ann_pq_index_build": Query(
+        q_ann_pq_index_build, SQL_ANN_PQ_INDEX_BUILD
+    ),
+    "ann_ivf_index_build": Query(
+        q_ann_ivf_index_build, SQL_ANN_IVF_INDEX_BUILD
+    ),
     "ann_ivfpq": Query(q_ann_ivfpq, SQL_ANN_IVFPQ),
     "ann_ivfpq_recall": Query(q_ann_ivfpq_recall, SQL_ANN_IVFPQ_RECALL),
     "mmr_rerank": Query(q_mmr_rerank, SQL_MMR_RERANK),
