@@ -17,6 +17,18 @@ import pandas as pd
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Bound the oracle's memory and give it a spill path (VERDICT r9
+    # #8): DuckDB's default limit is ~80% of physical RAM, which it
+    # cannot actually get when the Spark JVM holds a large share —
+    # observed once as an OOM kill of the heaviest unrolled-CTE oracle
+    # (trend_dual_fusion) under full-suite pressure. A fixed cap +
+    # temp_directory makes the heavy oracles spill instead of dying.
+    import tempfile
+
+    con.execute("SET memory_limit = '16GB'")
+    con.execute(
+        f"SET temp_directory = '{tempfile.gettempdir()}/zspark_duck_spill'"
+    )
     for t in [
         "region",
         "nation",

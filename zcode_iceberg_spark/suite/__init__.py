@@ -42,83 +42,79 @@ class Query:
 WINDOW = 50
 
 PRIORITY = [
-    # Round-9 rotation (tools/rotate_priority.py over r1-r8 history +
-    # this round's delta). Front: queries whose RESULTS or ORACLES
-    # changed this round — the five new entries (lstm_trend_micro,
-    # trend_dual_fusion, rfm_segments_approx, live_pipeline_ledger,
-    # live_pipeline_summary, equity_compounding — displacing
-    # vocab_topk and bpe_encode, both green r5; the top-k and
-    # BPE-segment kernels stay pytest-oracled at sf0.001),
-    # the dual-retrained rows-only trend_lstm_training, the 9
-    # IVF-family queries (Lloyd-trained centroids changed every row),
-    # and funnel_conversion (0-denominator guard changed the oracle).
-    # Then the FIFTEEN r5 greens displaced by r8's mid-round additions
-    # (VERDICT r8 task #1 — the stalest driver rows in the registry),
-    # then the next-stalest r5 greens per the rotation tool. Every
-    # query pushed past the window holds a green r8-or-earlier driver
-    # row and stays oracle-checked at sf0.001 on every pytest run
-    # (tests/test_oracle_suite.py).
-    # Session-2 additions (no driver row yet — new queries lead the
-    # window per the rotation policy; the sixteen tail slots they
-    # consume — order_count_distribution, large_orders,
-    # nation_trade_volume, market_share, cheapest_supplier_per_part,
-    # above_customer_avg, pivot_priority_segment, late_ship_exists,
-    # unpivot_lineitem_stats, passage_dedup, signal_scores,
-    # boilerplate_strip, corpus_pipeline, lsh_precision, lsh_recall,
-    # lsh_recall_rebanded — all hold green r5-or-later driver rows and
-    # stay oracle-checked at sf0.001 on every pytest run).
-    "dedup_bloom",
-    "dedup_bloom_persisted",
-    "cms_heavy_hitters",
-    "cms_heavy_hitters_persisted",
-    "record_linkage",
-    "containment_dedup",
-    "ols_regression",
-    "ols_by_segment",
-    "dedup_quality_keeper",
-    "token_budget_mix",
-    "decontaminate_bloom",
-    "cluster_safe_split",
-    "seasonal_decompose",
+    # Round-10 rotation (VERDICT r9 #1; tools/rotate_priority.py over
+    # the r1-r9 history + this round's delta). Front: queries whose
+    # RESULTS, ORACLES, or PLANS changed this round —
+    #   new: lstm_bptt_micro (hash-oracled micro-BPTT training),
+    #        ann_pq_index_build / ann_ivf_index_build (the persisted
+    #        indexes' build phase, split from the probe);
+    #   result/oracle fixes: seasonal_anomaly (var>0 z guard),
+    #        attribution_last_touch (deterministic touch-tie pre-dedup);
+    #   oracle-text/plan changes, values unchanged: the Bloom family
+    #        (redundant DISTINCT dropped both sides), the MMR family
+    #        (shared persisted pool subtree), both persisted-ANN
+    #        probes (build memoized out of the probe measurement).
+    # Then the stalest driver-green rows per the rotation tool: the
+    # twenty r5 greens the r9 window displaced, then r6 greens.
+    # trend_lstm_training is deliberately NOT re-queued: it is
+    # rows-only BY DESIGN (no oracle can exist), its rows-only row is
+    # recorded in r09, and its training math is now hash-covered by
+    # lstm_bptt_micro — re-checking it would waste a window slot.
+    # Every query pushed past the window holds a green r5-or-later
+    # driver row and stays oracle-checked at sf0.001 on every pytest
+    # run (tests/test_oracle_suite.py).
+    "lstm_bptt_micro",
+    "ann_pq_index_build",
+    "ann_ivf_index_build",
     "seasonal_anomaly",
     "attribution_last_touch",
-    "holt_forecast",
-    "trend_lstm_training",
-    "lstm_trend_micro",
-    "trend_dual_fusion",
-    "rfm_segments_approx",
-    "live_pipeline_ledger",
-    "live_pipeline_summary",
-    "equity_compounding",
-    "funnel_conversion",
-    "ann_ivf",
-    "ann_ivf_recall",
-    "ann_ivf_bounded",
-    "ann_ivf_bounded_recall",
-    "ann_ivfpq",
-    "ann_ivfpq_recall",
-    "ann_ivfsq",
-    "ann_ivfsq_recall",
+    "dedup_bloom",
+    "dedup_bloom_persisted",
+    "decontaminate_bloom",
+    "mmr_rerank",
+    "mmr_rerank_ann",
+    "mmr_ann_overlap",
+    "ann_pq_persisted",
     "ann_ivf_incremental_persisted",
-    # the 15 displaced r5 greens
-    "ticks_normalize",
-    "event_transitions",
-    "volume_hhi",
-    "session_paths",
-    "cvd",
-    "volume_factor",
-    "bar_dod_change",
-    "sequence_labels",
-    "trend_classifier",
-    "book_topk",
-    "best_quotes",
-    "imbalance",
-    "asof_trade_quote",
-    "range_join_flow",
-    "rfm_segments",
-    # next-stalest r5 greens (rotation-tool order)
-    "segment_share",
-    "cube_corpus",
+    # the twenty stalest greens (last driver row r5)
+    "pivot_priority_segment",
+    "signal_scores",
+    "passage_dedup",
+    "boilerplate_strip",
+    "corpus_pipeline",
+    "lsh_precision",
+    "lsh_recall",
+    "lsh_recall_rebanded",
+    "bpe_encode",
+    "vocab_topk",
+    "doc_split",
+    "dedup_incremental",
+    "domain_mix",
+    "daily_uniques_rollup",
+    "daily_quantiles_rollup",
+    "pagerank",
+    "weighted_sample",
+    "corpus_drift_psi",
+    "position_ledger",
+    "risk_limits",
+    # next-stalest (last driver row r6), rotation-tool order
+    "order_count_distribution",
+    "large_orders",
+    "nation_trade_volume",
+    "market_share",
+    "cheapest_supplier_per_part",
+    "above_customer_avg",
+    "unpivot_lineitem_stats",
+    "late_ship_exists",
+    "priority_line_buckets",
+    "small_quantity_revenue",
+    "disjunctive_band_revenue",
+    "sole_latest_supplier",
+    "lapsed_rich_customers",
+    "customer_value_deciles",
+    "cohort_set_ops",
+    "copurchase_triangles",
+    "nation_profit",
 ]
 
 
