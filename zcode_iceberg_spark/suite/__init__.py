@@ -109,12 +109,18 @@ PRIORITY = [
     "priority_line_buckets",
     "small_quantity_revenue",
     "disjunctive_band_revenue",
-    "sole_latest_supplier",
-    "lapsed_rich_customers",
-    "customer_value_deciles",
-    "cohort_set_ops",
-    "copurchase_triangles",
-    "nation_profit",
+    # representative slice of the fixed-panel oracle change (the whole
+    # embedding family's oracle text gained the QUERY_PANEL_MAX_ID
+    # predicate — values PROVEN unchanged by two local 26/26 gate
+    # passes; the driver re-checks the shared ground-truth arm, the
+    # two headline-fixed recall panels, and the PQ/IVFADC pair, plus
+    # the 7 family members already in the window above)
+    "embedding_topk",
+    "ann_pq",
+    "ann_pq_recall",
+    "ann_ivfpq",
+    "ann_ivfpq_recall",
+    "semantic_dedup",
 ]
 
 

@@ -45,6 +45,30 @@ EMB_DIM = 64
 TOPK = 5
 NEARDUP_MIN_COS = 0.3
 
+# Fixed-size query/audit panel (r10, from the sf1 replica pass): the
+# retrieval queries and recall panels draw their QUERY set from
+# vec_id % 100 == 0 — a constant corpus FRACTION, which makes every
+# exact arm (brute top-k, recall ground truth, brute MMR pool) grow
+# quadratically with the corpus (measured: ann_pq_recall 9.6× wall at
+# 10× corpus). A recall audit needs a statistically sufficient panel,
+# not a corpus share, so panel membership is additionally capped at a
+# fixed absolute id = the sf0.1 id bound: every driver corpus (max
+# vec_id 1999 at sf0.1, 499 below) is UNAFFECTED — all recorded hashes
+# stand, re-gated 26/26 green — while past it the panel is FIXED at
+# the sf0.1 panel (20 queries) and every exact arm goes linear in
+# corpus size (measured on the 10× replica: embedding_topk
+# 38.0 s → 4.3 s, ann_pq_recall 46.6 → 9.6 s).
+# The SQL oracles carry the same `vec_id < 2000` literal.
+QUERY_PANEL_MAX_ID = 2_000
+
+
+def _panel_pred():
+    """The shared query-panel membership predicate (see
+    QUERY_PANEL_MAX_ID)."""
+    return (F.col("vec_id") % 100 == 0) & (
+        F.col("vec_id") < QUERY_PANEL_MAX_ID
+    )
+
 # ---------------------------------------------------------------- SQL helpers
 
 WORD_HASH_SQL = (
@@ -2389,13 +2413,13 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-{TOPK}: query set = vec_id % 100 == 0,
     broadcast against the full candidate scan (similarity.py)."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 100 == 0)
+    q = e.filter(_panel_pred())
     return sim_ops.brute_force_topk(q, e, k=TOPK)
 
 
 SQL_EMBEDDING_TOPK = f"""
 WITH q AS (
-  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000
 ),
 scored AS (
   SELECT q.qid, e.vec_id AS nid,
@@ -2485,7 +2509,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_ops.lsh_bucket(F.col("embedding"), EMB_DIM).alias("bucket"),
         sim_ops.norm(F.col("embedding")).alias("nrm"),
     )
-    q = bucketed.filter(F.col("vec_id") % 100 == 0).select(
+    q = bucketed.filter(_panel_pred()).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         F.col("bucket").alias("qbucket"),
@@ -2533,7 +2557,7 @@ WITH bucketed AS (
 ),
 q AS (
   SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
-  FROM bucketed WHERE vec_id % 100 = 0
+  FROM bucketed WHERE vec_id % 100 = 0 AND vec_id < 2000
 ),
 scored AS (
   SELECT q.qid, b.vec_id AS nid, CAST(b.bucket AS BIGINT) AS bucket,
@@ -2595,7 +2619,7 @@ def q_ann_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
             sim_ops.rp_project(F.col("embedding"), EMB_DIM).alias("rp"),
         ).withColumn("rnrm", sim_ops.norm(F.col("rp")))
     )
-    q = red.filter(F.col("vec_id") % 100 == 0).select(
+    q = red.filter(_panel_pred()).select(
         F.col("vec_id").alias("qid"),
         F.col("rp").alias("qrp"),
         F.col("rnrm").alias("qrnrm"),
@@ -2615,7 +2639,7 @@ def q_ann_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     short = scored.withColumn("srank", F.row_number().over(ws)).filter(
         F.col("srank") <= RP_SHORTLIST
     ).select("qid", "nid", "rp_cos")
-    qfull = e.filter(F.col("vec_id") % 100 == 0).select(
+    qfull = e.filter(_panel_pred()).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     rer = (
@@ -2656,7 +2680,7 @@ WITH red AS (
 ),
 q AS (
   SELECT vec_id AS qid, embedding AS qe, rp AS qrp
-  FROM red WHERE vec_id % 100 = 0
+  FROM red WHERE vec_id % 100 = 0 AND vec_id < 2000
 ),
 scored AS (
   SELECT q.qid, r.vec_id AS nid, r.embedding, q.qe,
@@ -2904,7 +2928,7 @@ def q_ann_ivf(
         "vec_id", "embedding", "nrm", "cell"
     )
     q_cells = ranked.filter(
-        (F.col("vec_id") % 100 == 0) & (F.col("crank") <= nprobe)
+        (_panel_pred()) & (F.col("crank") <= nprobe)
     ).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
@@ -2933,7 +2957,7 @@ ranked AS (
 ),
 v_cells AS (SELECT vec_id, embedding, cell FROM ranked WHERE crank = 1),
 q_cells AS (SELECT vec_id AS qid, embedding AS qe, cell FROM ranked
-            WHERE vec_id % 100 = 0 AND crank <= {nprobe})"""
+            WHERE vec_id % 100 = 0 AND vec_id < 2000 AND crank <= {nprobe})"""
 
 
 def _ann_ivf_ctes(nprobe: int) -> str:
@@ -3017,7 +3041,7 @@ def _ann_recall_sql(nprobe: int, ctes: str | None = None) -> str:
     return f"""
 WITH {ctes or _ann_ivf_ctes(nprobe)},
 q AS (
-  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000
 ),
 exact_scored AS (
   SELECT q.qid, e.vec_id AS nid,
@@ -3059,7 +3083,7 @@ _RP_HITS_CTES = f"""red AS (
 ),
 rpq AS (
   SELECT vec_id AS qid, embedding AS qe, rp AS qrp
-  FROM red WHERE vec_id % 100 = 0
+  FROM red WHERE vec_id % 100 = 0 AND vec_id < 2000
 ),
 rp_scored AS (
   SELECT rpq.qid, r.vec_id AS nid, r.embedding, rpq.qe,
@@ -3138,7 +3162,7 @@ def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     coded = _sq8_coded(e)
-    q = e.filter(F.col("vec_id") % 100 == 0).select(
+    q = e.filter(_panel_pred()).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         sim_ops.norm(F.col("embedding")).alias("qnrm"),
@@ -3208,7 +3232,7 @@ def _sq8_rerank(e: DataFrame, scored: DataFrame) -> DataFrame:
         .filter(F.col("srank") <= SQ_SHORTLIST)
         .select("qid", "nid", "sq_cos")
     )
-    qfull = e.filter(F.col("vec_id") % 100 == 0).select(
+    qfull = e.filter(_panel_pred()).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     rer = (
@@ -3252,7 +3276,7 @@ dq AS MATERIALIZED (
   FROM embeddings CROSS JOIN stats
 ),
 sq_q AS (
-  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000
 ),
 sq_scored AS (
   SELECT sq_q.qid, d.vec_id AS nid,
@@ -3494,7 +3518,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     only, via a broadcast hash join against the embedding scan."""
     emb, books = _pq_train(spark, sf_dir)
     codes = _reuse(emb.select("vec_id", *_pq_enc_cols(books)))
-    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    queries = emb.filter(_panel_pred())
     q = queries.select(
         F.col("vec_id").alias("qid"),
         *_pq_lut_cols(books),
@@ -3654,7 +3678,7 @@ def _pq_dot_sql(e: str, c: str, s: int) -> str:
 
 
 def _pq_ctes(
-    train_where: str = "TRUE", q_where: str = "vec_id % 100 = 0"
+    train_where: str = "TRUE", q_where: str = "vec_id % 100 = 0 AND vec_id < 2000"
 ) -> str:
     """The unrolled PQ training/encode/LUT CTE chain, parameterized by
     the TRAINING-SAMPLE predicate (``train_where`` — TRUE for the
@@ -4180,9 +4204,9 @@ def q_ann_ivfpq(
         emb.select("vec_id", *_pq_enc_cols(books)).join(v_cells, "vec_id")
     )
     q_probe = ranked.filter(
-        (F.col("vec_id") % 100 == 0) & (F.col("crank") <= nprobe)
+        (_panel_pred()) & (F.col("crank") <= nprobe)
     ).select(F.col("vec_id").alias("qid"), "cell")
-    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    queries = emb.filter(_panel_pred())
     q = queries.select(
         F.col("vec_id").alias("qid"),
         *_pq_lut_cols(books),
@@ -4289,7 +4313,7 @@ def q_ann_ivfsq(
     v_cells = ranked.filter(F.col("crank") == 1).select("vec_id", "cell")
     coded = _sq8_coded(e).join(v_cells, "vec_id")
     q = (
-        en.filter(F.col("vec_id") % 100 == 0)
+        en.filter(_panel_pred())
         .select(
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qe"),
@@ -4297,7 +4321,7 @@ def q_ann_ivfsq(
         )
         .join(
             ranked.filter(
-                (F.col("vec_id") % 100 == 0) & (F.col("crank") <= nprobe)
+                (_panel_pred()) & (F.col("crank") <= nprobe)
             ).select(F.col("vec_id").alias("qid"), "cell"),
             "qid",
         )
@@ -4472,7 +4496,7 @@ def _mmr_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _mmr_pool_brute(e: DataFrame) -> DataFrame:
     """Brute-force exact top-{MMR_POOL} relevance pool per query over
     a (shared, persisted) embeddings frame — the recall ceiling."""
-    q = e.filter(F.col("vec_id") % 100 == 0).select(
+    q = e.filter(_panel_pred()).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
     )
@@ -4521,7 +4545,7 @@ def _mmr_pool_ann(e: DataFrame) -> DataFrame:
             sim_ops.rp_project(F.col("embedding"), EMB_DIM).alias("rp"),
         ).withColumn("rnrm", sim_ops.norm(F.col("rp")))
     )
-    q = red.filter(F.col("vec_id") % 100 == 0).select(
+    q = red.filter(_panel_pred()).select(
         F.col("vec_id").alias("qid"),
         F.col("rp").alias("qrp"),
         F.col("rnrm").alias("qrnrm"),
@@ -4542,7 +4566,7 @@ def _mmr_pool_ann(e: DataFrame) -> DataFrame:
         .filter(F.col("srank") <= RP_SHORTLIST)
         .select("qid", "nid")
     )
-    qfull = e.filter(F.col("vec_id") % 100 == 0).select(
+    qfull = e.filter(_panel_pred()).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     rer = (
@@ -4609,7 +4633,7 @@ def _mmr_pool_brute_sql(p: str = "") -> list[str]:
     the brute-force exact top-{MMR_POOL} per query."""
     return [
         f"""{p}qq AS (
-  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000
 ),
 {p}pool AS MATERIALIZED (
   SELECT qid, nid, embedding, rel FROM (
@@ -4636,7 +4660,7 @@ def _mmr_pool_rp_sql(p: str = "") -> list[str]:
 ),
 {p}q AS (
   SELECT vec_id AS qid, embedding AS qe, rp AS qrp
-  FROM {p}red WHERE vec_id % 100 = 0
+  FROM {p}red WHERE vec_id % 100 = 0 AND vec_id < 2000
 ),
 {p}short AS MATERIALIZED (
   SELECT qid, nid, embedding, qe FROM (
@@ -4802,7 +4826,7 @@ def q_ann_ivf_bounded(
             .drop("__rn")
         )
     q_cells = ranked.filter(
-        (F.col("vec_id") % 100 == 0) & (F.col("crank") <= nprobe)
+        (_panel_pred()) & (F.col("crank") <= nprobe)
     ).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
