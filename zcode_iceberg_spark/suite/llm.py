@@ -4422,7 +4422,13 @@ def _mmr_greedy(pool: DataFrame) -> DataFrame:
     lam, inv = F.lit(MMR_LAMBDA), F.lit(1.0 - MMR_LAMBDA)
     mmr1 = F.round(F.lit(1e6) * lam * F.col("rel")).cast("bigint")
     w1 = Window.partitionBy("qid").orderBy(mmr1.desc(), "nid")
-    sel = (
+    # sel re-enters every later round's plan TWICE (the picked set and
+    # the anti-join) — unpersisted, execution of the prefix doubles
+    # per round (~2^K recomputation; this barrier measured
+    # mmr_ann_overlap 28.7 s → 16.2 s and mmr_rerank 5.6 s → 3.3 s at
+    # sf0.1, r10). sel is queries × r rows — tiny — so a per-round
+    # persist turns the greedy linear in K.
+    sel = _reuse(
         pool.withColumn("mmr_micro", mmr1)
         .withColumn("rn", F.row_number().over(w1))
         .filter(F.col("rn") == 1)
@@ -4457,7 +4463,7 @@ def _mmr_greedy(pool: DataFrame) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("qid", "nid", "embedding", "mmr_micro", F.lit(r).alias("k"))
         )
-        sel = sel.union(pick)
+        sel = _reuse(sel.union(pick))
     return sel.select("qid", F.col("k").cast("int").alias("k"), "nid", "mmr_micro")
 
 
