@@ -137,3 +137,26 @@ def test_query_phase_never_retrains_or_rereads_history(
     assert narrow, schemas
     assert wide, schemas
     assert "CartesianProduct" not in p
+
+
+def test_persisted_probe_memoizes_build(spark, sf_dir, monkeypatch):
+    """VERDICT r9 #5 accounting contract: inside one session the
+    persisted-PQ probe builds its index exactly ONCE — a second call
+    must reuse the memoized state (production builds once and queries
+    daily; re-paying the build per call masked probe regressions) —
+    and returns identical rows from it."""
+    import zcode_iceberg_spark.suite.llm as llm
+
+    llm._PERSISTED_STATE_MEMO.clear()
+    calls = {"n": 0}
+    real = llm.build_pq_state
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(llm, "build_pq_state", counting)
+    a = sorted(map(tuple, llm.q_ann_pq_persisted(spark, sf_dir).collect()))
+    b = sorted(map(tuple, llm.q_ann_pq_persisted(spark, sf_dir).collect()))
+    assert calls["n"] == 1, f"build ran {calls['n']} times"
+    assert a == b and a
