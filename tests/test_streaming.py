@@ -1518,19 +1518,16 @@ def test_holt_stream_replay_safe_both_crash_windows(spark, sf_dir, tmp):
     assert n_total == len(snap0) + b1.count()
 
 
-def test_kafka_wire_stream_agreement(spark, sf_dir, tmp, raw_events_dir):
-    """A1-A3 production transport seam (VERDICT r9 #9): the SAME event
-    feed serialized as Kafka wire records (value = JSON payload, the
-    exact column contract format("kafka") produces) and decoded by
-    stream_events_kafka yields row-for-row the ticks the parquet file
-    source yields — so going live against a broker is a one-line
-    source swap with every operator, filter, and watermark untouched."""
+@pytest.fixture(scope="module")
+def kafka_wire_dir(spark, sf_dir):
+    """events.parquet serialized as Kafka WIRE records — 3 JSONL files
+    carrying the exact column set format("kafka") produces (value =
+    the JSON event payload per the pinned producer contract), split on
+    event-time thirds with increasing mtimes like raw_events_dir."""
     from zcode_iceberg_spark.sources.tables import normalize_ts
-    from zcode_iceberg_spark.streaming.pipeline import (
-        KAFKA_TS_FMT,
-        stream_events_kafka,
-    )
+    from zcode_iceberg_spark.streaming.pipeline import KAFKA_TS_FMT
 
+    d = Path(tempfile.mkdtemp(prefix="zspark_kwire_"))
     raw = normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     payload = F.to_json(
         F.struct(
@@ -1548,7 +1545,6 @@ def test_kafka_wire_stream_agreement(spark, sf_dir, tmp, raw_events_dir):
         F.lit(0).alias("partition"),
         F.col("event_id").alias("offset"),
     )
-    wdir = tmp / "kafka_wire"
     qs = raw.approxQuantile("event_id", [0.33, 0.66], 0.0)
     b0, b1 = (int(q) for q in qs)
     parts = [
@@ -1557,16 +1553,29 @@ def test_kafka_wire_stream_agreement(spark, sf_dir, tmp, raw_events_dir):
         wire.filter(F.col("offset") > b1),
     ]
     for i, p in enumerate(parts):
-        sub = wdir / f"part{i}"
+        sub = d / f"part{i}"
         p.coalesce(1).write.json(str(sub))
         f = next(Path(sub).glob("*.json"))
-        dst = wdir / f"{i:03d}.json"
+        dst = d / f"{i:03d}.json"
         shutil.copy(f, dst)
         os.utime(dst, (time.time() + i, time.time() + i))
         shutil.rmtree(sub)
+    yield str(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_kafka_wire_stream_agreement(
+    spark, sf_dir, tmp, raw_events_dir, kafka_wire_dir
+):
+    """A1-A3 production transport seam (VERDICT r9 #9): the SAME event
+    feed serialized as Kafka wire records and decoded by
+    stream_events_kafka yields row-for-row the ticks the parquet file
+    source yields — so going live against a broker is a one-line
+    source swap with every operator, filter, and watermark untouched."""
+    from zcode_iceberg_spark.streaming.pipeline import stream_events_kafka
 
     got = _drain(
-        spark, stream_events_kafka(spark, str(wdir)), tmp, "kwire"
+        spark, stream_events_kafka(spark, kafka_wire_dir), tmp, "kwire"
     ).collect()
     want = _drain(
         spark, stream_events(spark, raw_events_dir), tmp, "kfile"
@@ -1576,3 +1585,54 @@ def test_kafka_wire_stream_agreement(spark, sf_dir, tmp, raw_events_dir):
     got_m = {key(r): tuple(r[c] for c in cols) for r in got}
     want_m = {key(r): tuple(r[c] for c in cols) for r in want}
     assert want_m and got_m == want_m
+
+
+def test_live_pipeline_over_kafka_wire(spark, sf_dir, tmp, kafka_wire_dir):
+    """The COMPOSED product over the Kafka transport: the full
+    supervised live pipeline (feature battery → signal gate → FSM →
+    idempotent sinks) fed by stream_events_kafka must close exactly
+    the trades the hash-oracled batch twin closes (minus its EOD
+    close-outs) — transport-agnosticism proven on the whole product,
+    not just the tick normalization."""
+    from zcode_iceberg_spark.streaming.lifecycle import supervise
+    from zcode_iceberg_spark.streaming.pipeline import (
+        live_tick_pipeline,
+        stream_events_kafka,
+    )
+    from zcode_iceberg_spark.suite.stateful import q_live_pipeline_ledger
+
+    start, ledger_dir, _summary_dir = live_tick_pipeline(
+        spark,
+        kafka_wire_dir,
+        sf_dir,
+        str(tmp / "live_kafka"),
+        trigger_sec=0.5,
+        source=stream_events_kafka,
+    )
+
+    def until(q):
+        data = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        idle = q.lastProgress is not None and (
+            q.lastProgress["numInputRows"] == 0
+        )
+        return len(data) >= 3 and idle
+
+    report = supervise(start, until=until)
+    assert report["completed"] is True
+    assert report["failures"] == []
+
+    cols = ("side", "entry_price", "exit_price", "exit_reason", "pnl")
+    got = {
+        (r["user_id"], r["trade_seq"]): tuple(
+            round(r[c], 6) if isinstance(r[c], float) else r[c] for c in cols
+        )
+        for r in spark.read.parquet(ledger_dir).collect()
+    }
+    want = {
+        (r["user_id"], r["trade_seq"]): tuple(
+            round(r[c], 6) if isinstance(r[c], float) else r[c] for c in cols
+        )
+        for r in q_live_pipeline_ledger(spark, sf_dir).collect()
+        if r["exit_reason"] != "EOD"
+    }
+    assert want and got == want

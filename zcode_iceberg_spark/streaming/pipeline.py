@@ -1262,6 +1262,7 @@ def live_tick_pipeline(
     sf_dir: str,
     out_dir: str,
     trigger_sec: float = 1.0,
+    source=stream_events,
 ):
     """A1→A11 composed: THE reference product as one supervised
     streaming job (main.py:122-142 → strategy.py:334-443): normalized
@@ -1281,7 +1282,13 @@ def live_tick_pipeline(
     summary is a per-day partition overwrite.
 
     Batch twin (hash-oracled registry entry): suite/stateful.py:
-    q_live_pipeline_ledger — same gate, same kernels."""
+    q_live_pipeline_ledger — same gate, same kernels.
+
+    ``source`` is the transport seam: any (spark, src_dir) → ticks
+    builder with the _tick_stream_shape contract — the file source by
+    default, ``stream_events_kafka`` for a Kafka-wire feed (the whole
+    product downstream is transport-agnostic; proven by the Kafka
+    end-to-end twin in tests/test_streaming.py)."""
     from zcode_iceberg_spark.sources.sinks import upsert_daily_partitions
     from zcode_iceberg_spark.suite.scoring import live_entry_gates
 
@@ -1291,7 +1298,7 @@ def live_tick_pipeline(
     # warmup phase: the per-key score table (k rows) — frozen and
     # broadcast, exactly like the trained model blobs
     gates = live_entry_gates(spark, sf_dir)
-    ticks = stream_events(spark, src_dir)
+    ticks = source(spark, src_dir)
     gated = ticks.join(F.broadcast(gates), "user_id").select(
         "user_id", "ts", "event_id", "price", "qty", "is_buy", "entry_signal"
     )
