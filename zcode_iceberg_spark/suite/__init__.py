@@ -64,6 +64,7 @@ PRIORITY = [
     # driver row and stays oracle-checked at sf0.001 on every pytest
     # run (tests/test_oracle_suite.py).
     "lstm_bptt_micro",
+    "dsir_select",
     "ann_pq_index_build",
     "ann_ivf_index_build",
     "seasonal_anomaly",
@@ -108,7 +109,6 @@ PRIORITY = [
     "late_ship_exists",
     "priority_line_buckets",
     "small_quantity_revenue",
-    "disjunctive_band_revenue",
     # representative slice of the fixed-panel oracle change (the whole
     # embedding family's oracle text gained the QUERY_PANEL_MAX_ID
     # predicate — values PROVEN unchanged by two local 26/26 gate

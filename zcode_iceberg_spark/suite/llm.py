@@ -5197,6 +5197,124 @@ FROM cents c LEFT JOIN hcnt h ON h.cell = c.cell
 
 # ---------------------------------------------------- domain mixture sampling
 
+# ------------------------------------------------ DSIR importance scoring
+
+DSIR_BUCKETS = 1024  # hashed n-gram feature space (Xie et al. use 10k)
+DSIR_TARGET_LANG = "en"  # the "target distribution" subcorpus
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every doc
+    by the log importance ratio of a TARGET distribution (here the
+    lang='{DSIR_TARGET_LANG}' subcorpus — in production, a trusted
+    high-quality corpus) over the RAW distribution, both estimated
+    as hashed n-gram (unigram+bigram) bucket frequencies with +1
+    smoothing:  score(d) = Σ_grams ln p̂(b(g)) − ln q̂(b(g)).
+    keep = score > 0 — "more target-like than raw". Complements the
+    quality/temperature mixers: those reweight by per-doc or
+    per-source labels; DSIR reweights by distributional similarity
+    to a target corpus without any labels on the raw side.
+
+    Scale shape (the paper's own recipe, Spark-ified): both
+    distributions are {DSIR_BUCKETS}-row hash aggregates (map-side
+    partial combine) built from ONE persisted exploded-gram frame;
+    the per-bucket log-ratio table broadcasts; scoring is a map-side
+    broadcast join + one doc-keyed hash agg. No all-pairs, no
+    big-side shuffle beyond the per-doc sum.
+
+    Determinism: per-bucket log-ratios quantize to integer
+    micro-units from INTEGER counts with an identical expression
+    spelling on both engines, and per-doc scores are exact integer
+    sums — partition-order-free (the trend_probe_training
+    discipline)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    grams = F.concat(toks, tx.shingles(toks, 2))
+    g = _reuse(
+        d.select("doc_id", "lang", F.explode(grams).alias("gram")).select(
+            "doc_id",
+            "lang",
+            (tx.word_hash(F.col("gram")) % DSIR_BUCKETS).alias("b"),
+        )
+    )
+    raw = _reuse(g.groupBy("b").agg(F.count(F.lit(1)).alias("raw_cnt")))
+    tgt = _reuse(
+        g.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tgt_cnt"))
+    )
+    tots = raw.agg(F.sum("raw_cnt").alias("raw_tot")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("tgt_cnt"), F.lit(0)).alias("tgt_tot"))
+    )
+    nb = float(DSIR_BUCKETS)
+    lnr = F.lit(1e6) * (
+        F.log(
+            (F.coalesce(F.col("tgt_cnt"), F.lit(0)) + F.lit(1.0))
+            / (F.col("tgt_tot") + F.lit(nb))
+        )
+        - F.log(
+            (F.col("raw_cnt") + F.lit(1.0)) / (F.col("raw_tot") + F.lit(nb))
+        )
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select("b", F.round(lnr).cast("bigint").alias("lr_micro"))
+    )
+    out = (
+        g.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lr_micro").alias("score_micro"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_grams",
+        "score_micro",
+        (F.col("score_micro") > 0).alias("keep"),
+    )
+
+
+_DSIR_GH = WORD_HASH_SQL.format(x="gram")
+SQL_DSIR_SELECT = f"""
+WITH {TOKS_CTE},
+grams AS (
+  SELECT doc_id, lang,
+         unnest(w || CASE WHEN len(w) >= 2
+                  THEN list_transform(generate_series(1, len(w) - 1),
+                                      i -> concat_ws(' ', w[i], w[i + 1]))
+                  ELSE [] END) AS gram
+  FROM toks
+),
+gb AS (SELECT doc_id, lang, {_DSIR_GH} % {DSIR_BUCKETS} AS b FROM grams),
+raw AS (SELECT b, count(*) AS raw_cnt FROM gb GROUP BY 1),
+tgt AS (SELECT b, count(*) AS tgt_cnt FROM gb
+        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
+tots AS (
+  SELECT (SELECT sum(raw_cnt) FROM raw) AS raw_tot,
+         (SELECT coalesce(sum(tgt_cnt), 0) FROM tgt) AS tgt_tot
+),
+lr AS (
+  SELECT r.b,
+         CAST(round(1e6 * (
+           ln((coalesce(t.tgt_cnt, 0) + 1.0) / (tots.tgt_tot + {DSIR_BUCKETS}.0))
+           - ln((r.raw_cnt + 1.0) / (tots.raw_tot + {DSIR_BUCKETS}.0))
+         )) AS BIGINT) AS lr_micro
+  FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tots
+)
+SELECT g.doc_id, g.lang,
+       count(*) AS n_grams,
+       CAST(sum(l.lr_micro) AS BIGINT) AS score_micro,
+       CAST(sum(l.lr_micro) AS BIGINT) > 0 AS keep
+FROM gb g JOIN lr l USING (b)
+GROUP BY 1, 2
+"""
+
+
 MIX_BUDGET_FRAC = 0.5  # keep ~50% of corpus tokens, spread evenly per source
 
 
@@ -7787,6 +7905,7 @@ QUERIES = {
         q_neardup_incremental_persisted, SQL_NEARDUP_INCREMENTAL
     ),
     "domain_mix": Query(q_domain_mix, SQL_DOMAIN_MIX),
+    "dsir_select": Query(q_dsir_select, SQL_DSIR_SELECT),
     "temperature_mix": Query(q_temperature_mix, SQL_TEMPERATURE_MIX),
     "quality_sample": Query(q_quality_sample, SQL_QUALITY_SAMPLE),
     "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),
