@@ -205,3 +205,22 @@ def test_funnel_step_randomized_against_reference():
         r1, st = funnel_step((1,), [pdf.iloc[:cut]], None, window_us=W)
         r2, _ = funnel_step((1,), [pdf.iloc[cut:]], st, window_us=W)
         assert r2["stage_reached"] == want, (case, evs, r2, want)
+
+
+def test_dsir_target_outscored_on_average(spark, sf_dir):
+    """DSIR semantic invariant (beyond the hash oracle): documents
+    drawn from the target distribution (lang=en) must out-score
+    non-target documents ON AVERAGE — the whole point of the
+    importance ratio — and every score must be a finite integer-sum
+    with keep == (score > 0)."""
+    from zcode_iceberg_spark.suite.llm import DSIR_TARGET_LANG, q_dsir_select
+
+    rows = q_dsir_select(spark, sf_dir).collect()
+    assert rows
+    tgt = [r["score_micro"] for r in rows if r["lang"] == DSIR_TARGET_LANG]
+    oth = [r["score_micro"] for r in rows if r["lang"] != DSIR_TARGET_LANG]
+    assert tgt and oth
+    assert sum(tgt) / len(tgt) > sum(oth) / len(oth)
+    for r in rows:
+        assert r["keep"] == (r["score_micro"] > 0)
+        assert r["n_grams"] > 0
