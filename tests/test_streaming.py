@@ -1155,6 +1155,71 @@ def test_zscore_stream_agreement(spark, sf_dir, raw_events_dir, tmp):
     assert not diffs, f"{len(diffs)} z mismatches, e.g. {sorted(diffs)[:3]}"
 
 
+def test_zscore_stream_agreement_mid_tie_group_split(spark, sf_dir, tmp):
+    """VERDICT r10 #1 at the Spark level: the replay file boundary is
+    placed DELIBERATELY inside a same-(user, ts) tie group (the sf0.001
+    fixture has no natural ties — ts is bucketed to 60 s to force
+    them), so the stream kernel sees a partial group at a micro-batch
+    cut. The tie-group holdback must still reproduce the batch
+    RANGE-frame z on every tick, and the event-time-timeout flush must
+    deliver the final held group (row-count equality proves it)."""
+    from zcode_iceberg_spark.operators.flow import delta_zscore
+    from zcode_iceberg_spark.streaming.pipeline import zscore_stream
+
+    bucket = F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 60) * 60)
+    ev = load_table(spark, sf_dir, "events").withColumn("ts", bucket)
+    pdf = (
+        ev.toPandas()
+        .sort_values(["ts", "event_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    sizes = pdf.groupby(["user_id", "ts"])["event_id"].transform("size")
+    tied = pdf.index[sizes >= 2]
+    assert len(tied), "bucketing failed to create tie groups"
+    # cut right after the first row of the first multi-row tie group:
+    # that (user, ts) group now straddles the two replay files
+    first = tied[0]
+    key = (pdf.loc[first, "user_id"], pdf.loc[first, "ts"])
+    cut = int(first) + 1
+    straddles = lambda part: (
+        ((part["user_id"] == key[0]) & (part["ts"] == key[1])).any()
+    )
+    assert straddles(pdf.iloc[:cut]) and straddles(pdf.iloc[cut:])
+
+    d = Path(tempfile.mkdtemp(prefix="zspark_tiesrc_"))
+    try:
+        for i, part in enumerate((pdf.iloc[:cut], pdf.iloc[cut:])):
+            sub = d / f"part{i}"
+            spark.createDataFrame(part, schema=ev.schema).coalesce(
+                1
+            ).write.parquet(str(sub))
+            f = next(sub.glob("*.parquet"))
+            dst = d / f"{i:03d}.parquet"
+            shutil.copy(f, dst)
+            os.utime(dst, (time.time() + i, time.time() + i))
+            shutil.rmtree(sub)
+
+        got = {
+            (r["user_id"], r["event_id"]): round(r["z"], 6)
+            for r in _drain(
+                spark, zscore_stream(stream_events(spark, str(d))),
+                tmp, "zs_tie",
+            ).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    want = {
+        (r["user_id"], r["event_id"]): round(r["z"], 6)
+        for r in delta_zscore(
+            events_ticks(spark, sf_dir).withColumn("ts", bucket),
+            window_sec=600, pop_rows=50, min_pop=30,
+        ).select("user_id", "event_id", "z").collect()
+    }
+    assert len(got) == len(want) > 0  # timeout flush delivered the tail
+    diffs = {k for k in want if got[k] != want[k]}
+    assert not diffs, f"{len(diffs)} z mismatches, e.g. {sorted(diffs)[:3]}"
+
+
 def test_live_pipeline_supervised_end_to_end(spark, sf_dir, raw_events_dir, tmp):
     """VERDICT r8 #2: the reference's full live tick path as ONE
     supervised streaming job — stream → in-stream feature battery →

@@ -1017,6 +1017,13 @@ ZS_STATE_SCHEMA = T.StructType(
         T.StructField("win_ts", T.ArrayType(T.LongType())),
         T.StructField("win_sq", T.ArrayType(T.DoubleType())),
         T.StructField("ring", T.ArrayType(T.DoubleType())),
+        # held-back trailing ts-group (see _tie_holdback): parallel
+        # arrays of the raw input rows not yet provably complete
+        T.StructField("pend_ts_us", T.ArrayType(T.LongType())),
+        T.StructField("pend_eid", T.ArrayType(T.LongType())),
+        T.StructField("pend_price", T.ArrayType(T.DoubleType())),
+        T.StructField("pend_qty", T.ArrayType(T.DoubleType())),
+        T.StructField("pend_buy", T.ArrayType(T.BooleanType())),
     ]
 )
 ZS_OUT_SCHEMA = T.StructType(
@@ -1034,6 +1041,34 @@ ZS_POP_ROWS = 50
 ZS_MIN_POP = 30
 
 
+def _tie_holdback(
+    pend: pd.DataFrame, batch: pd.DataFrame
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """The micro-batch-split invariance guard for tie-group kernels
+    (VERDICT r10 #1): the batch z definition is a VALUE-inclusive
+    RANGE frame — every row of a same-ts group shares one delta that
+    is only defined once the WHOLE group has arrived — so a streaming
+    kernel must not evaluate a row while later same-ts rows could
+    still be in flight. Combine the carried pending rows with the new
+    micro-batch, restore total (ts, event_id) order, and hold back the
+    trailing same-ts group; it is released either by a later batch
+    whose rows advance ts past it, or by the event-time-timeout flush
+    when the key goes quiet (under the engine's standing in-order
+    per-key delivery assumption, a tie group never resumes after a
+    batch in which its key delivered nothing).
+
+    Column-agnostic (works for the z wrapper's 5-column frame and the
+    fused live pipeline's 6-column gated frame); returns
+    ``(complete_rows, new_pending)``."""
+    pdf = pd.concat([pend, batch], ignore_index=True).sort_values(
+        ["ts", "event_id"], kind="mergesort"
+    )
+    if not len(pdf):
+        return pdf, pdf
+    done = (pdf["ts"] < pdf["ts"].iloc[-1]).to_numpy()
+    return pdf[done], pdf[~done]
+
+
 def _zscore_step(
     pdf: pd.DataFrame,
     state: tuple[list, list, list],
@@ -1047,6 +1082,16 @@ def _zscore_step(
     the trailing ``window_sec`` (ts_us, signed qty) buffer plus the
     last ``pop_rows`` deltas. ``pdf`` must be sorted by (ts, event_id)
     and carry ts/qty/is_buy; returns one z per row.
+
+    Chaining contract (tie-group completeness): each call's ``pdf``
+    must contain only COMPLETE same-ts groups — a group's delta is
+    defined over the whole group, so feeding it a partial group emits
+    z from a partial delta. The streaming wrappers guarantee this via
+    ``_tie_holdback`` (the trailing ts-group rides in GroupState until
+    ts strictly advances or the event-time timeout flushes it); under
+    that guard the chained kernel is bit-exact with one-shot
+    processing for ARBITRARY micro-batch cuts
+    (tests/test_zscore_kernel.py::test_batch_split_invariance).
 
     Float discipline mirrors the batch plan exactly: the RANGE frame
     is value-inclusive (all same-ts rows share one delta, computed
@@ -1107,35 +1152,90 @@ def _zscore_step(
     return zs, (win_ts, win_sq, ring)
 
 
+def _pend_unpack(p_ts, p_eid, p_px, p_qty, p_buy, p_sig=None) -> pd.DataFrame:
+    """Carried pending arrays → the input-row frame _tie_holdback eats
+    (ts reconstructed at exact µs precision — the round-trip through
+    int64 µs is lossless for parquet timestamp[us] event time)."""
+    cols = {
+        "ts": pd.to_datetime(pd.Series(p_ts, dtype="int64") * 1000),
+        "event_id": pd.Series(p_eid, dtype="int64"),
+        "price": pd.Series(p_px, dtype="float64"),
+        "qty": pd.Series(p_qty, dtype="float64"),
+        "is_buy": pd.Series(p_buy, dtype="bool"),
+    }
+    if p_sig is not None:
+        cols["entry_signal"] = pd.Series(p_sig, dtype="bool")
+    return pd.DataFrame(cols)
+
+
+def _pend_pack(pend: pd.DataFrame, with_sig: bool = False) -> tuple:
+    packed = (
+        [int(v) for v in pend["ts"].astype("int64") // 1000],
+        [int(v) for v in pend["event_id"]],
+        [float(v) for v in pend["price"]],
+        [float(v) for v in pend["qty"]],
+        [bool(v) for v in pend["is_buy"]],
+    )
+    if with_sig:
+        packed += ([bool(v) for v in pend["entry_signal"]],)
+    return packed
+
+
 def zscore_stream(ticks: DataFrame) -> DataFrame:
     """E3+E4 streaming twin: the per-tick taker-delta z-score computed
     LIVE with carried GroupState (trailing time-window buffer + delta
     ring) — the feature battery stage of the composed live pipeline.
-    State is bounded by window_sec of ticks + pop_rows doubles per
-    key, the exact information content of the batch window frames."""
+    State is bounded by window_sec of ticks + pop_rows doubles + one
+    in-flight ts-group per key, the exact information content of the
+    batch window frames.
+
+    Tie-group discipline (VERDICT r10 #1): the trailing same-ts group
+    of every micro-batch is held back in state (_tie_holdback) and
+    released when ts strictly advances; a quiet key's held group is
+    flushed by the event-time timeout once the watermark moves — so z
+    is ALWAYS computed from a complete group delta, for arbitrary
+    micro-batch cuts, matching the batch RANGE-frame definition."""
+
+    zs_cols = ["ts", "event_id", "price", "qty", "is_buy"]
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        st = state.get if state.exists else ([], [], [])
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        if chunks:
-            pdf = pd.concat(chunks).sort_values(
-                ["ts", "event_id"], kind="mergesort"
-            )
-            zs, st = _zscore_step(pdf, st)
-            out = pd.DataFrame(
-                {
-                    "user_id": pdf["user_id"].values,
-                    "ts": pdf["ts"].values,
-                    "event_id": pdf["event_id"].values,
-                    "price": pdf["price"].values,
-                    "z": zs,
-                }
-            )
+        if state.exists:
+            win_ts, win_sq, ring, p_ts, p_eid, p_px, p_qty, p_buy = state.get
+            st = (list(win_ts), list(win_sq), list(ring))
+            pend = _pend_unpack(p_ts, p_eid, p_px, p_qty, p_buy)
         else:
-            out = pd.DataFrame(columns=[f.name for f in ZS_OUT_SCHEMA.fields])
-        state.update((list(st[0]), list(st[1]), list(st[2])))
+            st = ([], [], [])
+            pend = _pend_unpack([], [], [], [], [])
+        chunks = (
+            []
+            if state.hasTimedOut
+            else [pdf[zs_cols] for pdf in pdfs if len(pdf)]
+        )
+        if chunks:
+            ready, pend = _tie_holdback(pend, pd.concat(chunks))
+        else:
+            # timeout (key quiet while the watermark advanced): under
+            # in-order per-key delivery the held tie group is complete
+            ready, pend = pend, pend.iloc[0:0]
+        zs, st = _zscore_step(ready, st)
+        out = pd.DataFrame(
+            {
+                "user_id": [int(key[0])] * len(ready),
+                "ts": ready["ts"].values,
+                "event_id": ready["event_id"].values,
+                "price": ready["price"].values,
+                "z": zs,
+            }
+        )
+        state.update(
+            (list(st[0]), list(st[1]), list(st[2]), *_pend_pack(pend))
+        )
+        if len(pend):
+            # re-armed every invocation (Spark clears it otherwise):
+            # fire at the next watermark advance this key sits out
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
         yield out
 
     return ticks.select(
@@ -1145,7 +1245,7 @@ def zscore_stream(ticks: DataFrame) -> DataFrame:
         ZS_OUT_SCHEMA,
         ZS_STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 
@@ -1159,6 +1259,13 @@ LIVE_STATE_SCHEMA = T.StructType(
         T.StructField("side", T.StringType()),
         T.StructField("entry_ts_us", T.LongType()),
         T.StructField("entry_price", T.DoubleType()),
+        # held-back trailing ts-group (_tie_holdback), incl. the gate
+        T.StructField("pend_ts_us", T.ArrayType(T.LongType())),
+        T.StructField("pend_eid", T.ArrayType(T.LongType())),
+        T.StructField("pend_price", T.ArrayType(T.DoubleType())),
+        T.StructField("pend_qty", T.ArrayType(T.DoubleType())),
+        T.StructField("pend_buy", T.ArrayType(T.BooleanType())),
+        T.StructField("pend_sig", T.ArrayType(T.BooleanType())),
     ]
 )
 
@@ -1183,13 +1290,19 @@ def live_decisions_fsm_stream(gated_ticks: DataFrame) -> DataFrame:
 
     cols = [f.name for f in LEDGER_SCHEMA.fields]
 
+    live_cols = ["ts", "event_id", "price", "qty", "is_buy", "entry_signal"]
+
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         uid = int(key[0])
         if state.exists:
-            win_ts, win_sq, ring, seq, qty, side, ets_us, epx = state.get
+            (
+                win_ts, win_sq, ring, seq, qty, side, ets_us, epx,
+                p_ts, p_eid, p_px, p_qty, p_buy, p_sig,
+            ) = state.get
             zst = (list(win_ts), list(win_sq), list(ring))
+            pend = _pend_unpack(p_ts, p_eid, p_px, p_qty, p_buy, p_sig)
             pos = (
                 None
                 if side == ""
@@ -1203,20 +1316,34 @@ def live_decisions_fsm_stream(gated_ticks: DataFrame) -> DataFrame:
                    "pos": pos}
         else:
             zst = ([], [], [])
+            pend = _pend_unpack([], [], [], [], [], [])
             fst = {"uid": uid, "seq": 0, "qty": None, "pos": None}
         rows: list[tuple] = []
-        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if state.hasTimedOut:
+            chunks = []
+        else:
+            chunks = []
+            for pdf in pdfs:
+                if len(pdf):
+                    c = pdf[live_cols].copy()
+                    c["entry_signal"] = c["entry_signal"].fillna(False)
+                    chunks.append(c)
         if chunks:
-            pdf = pd.concat(chunks).sort_values(
-                ["ts", "event_id"], kind="mergesort"
-            )
-            zs, zst = _zscore_step(pdf, zst)
-            gate = pdf["entry_signal"].fillna(False).to_numpy()
+            # same tie-group holdback as zscore_stream: z AND the FSM
+            # walk must only ever see complete ts-groups (the FSM
+            # consumes z, so a partial-group z would contaminate the
+            # decision sequence too)
+            ready, pend = _tie_holdback(pend, pd.concat(chunks))
+        else:
+            ready, pend = pend, pend.iloc[0:0]
+        if len(ready):
+            zs, zst = _zscore_step(ready, zst)
+            gate = ready["entry_signal"].to_numpy()
             dec = pd.DataFrame(
                 {
-                    "ts": pdf["ts"].values,
-                    "event_id": pdf["event_id"].values,
-                    "price": pdf["price"].values,
+                    "ts": ready["ts"].values,
+                    "event_id": ready["event_id"].values,
+                    "price": ready["price"].values,
                     "z": [z if g else 0.0 for z, g in zip(zs, gate)],
                 }
             )
@@ -1244,15 +1371,18 @@ def live_decisions_fsm_stream(gated_ticks: DataFrame) -> DataFrame:
                 pos["side"] if pos else "",
                 int(pd.Timestamp(pos["entry_ts"]).value // 1000) if pos else 0,
                 float(pos["entry_price"]) if pos else 0.0,
+                *_pend_pack(pend, with_sig=True),
             )
         )
+        if len(pend):
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
 
     return gated_ticks.groupBy("user_id").applyInPandasWithState(
         fn,
         LEDGER_SCHEMA,
         LIVE_STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 
