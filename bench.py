@@ -96,6 +96,32 @@ def main() -> None:
         .save()
     )
 
+    # warm-up 3: the memoized persisted-index state (PQ codebooks+codes,
+    # IVF centroids+assignments). Production builds an index once and
+    # queries it daily; the builds are priced by their OWN registry
+    # entries (ann_pq_index_build / ann_ivf_index_build, fresh build
+    # each call), so letting the build land inside the first sample of
+    # the PROBE queries double-bills it and records a build-bearing
+    # max as the probe's "median" (the r10 ann_ivf_incremental_persisted
+    # 7.9 s regression was exactly this accounting artifact — the warm
+    # probe is ~1.1 s). Pre-building here prices probe entries as what
+    # they are: queries against existing state.
+    if {"ann_pq_persisted", "ann_ivf_incremental_persisted"} & reg.keys():
+        from zcode_iceberg_spark.suite.llm import (
+            _ivf_state_dir,
+            _memoized_state,
+            _pq_state_dir,
+            build_ivf_state,
+            build_pq_state,
+        )
+
+        if "ann_pq_persisted" in reg:
+            _memoized_state("pq", spark, sf_dir, build_pq_state, _pq_state_dir)
+        if "ann_ivf_incremental_persisted" in reg:
+            _memoized_state(
+                "ivf", spark, sf_dir, build_ivf_state, _ivf_state_dir
+            )
+
     # Outlier re-measurement: this host shows invisible-to-the-guest
     # contention spikes (PLANS.md variance log; reproduced at guest
     # load 0.09 — same session, zero code delta: wp_calibration

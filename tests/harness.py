@@ -23,9 +23,18 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # observed once as an OOM kill of the heaviest unrolled-CTE oracle
     # (trend_dual_fusion) under full-suite pressure. A fixed cap +
     # temp_directory makes the heavy oracles spill instead of dying.
+    # The cap is min(16GB, ~50% of physical RAM): a bare 16GB would
+    # RAISE the limit above DuckDB's adaptive 80% default on hosts
+    # under 20GB and make the OOM more likely, not less (ADVICE r10).
+    import os
     import tempfile
 
-    con.execute("SET memory_limit = '16GB'")
+    try:
+        ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        cap_gb = max(1, min(16, int(ram * 0.5 / 2**30)))
+    except (ValueError, OSError):
+        cap_gb = 16
+    con.execute(f"SET memory_limit = '{cap_gb}GB'")
     con.execute(
         f"SET temp_directory = '{tempfile.gettempdir()}/zspark_duck_spill'"
     )

@@ -58,13 +58,19 @@ NEARDUP_MIN_COS = 0.3
 # the sf0.1 panel (20 queries) and every exact arm goes linear in
 # corpus size (measured on the 10× replica: embedding_topk
 # 38.0 s → 4.3 s, ann_pq_recall 46.6 → 9.6 s).
-# The SQL oracles carry the same `vec_id < 2000` literal.
+# The SQL oracles interpolate the same constant via PANEL_PRED_SQL —
+# one knob, both engines (hardcoding the literal in ~14 oracles would
+# silently desynchronize the panels if the constant ever moved).
 QUERY_PANEL_MAX_ID = 2_000
+
+# the oracle-side twin of _panel_pred — keep the SPELLING stable: it is
+# part of the recorded oracle text the driver hashes against
+PANEL_PRED_SQL = f"vec_id % 100 = 0 AND vec_id < {QUERY_PANEL_MAX_ID}"
 
 
 def _panel_pred():
     """The shared query-panel membership predicate (see
-    QUERY_PANEL_MAX_ID)."""
+    QUERY_PANEL_MAX_ID / PANEL_PRED_SQL)."""
     return (F.col("vec_id") % 100 == 0) & (
         F.col("vec_id") < QUERY_PANEL_MAX_ID
     )
@@ -2419,7 +2425,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EMBEDDING_TOPK = f"""
 WITH q AS (
-  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE {PANEL_PRED_SQL}
 ),
 scored AS (
   SELECT q.qid, e.vec_id AS nid,
@@ -2557,7 +2563,7 @@ WITH bucketed AS (
 ),
 q AS (
   SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
-  FROM bucketed WHERE vec_id % 100 = 0 AND vec_id < 2000
+  FROM bucketed WHERE {PANEL_PRED_SQL}
 ),
 scored AS (
   SELECT q.qid, b.vec_id AS nid, CAST(b.bucket AS BIGINT) AS bucket,
@@ -2680,7 +2686,7 @@ WITH red AS (
 ),
 q AS (
   SELECT vec_id AS qid, embedding AS qe, rp AS qrp
-  FROM red WHERE vec_id % 100 = 0 AND vec_id < 2000
+  FROM red WHERE {PANEL_PRED_SQL}
 ),
 scored AS (
   SELECT q.qid, r.vec_id AS nid, r.embedding, q.qe,
@@ -2957,7 +2963,7 @@ ranked AS (
 ),
 v_cells AS (SELECT vec_id, embedding, cell FROM ranked WHERE crank = 1),
 q_cells AS (SELECT vec_id AS qid, embedding AS qe, cell FROM ranked
-            WHERE vec_id % 100 = 0 AND vec_id < 2000 AND crank <= {nprobe})"""
+            WHERE {PANEL_PRED_SQL} AND crank <= {nprobe})"""
 
 
 def _ann_ivf_ctes(nprobe: int) -> str:
@@ -3041,7 +3047,7 @@ def _ann_recall_sql(nprobe: int, ctes: str | None = None) -> str:
     return f"""
 WITH {ctes or _ann_ivf_ctes(nprobe)},
 q AS (
-  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE {PANEL_PRED_SQL}
 ),
 exact_scored AS (
   SELECT q.qid, e.vec_id AS nid,
@@ -3083,7 +3089,7 @@ _RP_HITS_CTES = f"""red AS (
 ),
 rpq AS (
   SELECT vec_id AS qid, embedding AS qe, rp AS qrp
-  FROM red WHERE vec_id % 100 = 0 AND vec_id < 2000
+  FROM red WHERE {PANEL_PRED_SQL}
 ),
 rp_scored AS (
   SELECT rpq.qid, r.vec_id AS nid, r.embedding, rpq.qe,
@@ -3276,7 +3282,7 @@ dq AS MATERIALIZED (
   FROM embeddings CROSS JOIN stats
 ),
 sq_q AS (
-  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE {PANEL_PRED_SQL}
 ),
 sq_scored AS (
   SELECT sq_q.qid, d.vec_id AS nid,
@@ -3678,13 +3684,16 @@ def _pq_dot_sql(e: str, c: str, s: int) -> str:
 
 
 def _pq_ctes(
-    train_where: str = "TRUE", q_where: str = "vec_id % 100 = 0 AND vec_id < 2000"
+    train_where: str = "TRUE", q_where: str | None = None
 ) -> str:
     """The unrolled PQ training/encode/LUT CTE chain, parameterized by
     the TRAINING-SAMPLE predicate (``train_where`` — TRUE for the
     per-call full-corpus shape, a sampled-history predicate for the
-    persisted shape) and the QUERY predicate. Encoding always covers
-    the full table (history ∪ batch = the search pool)."""
+    persisted shape) and the QUERY predicate (default: the shared
+    query panel, PANEL_PRED_SQL). Encoding always covers the full
+    table (history ∪ batch = the search pool)."""
+    if q_where is None:
+        q_where = PANEL_PRED_SQL
     parts = [
         """emb AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -4027,8 +4036,17 @@ def _memoized_state(kind, spark, sf_dir, builder, dir_fn) -> tuple:
     session rebuilds (its scratch dirs are pid-scoped and swept), a
     repeat call inside one session reuses the already-materialized
     index exactly as a production ingest day would."""
+    from pathlib import Path as _Path
+
     key = (spark.sparkContext.applicationId, kind, sf_dir)
     got = _PERSISTED_STATE_MEMO.get(key)
+    # a memoized entry can outlive its files (a same-pid rebuild
+    # rmtree'd them, or external /tmp cleanup); returning stale paths
+    # would fail lazily at action time — validate and rebuild on miss
+    if got is not None and not all(
+        _Path(p).exists() for p in got if isinstance(p, str)
+    ):
+        got = None
     if got is None:
         got = builder(spark, sf_dir, dir_fn(sf_dir))
         _PERSISTED_STATE_MEMO[key] = got
@@ -4070,6 +4088,9 @@ def q_ann_pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import tempfile as _tf
 
+    # dead-process build dirs would otherwise accrete one index per
+    # driver/pytest pid (no other sweep covers this prefix)
+    sweep_dead_scratch("zspark_pq_build_")
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
     state = f"{_tf.gettempdir()}/zspark_pq_build_{tag}_p{_os.getpid()}"
     books_dir, codes_dir, _cut = build_pq_state(spark, sf_dir, state)
@@ -4639,7 +4660,7 @@ def _mmr_pool_brute_sql(p: str = "") -> list[str]:
     the brute-force exact top-{MMR_POOL} per query."""
     return [
         f"""{p}qq AS (
-  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE {PANEL_PRED_SQL}
 ),
 {p}pool AS MATERIALIZED (
   SELECT qid, nid, embedding, rel FROM (
@@ -4666,7 +4687,7 @@ def _mmr_pool_rp_sql(p: str = "") -> list[str]:
 ),
 {p}q AS (
   SELECT vec_id AS qid, embedding AS qe, rp AS qrp
-  FROM {p}red WHERE vec_id % 100 = 0 AND vec_id < 2000
+  FROM {p}red WHERE {PANEL_PRED_SQL}
 ),
 {p}short AS MATERIALIZED (
   SELECT qid, nid, embedding, qe FROM (
@@ -5135,6 +5156,7 @@ def q_ann_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import tempfile as _tf
 
+    sweep_dead_scratch("zspark_ivf_build_")  # see q_ann_pq_index_build
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
     state = f"{_tf.gettempdir()}/zspark_ivf_build_{tag}_p{_os.getpid()}"
     cents_dir, assign_dir, _cut = build_ivf_state(spark, sf_dir, state)
@@ -5238,29 +5260,33 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             (tx.word_hash(F.col("gram")) % DSIR_BUCKETS).alias("b"),
         )
     )
-    raw = _reuse(g.groupBy("b").agg(F.count(F.lit(1)).alias("raw_cnt")))
-    tgt = _reuse(
-        g.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("tgt_cnt"))
+    # ONE pass over the persisted gram frame for BOTH distributions
+    # (VERDICT r10 #6): raw count and target count are two aggregates
+    # of the same groupBy — the old raw-agg + tgt-agg + left-join did
+    # a full extra scan and a #buckets-sized join for nothing. A
+    # bucket with no target grams gets tgt_cnt = 0 here, exactly the
+    # value the old left-join's coalesce produced.
+    stats = _reuse(
+        g.groupBy("b").agg(
+            F.count(F.lit(1)).alias("raw_cnt"),
+            F.count_if(F.col("lang") == DSIR_TARGET_LANG).alias("tgt_cnt"),
+        )
     )
-    tots = raw.agg(F.sum("raw_cnt").alias("raw_tot")).crossJoin(
-        tgt.agg(F.coalesce(F.sum("tgt_cnt"), F.lit(0)).alias("tgt_tot"))
+    tots = stats.agg(
+        F.sum("raw_cnt").alias("raw_tot"),
+        F.coalesce(F.sum("tgt_cnt"), F.lit(0)).alias("tgt_tot"),
     )
     nb = float(DSIR_BUCKETS)
     lnr = F.lit(1e6) * (
         F.log(
-            (F.coalesce(F.col("tgt_cnt"), F.lit(0)) + F.lit(1.0))
-            / (F.col("tgt_tot") + F.lit(nb))
+            (F.col("tgt_cnt") + F.lit(1.0)) / (F.col("tgt_tot") + F.lit(nb))
         )
         - F.log(
             (F.col("raw_cnt") + F.lit(1.0)) / (F.col("raw_tot") + F.lit(nb))
         )
     )
-    lr = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tots))
-        .select("b", F.round(lnr).cast("bigint").alias("lr_micro"))
+    lr = stats.crossJoin(F.broadcast(tots)).select(
+        "b", F.round(lnr).cast("bigint").alias("lr_micro")
     )
     out = (
         g.join(F.broadcast(lr), "b")
@@ -5291,20 +5317,22 @@ grams AS (
   FROM toks
 ),
 gb AS (SELECT doc_id, lang, {_DSIR_GH} % {DSIR_BUCKETS} AS b FROM grams),
-raw AS (SELECT b, count(*) AS raw_cnt FROM gb GROUP BY 1),
-tgt AS (SELECT b, count(*) AS tgt_cnt FROM gb
-        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
+stats AS (
+  SELECT b, count(*) AS raw_cnt,
+         count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS tgt_cnt
+  FROM gb GROUP BY 1
+),
 tots AS (
-  SELECT (SELECT sum(raw_cnt) FROM raw) AS raw_tot,
-         (SELECT coalesce(sum(tgt_cnt), 0) FROM tgt) AS tgt_tot
+  SELECT sum(raw_cnt) AS raw_tot, coalesce(sum(tgt_cnt), 0) AS tgt_tot
+  FROM stats
 ),
 lr AS (
-  SELECT r.b,
+  SELECT s.b,
          CAST(round(1e6 * (
-           ln((coalesce(t.tgt_cnt, 0) + 1.0) / (tots.tgt_tot + {DSIR_BUCKETS}.0))
-           - ln((r.raw_cnt + 1.0) / (tots.raw_tot + {DSIR_BUCKETS}.0))
+           ln((s.tgt_cnt + 1.0) / (tots.tgt_tot + {DSIR_BUCKETS}.0))
+           - ln((s.raw_cnt + 1.0) / (tots.raw_tot + {DSIR_BUCKETS}.0))
          )) AS BIGINT) AS lr_micro
-  FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tots
+  FROM stats s CROSS JOIN tots
 )
 SELECT g.doc_id, g.lang,
        count(*) AS n_grams,

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from zcode_iceberg_spark.operators import stateful as st_ops
 from zcode_iceberg_spark.operators import timeseries as ops
 from zcode_iceberg_spark.sources.tables import EVENTS_TICKS_SQL, events_ticks
+from zcode_iceberg_spark.streaming.pipeline import spark_round
 from zcode_iceberg_spark.suite import Query
 
 TICKS_CTE = f"WITH ticks AS ({EVENTS_TICKS_SQL})"
@@ -1452,7 +1453,11 @@ def q_lstm_bptt_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
                     math.sqrt(v[p] / d2) + _BPTT_EPS
                 )
             out_rows.append((step, "loss", float(row["loss_micro"])))
-            out_rows += [(step, p, round(params[p], 6)) for p in pn]
+            # Decimal-repr HALF_UP quantization (the shared engine-round
+            # twin), NOT Python's built-in half-to-even round: a
+            # boundary param value would otherwise round differently
+            # from the oracle's round(w.p, 6) (ADVICE r10 #1)
+            out_rows += [(step, p, spark_round(params[p])) for p in pn]
     finally:
         feats.unpersist()
     return spark.createDataFrame(
