@@ -7535,6 +7535,138 @@ FROM spans
 """
 
 
+# ------------------------------------------------ exact substring dedup
+
+SUBSTR_L = 40  # minimum duplicated-substring length, in characters
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", the ExactSubstr variant): a
+    character position is duplicated iff the length-{SUBSTR_L} substring
+    starting there occurs at ANY other position in the corpus (same or
+    another doc); maximal runs of duplicated positions are merged into
+    spans — the "cut the copied span" unit — and rolled up per doc as
+    (n_spans, dup_chars, dup_frac). Finer than q_passage_dedup /
+    q_dup_spans, which chunk at fixed {PASSAGE_W}-word passage
+    boundaries and miss copies that straddle them; stride-1 character
+    windows catch every exact repeat ≥ {SUBSTR_L} chars at its exact
+    boundaries, which is what the suffix-array formulation computes.
+
+    Scale shape (the Spark-native stand-in for the paper's suffix
+    array): a suffix's membership in a duplicated group is decided by
+    its first {SUBSTR_L} characters, so grouping the md5 of each
+    length-{SUBSTR_L} window IS the prefix-bucketed suffix-group join —
+    never all-pairs, never a global sort. The exploded frame is
+    O(corpus chars) rows of 16-byte hashes (the one linear blowup the
+    algorithm inherently needs); the hot-window set shrinks it to
+    duplicated positions only, and both the island merge and the
+    rollup window partition BY DOC — corpus-wide state never exceeds
+    the per-hash counts. 10× replica smoke in SCALE.md pins the
+    non-quadratic growth.
+
+    Determinism: window identity is the exact substring (md5 on both
+    engines — same function, same hex output, collision-identical by
+    construction); spans are integer arithmetic; only dup_frac rounds."""
+    L = SUBSTR_L
+    d = load_table(spark, sf_dir, "documents")
+    # the trigram_lm scale lesson (SCALE.md "Measured scale behavior"):
+    # explode off a one-file scan = a single task enumerates the whole
+    # corpus; repartition to full parallelism BEFORE the explode
+    par = spark.sparkContext.defaultParallelism
+    pos = (
+        d.repartition(par, "doc_id")
+        .filter(F.length("text") >= L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(1, length(text) - {L} + 1)")
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id", "i", F.md5(F.expr(f"substring(text, i, {L})")).alias("h")
+        )
+    )
+    pos = _reuse(pos)
+    hot = pos.groupBy("h").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") > 1
+    )
+    dup = pos.join(hot.select("h"), "h").select("doc_id", "i")
+    wdoc = Window.partitionBy("doc_id").orderBy("i")
+    # same-length intervals [i, i+L-1]: a new island starts when the
+    # gap to the previous duplicated position exceeds L (no overlap,
+    # not even touching)
+    brk = F.when(
+        F.coalesce(F.col("i") - F.lag("i").over(wdoc), F.lit(L + 1)) > L, 1
+    ).otherwise(0)
+    isl = dup.select(
+        "doc_id",
+        "i",
+        F.sum(brk).over(
+            wdoc.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("g"),
+    )
+    spans = isl.groupBy("doc_id", "g").agg(
+        F.min("i").alias("s"), F.max("i").alias("e")
+    )
+    stats = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + F.lit(L)).alias("dup_chars"),
+    )
+    return (
+        d.select("doc_id", F.length("text").cast("bigint").alias("n_chars"))
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("dup_chars", F.lit(0))
+            .cast("bigint")
+            .alias("dup_chars"),
+            F.round(
+                F.coalesce("dup_chars", F.lit(0)) / F.col("n_chars"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+SQL_SUBSTRING_DEDUP = f"""
+WITH pos AS (
+  SELECT doc_id, i, md5(substr(text, i, {SUBSTR_L})) AS h
+  FROM documents, LATERAL unnest(
+    generate_series(1, length(text) - {SUBSTR_L} + 1)) AS u(i)
+  WHERE length(text) >= {SUBSTR_L}
+),
+hot AS (SELECT h FROM pos GROUP BY 1 HAVING count(*) > 1),
+dup AS (SELECT doc_id, i FROM pos JOIN hot USING (h)),
+lagged AS (
+  SELECT doc_id, i,
+         lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev_i
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN prev_i IS NULL OR i - prev_i > {SUBSTR_L}
+                  THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY i) AS g
+  FROM lagged
+),
+spans AS (SELECT doc_id, g, min(i) AS s, max(i) AS e FROM isl GROUP BY 1, 2),
+stats AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(e - s + {SUBSTR_L}) AS dup_chars
+  FROM spans GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(s.dup_chars, 0) AS BIGINT) AS dup_chars,
+       round(coalesce(s.dup_chars, 0) / length(d.text), 6) AS dup_frac
+FROM documents d LEFT JOIN stats s USING (doc_id)
+"""
+
+
 PIPE_MIN_QUALITY = 0.8
 
 
@@ -7898,6 +8030,7 @@ QUERIES = {
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
     "passage_dedup": Query(q_passage_dedup, SQL_PASSAGE_DEDUP),
     "dup_spans": Query(q_dup_spans, SQL_DUP_SPANS),
+    "substring_dedup": Query(q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "boilerplate_strip": Query(q_boilerplate_strip, SQL_BOILERPLATE_STRIP),
     "corpus_pipeline": Query(q_corpus_pipeline, SQL_CORPUS_PIPELINE),
     "training_export": Query(q_training_export, SQL_TRAINING_EXPORT),
