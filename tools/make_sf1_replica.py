@@ -96,5 +96,84 @@ def main() -> None:
     print(f"replica at {DST}")
 
 
+CLIQUE_FREE_DST = Path("/tmp/zspark_sf1_cliquefree")
+
+
+def make_clique_free() -> None:
+    """The VERDICT r10 #9 variant: same 10× key-axis replication, but
+    the document replicas are NOT near-duplicates of each other. The
+    standard replica's suffix-token recipe leaves replicas ~identical,
+    so MinHash/LSH links every original doc's 10 copies into a
+    10-clique — the CC edge set grows ~45× per group, a FIXTURE
+    artifact that inflates dedup_cc/dedup_canonical wall at 10× and
+    masks the plan's true scaling. Recipe: a BIJECTIVE per-replica
+    CHARACTER substitution cipher (alnum permutation seeded by the
+    replica id). The minhash kernel shingles CHAR-4-GRAMS, and a char
+    bijection maps each replica's 4-gram space onto a disjoint image:
+    within a replica every organic near-dup pair keeps its exact
+    Jaccard (edges scale 10× with the corpus — the honest organic
+    rate), across replicas gram overlap collapses to the rare
+    all-space/punct grams — no cliques. Two failed attempts recorded
+    for the next reader: a shared per-replica TAG token spliced
+    between words (every unrelated same-replica pair gained a common
+    gram vocabulary: 87k → 10.9M candidates), and a per-word PREFIX
+    (same flood through the prefix's own 4-grams: → 60M). Bijection
+    ON THE SHINGLE ALPHABET is the property that matters: transform
+    similarity, never add it."""
+    import random
+    import string
+    if (
+        CLIQUE_FREE_DST.exists()
+        and len(list(CLIQUE_FREE_DST.glob("*.parquet"))) == 10
+    ):
+        print(f"clique-free replica already present at {CLIQUE_FREE_DST}")
+        return
+    main()  # ensure the standard replica exists (sources all tables)
+    shutil.rmtree(CLIQUE_FREE_DST, ignore_errors=True)
+    CLIQUE_FREE_DST.mkdir(parents=True)
+    for t in TPCH + ["events", "embeddings"]:
+        shutil.copy(DST / f"{t}.parquet", CLIQUE_FREE_DST / f"{t}.parquet")
+    con = duckdb.connect()
+    n_src = con.sql(
+        f"SELECT max(doc_id) + 1 FROM '{SRC}/documents.parquet'"
+    ).fetchone()[0]
+    pdf = con.sql(f"SELECT * FROM '{DST}/documents.parquet'").df()
+    rep = (pdf["doc_id"] // n_src).astype(int)
+
+    # the minhash kernel LOWERCASES before shingling — the cipher must
+    # therefore be a permutation of the FOLDED alphabet applied
+    # case-preservingly, or the composition lower∘cipher is
+    # non-injective and true Jaccard inflates (measured: a mixed-case
+    # permutation produced 5× the organic pair rate per replica)
+    folded = string.ascii_lowercase + string.digits
+    ciphers = {}
+    for r in range(1, REPLICAS):
+        dst = list(folded)
+        random.Random(1000 + r).shuffle(dst)
+        pi = dict(zip(folded, dst))
+        table = {c: pi[c] for c in folded}
+        table.update(
+            {c.upper(): pi[c].upper() for c in string.ascii_lowercase}
+        )
+        ciphers[r] = str.maketrans(table)
+
+    pdf["text"] = [
+        t if r == 0 else t.translate(ciphers[r])
+        for t, r in zip(pdf["text"], rep)
+    ]
+    pdf["n_chars"] = pdf["text"].str.len()
+    con.register("docs_cf", pdf)
+    con.execute(
+        f"COPY (SELECT * FROM docs_cf ORDER BY doc_id) TO "
+        f"'{CLIQUE_FREE_DST}/documents.parquet' (FORMAT PARQUET)"
+    )
+    n = con.sql(
+        f"SELECT count(*) FROM '{CLIQUE_FREE_DST}/documents.parquet'"
+    ).fetchone()[0]
+    print(f"clique-free documents: {n} rows at {CLIQUE_FREE_DST}")
+
+
 if __name__ == "__main__":
+    if "--clique-free" in sys.argv:
+        sys.exit(make_clique_free())
     sys.exit(main())
