@@ -42,85 +42,77 @@ class Query:
 WINDOW = 50
 
 PRIORITY = [
-    # Round-10 rotation (VERDICT r9 #1; tools/rotate_priority.py over
-    # the r1-r9 history + this round's delta). Front: queries whose
-    # RESULTS, ORACLES, or PLANS changed this round —
-    #   new: lstm_bptt_micro (hash-oracled micro-BPTT training),
-    #        ann_pq_index_build / ann_ivf_index_build (the persisted
-    #        indexes' build phase, split from the probe);
-    #   result/oracle fixes: seasonal_anomaly (var>0 z guard),
-    #        attribution_last_touch (deterministic touch-tie pre-dedup);
-    #   oracle-text/plan changes, values unchanged: the Bloom family
-    #        (redundant DISTINCT dropped both sides), the MMR family
-    #        (shared persisted pool subtree), both persisted-ANN
-    #        probes (build memoized out of the probe measurement).
-    # Then the stalest driver-green rows per the rotation tool: the
-    # twenty r5 greens the r9 window displaced, then r6 greens.
-    # trend_lstm_training is deliberately NOT re-queued: it is
-    # rows-only BY DESIGN (no oracle can exist), its rows-only row is
-    # recorded in r09, and its training math is now hash-covered by
-    # lstm_bptt_micro — re-checking it would waste a window slot.
-    # Every query pushed past the window holds a green r5-or-later
-    # driver row and stays oracle-checked at sf0.001 on every pytest
-    # run (tests/test_oracle_suite.py).
-    "lstm_bptt_micro",
+    # Round-11 rotation (the r10 leave-behind plan, PLANS.md "Rotation
+    # plan for round 11", executed; tools/rotate_priority.py over the
+    # r1-r10 history). Front: queries whose RESULTS, ORACLES, or PLANS
+    # changed this round —
+    #   new: substring_dedup (exact-substring / ExactSubstr dedup,
+    #        char-level maximal spans, md5-bucketed suffix groups);
+    #   oracle/plan changes, values locally gate-green: dsir_select
+    #        (bucket stats fused to one groupBy both sides),
+    #        lstm_bptt_micro (param emit via Decimal-repr HALF_UP
+    #        quantization instead of Python half-to-even round).
+    "substring_dedup",
     "dsir_select",
-    "ann_pq_index_build",
-    "ann_ivf_index_build",
-    "seasonal_anomaly",
-    "attribution_last_touch",
-    "dedup_bloom",
-    "dedup_bloom_persisted",
-    "decontaminate_bloom",
-    "mmr_rerank",
-    "mmr_rerank_ann",
-    "mmr_ann_overlap",
-    "ann_pq_persisted",
-    "ann_ivf_incremental_persisted",
-    # the twenty stalest greens (last driver row r5)
-    "pivot_priority_segment",
-    "signal_scores",
-    "passage_dedup",
-    "boilerplate_strip",
-    "corpus_pipeline",
-    "lsh_precision",
-    "lsh_recall",
-    "lsh_recall_rebanded",
-    "bpe_encode",
-    "vocab_topk",
-    "doc_split",
-    "dedup_incremental",
-    "domain_mix",
-    "daily_uniques_rollup",
-    "daily_quantiles_rollup",
-    "pagerank",
-    "weighted_sample",
-    "corpus_drift_psi",
-    "position_ledger",
-    "risk_limits",
-    # next-stalest (last driver row r6), rotation-tool order
-    "order_count_distribution",
-    "large_orders",
-    "nation_trade_volume",
-    "market_share",
-    "cheapest_supplier_per_part",
-    "above_customer_avg",
-    "unpivot_lineitem_stats",
-    "late_ship_exists",
-    "priority_line_buckets",
-    "small_quantity_revenue",
-    # representative slice of the fixed-panel oracle change (the whole
-    # embedding family's oracle text gained the QUERY_PANEL_MAX_ID
-    # predicate — values PROVEN unchanged by two local 26/26 gate
-    # passes; the driver re-checks the shared ground-truth arm, the
-    # two headline-fixed recall panels, and the PQ/IVFADC pair, plus
-    # the 7 family members already in the window above)
-    "embedding_topk",
-    "ann_pq",
-    "ann_pq_recall",
-    "ann_ivfpq",
-    "ann_ivfpq_recall",
-    "semantic_dedup",
+    "lstm_bptt_micro",
+    # (a) the rest of the changed-oracle embedding family, never
+    # driver-checked since the QUERY_PANEL_MAX_ID panel cap landed in
+    # r10 (stale driver rows on changed oracles are the weakest
+    # verification link; all locally gate-green at sf0.01)
+    "ann_lsh",
+    "ann_rp",
+    "ann_rp_recall",
+    "ann_sq8",
+    "ann_sq8_recall",
+    "ann_ivfsq",
+    "ann_ivfsq_recall",
+    "ann_ivf",
+    "ann_ivf_recall",
+    "ann_ivf_recall_probe4",
+    "ann_ivf_bounded",
+    "ann_ivf_bounded_recall",
+    "embedding_neardup",
+    # (b) the seven r6 greens the r10 window displaced
+    "sole_latest_supplier",
+    "lapsed_rich_customers",
+    "customer_value_deciles",
+    "cohort_set_ops",
+    "copurchase_triangles",
+    "nation_profit",
+    "disjunctive_band_revenue",
+    # (c) next-stalest driver-green rows (last row r6), rotation-tool
+    # order. trend_lstm_training stays NOT re-queued: rows-only BY
+    # DESIGN (r09 row recorded; training math hash-covered by
+    # lstm_bptt_micro). Every query pushed past the window holds a
+    # green r5-or-later driver row and stays oracle-checked at
+    # sf0.001 on every pytest run (tests/test_oracle_suite.py).
+    "returned_item_ranking",
+    "top_revenue_supplier",
+    "shipping_priority",
+    "forecast_revenue",
+    "part_value_concentration",
+    "promo_revenue",
+    "supplier_part_variety",
+    "dominant_supplier",
+    "minhash_signatures",
+    "lsh_candidates",
+    "dedup_near",
+    "dedup_crosscheck",
+    "ngram_jaccard",
+    "doc_fingerprint",
+    "heavy_hitters",
+    "decontaminate",
+    "seq_packing",
+    "kmeans",
+    "doc_chunks",
+    "tf_idf",
+    "bm25_scores",
+    "trigram_lm",
+    "stratified_sample",
+    "dedup_cc",
+    "trend_hysteresis",
+    "media_frames",
+    "media_resize",
 ]
 
 
