@@ -207,3 +207,58 @@ def test_neardup_hist_cap_preserves_flags_on_dup_flood(spark, sf_dir, tmp_path):
     # exact copies: capped members still score 1.0
     flagged = [k for k in ex if ex[k]["is_neardup"]]
     assert all(cp[k]["best_est"] == 1.0 for k in flagged if ex[k]["best_est"] == 1.0)
+
+
+def test_substr_batch_phase_never_rescans_history_text(
+    spark, sf_dir, tmp_path
+):
+    """The ExactSubstr member of the single-scan claim: with the
+    window-hash ledger prebuilt, the probe plan scans documents ONCE
+    (the incoming batch, doc_id predicate pushed) plus the compacted
+    ledger — historical text is never re-windowed."""
+    import contextlib as _ctx
+    import io as _io
+
+    from zcode_iceberg_spark.suite.llm import (
+        build_substr_state,
+        substring_dedup_against,
+    )
+
+    state = str(tmp_path / "substr_state")
+    ledger_dir, cut = build_substr_state(spark, sf_dir, state)
+    df = substring_dedup_against(spark, sf_dir, ledger_dir, cut)
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    n_scans = p.count("documents.parquet")
+    assert n_scans >= 1
+    # every documents scan is the batch: the pushed predicate count
+    # equals the scan count (a historical-text scan would lack it)
+    assert p.count("GreaterThanOrEqual(doc_id") == n_scans
+    assert "ledger" in p  # the persisted window-hash table feeds the join
+    assert "CartesianProduct" not in p
+
+
+def test_substr_persisted_matches_whole_corpus_on_new_docs(spark, sf_dir):
+    """History-aware equivalence, exact by algebra: a new position's
+    whole-corpus rule (total occurrences > 1) decomposes as
+    (old ≥ 1) OR (batch count > 1) — precisely the ledger-membership
+    OR within-batch-count predicate the probe applies — so the
+    persisted probe's new-doc rollup must equal the whole-corpus
+    query's rows for those docs bit-for-bit."""
+    from zcode_iceberg_spark.suite.llm import (
+        q_substring_dedup,
+        q_substring_dedup_persisted,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_spans"], r["dup_chars"], r["dup_frac"])
+        for r in q_substring_dedup_persisted(spark, sf_dir).collect()
+    }
+    whole = {
+        r["doc_id"]: (r["n_spans"], r["dup_chars"], r["dup_frac"])
+        for r in q_substring_dedup(spark, sf_dir).collect()
+        if r["doc_id"] in got
+    }
+    assert got == whole and got

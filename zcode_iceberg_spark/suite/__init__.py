@@ -47,12 +47,15 @@ PRIORITY = [
     # r1-r10 history). Front: queries whose RESULTS, ORACLES, or PLANS
     # changed this round —
     #   new: substring_dedup (exact-substring / ExactSubstr dedup,
-    #        char-level maximal spans, md5-bucketed suffix groups);
+    #        char-level maximal spans, md5-bucketed suffix groups) and
+    #        substring_dedup_persisted (its daily-ingest twin probing
+    #        the persisted window-hash ledger);
     #   oracle/plan changes, values locally gate-green: dsir_select
     #        (bucket stats fused to one groupBy both sides),
     #        lstm_bptt_micro (param emit via Decimal-repr HALF_UP
     #        quantization instead of Python half-to-even round).
     "substring_dedup",
+    "substring_dedup_persisted",
     "dsir_select",
     "lstm_bptt_micro",
     # (a) the rest of the changed-oracle embedding family, never
@@ -112,7 +115,6 @@ PRIORITY = [
     "dedup_cc",
     "trend_hysteresis",
     "media_frames",
-    "media_resize",
 ]
 
 

@@ -5239,11 +5239,13 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a target corpus without any labels on the raw side.
 
     Scale shape (the paper's own recipe, Spark-ified): both
-    distributions are {DSIR_BUCKETS}-row hash aggregates (map-side
-    partial combine) built from ONE persisted exploded-gram frame;
-    the per-bucket log-ratio table broadcasts; scoring is a map-side
-    broadcast join + one doc-keyed hash agg. No all-pairs, no
-    big-side shuffle beyond the per-doc sum.
+    distributions come from ONE {DSIR_BUCKETS}-row hash aggregate
+    (count + count_if in a single groupBy, map-side partial combine)
+    over one persisted exploded-gram frame — r11 fused what was two
+    aggregations plus a bucket join; the per-bucket log-ratio table
+    broadcasts; scoring is a map-side broadcast join + one doc-keyed
+    hash agg. No all-pairs, no big-side shuffle beyond the per-doc
+    sum.
 
     Determinism: per-bucket log-ratios quantize to integer
     micro-units from INTEGER counts with an identical expression
@@ -7570,11 +7572,23 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction); spans are integer arithmetic; only dup_frac rounds."""
     L = SUBSTR_L
     d = load_table(spark, sf_dir, "documents")
-    # the trigram_lm scale lesson (SCALE.md "Measured scale behavior"):
-    # explode off a one-file scan = a single task enumerates the whole
-    # corpus; repartition to full parallelism BEFORE the explode
-    par = spark.sparkContext.defaultParallelism
-    pos = (
+    pos = _reuse(_substr_windows(d, L))
+    hot = pos.groupBy("h").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") > 1
+    )
+    dup = pos.join(hot.select("h"), "h").select("doc_id", "i")
+    return _substr_rollup(d, dup, L)
+
+
+def _substr_windows(d: DataFrame, L: int) -> DataFrame:
+    """(doc_id, i, h): the md5 of every stride-1 length-L character
+    window — the suffix-prefix bucket key. Repartitions to full
+    parallelism BEFORE the explode (the trigram_lm scale lesson,
+    SCALE.md "Measured scale behavior": exploding off a one-file scan
+    leaves ONE task enumerating the whole corpus — measured 51.9 s vs
+    7.1 s cold at the 10× replica for this very query)."""
+    par = d.sparkSession.sparkContext.defaultParallelism
+    return (
         d.repartition(par, "doc_id")
         .filter(F.length("text") >= L)
         .select(
@@ -7588,11 +7602,12 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "i", F.md5(F.expr(f"substring(text, i, {L})")).alias("h")
         )
     )
-    pos = _reuse(pos)
-    hot = pos.groupBy("h").agg(F.count(F.lit(1)).alias("n")).filter(
-        F.col("n") > 1
-    )
-    dup = pos.join(hot.select("h"), "h").select("doc_id", "i")
+
+
+def _substr_rollup(docs: DataFrame, dup: DataFrame, L: int) -> DataFrame:
+    """Duplicated positions → maximal spans → per-doc stats, shared by
+    the full-corpus and persisted-ingest variants. Both windows
+    partition BY DOC — never corpus-wide state."""
     wdoc = Window.partitionBy("doc_id").orderBy("i")
     # same-length intervals [i, i+L-1]: a new island starts when the
     # gap to the previous duplicated position exceeds L (no overlap,
@@ -7615,7 +7630,9 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("e") - F.col("s") + F.lit(L)).alias("dup_chars"),
     )
     return (
-        d.select("doc_id", F.length("text").cast("bigint").alias("n_chars"))
+        docs.select(
+            "doc_id", F.length("text").cast("bigint").alias("n_chars")
+        )
         .join(stats, "doc_id", "left")
         .select(
             "doc_id",
@@ -7664,6 +7681,158 @@ SELECT d.doc_id,
        CAST(coalesce(s.dup_chars, 0) AS BIGINT) AS dup_chars,
        round(coalesce(s.dup_chars, 0) / length(d.text), 6) AS dup_frac
 FROM documents d LEFT JOIN stats s USING (doc_id)
+"""
+
+
+def build_substr_state(
+    spark: SparkSession, sf_dir: str, state_dir: str
+) -> tuple[str, int]:
+    """Materialize the exact-substring WINDOW-HASH LEDGER the daily
+    ingest story reads — the ExactSubstr member of the
+    persisted-ingest-state family (exact hash table → LSH band table →
+    IVF/PQ index → passage ledger → substring-window ledger), built
+    end-to-end through the maintenance layer:
+
+    1. day-0 ingest: the older historical half's distinct window
+       hashes, written as the initial ledger;
+    2. day-1 ingest: the newer half's NOVEL hashes ``merge_upsert``'d
+       in (replay-idempotent — re-merging the same rows is a no-op);
+    3. ``compact_parquet`` rewrites the daily files to target size.
+
+    Returns (ledger_dir, cut). The ledger holds 16-byte hashes only —
+    at 100 TB it is the compacted corpus-windows hash table; a probe
+    never re-reads historical TEXT. Rebuilt per call so the suite
+    query stays deterministic."""
+    import shutil as _shutil
+    from pathlib import Path as _Path
+
+    from zcode_iceberg_spark.sources.sinks import compact_parquet, merge_upsert
+
+    if _Path(state_dir).exists():
+        _shutil.rmtree(state_dir)
+    d = load_table(spark, sf_dir, "documents")
+    cut = int(
+        d.agg(
+            F.floor(F.lit(INCR_SPLIT_FRAC) * (F.max("doc_id") + 1)).cast(
+                "bigint"
+            )
+        ).collect()[0][0]
+    )
+    day_cut = cut // 2
+    raw_dir = f"{state_dir}/raw"
+
+    def hashes(lo: int, hi: int) -> DataFrame:
+        return (
+            _substr_windows(
+                d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+                SUBSTR_L,
+            )
+            .select("h")
+            .distinct()
+        )
+
+    hashes(0, day_cut).write.parquet(raw_dir)
+    novel = hashes(day_cut, cut).join(
+        spark.read.parquet(raw_dir), "h", "left_anti"
+    )
+    merge_upsert(spark, raw_dir, novel, "h")
+    ledger_dir = f"{state_dir}/ledger"
+    compact_parquet(spark, raw_dir, ledger_dir)
+    return ledger_dir, cut
+
+
+def substring_dedup_against(
+    spark: SparkSession, sf_dir: str, ledger_dir: str, cut: int
+) -> DataFrame:
+    """The batch phase of persisted exact-substring dedup: window ONLY
+    the incoming batch (doc_id >= cut — pushed to the documents scan);
+    a new position is duplicated iff its window hash is in the
+    persisted ledger OR occurs ≥2 times within the batch itself. One
+    hash-partitioning on h serves both the within-batch count (window
+    function) and the ledger membership join; the historical corpus
+    contributes one compacted hash-ledger read and zero text bytes."""
+    L = SUBSTR_L
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") >= cut)
+    pos = _substr_windows(new, L)
+    prior = (
+        spark.read.parquet(ledger_dir)
+        .select("h")
+        .withColumn("prior", F.lit(True))
+    )
+    wh = Window.partitionBy("h")
+    dup = (
+        pos.withColumn("n_batch", F.count(F.lit(1)).over(wh))
+        .join(prior, "h", "left")
+        .filter(F.col("prior").isNotNull() | (F.col("n_batch") > 1))
+        .select("doc_id", "i")
+    )
+    return _substr_rollup(new, dup, L)
+
+
+def q_substring_dedup_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``substring_dedup`` re-cut as daily ingest against the PERSISTED
+    window-hash ledger: history is windowed once at build time (the
+    ledger is built, merged, and compacted through the maintenance
+    layer), then the incoming batch (the top {1-INCR_SPLIT_FRAC:.0%}
+    of doc_ids) is windowed and probed without ever re-reading
+    historical text — O(new batch × windows-per-doc) per day instead
+    of O(corpus). Output = the per-doc span rollup for the NEW docs
+    (history-aware: a new span is duplicated whether its copy lives in
+    history or in the same batch)."""
+    state = _hash_state_dir(sf_dir) + "_substr"
+    ledger_dir, cut = build_substr_state(spark, sf_dir, state)
+    return substring_dedup_against(spark, sf_dir, ledger_dir, cut)
+
+
+SQL_SUBSTRING_DEDUP_PERSISTED = f"""
+WITH cut AS (
+  SELECT CAST(floor({INCR_SPLIT_FRAC} * (max(doc_id) + 1)) AS BIGINT) AS c
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i, md5(substr(text, i, {SUBSTR_L})) AS h
+  FROM documents, LATERAL unnest(
+    generate_series(1, length(text) - {SUBSTR_L} + 1)) AS u(i)
+  WHERE length(text) >= {SUBSTR_L}
+),
+newpos AS (SELECT p.* FROM pos p, cut WHERE p.doc_id >= cut.c),
+ledger AS (SELECT DISTINCT h FROM pos p, cut WHERE p.doc_id < cut.c),
+nb AS (SELECT h, count(*) AS n FROM newpos GROUP BY 1),
+dup AS (
+  SELECT np.doc_id, np.i
+  FROM newpos np
+  JOIN nb USING (h)
+  LEFT JOIN ledger lg USING (h)
+  WHERE lg.h IS NOT NULL OR nb.n > 1
+),
+lagged AS (
+  SELECT doc_id, i,
+         lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev_i
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN prev_i IS NULL OR i - prev_i > {SUBSTR_L}
+                  THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY i) AS g
+  FROM lagged
+),
+spans AS (SELECT doc_id, g, min(i) AS s, max(i) AS e FROM isl GROUP BY 1, 2),
+stats AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(e - s + {SUBSTR_L}) AS dup_chars
+  FROM spans GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(s.dup_chars, 0) AS BIGINT) AS dup_chars,
+       round(coalesce(s.dup_chars, 0) / length(d.text), 6) AS dup_frac
+FROM documents d CROSS JOIN cut LEFT JOIN stats s USING (doc_id)
+WHERE d.doc_id >= cut.c
 """
 
 
@@ -8031,6 +8200,9 @@ QUERIES = {
     "passage_dedup": Query(q_passage_dedup, SQL_PASSAGE_DEDUP),
     "dup_spans": Query(q_dup_spans, SQL_DUP_SPANS),
     "substring_dedup": Query(q_substring_dedup, SQL_SUBSTRING_DEDUP),
+    "substring_dedup_persisted": Query(
+        q_substring_dedup_persisted, SQL_SUBSTRING_DEDUP_PERSISTED
+    ),
     "boilerplate_strip": Query(q_boilerplate_strip, SQL_BOILERPLATE_STRIP),
     "corpus_pipeline": Query(q_corpus_pipeline, SQL_CORPUS_PIPELINE),
     "training_export": Query(q_training_export, SQL_TRAINING_EXPORT),
