@@ -590,6 +590,105 @@ def test_passage_dedup_epoch_replay_idempotent(spark, sf_dir, raw_docs_dir, tmp)
     assert got == want and got
 
 
+@pytest.fixture()
+def raw_docs_incr_dir(spark, sf_dir):
+    """documents replayed as a 2-file directory split at the
+    INCR_SPLIT_FRAC cut — the exact history/batch boundary the
+    persisted-ingest queries use, so stream epoch 1 is the same 'new
+    batch' the batch probe sees."""
+    from zcode_iceberg_spark.suite.llm import INCR_SPLIT_FRAC
+
+    d = Path(tempfile.mkdtemp(prefix="zspark_docs_incr_"))
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cut = int(INCR_SPLIT_FRAC * (raw.agg(F.max("doc_id")).collect()[0][0] + 1))
+    parts = [
+        raw.filter(F.col("doc_id") < cut),
+        raw.filter(F.col("doc_id") >= cut),
+    ]
+    for i, p in enumerate(parts):
+        sub = d / f"part{i}"
+        p.coalesce(1).write.parquet(str(sub))
+        f = next(sub.glob("*.parquet"))
+        dst = d / f"{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+        shutil.rmtree(sub)
+    yield str(d), cut
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_substring_dedup_stream_agreement(spark, sf_dir, raw_docs_incr_dir, tmp):
+    """Incremental exact-substring dedup over an appended corpus: the
+    stream's epoch-1 rollup (new batch against the epoch-0 ledger +
+    itself) must equal the batch persisted probe byte-for-byte, and
+    epoch 0 must equal the whole-corpus query run on the historical
+    half alone (no future knowledge — the ingest-time semantics)."""
+    from zcode_iceberg_spark.streaming.pipeline import substring_dedup_stream
+    from zcode_iceberg_spark.suite.llm import (
+        q_substring_dedup,
+        q_substring_dedup_persisted,
+    )
+
+    src, cut = raw_docs_incr_dir
+    out = f"{tmp}/sd_out"
+    q = substring_dedup_stream(
+        spark, src, f"{tmp}/sd_ledger", out, f"{tmp}/sd_ck"
+    )
+    q.awaitTermination()
+    key = lambda r: (r["n_chars"], r["n_spans"], r["dup_chars"], r["dup_frac"])
+    got_new = {
+        r["doc_id"]: key(r)
+        for r in spark.read.parquet(f"{out}/epoch=1").collect()
+    }
+    want_new = {
+        r["doc_id"]: key(r)
+        for r in q_substring_dedup_persisted(spark, sf_dir).collect()
+    }
+    assert got_new == want_new and got_new
+
+    # epoch 0 == whole-corpus query over a history-only corpus
+    hist_corpus = str(tmp / "hist_corpus")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < cut
+    ).write.parquet(f"{hist_corpus}/documents.parquet")
+    got_hist = {
+        r["doc_id"]: key(r)
+        for r in spark.read.parquet(f"{out}/epoch=0").collect()
+    }
+    want_hist = {
+        r["doc_id"]: key(r)
+        for r in q_substring_dedup(spark, hist_corpus).collect()
+    }
+    assert got_hist == want_hist and got_hist
+
+
+def test_substring_dedup_epoch_replay_idempotent(
+    spark, sf_dir, raw_docs_incr_dir, tmp
+):
+    """foreachBatch is at-least-once on crash: replaying an epoch must
+    leave stats and ledger byte-identical (per-epoch overwrite; a
+    replayed epoch must not see its own first attempt's hashes)."""
+    from zcode_iceberg_spark.streaming.pipeline import substring_dedup_step
+    from zcode_iceberg_spark.suite.llm import q_substring_dedup_persisted
+
+    src, _cut = raw_docs_incr_dir
+    files = sorted(Path(src).glob("*.parquet"))
+    assert len(files) == 2
+    out, led = f"{tmp}/sdr_out", f"{tmp}/sdr_ledger"
+    for i, f in enumerate(files):
+        substring_dedup_step(spark.read.parquet(str(f)), i, led, out)
+    substring_dedup_step(spark.read.parquet(str(files[1])), 1, led, out)
+    got = {
+        r["doc_id"]: (r["n_spans"], r["dup_chars"])
+        for r in spark.read.parquet(f"{out}/epoch=1").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_spans"], r["dup_chars"])
+        for r in q_substring_dedup_persisted(spark, sf_dir).collect()
+    }
+    assert got == want and got
+
+
 def test_iceberg_refill_stream_matches_batch(spark, sf_dir):
     """The namesake detector's streaming twin: availableNow drain over
     the fixture equals the batch query on every level the batch

@@ -554,6 +554,91 @@ def passage_dedup_step(
     novel.write.mode("overwrite").parquet(f"{ledger_dir}/epoch={epoch_id}")
 
 
+def substring_dedup_stream(
+    spark: SparkSession,
+    src_dir: str,
+    ledger_dir: str,
+    out_dir: str,
+    checkpoint: str,
+):
+    """Streaming twin of the persisted exact-substring dedup
+    (suite/llm.py:q_substring_dedup_persisted), in the incremental
+    append-batch shape of ``passage_dedup_stream``: per micro-batch,
+    the arriving docs' stride-1 window hashes probe the persistent
+    window-hash LEDGER (earlier epochs' hashes); a position is
+    duplicated iff its hash was seen in an earlier batch OR occurs ≥2
+    times within its own batch — exactly the batch probe's
+    ledger-OR-within-batch rule, so each epoch's per-doc span rollup
+    equals ``substring_dedup_against`` run at that ingest point
+    (agreement-tested in tests/test_streaming.py).
+
+    NOTE the contract difference from passage_dedup_stream: the
+    whole-corpus batch query's rule is SYMMETRIC (later copies also
+    mark earlier positions), which no append-only stream can know at
+    emit time — the streaming semantics are the INGEST-TIME semantics,
+    the same ones the persisted daily-ingest probe implements.
+
+    Scale shape: everything keys on the 16-byte window hash; the
+    ledger is a compacted hash table (never text); both sinks write
+    per-epoch subdirectories with overwrite, so an at-least-once
+    foreachBatch replay rewrites its own partition instead of
+    double-appending (effectively exactly-once under the checkpoint).
+    Returns the started StreamingQuery."""
+    raw = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        substring_dedup_step(batch_df, epoch_id, ledger_dir, out_dir)
+
+    return (
+        raw.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def substring_dedup_step(
+    batch_df: DataFrame, epoch_id: int, ledger_dir: str, out_dir: str
+) -> None:
+    """One ``substring_dedup_stream`` epoch (module-level so tests can
+    replay an epoch and pin overwrite-idempotence). Only ledger
+    partitions from EARLIER epochs count as prior — a replayed epoch
+    must not see its own crashed first attempt's hashes, or every
+    window it introduced would flip to duplicate."""
+    from zcode_iceberg_spark.suite.llm import (
+        SUBSTR_L,
+        _substr_rollup,
+        _substr_windows,
+    )
+
+    s = batch_df.sparkSession
+    pos = _substr_windows(batch_df, SUBSTR_L)
+    try:
+        seen = (
+            s.read.parquet(ledger_dir)
+            .filter(F.col("epoch") < epoch_id)
+            .select("h")
+            .distinct()
+        )
+    except AnalysisException:  # first batch: empty ledger
+        seen = s.createDataFrame([], "h string")
+    wh = Window.partitionBy("h")
+    dup = (
+        pos.withColumn("n_batch", F.count(F.lit(1)).over(wh))
+        .join(seen.withColumn("prior", F.lit(True)), "h", "left")
+        .filter(F.col("prior").isNotNull() | (F.col("n_batch") > 1))
+        .select("doc_id", "i")
+    )
+    stats = _substr_rollup(batch_df, dup, SUBSTR_L)
+    stats.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+    novel = pos.select("h").distinct().join(seen, "h", "left_anti")
+    novel.write.mode("overwrite").parquet(f"{ledger_dir}/epoch={epoch_id}")
+
+
 EMB_SCHEMA = T.StructType(
     [
         T.StructField("vec_id", T.LongType()),
