@@ -56,6 +56,7 @@ PRIORITY = [
     #        quantization instead of Python half-to-even round).
     "substring_dedup",
     "substring_dedup_persisted",
+    "substring_ledger_build",
     "dsir_select",
     "lstm_bptt_micro",
     # (a) the rest of the changed-oracle embedding family, never
@@ -114,7 +115,6 @@ PRIORITY = [
     "stratified_sample",
     "dedup_cc",
     "trend_hysteresis",
-    "media_frames",
 ]
 
 
