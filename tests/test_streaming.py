@@ -1319,6 +1319,98 @@ def test_zscore_stream_agreement_mid_tie_group_split(spark, sf_dir, tmp):
     assert not diffs, f"{len(diffs)} z mismatches, e.g. {sorted(diffs)[:3]}"
 
 
+def test_zscore_stream_quiet_key_timeout_flush_mid_stream(spark, sf_dir, tmp):
+    """The OTHER release path of the tie-group holdback: a key whose
+    trailing ts-group was held at the end of batch 1 sits out batch 2
+    entirely (its rows are absent from that time slice), so the
+    event-time timeout — not a later data batch — must flush the held
+    group, and the key's batch-3 rows must then continue from correct
+    carried state. Constructed by REMOVING one user's middle-third
+    rows from the corpus (the batch twin runs on the same thinned
+    corpus, so stream ≡ batch must still hold row-for-row)."""
+    from zcode_iceberg_spark.operators.flow import delta_zscore
+    from zcode_iceberg_spark.streaming.pipeline import zscore_stream
+
+    bucket = F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 60) * 60)
+    ev = load_table(spark, sf_dir, "events").withColumn("ts", bucket)
+    pdf = (
+        ev.toPandas()
+        .sort_values(["ts", "event_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    t1, t2 = pdf["ts"].quantile([0.33, 0.66])
+    thirds = [
+        pdf[pdf["ts"] < t1],
+        pdf[(pdf["ts"] >= t1) & (pdf["ts"] < t2)],
+        pdf[pdf["ts"] >= t2],
+    ]
+    # a user present in thirds 1 and 3 AND in third 2 (so removing its
+    # middle rows creates a REAL quiet gap, not a vacuous one)
+    users = (
+        set(thirds[0]["user_id"]) & set(thirds[1]["user_id"])
+        & set(thirds[2]["user_id"])
+    )
+    assert users, "fixture lacks a user spanning all thirds"
+    u = min(users)
+    thinned_mid = thirds[1][thirds[1]["user_id"] != u]
+    import pandas as _pd
+
+    corpus_pdf = _pd.concat([thirds[0], thinned_mid, thirds[2]])
+    parts = [thirds[0], thinned_mid, thirds[2]]
+
+    d = Path(tempfile.mkdtemp(prefix="zspark_quietsrc_"))
+    try:
+        for i, part in enumerate(parts):
+            sub = d / f"part{i}"
+            spark.createDataFrame(part, schema=ev.schema).coalesce(
+                1
+            ).write.parquet(str(sub))
+            f = next(sub.glob("*.parquet"))
+            dst = d / f"{i:03d}.parquet"
+            shutil.copy(f, dst)
+            os.utime(dst, (time.time() + i, time.time() + i))
+            shutil.rmtree(sub)
+
+        got = {
+            (r["user_id"], r["event_id"]): round(r["z"], 6)
+            for r in _drain(
+                spark, zscore_stream(stream_events(spark, str(d))),
+                tmp, "zs_quiet",
+            ).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    # batch twin over the SAME thinned corpus
+    corpus = spark.createDataFrame(corpus_pdf, schema=ev.schema)
+    ticks = corpus.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.col("value").alias("price"),
+        F.get_json_object("props", "$.k").cast("double").alias("qty"),
+        F.col("event_type").isin("click", "view", "signup").alias("is_buy"),
+    ).filter(
+        (F.col("price") > 0)
+        & F.col("ts").isNotNull()
+        & F.col("qty").isNotNull()
+        & (F.col("qty") > 0)
+    )
+    want = {
+        (r["user_id"], r["event_id"]): round(r["z"], 6)
+        for r in delta_zscore(
+            ticks, window_sec=600, pop_rows=50, min_pop=30
+        ).select("user_id", "event_id", "z").collect()
+    }
+    assert len(got) == len(want) > 0
+    # the quiet user really has rows on both sides of its gap
+    u_rows = [k for k in want if k[0] == u]
+    assert len(u_rows) > 1
+    diffs = {k for k in want if got[k] != want[k]}
+    assert not diffs, f"{len(diffs)} z mismatches, e.g. {sorted(diffs)[:3]}"
+
+
 def test_live_pipeline_supervised_end_to_end(spark, sf_dir, raw_events_dir, tmp):
     """VERDICT r8 #2: the reference's full live tick path as ONE
     supervised streaming job — stream → in-stream feature battery →
