@@ -46,10 +46,13 @@ PRIORITY = [
     # plan for round 11", executed; tools/rotate_priority.py over the
     # r1-r10 history). Front: queries whose RESULTS, ORACLES, or PLANS
     # changed this round —
-    #   new: substring_dedup (exact-substring / ExactSubstr dedup,
-    #        char-level maximal spans, md5-bucketed suffix groups) and
-    #        substring_dedup_persisted (its daily-ingest twin probing
-    #        the persisted window-hash ledger);
+    #   new: the exact-substring (ExactSubstr) family — substring_dedup
+    #        (char-level maximal spans, md5-bucketed suffix groups),
+    #        substring_dedup_persisted (daily-ingest probe of the
+    #        persisted window-hash ledger, memoized), substring_ledger_build
+    #        (the priced build, set-exact xor digest), and
+    #        substring_decontaminate (the machinery pointed across the
+    #        train/test boundary);
     #   oracle/plan changes, values locally gate-green: dsir_select
     #        (bucket stats fused to one groupBy both sides),
     #        lstm_bptt_micro (param emit via Decimal-repr HALF_UP
@@ -57,6 +60,7 @@ PRIORITY = [
     "substring_dedup",
     "substring_dedup_persisted",
     "substring_ledger_build",
+    "substring_decontaminate",
     "dsir_select",
     "lstm_bptt_micro",
     # (a) the rest of the changed-oracle embedding family, never
@@ -114,7 +118,6 @@ PRIORITY = [
     "trigram_lm",
     "stratified_sample",
     "dedup_cc",
-    "trend_hysteresis",
 ]
 
 

@@ -7826,6 +7826,102 @@ def q_substring_ledger_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level DECONTAMINATION (the ExactSubstr dedup machinery
+    pointed across the train/test boundary, Lee et al. 2022 §4.2 /
+    the GPT-3-style 13-gram overlap scrub at character granularity):
+    a TEST-side position is contaminated iff the length-{SUBSTR_L}
+    window starting there occurs anywhere in the TRAIN corpus (the
+    doc_id < cut side, the suite's standing ingest-split convention).
+    Maximal contaminated runs merge into spans; per test doc the
+    rollup reports span count, contaminated chars, the contamination
+    fraction, and the keep verdict (zero contaminated chars) — finer
+    than the exact/Bloom/HLL n-gram decontaminators, which miss
+    overlaps that straddle token boundaries or differ in tokenization.
+
+    Scale shape: identical to the persisted-substring probe — the
+    train side collapses to a distinct 16-byte window-hash set (at
+    100 TB: the compacted ledger substring_ledger_build prices), the
+    test side is one pushed scan, and the contamination test is one
+    semi-join on the hash. No within-batch rule here: only TRAIN
+    occurrences contaminate (test-internal dups are dedup's job)."""
+    L = SUBSTR_L
+    d = load_table(spark, sf_dir, "documents")
+    cut = int(
+        d.agg(
+            F.floor(F.lit(INCR_SPLIT_FRAC) * (F.max("doc_id") + 1)).cast(
+                "bigint"
+            )
+        ).collect()[0][0]
+    )
+    train_h = (
+        _substr_windows(d.filter(F.col("doc_id") < cut), L)
+        .select("h")
+        .distinct()
+    )
+    test = d.filter(F.col("doc_id") >= cut)
+    dup = (
+        _substr_windows(test, L)
+        .join(train_h, "h", "left_semi")
+        .select("doc_id", "i")
+    )
+    return _substr_rollup(test, dup, L).select(
+        "doc_id",
+        "n_chars",
+        F.col("n_spans").alias("n_contam_spans"),
+        F.col("dup_chars").alias("contam_chars"),
+        F.col("dup_frac").alias("contam_frac"),
+        (F.col("dup_chars") == 0).alias("keep"),
+    )
+
+
+SQL_SUBSTRING_DECONTAMINATE = f"""
+WITH cut AS (
+  SELECT CAST(floor({INCR_SPLIT_FRAC} * (max(doc_id) + 1)) AS BIGINT) AS c
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i, md5(substr(text, i, {SUBSTR_L})) AS h
+  FROM documents, LATERAL unnest(
+    generate_series(1, length(text) - {SUBSTR_L} + 1)) AS u(i)
+  WHERE length(text) >= {SUBSTR_L}
+),
+train_h AS (SELECT DISTINCT h FROM pos p, cut WHERE p.doc_id < cut.c),
+dup AS (
+  SELECT np.doc_id, np.i
+  FROM pos np, cut
+  WHERE np.doc_id >= cut.c
+    AND EXISTS (SELECT 1 FROM train_h t WHERE t.h = np.h)
+),
+lagged AS (
+  SELECT doc_id, i,
+         lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev_i
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN prev_i IS NULL OR i - prev_i > {SUBSTR_L}
+                  THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY i) AS g
+  FROM lagged
+),
+spans AS (SELECT doc_id, g, min(i) AS s, max(i) AS e FROM isl GROUP BY 1, 2),
+stats AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(e - s + {SUBSTR_L}) AS dup_chars
+  FROM spans GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_contam_spans,
+       CAST(coalesce(s.dup_chars, 0) AS BIGINT) AS contam_chars,
+       round(coalesce(s.dup_chars, 0) / length(d.text), 6) AS contam_frac,
+       coalesce(s.dup_chars, 0) = 0 AS keep
+FROM documents d CROSS JOIN cut LEFT JOIN stats s USING (doc_id)
+WHERE d.doc_id >= cut.c
+"""
+
+
 SQL_SUBSTRING_LEDGER_BUILD = f"""
 WITH cut AS (
   SELECT CAST(floor({INCR_SPLIT_FRAC} * (max(doc_id) + 1)) AS BIGINT) AS c
@@ -8265,6 +8361,9 @@ QUERIES = {
     ),
     "substring_ledger_build": Query(
         q_substring_ledger_build, SQL_SUBSTRING_LEDGER_BUILD
+    ),
+    "substring_decontaminate": Query(
+        q_substring_decontaminate, SQL_SUBSTRING_DECONTAMINATE
     ),
     "boilerplate_strip": Query(q_boilerplate_strip, SQL_BOILERPLATE_STRIP),
     "corpus_pipeline": Query(q_corpus_pipeline, SQL_CORPUS_PIPELINE),
