@@ -1300,10 +1300,14 @@ def zscore_stream(ticks: DataFrame) -> DataFrame:
         )
         if chunks:
             ready, pend = _tie_holdback(pend, pd.concat(chunks))
-        else:
+        elif state.hasTimedOut:
             # timeout (key quiet while the watermark advanced): under
             # in-order per-key delivery the held tie group is complete
             ready, pend = pend, pend.iloc[0:0]
+        else:
+            # non-timeout invocation that delivered no rows: the held
+            # group may still be mid-flight — keep it pending
+            ready = pend.iloc[0:0]
         zs, st = _zscore_step(ready, st)
         out = pd.DataFrame(
             {
@@ -1419,8 +1423,10 @@ def live_decisions_fsm_stream(gated_ticks: DataFrame) -> DataFrame:
             # consumes z, so a partial-group z would contaminate the
             # decision sequence too)
             ready, pend = _tie_holdback(pend, pd.concat(chunks))
-        else:
+        elif state.hasTimedOut:
             ready, pend = pend, pend.iloc[0:0]
+        else:
+            ready = pend.iloc[0:0]
         if len(ready):
             zs, zst = _zscore_step(ready, zst)
             gate = ready["entry_signal"].to_numpy()
@@ -1444,7 +1450,9 @@ def live_decisions_fsm_stream(gated_ticks: DataFrame) -> DataFrame:
                     leverage=25.0,
                 )
             )
-        yield pd.DataFrame(rows, columns=cols)
+        # state write + timeout re-arm BEFORE the yield (same order as
+        # zscore_stream): correctness must not depend on the engine
+        # draining the generator past the output batch
         pos = fst["pos"]
         state.update(
             (
@@ -1461,6 +1469,7 @@ def live_decisions_fsm_stream(gated_ticks: DataFrame) -> DataFrame:
         )
         if len(pend):
             state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        yield pd.DataFrame(rows, columns=cols)
 
     return gated_ticks.groupBy("user_id").applyInPandasWithState(
         fn,

@@ -4042,9 +4042,17 @@ def _memoized_state(kind, spark, sf_dir, builder, dir_fn) -> tuple:
     got = _PERSISTED_STATE_MEMO.get(key)
     # a memoized entry can outlive its files (a same-pid rebuild
     # rmtree'd them, or external /tmp cleanup); returning stale paths
-    # would fail lazily at action time — validate and rebuild on miss
+    # would fail lazily at action time — validate and rebuild on miss.
+    # An interrupted sweep can leave the DIRECTORY but delete its
+    # part-files, so existence alone isn't enough: require non-empty.
+    def _live(p: str) -> bool:
+        pth = _Path(p)
+        if not pth.exists():
+            return False
+        return not pth.is_dir() or any(pth.iterdir())
+
     if got is not None and not all(
-        _Path(p).exists() for p in got if isinstance(p, str)
+        _live(p) for p in got if isinstance(p, str)
     ):
         got = None
     if got is None:
