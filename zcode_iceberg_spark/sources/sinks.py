@@ -269,6 +269,66 @@ def merge_bitwise_or(
     Path(tmp).rename(path)
 
 
+def ledger_delete(
+    spark: SparkSession, path: str, tombstones: DataFrame, key: str
+) -> str:
+    """Row-level DELETE on a plain-parquet ledger, staged as an
+    equality-delete TOMBSTONE sidecar (the Iceberg-v2 merge-on-read
+    pattern): the delete itself appends only the keys — metadata-sized,
+    no ledger rewrite — and takes effect at read time
+    (:func:`read_with_tombstones`) until a compaction folds it in
+    (:func:`fold_tombstones`). This is the takedown / PII-removal seam
+    for the persisted-ingest-state family: at 100 TB a removal request
+    must not rewrite a corpus-sized hash ledger synchronously.
+
+    Replay-idempotent by SET semantics: re-deleting the same keys
+    merge-upserts the identical rows, so an at-least-once takedown
+    queue can replay a delete epoch and the sidecar is unchanged."""
+    tomb = path.rstrip("/") + "__tombstones"
+    keys = tombstones.select(key).distinct()
+    if Path(tomb).exists():
+        merge_upsert(spark, tomb, keys, key)
+    else:
+        keys.write.parquet(tomb)
+    return tomb
+
+
+def read_with_tombstones(spark: SparkSession, path: str, key: str) -> DataFrame:
+    """Merge-on-read over a tombstoned ledger: survivors = ledger LEFT
+    ANTI its delete sidecar on the key. The anti join hash-partitions
+    on the ledger key — the same partitioning every probe join already
+    uses, so the delete filter rides the shuffle the probe pays anyway.
+    No sidecar → plain read (zero overhead once compaction folded)."""
+    df = spark.read.parquet(path)
+    tomb = path.rstrip("/") + "__tombstones"
+    if Path(tomb).exists():
+        df = df.join(spark.read.parquet(tomb).select(key), key, "left_anti")
+    return df
+
+
+def fold_tombstones(spark: SparkSession, path: str, key: str) -> bool:
+    """Compaction step that folds pending tombstones into the ledger:
+    survivors are rewritten in place (staged to a temp dir and swapped,
+    same discipline as :func:`merge_upsert`) and the sidecar is
+    dropped, so subsequent reads pay no anti join. Returns whether a
+    fold happened (no sidecar → no-op, making nightly maintenance
+    idempotent). The deleted keys are NOT retained anywhere after the
+    fold — a takedown must not leave the purged content's fingerprints
+    in a retained delete log."""
+    import shutil as _shutil
+
+    tomb = path.rstrip("/") + "__tombstones"
+    if not Path(tomb).exists():
+        return False
+    survivors = read_with_tombstones(spark, path, key)
+    tmp = path.rstrip("/") + ".__fold_tmp"
+    survivors.write.mode("overwrite").parquet(tmp)
+    _shutil.rmtree(path)
+    Path(tmp).rename(path)
+    _shutil.rmtree(tomb)
+    return True
+
+
 def zorder_key(bucket_cols: list, bits: int = 8):
     """Morton (Z-order) key: interleave the bits of per-column integer
     buckets so that sorting by the single key keeps rows close in

@@ -42,82 +42,74 @@ class Query:
 WINDOW = 50
 
 PRIORITY = [
-    # Round-11 rotation (the r10 leave-behind plan, PLANS.md "Rotation
-    # plan for round 11", executed; tools/rotate_priority.py over the
-    # r1-r10 history). Front: queries whose RESULTS, ORACLES, or PLANS
-    # changed this round —
-    #   new: the exact-substring (ExactSubstr) family — substring_dedup
-    #        (char-level maximal spans, md5-bucketed suffix groups),
-    #        substring_dedup_persisted (daily-ingest probe of the
-    #        persisted window-hash ledger, memoized), substring_ledger_build
-    #        (the priced build, set-exact xor digest), and
-    #        substring_decontaminate (the machinery pointed across the
-    #        train/test boundary);
-    #   oracle/plan changes, values locally gate-green: dsir_select
-    #        (bucket stats fused to one groupBy both sides),
-    #        lstm_bptt_micro (param emit via Decimal-repr HALF_UP
-    #        quantization instead of Python half-to-even round).
-    "substring_dedup",
-    "substring_dedup_persisted",
-    "substring_ledger_build",
-    "substring_decontaminate",
-    "dsir_select",
-    "lstm_bptt_micro",
-    # (a) the rest of the changed-oracle embedding family, never
-    # driver-checked since the QUERY_PANEL_MAX_ID panel cap landed in
-    # r10 (stale driver rows on changed oracles are the weakest
-    # verification link; all locally gate-green at sf0.01)
-    "ann_lsh",
-    "ann_rp",
-    "ann_rp_recall",
-    "ann_sq8",
-    "ann_sq8_recall",
-    "ann_ivfsq",
-    "ann_ivfsq_recall",
-    "ann_ivf",
-    "ann_ivf_recall",
-    "ann_ivf_recall_probe4",
-    "ann_ivf_bounded",
-    "ann_ivf_bounded_recall",
-    "embedding_neardup",
-    # (b) the seven r6 greens the r10 window displaced
-    "sole_latest_supplier",
-    "lapsed_rich_customers",
-    "customer_value_deciles",
-    "cohort_set_ops",
-    "copurchase_triangles",
-    "nation_profit",
-    "disjunctive_band_revenue",
-    # (c) next-stalest driver-green rows (last row r6), rotation-tool
-    # order. trend_lstm_training stays NOT re-queued: rows-only BY
-    # DESIGN (r09 row recorded; training math hash-covered by
-    # lstm_bptt_micro). Every query pushed past the window holds a
-    # green r5-or-later driver row and stays oracle-checked at
-    # sf0.001 on every pytest run (tests/test_oracle_suite.py).
-    "returned_item_ranking",
-    "top_revenue_supplier",
-    "shipping_priority",
-    "forecast_revenue",
-    "part_value_concentration",
-    "promo_revenue",
-    "supplier_part_variety",
-    "dominant_supplier",
-    "minhash_signatures",
-    "lsh_candidates",
-    "dedup_near",
-    "dedup_crosscheck",
-    "ngram_jaccard",
-    "doc_fingerprint",
-    "heavy_hitters",
-    "decontaminate",
-    "seq_packing",
-    "kmeans",
-    "doc_chunks",
-    "tf_idf",
-    "bm25_scores",
-    "trigram_lm",
-    "stratified_sample",
-    "dedup_cc",
+    # Round-12 rotation (the r11 leave-behind plan, PLANS.md "Rotation
+    # plan for round 12", executed; tools/rotate_priority.py over the
+    # r1-r11 history). Front: queries NEW this round —
+    #   the persisted-ledger DELETION family (takedown / PII-removal,
+    #   VERDICT r11 #7): dedup_persisted_delete (exact-hash ledger
+    #   probed after a content purge), neardup_persisted_delete (LSH
+    #   band+signature tables probed after a doc-id takedown), and
+    #   substring_persisted_delete (window-hash ledger probed after a
+    #   window-content purge) — all via the ledger_delete /
+    #   read_with_tombstones / fold_tombstones maintenance seam
+    #   (sources/sinks.py), all hash-oracled.
+    "dedup_persisted_delete",
+    "neardup_persisted_delete",
+    "substring_persisted_delete",
+    # Then the stalest never-rechecked driver greens, rotation-tool
+    # order (last green row r6/r7; trend_lstm_training rows-only BY
+    # DESIGN — its r9 row is non-green on hash because it has no
+    # oracle; the training math is hash-covered by lstm_bptt_micro).
+    # Every query pushed past the window holds a green driver row from
+    # an earlier round and stays oracle-checked at sf0.001 on every
+    # pytest run (tests/test_oracle_suite.py).
+    "zorder_layout",
+    "compaction_plan",
+    "return_moments",
+    "scd2_versions",
+    "gap_fill_1h",
+    "trend_classifier_weights",
+    "trend_probe_training",
+    "trend_lstm_training",
+    "realized_vol",
+    "iceberg_refill",
+    "wall_strength",
+    "pricing_summary",
+    "price_percentiles",
+    "price_percentiles_approx",
+    "star_revenue",
+    "top_customers_per_nation",
+    "priority_with_discounted",
+    "customers_without_orders",
+    "rollup_sales",
+    "distinct_parts_per_supplier",
+    "approx_distinct_parts",
+    "trade_params",
+    "mc_win_prob",
+    "dedup_exact",
+    "dup_spans",
+    "training_export",
+    "simhash",
+    "lang_id",
+    "text_quality",
+    "token_counts",
+    "token_histogram",
+    "bpe_merges",
+    "bpe_segment",
+    "dedup_incremental_persisted",
+    "neardup_incremental_persisted",
+    "lm_perplexity",
+    "dedup_cc_twostar",
+    "dedup_canonical",
+    "coreset_kcenter",
+    "trend_hysteresis",
+    "media_features",
+    "media_frames",
+    "media_resize",
+    "csv_roundtrip",
+    "jsonl_roundtrip",
+    "orc_roundtrip",
+    "avro_roundtrip",
 ]
 
 

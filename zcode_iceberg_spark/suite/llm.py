@@ -8000,6 +8000,268 @@ WHERE d.doc_id >= cut.c
 """
 
 
+# ----------------------------- persisted-ledger deletion (takedown/PII)
+
+TAKEDOWN_MOD = 13  # historical docs with doc_id % MOD == 0 are taken down
+
+
+def _takedown_docs(d: DataFrame, cut: int) -> DataFrame:
+    """The deterministic takedown set: historical docs (doc_id < cut)
+    whose id is divisible by {TAKEDOWN_MOD} — the suite's stand-in for
+    an external removal-request feed (DMCA / PII deletion). ~8% of
+    history, spread across the id range so tombstones hit every ledger
+    bucket."""
+    return d.filter(
+        (F.col("doc_id") < cut) & (F.col("doc_id") % TAKEDOWN_MOD == 0)
+    )
+
+
+def build_hash_state_deleted(
+    spark: SparkSession, sf_dir: str, state_dir: str
+) -> tuple[str, int]:
+    """Exact-hash ledger AFTER a takedown: build through the
+    maintenance layer (:func:`build_incremental_hash_table`), then
+    ``ledger_delete`` the takedown docs' content hashes (CONTENT-purge
+    semantics — PII content must be forgotten wherever it occurs, so
+    every copy's hash row goes) and ``fold_tombstones`` in the nightly
+    compaction. Returns (ledger_dir, cut) with the sidecar already
+    folded — probes pay no anti join."""
+    from zcode_iceberg_spark.sources.sinks import fold_tombstones, ledger_delete
+
+    hash_dir, cut = build_incremental_hash_table(spark, sf_dir, state_dir)
+    d = load_table(spark, sf_dir, "documents")
+    tomb = _takedown_docs(d, cut).select(F.md5("text").alias("content_hash"))
+    ledger_delete(spark, hash_dir, tomb, "content_hash")
+    fold_tombstones(spark, hash_dir, "content_hash")
+    return hash_dir, cut
+
+
+def q_dedup_persisted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_incremental_persisted`` probed AFTER a takedown: the
+    {TAKEDOWN_MOD}-strided historical docs' content hashes are
+    tombstoned (``ledger_delete``) and folded by compaction
+    (``fold_tombstones``), so an incoming batch doc whose only match
+    was purged content now reads as NOVEL (is_kept flips to true unless
+    a within-batch copy precedes it) — removal requests must stop
+    suppressing future ingests of unrelated look-alikes of forgotten
+    content. State memoized per (session, corpus), the PQ/IVF
+    accounting convention: production folds a takedown once and probes
+    daily."""
+    hash_dir, cut = _memoized_state(
+        "hash_del",
+        spark,
+        sf_dir,
+        build_hash_state_deleted,
+        lambda sd: _hash_state_dir(sd) + "_del",
+    )
+    return incremental_dedup_against(spark, sf_dir, hash_dir, cut)
+
+
+SQL_DEDUP_PERSISTED_DELETE = f"""
+WITH cut AS (
+  SELECT CAST(floor({INCR_SPLIT_FRAC} * (max(doc_id) + 1)) AS BIGINT) AS c
+  FROM documents
+),
+hashed AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+new AS (SELECT h.* FROM hashed h, cut WHERE h.doc_id >= cut.c),
+purged AS (
+  SELECT DISTINCT h.content_hash FROM hashed h, cut
+  WHERE h.doc_id < cut.c AND h.doc_id % {TAKEDOWN_MOD} = 0
+),
+old AS (
+  SELECT h.content_hash FROM hashed h, cut
+  WHERE h.doc_id < cut.c
+    AND NOT EXISTS (SELECT 1 FROM purged p
+                    WHERE p.content_hash = h.content_hash)
+),
+keeper AS (
+  SELECT min(doc_id) AS keep_id
+  FROM new n
+  WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.content_hash = n.content_hash)
+  GROUP BY content_hash
+)
+SELECT n.doc_id, n.content_hash,
+       k.keep_id IS NOT NULL AS is_kept
+FROM new n LEFT JOIN keeper k ON n.doc_id = k.keep_id
+"""
+
+
+def build_neardup_state_deleted(
+    spark: SparkSession, sf_dir: str, state_dir: str
+) -> tuple[str, str, int]:
+    """LSH ingest state AFTER a takedown: build the band + signature
+    tables (:func:`build_neardup_state`), then tombstone the takedown
+    DOC IDS on both (removal requests arrive as document ids; every
+    band row and the signature row of a taken-down doc must go so it
+    can never again surface as a near-dup candidate) and fold. Returns
+    (bands_dir, sigs_dir, cut)."""
+    from zcode_iceberg_spark.sources.sinks import fold_tombstones, ledger_delete
+
+    bands_dir, sigs_dir, cut = build_neardup_state(spark, sf_dir, state_dir)
+    d = load_table(spark, sf_dir, "documents")
+    ids = _takedown_docs(d, cut).select("doc_id")
+    for p in (bands_dir, sigs_dir):
+        ledger_delete(spark, p, ids, "doc_id")
+        fold_tombstones(spark, p, "doc_id")
+    return bands_dir, sigs_dir, cut
+
+
+def q_neardup_persisted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``neardup_incremental_persisted`` probed AFTER a doc-id takedown
+    on the persisted LSH state: tombstoned docs contribute no band
+    rows, so they can't seed candidate pairs, and no signature rows, so
+    nothing re-scores against them — a new doc whose only near-dups
+    were taken down now reads clean (n_candidates drops, is_neardup may
+    flip). Same output contract as the non-deleted probe; what changes
+    is the folded state it reads."""
+    bands_dir, sigs_dir, cut = _memoized_state(
+        "lsh_del",
+        spark,
+        sf_dir,
+        build_neardup_state_deleted,
+        lambda sd: _hash_state_dir(sd) + "_lsh_del",
+    )
+    return incremental_neardup_against(spark, sf_dir, bands_dir, sigs_dir, cut)
+
+
+SQL_NEARDUP_PERSISTED_DELETE = f"""
+WITH {CHSH_CTE},
+{HASHES_CTE},
+{SIG_CTE},
+{BANDS_CTE},
+cut AS (
+  SELECT CAST(floor({INCR_SPLIT_FRAC} * (max(doc_id) + 1)) AS BIGINT) AS c
+  FROM documents
+),
+cand AS (
+  SELECT a.doc_id AS nid, b.doc_id AS hid
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.bucket_key = b.bucket_key
+  CROSS JOIN cut
+  WHERE a.doc_id >= cut.c AND b.doc_id < cut.c
+    AND b.doc_id % {TAKEDOWN_MOD} != 0
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT c.nid,
+         {_EST_JACCARD_SQL.replace('a.s', 'sa.s').replace('b.s', 'sb.s')} AS est
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.nid
+  JOIN sig sb ON sb.doc_id = c.hid
+),
+per AS (
+  SELECT nid, count(*) AS n_candidates, round(max(est), 6) AS best_est
+  FROM scored GROUP BY nid
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_candidates, 0) AS BIGINT) AS n_candidates,
+       round(coalesce(p.best_est, 0.0), 6) AS best_est,
+       coalesce(p.best_est, 0.0) >= {NEARDUP_EST_MIN} AS is_neardup
+FROM documents d
+CROSS JOIN cut
+LEFT JOIN per p ON p.nid = d.doc_id
+WHERE d.doc_id >= cut.c
+"""
+
+
+def build_substr_state_deleted(
+    spark: SparkSession, sf_dir: str, state_dir: str
+) -> tuple[str, int]:
+    """Substring window-hash ledger AFTER a takedown: build
+    (:func:`build_substr_state`), tombstone every window hash the
+    takedown docs contain (CONTENT-purge semantics, same as the exact
+    ledger: the character strings themselves must be forgotten, so
+    windows shared with surviving docs are purged too — the
+    conservative PII reading, documented here because it is the
+    looser-recall side), fold. Returns (ledger_dir, cut)."""
+    from zcode_iceberg_spark.sources.sinks import fold_tombstones, ledger_delete
+
+    ledger_dir, cut = build_substr_state(spark, sf_dir, state_dir)
+    d = load_table(spark, sf_dir, "documents")
+    tomb = (
+        _substr_windows(_takedown_docs(d, cut), SUBSTR_L)
+        .select("h")
+        .distinct()
+    )
+    ledger_delete(spark, ledger_dir, tomb, "h")
+    fold_tombstones(spark, ledger_dir, "h")
+    return ledger_dir, cut
+
+
+def q_substring_persisted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``substring_dedup_persisted`` probed AFTER a window-content
+    takedown: the purged windows no longer mark new-batch positions as
+    duplicated (unless the batch itself repeats them), so dup_frac for
+    docs overlapping only forgotten content drops to the within-batch
+    floor. The probe path is byte-identical to the non-deleted entry —
+    the delete lives entirely in the folded ledger state."""
+    ledger_dir, cut = _memoized_state(
+        "substr_del",
+        spark,
+        sf_dir,
+        build_substr_state_deleted,
+        lambda sd: _hash_state_dir(sd) + "_substr_del",
+    )
+    return substring_dedup_against(spark, sf_dir, ledger_dir, cut)
+
+
+SQL_SUBSTRING_PERSISTED_DELETE = f"""
+WITH cut AS (
+  SELECT CAST(floor({INCR_SPLIT_FRAC} * (max(doc_id) + 1)) AS BIGINT) AS c
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i, md5(substr(text, i, {SUBSTR_L})) AS h
+  FROM documents, LATERAL unnest(
+    generate_series(1, length(text) - {SUBSTR_L} + 1)) AS u(i)
+  WHERE length(text) >= {SUBSTR_L}
+),
+newpos AS (SELECT p.* FROM pos p, cut WHERE p.doc_id >= cut.c),
+purged AS (
+  SELECT DISTINCT p.h FROM pos p, cut
+  WHERE p.doc_id < cut.c AND p.doc_id % {TAKEDOWN_MOD} = 0
+),
+ledger AS (
+  SELECT DISTINCT p.h FROM pos p, cut
+  WHERE p.doc_id < cut.c
+    AND NOT EXISTS (SELECT 1 FROM purged pu WHERE pu.h = p.h)
+),
+nb AS (SELECT h, count(*) AS n FROM newpos GROUP BY 1),
+dup AS (
+  SELECT np.doc_id, np.i
+  FROM newpos np
+  JOIN nb USING (h)
+  LEFT JOIN ledger lg USING (h)
+  WHERE lg.h IS NOT NULL OR nb.n > 1
+),
+lagged AS (
+  SELECT doc_id, i,
+         lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev_i
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN prev_i IS NULL OR i - prev_i > {SUBSTR_L}
+                  THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY i) AS g
+  FROM lagged
+),
+spans AS (SELECT doc_id, g, min(i) AS s, max(i) AS e FROM isl GROUP BY 1, 2),
+stats AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(e - s + {SUBSTR_L}) AS dup_chars
+  FROM spans GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(s.dup_chars, 0) AS BIGINT) AS dup_chars,
+       round(coalesce(s.dup_chars, 0) / length(d.text), 6) AS dup_frac
+FROM documents d CROSS JOIN cut LEFT JOIN stats s USING (doc_id)
+WHERE d.doc_id >= cut.c
+"""
+
+
 PIPE_MIN_QUALITY = 0.8
 
 
@@ -8406,6 +8668,15 @@ QUERIES = {
     ),
     "neardup_incremental_persisted": Query(
         q_neardup_incremental_persisted, SQL_NEARDUP_INCREMENTAL
+    ),
+    "dedup_persisted_delete": Query(
+        q_dedup_persisted_delete, SQL_DEDUP_PERSISTED_DELETE
+    ),
+    "neardup_persisted_delete": Query(
+        q_neardup_persisted_delete, SQL_NEARDUP_PERSISTED_DELETE
+    ),
+    "substring_persisted_delete": Query(
+        q_substring_persisted_delete, SQL_SUBSTRING_PERSISTED_DELETE
     ),
     "domain_mix": Query(q_domain_mix, SQL_DOMAIN_MIX),
     "dsir_select": Query(q_dsir_select, SQL_DSIR_SELECT),
