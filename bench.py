@@ -110,16 +110,25 @@ def main() -> None:
         "ann_pq_persisted",
         "ann_ivf_incremental_persisted",
         "substring_dedup_persisted",
+        "dsir_select",
+        "dedup_persisted_delete",
+        "neardup_persisted_delete",
+        "substring_persisted_delete",
     }
     if memoized & reg.keys():
         from zcode_iceberg_spark.suite.llm import (
+            _DSIR_STATS_MEMO,
             _hash_state_dir,
             _ivf_state_dir,
             _memoized_state,
             _pq_state_dir,
+            build_dsir_stats,
+            build_hash_state_deleted,
             build_ivf_state,
+            build_neardup_state_deleted,
             build_pq_state,
             build_substr_state,
+            build_substr_state_deleted,
         )
 
         if "ann_pq_persisted" in reg:
@@ -135,6 +144,30 @@ def main() -> None:
                 sf_dir,
                 build_substr_state,
                 lambda sd: _hash_state_dir(sd) + "_substr",
+            )
+        # the DSIR importance model (priced by dsir_stats_build)
+        if "dsir_select" in reg:
+            key = (spark.sparkContext.applicationId, sf_dir)
+            fresh = build_dsir_stats(spark, sf_dir)
+            _DSIR_STATS_MEMO[key] = (fresh.collect(), fresh.schema)
+        # the tombstone-folded ledgers (delete-epoch + fold are
+        # maintenance, priced by the *_ledger_build / base-build
+        # entries and the SCALE.md smokes; the probe entries price the
+        # daily query path)
+        if "dedup_persisted_delete" in reg:
+            _memoized_state(
+                "hash_del", spark, sf_dir, build_hash_state_deleted,
+                lambda sd: _hash_state_dir(sd) + "_del",
+            )
+        if "neardup_persisted_delete" in reg:
+            _memoized_state(
+                "lsh_del", spark, sf_dir, build_neardup_state_deleted,
+                lambda sd: _hash_state_dir(sd) + "_lsh_del",
+            )
+        if "substring_persisted_delete" in reg:
+            _memoized_state(
+                "substr_del", spark, sf_dir, build_substr_state_deleted,
+                lambda sd: _hash_state_dir(sd) + "_substr_del",
             )
 
     # Outlier re-measurement: this host shows invisible-to-the-guest
@@ -191,16 +224,15 @@ def main() -> None:
         samples = [run_once(q)]
         b = r01_base.get(name)
         ratio_hot = b is not None and b > 0 and samples[0] > 2.0 * b
-        while len(samples) < 3:
-            t = samples[-1]
-            if ratio_hot:
-                pass  # ratio-triggered: full 3 samples, median matters
-            elif t > RERUN_THRESHOLD_SEC:
-                if len(samples) > 1 and t >= min(samples[:-1]) * 0.9:
-                    break  # stable: real cost, not a host spike
-            else:
-                break
-            samples.append(run_once(q))
+        # Any entry that triggers a rerun collects a FULL 3 samples
+        # (VERDICT r11 #3): a 2-sample "median" is the max, and with a
+        # build-bearing or spike-hit first run that max misreports the
+        # steady state — the artifact that cost three adjudications in
+        # rounds 10-11. One extra sample per expensive entry is cheaper
+        # than a warm-A/B adjudication per round.
+        if ratio_hot or samples[0] > RERUN_THRESHOLD_SEC:
+            while len(samples) < 3:
+                samples.append(run_once(q))
         t = min(samples)
         times[name] = t
         if len(samples) > 1:

