@@ -44,33 +44,43 @@ WINDOW = 50
 PRIORITY = [
     # Round-12 rotation (the r11 leave-behind plan, PLANS.md "Rotation
     # plan for round 12", executed; tools/rotate_priority.py over the
-    # r1-r11 history). Front: queries NEW this round —
-    #   the persisted-ledger DELETION family (takedown / PII-removal,
-    #   VERDICT r11 #7): dedup_persisted_delete (exact-hash ledger
-    #   probed after a content purge), neardup_persisted_delete (LSH
-    #   band+signature tables probed after a doc-id takedown), and
-    #   substring_persisted_delete (window-hash ledger probed after a
-    #   window-content purge) — all via the ledger_delete /
-    #   read_with_tombstones / fold_tombstones maintenance seam
-    #   (sources/sinks.py), all hash-oracled.
+    # r1-r11 history). Front: queries NEW or changed this round —
+    #   new: the persisted-ledger DELETION family (takedown /
+    #        PII-removal, VERDICT r11 #7): dedup_persisted_delete,
+    #        neardup_persisted_delete, substring_persisted_delete —
+    #        via the ledger_delete / read_with_tombstones /
+    #        fold_tombstones maintenance seam (sources/sinks.py);
+    #        and dsir_stats_build (the DSIR importance model priced as
+    #        its own fresh-build entry, VERDICT r11 #3);
+    #   plan changes, values locally gate-green, oracles unchanged:
+    #        dsir_select (memoized model + one scoring pass),
+    #        mmr_rerank / mmr_rerank_ann / mmr_ann_overlap (the greedy
+    #        collapsed to one applyInPandas kernel, VERDICT r11 #2),
+    #        dedup_quality_keeper / cluster_safe_split (shared
+    #        canonical-map artifact, VERDICT r11 #4).
     "dedup_persisted_delete",
     "neardup_persisted_delete",
     "substring_persisted_delete",
+    "dsir_stats_build",
+    "dsir_select",
+    "mmr_rerank",
+    "mmr_rerank_ann",
+    "mmr_ann_overlap",
+    "dedup_quality_keeper",
+    "cluster_safe_split",
     # Then the stalest never-rechecked driver greens, rotation-tool
     # order (last green row r6/r7; trend_lstm_training rows-only BY
-    # DESIGN — its r9 row is non-green on hash because it has no
-    # oracle; the training math is hash-covered by lstm_bptt_micro).
-    # Every query pushed past the window holds a green driver row from
-    # an earlier round and stays oracle-checked at sf0.001 on every
-    # pytest run (tests/test_oracle_suite.py).
-    "zorder_layout",
-    "compaction_plan",
-    "return_moments",
-    "scd2_versions",
+    # DESIGN — it has no oracle; the training math is hash-covered by
+    # lstm_bptt_micro). Every query pushed past the window holds a
+    # green driver row from an earlier round and stays oracle-checked
+    # at sf0.001 on every pytest run (tests/test_oracle_suite.py).
+    "trend_lstm_training",
+    "trend_hysteresis",
+    "media_frames",
+    "media_resize",
     "gap_fill_1h",
     "trend_classifier_weights",
     "trend_probe_training",
-    "trend_lstm_training",
     "realized_vol",
     "iceberg_refill",
     "wall_strength",
@@ -102,14 +112,8 @@ PRIORITY = [
     "dedup_cc_twostar",
     "dedup_canonical",
     "coreset_kcenter",
-    "trend_hysteresis",
     "media_features",
-    "media_frames",
-    "media_resize",
     "csv_roundtrip",
-    "jsonl_roundtrip",
-    "orc_roundtrip",
-    "avro_roundtrip",
 ]
 
 
