@@ -525,38 +525,35 @@ def test_dedup_canonical_single_window_family(spark, sf_dir):
 
 
 def test_mmr_rerank_no_driver_loop_no_cartesian(spark, sf_dir):
-    """mmr_rerank: the greedy rounds are a static unrolled DAG — the
-    corpus is touched only by the single pool scan (one query-set
-    broadcast, same shape as embedding_topk); every round is qid-keyed
-    equi-joins + windows, no cartesian product over data."""
+    """mmr_rerank: the corpus is touched only by the single pool scan
+    (one query-set broadcast, same shape as embedding_topk); the whole
+    K-round greedy is ONE qid-grouped Arrow stage (r12 — the kernel
+    replaced the 4-round unrolled join DAG), so exactly one
+    FlatMapGroupsInPandas and no cartesian product over data."""
     import re
 
     p = plan(spark, sf_dir, "mmr_rerank")
     assert "CartesianProduct" not in p
-    # the only data-sized nested loop is the pool's query broadcast;
-    # the static plan may print the (persisted) pool subtree under
-    # both union branches depending on session cache state, so bound
-    # the count instead of pinning it
-    assert 1 <= len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 2
-    # anti joins keep picked docs out of later rounds
-    assert "LeftAnti" in p
+    # the only data-sized nested loop is the pool's query broadcast
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1
+    # the greedy = one grouped Arrow kernel stage, not K join rounds
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", p)) == 1
 
 
 def test_mmr_rerank_ann_pool_plan_shape(spark, sf_dir):
     """mmr_rerank_ann: the ANN pool inherits ann_rp's recorded shape —
     the shortlist/query sides enter the rerank as broadcasts (BHJ
     re-fetch of full vectors by id, never a cartesian), and the greedy
-    rounds stay qid-keyed anti-join DAG exactly like the brute pool."""
+    is the same single qid-grouped Arrow stage as the brute pool."""
     import re
 
     p = plan(spark, sf_dir, "mmr_rerank_ann")
     assert "CartesianProduct" not in p
     # reduced-space pair scoring = query-set broadcast nested loop
-    # (bounded count, as in the brute variant); vector re-fetch is a
-    # BroadcastHashJoin, not a second nested loop over the corpus
-    assert 1 <= len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 2
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1
+    # vector re-fetch is a BroadcastHashJoin, not a second nested loop
     assert "BroadcastHashJoin" in p
-    assert "LeftAnti" in p
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", p)) == 1
 
 
 def test_ann_pq_adc_plan_shape(spark, sf_dir):
