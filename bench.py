@@ -114,6 +114,7 @@ def main() -> None:
         "dedup_persisted_delete",
         "neardup_persisted_delete",
         "substring_persisted_delete",
+        "ann_ivf_persisted_delete",
     }
     if memoized & reg.keys():
         from zcode_iceberg_spark.suite.llm import (
@@ -175,6 +176,13 @@ def main() -> None:
             _memoized_state(
                 "substr_del", spark, sf_dir, build_substr_state_deleted,
                 lambda sd: _hash_state_dir(sd) + "_substr_del",
+            )
+        if "ann_ivf_persisted_delete" in reg:
+            from zcode_iceberg_spark.suite.llm import build_ivf_state_deleted
+
+            _memoized_state(
+                "ivf_del", spark, sf_dir, build_ivf_state_deleted,
+                lambda sd: _ivf_state_dir(sd) + "_del",
             )
 
     # Outlier re-measurement: this host shows invisible-to-the-guest

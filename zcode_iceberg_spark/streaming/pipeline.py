@@ -639,6 +639,51 @@ def substring_dedup_step(
     novel.write.mode("overwrite").parquet(f"{ledger_dir}/epoch={epoch_id}")
 
 
+def ledger_delete_stream(
+    spark: SparkSession,
+    req_dir: str,
+    req_schema: str,
+    ledger_dir: str,
+    key: str,
+    checkpoint: str,
+):
+    """Streaming TAKEDOWN QUEUE for the persisted-ingest-state family
+    (the production shape of deletion: removal requests — DMCA, PII —
+    arrive continuously, not as a nightly batch): each micro-batch of
+    requests merges its keys into the ledger's tombstone sidecar via
+    the same ``ledger_delete`` maintenance op the batch path uses.
+
+    Replay discipline: foreachBatch is at-least-once on crash, and
+    unlike the ingest streams this sink needs NO epoch bookkeeping —
+    tombstones are a grow-only SET and ``ledger_delete`` merges by
+    key, so replaying an epoch re-merges the identical keys and the
+    sidecar is unchanged by algebra (the ``merge_bitwise_or``
+    join-semilattice discipline, sources/sinks.py). Deletes take
+    effect immediately for merge-on-read probes
+    (``read_with_tombstones``) and are folded by the nightly
+    ``fold_tombstones`` compaction. Returns the started
+    StreamingQuery."""
+    from zcode_iceberg_spark.sources.sinks import ledger_delete
+
+    raw = (
+        spark.readStream.schema(req_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(req_dir)
+    )
+
+    def step(batch_df: DataFrame, _epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ledger_delete(batch_df.sparkSession, ledger_dir, batch_df, key)
+
+    return (
+        raw.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 EMB_SCHEMA = T.StructType(
     [
         T.StructField("vec_id", T.LongType()),

@@ -683,6 +683,7 @@ FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id
 
 
 INCR_SPLIT_FRAC = 0.8  # docs below the id cut are the "historical" corpus
+TAKEDOWN_MOD = 13  # historical ids divisible by this are taken down
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5206,6 +5207,91 @@ SELECT qid, nid, cell, cos_sim, rank FROM (
 """
 
 
+def build_ivf_state_deleted(
+    spark: SparkSession, sf_dir: str, state_dir: str
+) -> tuple[str, str, int]:
+    """Persisted IVF index AFTER a vector takedown: build
+    (:func:`build_ivf_state`), then tombstone the takedown VEC IDS on
+    the assignment table (``ledger_delete``) and fold
+    (``fold_tombstones``) — deleted vectors can never again be probed
+    as neighbors. The centroid MODEL is deliberately NOT retrained: a
+    takedown removes data, not the model; the model refreshes at the
+    next scheduled build (priced by ``ann_ivf_index_build``), exactly
+    how production vector stores handle deletes (Iceberg-style delete
+    now, re-optimize later). Returns (cents_dir, assign_dir, cut)."""
+    from zcode_iceberg_spark.sources.sinks import fold_tombstones, ledger_delete
+
+    cents_dir, assign_dir, cut = build_ivf_state(spark, sf_dir, state_dir)
+    ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(
+            (F.col("vec_id") < cut) & (F.col("vec_id") % TAKEDOWN_MOD == 0)
+        )
+        .select("vec_id")
+    )
+    ledger_delete(spark, assign_dir, ids, "vec_id")
+    fold_tombstones(spark, assign_dir, "vec_id")
+    return cents_dir, assign_dir, cut
+
+
+def q_ann_ivf_persisted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_ivf_incremental_persisted`` probed AFTER a vec-id takedown
+    on the persisted assignment table: tombstoned vectors contribute no
+    cell rows, so a query whose nearest historical neighbors were taken
+    down now fills its top-{TOPK} from the survivors — the
+    vector-search member of the deletion family (exact hash → LSH
+    bands → substring windows → IVF assignments). Probe path and
+    output contract are byte-identical to the non-deleted entry; the
+    delete lives entirely in the folded state."""
+    cents_dir, assign_dir, cut = _memoized_state(
+        "ivf_del",
+        spark,
+        sf_dir,
+        build_ivf_state_deleted,
+        lambda sd: _ivf_state_dir(sd) + "_del",
+    )
+    return incremental_ann_against(spark, sf_dir, cents_dir, assign_dir, cut)
+
+
+SQL_ANN_IVF_PERSISTED_DELETE = f"""
+WITH cut AS (
+  SELECT CAST(floor({INCR_SPLIT_FRAC} * (max(vec_id) + 1)) AS BIGINT) AS c
+  FROM embeddings
+),
+{_ivf_cent_ctes(where="vec_id < (SELECT c FROM cut)")},
+scored_cells AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         round({_cos_sql('e.embedding', 'c.ce')}, 6) AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY ccos DESC, cell) AS crank
+  FROM scored_cells
+),
+v_cells AS (
+  SELECT r.vec_id, r.embedding, r.cell FROM ranked r, cut
+  WHERE r.crank = 1
+    AND NOT (r.vec_id < cut.c AND r.vec_id % {TAKEDOWN_MOD} = 0)
+),
+q_cells AS (SELECT vec_id AS qid, embedding AS qe, cell
+            FROM ranked, cut
+            WHERE vec_id % {ANN_INCR_QMOD} = 0 AND vec_id >= cut.c
+              AND crank <= {NPROBE}),
+scored AS (
+  SELECT q.qid, v.vec_id AS nid, CAST(v.cell AS INTEGER) AS cell,
+         round({_cos_sql('q.qe', 'v.embedding')}, 6) AS cos_sim
+  FROM v_cells v JOIN q_cells q USING (cell)
+  WHERE v.vec_id <> q.qid
+)
+SELECT qid, nid, cell, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cos_sim DESC, nid) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
 def q_ann_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted IVF index BUILD as its own priced, hash-oracled
     entry (VERDICT r9 #5, IVF member — see ``q_ann_pq_index_build``):
@@ -8125,8 +8211,8 @@ WHERE d.doc_id >= cut.c
 
 
 # ----------------------------- persisted-ledger deletion (takedown/PII)
-
-TAKEDOWN_MOD = 13  # historical docs with doc_id % MOD == 0 are taken down
+# (TAKEDOWN_MOD is defined beside INCR_SPLIT_FRAC — the IVF delete
+# oracle interpolates it before this section loads)
 
 
 def _takedown_docs(d: DataFrame, cut: int) -> DataFrame:
@@ -8865,6 +8951,9 @@ QUERIES = {
     ),
     "ann_ivf_incremental_persisted": Query(
         q_ann_ivf_incremental_persisted, SQL_ANN_IVF_INCR
+    ),
+    "ann_ivf_persisted_delete": Query(
+        q_ann_ivf_persisted_delete, SQL_ANN_IVF_PERSISTED_DELETE
     ),
     "embedding_neardup": Query(q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
 }
