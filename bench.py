@@ -115,6 +115,7 @@ def main() -> None:
         "neardup_persisted_delete",
         "substring_persisted_delete",
         "ann_ivf_persisted_delete",
+        "ann_pq_persisted_delete",
     }
     if memoized & reg.keys():
         from zcode_iceberg_spark.suite.llm import (
@@ -183,6 +184,13 @@ def main() -> None:
             _memoized_state(
                 "ivf_del", spark, sf_dir, build_ivf_state_deleted,
                 lambda sd: _ivf_state_dir(sd) + "_del",
+            )
+        if "ann_pq_persisted_delete" in reg:
+            from zcode_iceberg_spark.suite.llm import build_pq_state_deleted
+
+            _memoized_state(
+                "pq_del", spark, sf_dir, build_pq_state_deleted,
+                lambda sd: _pq_state_dir(sd) + "_del",
             )
 
     # Outlier re-measurement: this host shows invisible-to-the-guest

@@ -62,6 +62,7 @@ PRIORITY = [
     "neardup_persisted_delete",
     "substring_persisted_delete",
     "ann_ivf_persisted_delete",
+    "ann_pq_persisted_delete",
     "dsir_stats_build",
     "dsir_select",
     "mmr_rerank",
@@ -113,7 +114,6 @@ PRIORITY = [
     "dedup_cc_twostar",
     "dedup_canonical",
     "coreset_kcenter",
-    "media_features",
 ]
 
 

@@ -3708,14 +3708,18 @@ def _pq_dot_sql(e: str, c: str, s: int) -> str:
 
 
 def _pq_ctes(
-    train_where: str = "TRUE", q_where: str | None = None
+    train_where: str = "TRUE",
+    q_where: str | None = None,
+    pool_where: str = "TRUE",
 ) -> str:
     """The unrolled PQ training/encode/LUT CTE chain, parameterized by
     the TRAINING-SAMPLE predicate (``train_where`` — TRUE for the
     per-call full-corpus shape, a sampled-history predicate for the
-    persisted shape) and the QUERY predicate (default: the shared
-    query panel, PANEL_PRED_SQL). Encoding always covers the full
-    table (history ∪ batch = the search pool)."""
+    persisted shape), the QUERY predicate (default: the shared query
+    panel, PANEL_PRED_SQL), and the SEARCH-POOL predicate
+    (``pool_where`` — TRUE normally; the delete oracle excludes
+    taken-down historical vec_ids from the encode, which removes them
+    from the candidate/shortlist/rerank chain downstream)."""
     if q_where is None:
         q_where = PANEL_PRED_SQL
     parts = [
@@ -3754,7 +3758,8 @@ def _pq_ctes(
   SELECT vec_id, cid,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
   FROM (SELECT m.vec_id, c.cid, {_pq_dist_sql('m.e', 'c.c', s)} AS dist
-        FROM emb m CROSS JOIN pc{PQ_ITERS}_{s} c))"""
+        FROM emb m CROSS JOIN pc{PQ_ITERS}_{s} c
+        WHERE {pool_where}))"""
         )
         parts.append(
             f"codes_{s} AS MATERIALIZED (SELECT vec_id, cid AS k{s} "
@@ -4096,6 +4101,73 @@ WITH cutt AS MATERIALIZED (
     ),
     q_where=(
         f"vec_id % {ANN_INCR_QMOD} = 0 AND vec_id >= (SELECT c FROM cutt)"
+    ),
+)},
+{_PQ_SEARCH_TAIL}"""
+
+
+def build_pq_state_deleted(
+    spark: SparkSession, sf_dir: str, state_dir: str
+) -> tuple[str, str, int]:
+    """Persisted PQ index AFTER a vector takedown: build
+    (:func:`build_pq_state`), then tombstone the takedown VEC IDS on
+    the codes table (``ledger_delete``) and fold (``fold_tombstones``)
+    — deleted vectors can never again surface through ADC or the exact
+    rerank (their full vectors ride the codes rows, so the fold also
+    purges the raw embedding copies, which is the PII point). The
+    codebook MODEL deliberately keeps until the next scheduled build
+    (the IVF-delete rule: deletes remove data, not the model), even
+    though the training sample may have included taken-down vectors —
+    a codebook is an aggregate artifact, not retrievable content.
+    Returns (books_dir, codes_dir, cut)."""
+    from zcode_iceberg_spark.sources.sinks import fold_tombstones, ledger_delete
+
+    books_dir, codes_dir, cut = build_pq_state(spark, sf_dir, state_dir)
+    ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(
+            (F.col("vec_id") < cut) & (F.col("vec_id") % TAKEDOWN_MOD == 0)
+        )
+        .select("vec_id")
+    )
+    ledger_delete(spark, codes_dir, ids, "vec_id")
+    fold_tombstones(spark, codes_dir, "vec_id")
+    return books_dir, codes_dir, cut
+
+
+def q_ann_pq_persisted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_pq_persisted`` probed AFTER a vec-id takedown on the
+    persisted codes table — the last member of the deletion family
+    (exact hash → LSH bands → substring windows → IVF assignments →
+    PQ codes): tombstoned vectors contribute no code rows, so ADC
+    never scores them and the shortlist fills from survivors. Probe
+    path byte-identical to the non-deleted entry; the delete lives in
+    the folded codes state."""
+    books_dir, codes_dir, cut = _memoized_state(
+        "pq_del",
+        spark,
+        sf_dir,
+        build_pq_state_deleted,
+        lambda sd: _pq_state_dir(sd) + "_del",
+    )
+    return pq_search_against(spark, sf_dir, books_dir, codes_dir, cut)
+
+
+SQL_ANN_PQ_PERSISTED_DELETE = f"""
+WITH cutt AS MATERIALIZED (
+  SELECT CAST(floor({INCR_SPLIT_FRAC} * (max(vec_id) + 1)) AS BIGINT) AS c
+  FROM embeddings
+),
+{_pq_ctes(
+    train_where=(
+        f"vec_id % {PQ_SAMPLE_MOD} = 0 AND vec_id < (SELECT c FROM cutt)"
+    ),
+    q_where=(
+        f"vec_id % {ANN_INCR_QMOD} = 0 AND vec_id >= (SELECT c FROM cutt)"
+    ),
+    pool_where=(
+        f"NOT (m.vec_id < (SELECT c FROM cutt)"
+        f" AND m.vec_id % {TAKEDOWN_MOD} = 0)"
     ),
 )},
 {_PQ_SEARCH_TAIL}"""
@@ -8954,6 +9026,9 @@ QUERIES = {
     ),
     "ann_ivf_persisted_delete": Query(
         q_ann_ivf_persisted_delete, SQL_ANN_IVF_PERSISTED_DELETE
+    ),
+    "ann_pq_persisted_delete": Query(
+        q_ann_pq_persisted_delete, SQL_ANN_PQ_PERSISTED_DELETE
     ),
     "embedding_neardup": Query(q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
 }
