@@ -630,8 +630,18 @@ def scd2_apply(batch: DataFrame, hist_table: DataFrame) -> DataFrame:
     composition path (``scd2_stream``'s persisted table read by
     ``scd2_state`` — tests/test_scd2.py pins stream-state → apply ≡
     the oracle-checked rebuild across a query restart)."""
+    # explicit broadcast (r12): the open-version frame is one row per
+    # key (the docstring's "broadcast-size open-version join"), but
+    # Catalyst's size estimate after the window+filter stays at the
+    # child's size, so the planner falls back to a sort-merge join
+    # (guide §3.1: estimates are often badly wrong after filters —
+    # hint when you know a side is small). The hint removes the
+    # exchange+sort on the batch-runs side, whose user_id partitioning
+    # then feeds _scd2_renumber's windows shuffle-free.
     br = _scd2_renumber(
-        _scd2_runs(batch).join(_scd2_open(hist_table), "user_id", "left")
+        _scd2_runs(batch).join(
+            F.broadcast(_scd2_open(hist_table)), "user_id", "left"
+        )
     )
     adj = br.select(
         "user_id",

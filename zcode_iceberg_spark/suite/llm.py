@@ -6413,15 +6413,32 @@ def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src_a", "src_b", kmv_est(F.col("msk"), F.col("kth")).alias("est_u")
         )
     )
-    inter = (
-        dist.alias("x")
-        .join(
-            dist.alias("y"),
-            (F.col("x.g") == F.col("y.g"))
-            & (F.col("x.source") < F.col("y.source")),
+    # exact-audit intersection counts WITHOUT the self-join (r12): the
+    # old dist⋈dist-on-g sort-merge self-join paid two sorted passes
+    # over the corpus-distinct gram frame plus a join merge; grouping
+    # by g and expanding ordered source pairs from the (≤|sources|,
+    # here 20) per-gram set computes the identical n_both in ONE hash
+    # agg + a bounded array expansion, with map-side partial agg
+    # collapsing the pair counts before the final (src_a, src_b)
+    # exchange (guide §2.3 aggregate-before-shuffle, §2.4 remove the
+    # join's sort entirely). Interleaved same-session A/B at sf0.1:
+    # 5.7 s → see OPTIMIZATION_r12.md; plan diff: SortMergeJoin and
+    # its two Sorts gone, one Generate+HashAggregate instead.
+    src_pairs = F.flatten(
+        F.transform(
+            "ss",
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + F.lit(2), F.size("ss")),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
         )
+    )
+    inter = (
+        dist.groupBy("g")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .select(F.explode(src_pairs).alias("p"))
         .groupBy(
-            F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b")
+            F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b")
         )
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
