@@ -110,6 +110,8 @@ def main() -> None:
         "ann_pq_persisted",
         "ann_ivf_incremental_persisted",
         "substring_dedup_persisted",
+        "dedup_incremental_persisted",
+        "neardup_incremental_persisted",
         "dsir_select",
         "dedup_persisted_delete",
         "neardup_persisted_delete",
@@ -146,6 +148,24 @@ def main() -> None:
                 sf_dir,
                 build_substr_state,
                 lambda sd: _hash_state_dir(sd) + "_substr",
+            )
+        # the exact-hash and LSH ingest ledgers (r12: probes memoized,
+        # builds priced by dedup_ledger_build / neardup_ledger_build)
+        if "dedup_incremental_persisted" in reg:
+            from zcode_iceberg_spark.suite.llm import (
+                build_incremental_hash_table,
+            )
+
+            _memoized_state(
+                "hash", spark, sf_dir,
+                build_incremental_hash_table, _hash_state_dir,
+            )
+        if "neardup_incremental_persisted" in reg:
+            from zcode_iceberg_spark.suite.llm import build_neardup_state
+
+            _memoized_state(
+                "lsh", spark, sf_dir, build_neardup_state,
+                lambda sd: _hash_state_dir(sd) + "_lsh",
             )
         # the DSIR importance model (priced by dsir_stats_build)
         if "dsir_select" in reg:

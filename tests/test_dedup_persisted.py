@@ -262,3 +262,44 @@ def test_substr_persisted_matches_whole_corpus_on_new_docs(spark, sf_dir):
         if r["doc_id"] in got
     }
     assert got == whole and got
+
+
+def test_probe_state_memoized_and_build_entry_fresh(spark, sf_dir):
+    """r12 accounting split: the persisted probes reuse ONE state build
+    per (session, corpus) — a second call must not rewrite the state
+    dir (production probes daily against an existing ledger; the bench
+    prices the probe) — while the priced *_ledger_build entries build
+    FRESH into build-scoped scratch, never touching the probes' state."""
+    import os
+    from pathlib import Path
+
+    from zcode_iceberg_spark.suite.llm import (
+        _hash_state_dir,
+        q_dedup_ledger_build,
+        q_neardup_incremental_persisted,
+    )
+
+    first = _rows(q_dedup_incremental_persisted(spark, sf_dir))
+    state = Path(_hash_state_dir(sf_dir))
+    assert state.exists()
+    stamp = {p: os.stat(p).st_mtime_ns for p in state.rglob("*.parquet")}
+    assert stamp
+    again = _rows(q_dedup_incremental_persisted(spark, sf_dir))
+    assert again == first
+    assert {p: os.stat(p).st_mtime_ns for p in state.rglob("*.parquet")} == stamp
+
+    # the build entry runs fresh and leaves the memoized state alone
+    assert q_dedup_ledger_build(spark, sf_dir).count() > 0
+    assert {p: os.stat(p).st_mtime_ns for p in state.rglob("*.parquet")} == stamp
+
+    # the LSH twin memoizes the same way
+    r1 = q_neardup_incremental_persisted(spark, sf_dir).count()
+    lsh_state = Path(_hash_state_dir(sf_dir) + "_lsh")
+    lsh_stamp = {
+        p: os.stat(p).st_mtime_ns for p in lsh_state.rglob("*.parquet")
+    }
+    assert lsh_stamp
+    assert q_neardup_incremental_persisted(spark, sf_dir).count() == r1
+    assert {
+        p: os.stat(p).st_mtime_ns for p in lsh_state.rglob("*.parquet")
+    } == lsh_stamp

@@ -64,6 +64,13 @@ PRIORITY = [
     "ann_ivf_persisted_delete",
     "ann_pq_persisted_delete",
     "dsir_stats_build",
+    # r12 optimization round: the exact-hash and LSH persisted probes
+    # are now memoized per session (the substring/PQ/IVF accounting),
+    # their fresh builds priced by these two NEW hash-oracled entries —
+    # front-loaded per rotation policy; dedup_canonical and
+    # coreset_kcenter (green this round's local gate) displace to r13.
+    "dedup_ledger_build",
+    "neardup_ledger_build",
     "dsir_select",
     "mmr_rerank",
     "mmr_rerank_ann",
@@ -112,8 +119,6 @@ PRIORITY = [
     "neardup_incremental_persisted",
     "lm_perplexity",
     "dedup_cc_twostar",
-    "dedup_canonical",
-    "coreset_kcenter",
 ]
 
 

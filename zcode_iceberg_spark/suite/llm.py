@@ -872,9 +872,17 @@ def q_dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame
     executable form of the "compacted hash table read, not a text
     scan" claim. Same output contract and oracle as
     ``dedup_incremental``; what changes is where the historical
-    hashes come from."""
-    state = _hash_state_dir(sf_dir)
-    hash_dir, cut = build_incremental_hash_table(spark, sf_dir, state)
+    hashes come from.
+
+    The table build is memoized per (session, corpus) — r12, the
+    VERDICT r11 #1/#3 accounting rule applied to the exact-hash member
+    exactly as r11/r12 applied it to the substring/PQ/IVF/DSIR members:
+    production builds the ledger once and probes it daily, so this
+    entry prices the probe path; the build's own cost is priced fresh
+    by ``dedup_ledger_build`` (hash-oracled set-exact digest)."""
+    hash_dir, cut = _memoized_state(
+        "hash", spark, sf_dir, build_incremental_hash_table, _hash_state_dir
+    )
     return incremental_dedup_against(spark, sf_dir, hash_dir, cut)
 
 
@@ -925,9 +933,18 @@ def q_neardup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFra
     candidates, the best signature-estimated Jaccard, and the
     keep/flag decision. The historical side contributes two compacted
     parquet reads and zero text bytes (plan-asserted alongside the
-    exact-hash twin in tests/test_dedup_persisted.py)."""
-    state = _hash_state_dir(sf_dir) + "_lsh"
-    bands_dir, sigs_dir, cut = build_neardup_state(spark, sf_dir, state)
+    exact-hash twin in tests/test_dedup_persisted.py).
+
+    Band/signature state is memoized per (session, corpus) — r12, the
+    same probe-vs-build accounting as the exact-hash member above; the
+    LSH state build is priced fresh by ``neardup_ledger_build``."""
+    bands_dir, sigs_dir, cut = _memoized_state(
+        "lsh",
+        spark,
+        sf_dir,
+        build_neardup_state,
+        lambda sd: _hash_state_dir(sd) + "_lsh",
+    )
     return incremental_neardup_against(spark, sf_dir, bands_dir, sigs_dir, cut)
 
 
@@ -1007,6 +1024,139 @@ def incremental_neardup_against(
             ).alias("is_neardup"),
         )
     )
+
+
+def _build_scratch(prefix: str, sf_dir: str) -> str:
+    """Build-scoped scratch dir for the priced *_ledger_build entries
+    (the zspark_substr_build_ convention): distinct from the memoized
+    probe state so a fresh build never invalidates the probes' state,
+    pid-scoped, dead-process dirs swept."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    sweep_dead_scratch(prefix)
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"{_tf.gettempdir()}/{prefix}{tag}_p{_os.getpid()}"
+
+
+def q_dedup_ledger_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The historical content-hash table BUILD as its own priced,
+    hash-oracled entry (r12 — the substring_ledger_build /
+    dsir_stats_build accounting convention applied to the exact-hash
+    member, completing VERDICT r11 #3 for the whole persisted-ingest
+    family): fresh maintenance-layer build (day-0 keyed write, day-1
+    novel merge_upsert, compaction) into a build-scoped scratch dir,
+    digested from the PERSISTED table as one row per leading hex
+    nibble — hash count, min/max hash, bit_xor of a 15-hex-digit
+    slice (set-exact membership fingerprint), plus sum(n_docs) and
+    sum(first_doc_id) so the merged VALUES are certified too, not
+    just the key set."""
+    state = _build_scratch("zspark_hash_build_", sf_dir)
+    hash_dir, _cut = build_incremental_hash_table(spark, sf_dir, state)
+    led = spark.read.parquet(hash_dir)
+    return led.groupBy(F.substring("content_hash", 1, 1).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.min("content_hash").alias("min_h"),
+        F.max("content_hash").alias("max_h"),
+        F.bit_xor(
+            F.conv(F.substring("content_hash", 2, 15), 16, 10).cast("bigint")
+        ).alias("xor_h"),
+        F.sum("n_docs").cast("bigint").alias("sum_docs"),
+        F.sum("first_doc_id").cast("bigint").alias("sum_first"),
+    )
+
+
+SQL_DEDUP_LEDGER_BUILD = f"""
+WITH cut AS (
+  SELECT CAST(floor({INCR_SPLIT_FRAC} * (max(doc_id) + 1)) AS BIGINT) AS c
+  FROM documents
+),
+hashed AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+day0 AS (
+  SELECT content_hash, min(doc_id) AS first_doc_id, count(*) AS n_docs
+  FROM hashed, cut WHERE doc_id < cut.c // 2 GROUP BY 1
+),
+day1 AS (
+  SELECT content_hash, min(doc_id) AS first_doc_id, count(*) AS n_docs
+  FROM hashed, cut WHERE doc_id >= cut.c // 2 AND doc_id < cut.c GROUP BY 1
+),
+novel AS (
+  SELECT d1.* FROM day1 d1
+  WHERE NOT EXISTS (SELECT 1 FROM day0 d0
+                    WHERE d0.content_hash = d1.content_hash)
+),
+led AS (SELECT * FROM day0 UNION ALL SELECT * FROM novel)
+SELECT substr(content_hash, 1, 1) AS bucket,
+       count(*) AS n_hashes,
+       min(content_hash) AS min_h,
+       max(content_hash) AS max_h,
+       bit_xor(CAST(concat('0x', substr(content_hash, 2, 15)) AS BIGINT))
+         AS xor_h,
+       CAST(sum(n_docs) AS BIGINT) AS sum_docs,
+       CAST(sum(first_doc_id) AS BIGINT) AS sum_first
+FROM led GROUP BY 1
+"""
+
+
+def q_neardup_ledger_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH band-table BUILD as its own priced, hash-oracled entry
+    (r12, completing the probe-vs-build split for the near-dup member):
+    fresh signature + band state through the maintenance layer
+    (build_neardup_state: minhash, band explode, compaction), digested
+    from the PERSISTED band table per band_id — row count, distinct
+    buckets, min/max bucket_key, and a set-exact bit_xor over
+    md5(doc_id ':' bucket_key) row fingerprints. Every signature slot
+    appears inside some band's bucket_key, so a green digest certifies
+    the persisted signature VALUES transitively, not just band-table
+    shape."""
+    state = _build_scratch("zspark_lsh_build_", sf_dir)
+    bands_dir, _sigs_dir, _cut = build_neardup_state(spark, sf_dir, state)
+    bands = spark.read.parquet(bands_dir)
+    row_h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("doc_id").cast("string"), F.col("bucket_key")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return bands.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("bucket_key").alias("n_buckets"),
+        F.min("bucket_key").alias("min_bk"),
+        F.max("bucket_key").alias("max_bk"),
+        F.bit_xor(row_h).alias("xor_row"),
+    )
+
+
+SQL_NEARDUP_LEDGER_BUILD = f"""
+WITH {CHSH_CTE},
+{HASHES_CTE},
+{SIG_CTE},
+{BANDS_CTE},
+cut AS (
+  SELECT CAST(floor({INCR_SPLIT_FRAC} * (max(doc_id) + 1)) AS BIGINT) AS c
+  FROM documents
+),
+hist AS (
+  SELECT b.* FROM bands b, cut WHERE b.doc_id < cut.c
+)
+SELECT band_id,
+       count(*) AS n_rows,
+       count(DISTINCT bucket_key) AS n_buckets,
+       min(bucket_key) AS min_bk,
+       max(bucket_key) AS max_bk,
+       bit_xor(CAST(concat('0x', substr(
+         md5(concat(CAST(doc_id AS VARCHAR), ':', bucket_key)), 1, 15))
+         AS BIGINT)) AS xor_row
+FROM hist GROUP BY 1
+"""
 
 
 SQL_NEARDUP_INCREMENTAL = f"""
@@ -8967,6 +9117,10 @@ QUERIES = {
     ),
     "neardup_incremental_persisted": Query(
         q_neardup_incremental_persisted, SQL_NEARDUP_INCREMENTAL
+    ),
+    "dedup_ledger_build": Query(q_dedup_ledger_build, SQL_DEDUP_LEDGER_BUILD),
+    "neardup_ledger_build": Query(
+        q_neardup_ledger_build, SQL_NEARDUP_LEDGER_BUILD
     ),
     "dedup_persisted_delete": Query(
         q_dedup_persisted_delete, SQL_DEDUP_PERSISTED_DELETE

@@ -417,14 +417,25 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
-PCT_RANK_TOL = 0.01  # 100× the sketch's 1/10000 rank-error guarantee
+# Audit tolerance vs sketch accuracy: approx_percentile's GK sketch
+# guarantees relative rank error ≤ 1/accuracy, so accuracy=1000 keeps
+# a deterministic 10× margin under the ±0.01 audit band. r12 dropped
+# accuracy from 10000 (100× margin) after measuring the sketch agg at
+# 2.11 s vs 1.40 s warm at sf0.1 — the bigger sketch bought margin the
+# audit never needed, and at 100 TB the 10× smaller summaries also
+# shrink every partial-agg merge (guide §2.3: shuffle fewer bytes).
+# The hash-checked output (n + three booleans) is unchanged: the
+# booleans are deterministically TRUE under the worst-case guarantee
+# at either accuracy.
+PCT_ACCURACY = 1000
+PCT_RANK_TOL = 0.01  # 10× the sketch's 1/1000 rank-error guarantee
 
 
 def q_price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB percentile path `q_price_percentiles` documents,
     implemented live: `approx_percentile` builds a mergeable sketch in
     one partial-agg pass — no per-group sort, no row buffering — at
-    accuracy 1/10000. Sketch estimates are engine-specific (merge-order
+    accuracy 1/1000 (rank error 10× inside the audit tolerance). Sketch estimates are engine-specific (merge-order
     dependent), so the hash-checked output is the RANK-TOLERANCE audit:
     for each quantile q the flag asserts
     count(price < approx)/n ≤ q+tol AND count(price ≤ approx)/n ≥ q−tol
@@ -435,7 +446,7 @@ def q_price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join-back is audit-only cost; pure scale-path usage is
     the bare agg. Exact values stay in `price_percentiles`."""
     li = load_table(spark, sf_dir, "lineitem")
-    acc = F.lit(10000)
+    acc = F.lit(PCT_ACCURACY)
     appx = li.groupBy("l_returnflag").agg(
         F.approx_percentile("l_extendedprice", F.lit(0.25), acc).alias("a25"),
         F.approx_percentile("l_extendedprice", F.lit(0.5), acc).alias("a50"),
@@ -676,7 +687,10 @@ FROM scored GROUP BY r_q, f_q, m_q
 
 RFM_AXES = ["recency_days", "frequency", "monetary"]
 RFM_QS = [0.2, 0.4, 0.6, 0.8]
-RFM_RANK_TOL = 0.01  # 100× the sketch's 1/10000 rank-error guarantee
+RFM_RANK_TOL = 0.01  # 10× the sketch's 1/1000 rank-error guarantee (r12:
+# accuracy 10000 → 1000, same measured rationale as PCT_ACCURACY above —
+# the audit booleans stay deterministically TRUE under the worst-case
+# guarantee, and the 10× smaller sketches shrink every partial-agg merge)
 
 
 def q_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -715,7 +729,7 @@ def q_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     pcts = F.array(*[F.lit(q) for q in RFM_QS])
     cuts = rfm.agg(
         *[
-            F.approx_percentile(a, pcts, F.lit(10000)).alias(f"{a}_cuts")
+            F.approx_percentile(a, pcts, F.lit(PCT_ACCURACY)).alias(f"{a}_cuts")
             for a in RFM_AXES
         ]
     )
