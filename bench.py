@@ -288,25 +288,36 @@ def main() -> None:
         )
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # the suite GROWS round over round — normalize so totals
-                # stay comparable against earlier, smaller suites
-                "n_queries": len(times),
-                "sec_per_query": round(total / max(len(times), 1), 3),
-                "reruns": reruns,
-                # median of the collected samples for every re-measured
-                # entry — the non-flattering statistic beside min-of-k
-                "medians": medians,
-            }
-        )
+    record = json.dumps(
+        {
+            "metric": "suite_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            # the suite GROWS round over round — normalize so totals
+            # stay comparable against earlier, smaller suites
+            "n_queries": len(times),
+            "sec_per_query": round(total / max(len(times), 1), 3),
+            "reruns": reruns,
+            # median of the collected samples for every re-measured
+            # entry — the non-flattering statistic beside min-of-k
+            "medians": medians,
+        }
     )
+    # ALSO write the record to a file next to the repo: with 221
+    # entries the one-line JSON is ~9 KB, which outlived the driver's
+    # 2000-char stdout tail capture in round 12 and nulled the whole
+    # round-over-round comparison. The file is the durable copy; the
+    # stdout line below stays LAST and unchanged (driver contract).
+    try:
+        (Path(__file__).resolve().parent / "BENCH_local.json").write_text(
+            record + "\n"
+        )
+    except OSError as exc:
+        print(f"## bench: could not write BENCH_local.json: {exc}",
+              file=sys.stderr, flush=True)
+    print(record)
     spark.stop()
 
 

@@ -146,6 +146,90 @@ def test_neardup_probe_never_scores_taken_down_docs(spark, sf_dir, tmp_path):
     assert got.count() > 0  # probe still runs over the full batch
 
 
+def test_fold_crash_between_steps_leaves_readable_ledger(
+    spark, tmp_path, monkeypatch
+):
+    """Kill-between-steps audit of the fold's swap (VERDICT r12 #8):
+    simulate a crash before EACH filesystem mutation of
+    ``fold_tombstones``'s swap sequence (rename-aside, rename-in, drop
+    old, drop sidecar) and assert that (a) a readable, semantically
+    correct ledger survives every crash point — merge-on-read returns
+    the folded row set from old-at-path, old-at-aside (recovered), or
+    new-at-path alike — and (b) re-running the fold converges to the
+    same final state as the crash-free run."""
+    import shutil
+    from pathlib import Path as RealPath
+
+    import zcode_iceberg_spark.sources.sinks as sinks
+
+    def fresh_ledger(tag):
+        path = str(tmp_path / f"ledger_{tag}")
+        spark.range(100).selectExpr("id AS k", "id * 2 AS v").write.parquet(path)
+        tombs = spark.range(0, 100, 3).selectExpr("id AS k")
+        ledger_delete(spark, path, tombs, "k")
+        return path
+
+    def surviving_keys(path):
+        return sorted(
+            r[0] for r in read_with_tombstones(spark, path, "k").select("k").collect()
+        )
+
+    expected = sorted(i for i in range(100) if i % 3 != 0)
+
+    class Kill(Exception):
+        pass
+
+    # the swap sequence is 4 mutations; kill before each, then a
+    # crash-free control run (budget 99)
+    for budget in (0, 1, 2, 3, 99):
+        path = fresh_ledger(f"b{budget}")
+        left = [budget]
+
+        def tick():
+            if left[0] == 0:
+                raise Kill()
+            left[0] -= 1
+
+        class CrashingPath:
+            def __init__(self, *a):
+                self._p = RealPath(*a)
+
+            def exists(self):
+                return self._p.exists()
+
+            def rename(self, target):
+                tick()
+                return self._p.rename(target)
+
+        real_rmtree = shutil.rmtree
+
+        def crashing_rmtree(p, *a, **kw):
+            tick()
+            return real_rmtree(p, *a, **kw)
+
+        monkeypatch.setattr(sinks, "Path", CrashingPath)
+        monkeypatch.setattr(shutil, "rmtree", crashing_rmtree)
+        try:
+            folded = fold_tombstones(spark, path, "k")
+            assert budget == 99 and folded is True
+        except Kill:
+            assert budget < 4
+        finally:
+            monkeypatch.setattr(sinks, "Path", RealPath)
+            monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+
+        # (a) a readable ledger with the folded semantics survives
+        assert surviving_keys(path) == expected
+        # (b) re-running the fold converges to the crash-free state
+        fold_tombstones(spark, path, "k")
+        assert not RealPath(path + "__tombstones").exists()
+        assert not RealPath(path + ".__swap_old").exists()
+        assert surviving_keys(path) == expected
+        assert sorted(
+            r[0] for r in spark.read.parquet(path).select("k").collect()
+        ) == expected
+
+
 def test_substring_probe_drops_purged_windows(spark, sf_dir, tmp_path):
     """After the window purge, total dup_chars over the batch can only
     go down vs the non-deleted ledger (same batch, smaller ledger)."""

@@ -30,11 +30,29 @@ def test_oracle_match(spark, sf_dir, con, name):
     compare(q.fn(spark, sf_dir), con, q.oracle, name)
 
 
-def test_all_queries_return_rows(spark, sf_dir):
-    for name, q in REG.items():
-        df = q.fn(spark, sf_dir)
+def _rows_smoke(spark, sf_dir, names):
+    for name in names:
+        df = REG[name].fn(spark, sf_dir)
         assert df.count() >= 0, name
         assert len(df.columns) > 0, name
+
+
+def test_window_queries_return_rows(spark, sf_dir):
+    """Fast-lane rows smoke: the driver-checked window plus every
+    query that ships WITHOUT a DuckDB oracle (those have no
+    test_oracle_match row at all, so this is their only executable
+    check in the default lane)."""
+    from zcode_iceberg_spark.suite import PRIORITY
+
+    names = list(PRIORITY) + sorted(
+        n for n, q in REG.items() if not q.oracle and n not in PRIORITY
+    )
+    _rows_smoke(spark, sf_dir, names)
+
+
+@pytest.mark.slow
+def test_all_queries_return_rows(spark, sf_dir):
+    _rows_smoke(spark, sf_dir, list(REG))
 
 
 def test_priority_window_contract():

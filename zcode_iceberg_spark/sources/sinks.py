@@ -215,6 +215,36 @@ def evolved_read(spark: SparkSession, table_dir: str) -> DataFrame:
     return out
 
 
+def _recover_swap(path: str) -> None:
+    """Restore a table whose :func:`_swap_in` crashed between moving
+    the old data aside and moving the new data in: the aside copy is
+    the only readable version, so rename it back. No-op when the
+    table exists (including when a stale aside copy survives a crash
+    AFTER the new data went live — `_swap_in` clears it)."""
+    old = path.rstrip("/") + ".__swap_old"
+    if not Path(path).exists() and Path(old).exists():
+        Path(old).rename(path.rstrip("/"))
+
+
+def _swap_in(tmp: str, path: str) -> None:
+    """Crash-safe swap of a staged directory into the live path:
+    rename the live data ASIDE, move the staged data in, then drop
+    the old copy. A crash between any two steps leaves a readable
+    table — old data at `path`, old data at the aside path (restored
+    by :func:`_recover_swap` on the next maintenance call), or new
+    data at `path`. The previous rmtree-then-rename ordering had a
+    window (after the rmtree, before the rename) with NO table."""
+    import shutil as _shutil
+
+    p = path.rstrip("/")
+    old = p + ".__swap_old"
+    if Path(old).exists():
+        _shutil.rmtree(old)  # leftover from a crash after the new data went live
+    Path(p).rename(old)
+    Path(tmp).rename(p)
+    _shutil.rmtree(old)
+
+
 def merge_upsert(
     spark: SparkSession, path: str, updates: DataFrame, key: str
 ) -> None:
@@ -227,16 +257,15 @@ def merge_upsert(
     (see :func:`upsert_daily_partitions` for the partition-level
     form), or graduate to a table format with delete files when
     rewrite amplification dominates. The result is staged to a temp
-    directory and swapped in, because lazily reading and overwriting
-    the same path would corrupt the table mid-scan."""
-    import shutil as _shutil
-
+    directory and swapped in crash-safely (:func:`_swap_in`), because
+    lazily reading and overwriting the same path would corrupt the
+    table mid-scan."""
+    _recover_swap(path)
     tgt = spark.read.parquet(path)
     merged = tgt.join(updates.select(key), key, "left_anti").unionByName(updates)
     tmp = path.rstrip("/") + ".__merge_tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    _shutil.rmtree(path)
-    Path(tmp).rename(path)
+    _swap_in(tmp, path)
 
 
 def merge_bitwise_or(
@@ -255,8 +284,7 @@ def merge_bitwise_or(
     discipline. Staged to a temp directory and swapped in, same as
     merge_upsert, because lazily reading and overwriting one path
     would corrupt the table mid-scan."""
-    import shutil as _shutil
-
+    _recover_swap(path)
     tgt = spark.read.parquet(path)
     merged = (
         tgt.unionByName(updates)
@@ -265,8 +293,7 @@ def merge_bitwise_or(
     )
     tmp = path.rstrip("/") + ".__merge_tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    _shutil.rmtree(path)
-    Path(tmp).rename(path)
+    _swap_in(tmp, path)
 
 
 def ledger_delete(
@@ -299,6 +326,7 @@ def read_with_tombstones(spark: SparkSession, path: str, key: str) -> DataFrame:
     on the ledger key — the same partitioning every probe join already
     uses, so the delete filter rides the shuffle the probe pays anyway.
     No sidecar → plain read (zero overhead once compaction folded)."""
+    _recover_swap(path)  # a fold crash must not strand readers
     df = spark.read.parquet(path)
     tomb = path.rstrip("/") + "__tombstones"
     if Path(tomb).exists():
@@ -308,23 +336,27 @@ def read_with_tombstones(spark: SparkSession, path: str, key: str) -> DataFrame:
 
 def fold_tombstones(spark: SparkSession, path: str, key: str) -> bool:
     """Compaction step that folds pending tombstones into the ledger:
-    survivors are rewritten in place (staged to a temp dir and swapped,
-    same discipline as :func:`merge_upsert`) and the sidecar is
-    dropped, so subsequent reads pay no anti join. Returns whether a
-    fold happened (no sidecar → no-op, making nightly maintenance
-    idempotent). The deleted keys are NOT retained anywhere after the
-    fold — a takedown must not leave the purged content's fingerprints
-    in a retained delete log."""
+    survivors are rewritten in place (staged to a temp dir and swapped
+    crash-safely via :func:`_swap_in`) and the sidecar is dropped LAST,
+    so subsequent reads pay no anti join. Returns whether a fold
+    happened (no sidecar → no-op, making nightly maintenance
+    idempotent). Crash-safety: a kill between any two steps leaves a
+    readable ledger (old at `path`, old at the aside path — restored
+    on the next call — or new at `path`), and because the sidecar
+    outlives the swap, re-running the fold after a crash re-applies
+    the same anti join idempotently. The deleted keys are NOT retained
+    anywhere after the fold — a takedown must not leave the purged
+    content's fingerprints in a retained delete log."""
     import shutil as _shutil
 
+    _recover_swap(path)
     tomb = path.rstrip("/") + "__tombstones"
     if not Path(tomb).exists():
         return False
     survivors = read_with_tombstones(spark, path, key)
     tmp = path.rstrip("/") + ".__fold_tmp"
     survivors.write.mode("overwrite").parquet(tmp)
-    _shutil.rmtree(path)
-    Path(tmp).rename(path)
+    _swap_in(tmp, path)
     _shutil.rmtree(tomb)
     return True
 

@@ -4473,7 +4473,23 @@ def q_ann_ivfpq(
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", sim_ops.norm(F.col("embedding")).alias("nrm")
     )
-    ranked = sim_ops.ivf_cell_ranks(e, _ivf_cents(e, ("full", sf_dir)))
+    # the IVF assignment is the SHARED ARM of this query: both the
+    # member-cell branch (crank == 1) and the query-probe branch
+    # (crank <= nprobe) consume it, and without a reuse barrier the
+    # physical plan computed the whole crossJoin+window subtree TWICE,
+    # each with its own embeddings scan (r13 before-plan: two
+    # identical BroadcastNestedLoopJoin+Window subtrees). A lazy
+    # localCheckpoint makes it compute once (guide §2.4) — values
+    # unchanged. localCheckpoint, NOT persist: a persisted
+    # (parquet ⋈ literal-centroids) plan is canonically identical
+    # across calls, so CacheManager would silently substitute one
+    # bench sample's cache into the next — per-call accounting must
+    # stay fresh. The projected frame is 3 narrow columns per vector.
+    ranked = (
+        sim_ops.ivf_cell_ranks(e, _ivf_cents(e, ("full", sf_dir)))
+        .select("vec_id", "cell", "crank")
+        .localCheckpoint(eager=False)
+    )
     v_cells = ranked.filter(F.col("crank") == 1).select("vec_id", "cell")
     codes = _reuse(
         emb.select("vec_id", *_pq_enc_cols(books)).join(v_cells, "vec_id")
@@ -6405,15 +6421,6 @@ def q_decon_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_tr = F.col("u") < SPLIT_TRAIN
     is_te = F.col("u") >= SPLIT_VAL
-    sk = grams.agg(
-        F.hll_sketch_agg(F.when(is_tr, F.col("g"))).alias("sk_tr"),
-        F.hll_sketch_agg(F.when(is_te, F.col("g"))).alias("sk_te"),
-    )
-    est = sk.select(
-        F.hll_sketch_estimate("sk_tr").alias("est_train"),
-        F.hll_sketch_estimate("sk_te").alias("est_test"),
-        F.hll_sketch_estimate(F.hll_union("sk_tr", "sk_te")).alias("est_union"),
-    )
     memb = (
         grams.groupBy("g")
         .agg(
@@ -6421,12 +6428,28 @@ def q_decon_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(is_te, 1).otherwise(0)).alias("te"),
         )
     )
-    exact = memb.agg(
+    # ONE aggregate over the distinct-gram frame computes the exact
+    # counts AND the sketch estimates (r13, guide §2.4: the before-plan
+    # carried TWO full Generate+md5 gram subtrees over
+    # documents.parquet — one per arm). Feeding the sketches the
+    # per-side DISTINCT gram sets is value-identical to feeding the
+    # raw occurrence stream: an HLL sketch is a deterministic function
+    # of its input SET (register updates are max-idempotent, sparse
+    # coupons are a set), so every estimate — and therefore every
+    # hash-checked hll_*_ok boolean — is unchanged, while the corpus
+    # is exploded and hashed once instead of once per arm. The sketch
+    # side keeps its mergeable one-row shape; it now rides the shuffle
+    # the exact audit arm pays anyway.
+    sk_tr = F.hll_sketch_agg(F.when(F.col("tr") == 1, F.col("g")))
+    sk_te = F.hll_sketch_agg(F.when(F.col("te") == 1, F.col("g")))
+    j = memb.agg(
         F.sum("tr").alias("n_train"),
         F.sum("te").alias("n_test"),
         F.sum(F.col("tr") * F.col("te")).alias("n_both"),
+        F.hll_sketch_estimate(sk_tr).alias("est_train"),
+        F.hll_sketch_estimate(sk_te).alias("est_test"),
+        F.hll_sketch_estimate(F.hll_union(sk_tr, sk_te)).alias("est_union"),
     )
-    j = exact.crossJoin(F.broadcast(est))
     n_union = F.col("n_train") + F.col("n_test") - F.col("n_both")
     ov_est = F.col("est_train") + F.col("est_test") - F.col("est_union")
     tol = F.lit(HLL_RTOL)
