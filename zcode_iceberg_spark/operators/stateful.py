@@ -52,23 +52,55 @@ def _hysteresis_fold(
 ) -> tuple[list[str], list[int], tuple[str, str | None, int]]:
     """Sequential hysteresis transition — THE shared kernel for batch
     (applyInPandas) and streaming (applyInPandasWithState). Takes the
-    carried state and returns per-row outputs plus the final state."""
-    out_lab: list[str] = []
-    out_cnt: list[int] = []
-    for raw in labels:
+    carried state and returns per-row outputs plus the final state.
+
+    r13 vectorization (guide §4.2): the row loop is now a loop over
+    RUNS of identical raw labels (maximal streaks), because the
+    transition is fully determined per run: a run equal to the
+    confirmed label resets pending; a differing run counts up from
+    its carried offset and flips the confirmed label at count ==
+    confirm_k, after which the rest of the run emits count 0. Row
+    outputs within a run are filled with numpy slices, so per-row
+    Python work disappears while the emitted (label, count) sequence
+    and the final carried state are identical by case analysis —
+    pinned by the hysteresis split-invariance seeds and the
+    batch<->stream agreement tests."""
+    import numpy as np
+
+    arr = np.asarray(labels, dtype=object)
+    n = len(arr)
+    if n == 0:
+        return [], [], (confirmed, pending, count)
+    out_lab = np.empty(n, dtype=object)
+    out_cnt = np.zeros(n, dtype=np.int64)
+    starts = np.concatenate(
+        ([0], np.flatnonzero(arr[1:] != arr[:-1]) + 1, [n])
+    )
+    for s, e in zip(starts[:-1], starts[1:]):
+        raw = arr[s]
         if raw == confirmed:
             pending, count = None, 0
-        elif raw == pending:
-            count += 1
-            if count >= confirm_k:
-                confirmed, pending, count = raw, None, 0
+            out_lab[s:e] = confirmed
+            # counts already 0
+            continue
+        c0 = count if raw == pending else 0
+        flip = confirm_k - c0  # 1-based offset within the run
+        if flip <= e - s:
+            f = s + flip - 1  # index of the confirming row
+            out_lab[s:f] = confirmed
+            out_cnt[s:f] = np.arange(c0 + 1, c0 + flip)
+            confirmed, pending, count = raw, None, 0
+            out_lab[f:e] = confirmed
+            # counts from the confirming row on are 0
         else:
-            pending, count = raw, 1
-            if count >= confirm_k:
-                confirmed, pending, count = raw, None, 0
-        out_lab.append(confirmed)
-        out_cnt.append(count)
-    return out_lab, out_cnt, (confirmed, pending, count)
+            out_lab[s:e] = confirmed
+            out_cnt[s:e] = np.arange(c0 + 1, c0 + (e - s) + 1)
+            pending, count = raw, c0 + (e - s)
+    return (
+        out_lab.tolist(),
+        out_cnt.tolist(),
+        (confirmed, pending, count),
+    )
 
 
 def hysteresis(
