@@ -12,6 +12,8 @@ Python constants as the Spark expressions — one source of truth.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -3526,8 +3528,11 @@ PQ_SHORTLIST = 10 * TOPK  # ADC candidates per query before exact rerank
 def _pq_code_expr(sub: Column, book: list[tuple[int, list[float]]]) -> Column:
     """1-based POSITION (cid-sorted) of the nearest codeword to the
     subvector — squared-L2 argmin, first-min tie-break (= lowest cid,
-    matching the oracle's (dist, cid) row_number). Shared by training
-    assignment and final encode so both quantize identically."""
+    matching the oracle's (dist, cid) row_number). This is the
+    EXPRESSION twin that defines the semantics; the hot paths run the
+    decimal-exact vectorized mirror below (`_pq_mats_argmin` /
+    `_pq_codes_udf` / `_pq_cid_udf`), kept because the zip_with+fold
+    spelling is the 1:1 bridge to the oracle's SQL."""
     dists = F.array(
         *[
             F.aggregate(
@@ -3543,6 +3548,86 @@ def _pq_code_expr(sub: Column, book: list[tuple[int, list[float]]]) -> Column:
         ]
     )
     return F.array_position(dists, F.array_min(dists)).cast("int")
+
+
+def _pq_mats(books: list) -> list:
+    """books as per-subspace float64 matrices (K_s x SUBDIM)."""
+    import numpy as np
+
+    return [
+        np.asarray([c for _, c in book], dtype=np.float64) for book in books
+    ]
+
+
+def _pq_argmin(X, M):
+    """0-based nearest-codeword index per row of X (n x SUBDIM)
+    against codeword matrix M (K x SUBDIM) — bit-exact mirror of
+    `_pq_code_expr`: the squared-L2 fold accumulates left-to-right
+    over dimensions ((0.0 + t1) + t2 ...), each (a-b)*(a-b) and each
+    add the same IEEE float64 op the zip_with+aggregate expression
+    performs per row, vectorized ACROSS rows; np.argmin takes the
+    first minimum (= array_position of array_min = lowest cid)."""
+    import numpy as np
+
+    acc = np.zeros((X.shape[0], M.shape[0]))
+    for d in range(M.shape[1]):
+        diff = X[:, d, None] - M[None, :, d]
+        acc = acc + diff * diff
+    return np.argmin(acc, axis=1)
+
+
+def _pq_codes_udf(books: list):
+    """Arrow-vectorized encode: full embedding -> array of the
+    {PQ_M} 1-based codeword positions (one Python boundary crossing
+    for all subspaces; guide §4.2). The JVM expression form cost
+    ~5 ms/row interpreted — the codebook-literal trees are too large
+    for useful codegen — which made ENCODE the PQ family's dominant
+    stage; the kernel is numerically identical (`_pq_argmin`)."""
+    import numpy as np
+    import pandas as pd
+
+    mats = _pq_mats(books)
+
+    @F.pandas_udf("array<int>")
+    def codes(e: pd.Series) -> pd.Series:
+        if not len(e):
+            return pd.Series([], dtype=object)
+        E = np.stack(e.to_numpy())
+        out = np.empty((E.shape[0], len(mats)), dtype=np.int32)
+        for s, M in enumerate(mats):
+            X = E[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+            out[:, s] = _pq_argmin(X, M) + 1
+        return pd.Series(list(out))
+
+    return codes
+
+
+def _pq_cid_udf(books: list):
+    """Arrow-vectorized training assignment on the posexploded
+    (s, sub) frame: 0-based cid of the nearest codeword in subspace
+    s's CURRENT codebook — replaces the per-row WHEN-chain of
+    codebook-literal expressions each Lloyd iteration (same
+    `_pq_argmin` arithmetic, so every centroid trajectory is
+    unchanged)."""
+    import numpy as np
+    import pandas as pd
+
+    mats = _pq_mats(books)
+
+    @F.pandas_udf("int")
+    def cid(s: pd.Series, sub: pd.Series) -> pd.Series:
+        if not len(s):
+            return pd.Series([], dtype="int32")
+        sv = s.to_numpy()
+        SUB = np.stack(sub.to_numpy())
+        out = np.empty(len(sv), dtype=np.int32)
+        for si, M in enumerate(mats):
+            m = sv == si
+            if m.any():
+                out[m] = _pq_argmin(SUB[m], M)
+        return pd.Series(out)
+
+    return cid
 
 
 def _pq_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3631,15 +3716,12 @@ def _pq_train_books(emb: DataFrame) -> list:
     for _ in range(PQ_ITERS):
         # positions are cid-sorted indices; books stay dense (cid =
         # position - 1) as long as no cluster empties — see the
-        # degraded-budget note in the docstring for the empty case
-        cid = None
-        for s in range(PQ_M):
-            code = _pq_code_expr(F.col("sub"), books[s]) - 1
-            cid = (
-                F.when(F.col("s") == s, code)
-                if cid is None
-                else cid.when(F.col("s") == s, code)
-            )
+        # degraded-budget note in the docstring for the empty case.
+        # Assignment runs the vectorized kernel (one ArrowEvalPython
+        # over (s, sub)) instead of the former per-row WHEN-chain of
+        # codebook-literal expressions — same `_pq_argmin` floats,
+        # same centroid trajectory, fraction of the per-row cost.
+        cid = _pq_cid_udf(books)(F.col("s"), F.col("sub"))
         members = (
             subs.withColumn("cid", cid)
             .groupBy("s", "cid")
@@ -3714,14 +3796,15 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_enc_cols(books: list) -> list:
     """Encode columns p0..p{PQ_M-1}: per subspace, position (1-based,
-    cid-sorted) of the nearest codeword; array_position takes the
-    FIRST min (= lowest cid, matching the oracle's (dist, cid)
-    row_number)."""
+    cid-sorted) of the nearest codeword; first-min tie-break (= lowest
+    cid, matching the oracle's (dist, cid) row_number). One shared
+    vectorized-kernel call (`_pq_codes_udf`) feeds all {PQ_M} columns
+    — the single Column instance is reused so the plan carries ONE
+    ArrowEvalPython evaluation, projected {PQ_M} ways."""
+    codes = _pq_codes_udf(books)(F.col("e"))
     return [
-        _pq_code_expr(
-            F.slice("e", s * PQ_SUBDIM + 1, PQ_SUBDIM), book
-        ).alias(f"p{s}")
-        for s, book in enumerate(books)
+        F.element_at(codes, s + 1).alias(f"p{s}")
+        for s in range(len(books))
     ]
 
 
