@@ -42,83 +42,81 @@ class Query:
 WINDOW = 50
 
 PRIORITY = [
-    # Round-12 rotation (the r11 leave-behind plan, PLANS.md "Rotation
-    # plan for round 12", executed; tools/rotate_priority.py over the
-    # r1-r11 history). Front: queries NEW or changed this round —
-    #   new: the persisted-ledger DELETION family (takedown /
-    #        PII-removal, VERDICT r11 #7): dedup_persisted_delete,
-    #        neardup_persisted_delete, substring_persisted_delete —
-    #        via the ledger_delete / read_with_tombstones /
-    #        fold_tombstones maintenance seam (sources/sinks.py);
-    #        and dsir_stats_build (the DSIR importance model priced as
-    #        its own fresh-build entry, VERDICT r11 #3);
-    #   plan changes, values locally gate-green, oracles unchanged:
-    #        dsir_select (memoized model + one scoring pass),
-    #        mmr_rerank / mmr_rerank_ann / mmr_ann_overlap (the greedy
-    #        collapsed to one applyInPandas kernel, VERDICT r11 #2),
-    #        dedup_quality_keeper / cluster_safe_split (shared
-    #        canonical-map artifact, VERDICT r11 #4).
-    "dedup_persisted_delete",
-    "neardup_persisted_delete",
-    "substring_persisted_delete",
-    "ann_ivf_persisted_delete",
+    # Round-13 rotation (optimization round 2). Front: every query
+    # whose PLAN or KERNEL changed this round — values locally
+    # gate-green at sf0.01, oracles unchanged; the driver must
+    # re-prove each hash:
+    #   rfm_segments_approx: sketch accuracy changed in r12 but was
+    #        never in an oracle window since (VERDICT r12 #9);
+    #   decon_overlap_hll: exact counts + HLL estimates now one
+    #        aggregate over the distinct-gram frame (one corpus pass);
+    #   PQ family: encode/Lloyd assignment vectorized into one
+    #        ArrowEvalPython kernel (decimal-exact mirror of the
+    #        expression form); ann_ivfpq additionally shares the IVF
+    #        assignment arm instead of recomputing it;
+    #   FSM/hysteresis/scoring families: the position-FSM and
+    #        hysteresis folds are vectorized (per-trade / per-run,
+    #        bit-identical transitions), and scoring._features now
+    #        persists its shared tick/bar frames (was 6 scans/plan).
+    "rfm_segments_approx",
+    "decon_overlap_hll",
+    "ann_pq",
+    "ann_pq_recall",
+    "ann_ivfpq",
+    "ann_ivfpq_recall",
+    "ann_pq_persisted",
     "ann_pq_persisted_delete",
-    "dsir_stats_build",
-    # r12 optimization round: the exact-hash and LSH persisted probes
-    # are now memoized per session (the substring/PQ/IVF accounting),
-    # their fresh builds priced by these two NEW hash-oracled entries —
-    # front-loaded per rotation policy; dedup_canonical and
-    # coreset_kcenter (green this round's local gate) displace to r13.
-    "dedup_ledger_build",
-    "neardup_ledger_build",
-    "dsir_select",
-    "mmr_rerank",
-    "mmr_rerank_ann",
-    "mmr_ann_overlap",
-    "dedup_quality_keeper",
-    "cluster_safe_split",
-    # Then the stalest never-rechecked driver greens, rotation-tool
-    # order (last green row r6/r7; trend_lstm_training rows-only BY
-    # DESIGN — it has no oracle; the training math is hash-covered by
-    # lstm_bptt_micro). Every query pushed past the window holds a
-    # green driver row from an earlier round and stays oracle-checked
-    # at sf0.001 on every pytest run (tests/test_oracle_suite.py).
-    "trend_lstm_training",
-    "trend_hysteresis",
-    "media_frames",
-    "media_resize",
-    "gap_fill_1h",
-    "trend_classifier_weights",
-    "trend_probe_training",
-    "realized_vol",
-    "iceberg_refill",
-    "wall_strength",
-    "pricing_summary",
-    "price_percentiles",
-    "price_percentiles_approx",
-    "star_revenue",
-    "top_customers_per_nation",
-    "priority_with_discounted",
-    "customers_without_orders",
-    "rollup_sales",
-    "distinct_parts_per_supplier",
-    "approx_distinct_parts",
+    "ann_pq_index_build",
+    "equity_compounding",
+    "wp_calibration",
+    "risk_limits",
     "trade_params",
     "mc_win_prob",
-    "dedup_exact",
-    "dup_spans",
-    "training_export",
-    "simhash",
-    "lang_id",
-    "text_quality",
-    "token_counts",
-    "token_histogram",
-    "bpe_merges",
-    "bpe_segment",
-    "dedup_incremental_persisted",
-    "neardup_incremental_persisted",
-    "lm_perplexity",
-    "dedup_cc_twostar",
+    "signal_scores",
+    "position_ledger",
+    "ledger_daily_summary",
+    "ledger_drawdown",
+    "ledger_exit_stats",
+    "live_pipeline_summary",
+    "live_pipeline_ledger",
+    "trend_hysteresis",
+    "trend_dual_fusion",
+    # displaced from the r12 plan by the two new ledger-build entries
+    # (r12 leave-behind note) — rotated in as promised:
+    "dedup_canonical",
+    "coreset_kcenter",
+    # Then the stalest driver greens, rotation-tool order (r8 cohort).
+    # trend_lstm_training is EXCLUDED by design: it has no oracle
+    # (rows-only; FIXTURES.md §5), so a window slot on it buys no hash
+    # check — its training math stays covered by lstm_bptt_micro and
+    # tests/test_lstm_training.py. Every query pushed past the window
+    # holds a green driver row from an earlier round and stays
+    # oracle-checked at sf0.001 by tests/test_oracle_suite.py.
+    "ticks_normalize",
+    "zorder_layout",
+    "compaction_plan",
+    "return_moments",
+    "scd2_versions",
+    "scd2_incremental",
+    "funnel_conversion",
+    "cohort_retention",
+    "event_transitions",
+    "robust_outliers",
+    "cusum_alarm",
+    "volume_hhi",
+    "session_paths",
+    "sessionize",
+    "delta_zscore",
+    "rolling_corr",
+    "ohlc_1h",
+    "atr_1h",
+    "liquidity_velocity",
+    "hurst",
+    "bos_1h",
+    "ema",
+    "depth_slippage",
+    "table_expectations",
+    "cumulative_customer_value",
 ]
 
 
